@@ -1,0 +1,548 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A named query with an optional DuckDB oracle.
+  *
+  * Conventions that keep the driver's hash-compare honest:
+  *   - every output column is explicitly aliased, identically in the Spark
+  *     plan and in the oracle SQL;
+  *   - every floating-point aggregate is `round()`ed the same on both sides
+  *     (raw column values pass through un-rounded — they are bit-identical);
+  *   - every query ends in a total ORDER BY with explicit NULLS FIRST/LAST
+  *     (Spark and DuckDB have different default null ordering);
+  *   - integer-width functions (length, floor, year, %, ...) are cast to
+  *     BIGINT on both sides (Spark returns int where DuckDB returns int64).
+  */
+final case class NamedQuery(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+/** The relational operator inventory of SURVEY.md §2.B re-expressed
+  * Spark-first: scan/project/filter, all join types, hash aggregation,
+  * rollup/cube/grouping sets, windows, sort/limit/top-k, set ops, scalar
+  * function families, and subqueries (IN / EXISTS / scalar).
+  *
+  * The reference delegates all of these to DataFusion wholesale
+  * (reference: src/sql/mod.rs:84,136-137); here they are declared with the
+  * DataFrame API (or `spark.sql` for subquery forms) so Catalyst plans
+  * them: predicate pushdown and column pruning reach the parquet scans,
+  * small dimension tables are broadcast, and aggregates run
+  * partial-then-final — all properties the reference's single-partition
+  * scan (src/sql/plan/table.rs:214) lacks.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Rounds a non-terminating value (avg, ratio) for oracle parity.
+    *
+    * `round(double, n)` diverges between engines when the true value is an
+    * exact decimal tie (e.g. avg = 38.37875: Spark rounds the shortest
+    * decimal repr HALF_UP → 38.3788, DuckDB rounds the binary double →
+    * 38.3787). Casting to DECIMAL(28,8) first makes both engines round the
+    * same exact decimal, then HALF_UP at the target scale agrees. Sums of
+    * fixed-decimal measures don't need this — rounding AT the measure's
+    * decimal resolution is convergent (both engines collapse ulp noise to
+    * the same value).
+    */
+  private def stableRound(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    round(c.cast(org.apache.spark.sql.types.DecimalType(28, 8)), scale).cast("double")
+  /** Same computation spelled in SQL for the DuckDB oracle. */
+  private def stableRoundSql(exprSql: String, scale: Int): String =
+    s"CAST(round(CAST($exprSql AS DECIMAL(28,8)), $scale) AS DOUBLE)"
+
+  /** For subquery shapes the DataFrame API can't express directly, run the
+    * exact oracle text through spark.sql — same string, two engines. */
+  private def viaSql(sql: String): NamedQueryBuilder = new NamedQueryBuilder(sql)
+  final class NamedQueryBuilder(sql: String) {
+    def named(name: String): NamedQuery =
+      NamedQuery(name, Some(sql), (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) })
+  }
+
+  val queries: Seq[NamedQuery] = Seq(
+    // --- aggregation: TPC-H Q1 pricing summary (partial+final hash agg) ---
+    NamedQuery(
+      "q01_pricing_summary",
+      Some(
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, " +
+          "round(sum(l_extendedprice),2) AS sum_base_price, " +
+          "round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price, " +
+          "round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge, " +
+          stableRoundSql("avg(l_quantity)", 4) + " AS avg_qty, " +
+          stableRoundSql("avg(l_extendedprice)", 4) + " AS avg_price, " +
+          stableRoundSql("avg(l_discount)", 4) + " AS avg_disc, count(*) AS count_order " +
+          "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
+          "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-01"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            stableRound(avg(col("l_quantity")), 4).as("avg_qty"),
+            stableRound(avg(col("l_extendedprice")), 4).as("avg_price"),
+            stableRound(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // --- scan + filter + projection with CASE/BETWEEN/IN/LIKE ---
+    NamedQuery(
+      "q02_filter_expr",
+      Some(
+        "SELECT p_partkey, p_name, CASE WHEN p_type='PROMO' THEN 'promo' WHEN p_type='ECONOMY' THEN 'econ' ELSE 'std' END AS kind, p_retailprice " +
+          "FROM part WHERE p_size BETWEEN 10 AND 30 AND p_brand IN ('Brand#1','Brand#2','Brand#3') AND p_name LIKE '%wid%' " +
+          "ORDER BY p_partkey"),
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(
+            col("p_size").between(10, 30) &&
+              col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+              col("p_name").like("%wid%"))
+          .select(
+            col("p_partkey"),
+            col("p_name"),
+            when(col("p_type") === "PROMO", "promo")
+              .when(col("p_type") === "ECONOMY", "econ")
+              .otherwise("std").as("kind"),
+            col("p_retailprice"))
+          .orderBy(col("p_partkey"))),
+
+    // --- 3-way join with broadcast dimension + top-k (TPC-H Q3 shape) ---
+    NamedQuery(
+      "q03_top_orders",
+      Some(
+        "SELECT o_orderkey, o_orderdate, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue " +
+          "FROM lineitem JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey " +
+          "WHERE c_mktsegment='BUILDING' GROUP BY o_orderkey, o_orderdate " +
+          "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      }),
+
+    // --- left outer join + null-aware aggregation ---
+    NamedQuery(
+      "q04_left_join_agg",
+      Some(
+        "SELECT c_custkey, count(o_orderkey) AS n_big, round(coalesce(sum(o_totalprice),0),2) AS sum_big " +
+          "FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o ON c_custkey = o_custkey " +
+          "GROUP BY c_custkey ORDER BY c_custkey"),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_big"),
+            round(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("sum_big"))
+          .orderBy(col("c_custkey"))),
+
+    // --- left semi join (EXISTS) ---
+    NamedQuery(
+      "q05_semi_join",
+      Some(
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN " +
+          "(SELECT o_custkey FROM orders WHERE o_orderpriority='1-URGENT') ORDER BY c_custkey"),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))),
+
+    // --- left anti join (NOT EXISTS) ---
+    NamedQuery(
+      "q06_anti_join",
+      Some(
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+          "(SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice>450000) ORDER BY c_custkey"),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))),
+
+    // --- full outer join of two aggregated sides ---
+    NamedQuery(
+      "q07_full_outer",
+      Some(
+        "SELECT CAST(coalesce(s.k, c.k) AS BIGINT) AS nationkey, n_supp, n_cust FROM " +
+          "(SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s " +
+          "FULL OUTER JOIN " +
+          "(SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c " +
+          "ON s.k = c.k ORDER BY nationkey"),
+      (s, dir) => {
+        val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+          .agg(count(lit(1)).as("n_supp"))
+        val cus = t(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+          .agg(count(lit(1)).as("n_cust"))
+        sup.join(cus, col("sk") === col("ck"), "full_outer")
+          .select(
+            coalesce(col("sk"), col("ck")).cast("bigint").as("nationkey"),
+            col("n_supp"), col("n_cust"))
+          .orderBy(col("nationkey"))
+      }),
+
+    // --- cross join ---
+    NamedQuery(
+      "q08_cross_join",
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"),
+      (s, dir) =>
+        t(s, dir, "region").select(col("r_name"))
+          .crossJoin(t(s, dir, "nation").select(col("n_name")))
+          .orderBy(col("r_name"), col("n_name"))),
+
+    // --- window: row_number + lag over per-key ordering ---
+    NamedQuery(
+      "q09_window_rank",
+      Some(
+        "SELECT o_custkey, rn, o_orderkey, o_totalprice, prev_price FROM " +
+          "(SELECT o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn, " +
+          "o_orderkey, o_totalprice, lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price " +
+          "FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn"),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"),
+            row_number().over(w).as("rn"),
+            col("o_orderkey"), col("o_totalprice"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+          .filter(col("rn") <= 2)
+          .orderBy(col("o_custkey"), col("rn"))
+      }),
+
+    // --- window: running sum + sliding average frames ---
+    NamedQuery(
+      "q10_window_running",
+      Some(
+        "SELECT user_id, event_id, " +
+          "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running, " +
+          stableRoundSql("avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)", 4) + " AS mov_avg " +
+          "FROM events WHERE user_id < 25 ORDER BY user_id, event_id"),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .filter(col("user_id") < 25)
+          .select(
+            col("user_id"), col("event_id"),
+            round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running"),
+            stableRound(avg(col("value")).over(w.rowsBetween(-3, Window.currentRow)), 4).as("mov_avg"))
+          .orderBy(col("user_id"), col("event_id"))
+      }),
+
+    // --- global top-k (TakeOrderedAndProject) ---
+    NamedQuery(
+      "q11_topk",
+      Some(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(15)),
+
+    // --- set operations: INTERSECT / EXCEPT / UNION ALL ---
+    NamedQuery(
+      "q12_setops",
+      Some(
+        "SELECT 'both' AS tag, k FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus='F' " +
+          "INTERSECT SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus='O') a " +
+          "UNION ALL " +
+          "SELECT 'f_only' AS tag, k FROM (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus='F' " +
+          "EXCEPT SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus='O') b " +
+          "ORDER BY tag, k"),
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k")).distinct()
+        val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")).distinct()
+        f.intersect(o).select(lit("both").as("tag"), col("k"))
+          .unionByName(f.except(o).select(lit("f_only").as("tag"), col("k")))
+          .orderBy(col("tag"), col("k"))
+      }),
+
+    // --- ROLLUP ---
+    NamedQuery(
+      "q13_rollup",
+      Some(
+        "SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS total " +
+          "FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey " +
+          "GROUP BY ROLLUP(n_name) ORDER BY n_name ASC NULLS FIRST"),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"))
+          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("n_name").asc_nulls_first)),
+
+    // --- CUBE ---
+    NamedQuery(
+      "q14_cube",
+      Some(
+        "SELECT o_orderstatus AS status, o_orderpriority AS priority, count(*) AS n " +
+          "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+          "ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST"),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("status").asc_nulls_first, col("priority").asc_nulls_first)),
+
+    // --- GROUPING SETS (same SQL text runs on both engines) ---
+    viaSql(
+      "SELECT o_orderstatus AS status, o_orderpriority AS priority, count(*) AS n, round(sum(o_totalprice),2) AS total " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus),(o_orderpriority),()) " +
+        "ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST").named("q15_grouping_sets"),
+
+    // --- DISTINCT aggregates ---
+    NamedQuery(
+      "q16_distinct_agg",
+      Some(
+        "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part, " +
+          "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))),
+
+    // --- string function family ---
+    NamedQuery(
+      "q17_string_funcs",
+      Some(
+        "SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, substr(p_name,1,5) AS pre, " +
+          "CAST(length(p_name) AS BIGINT) AS len, replace(p_name,' ','_') AS und, " +
+          "concat(p_brand, ':', p_type) AS br, CAST(strpos(p_name,'o') AS BIGINT) AS pos, " +
+          "lpad(p_brand, 12, '*') AS pad, reverse(p_name) AS rev " +
+          "FROM part WHERE p_partkey < 200 ORDER BY p_partkey"),
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(col("p_partkey") < 200)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("up"),
+            lower(col("p_brand")).as("lo"),
+            substring(col("p_name"), 1, 5).as("pre"),
+            length(col("p_name")).cast("bigint").as("len"),
+            regexp_replace(col("p_name"), " ", "_").as("und"),
+            concat(col("p_brand"), lit(":"), col("p_type")).as("br"),
+            instr(col("p_name"), "o").cast("bigint").as("pos"),
+            lpad(col("p_brand"), 12, "*").as("pad"),
+            reverse(col("p_name")).as("rev"))
+          .orderBy(col("p_partkey"))),
+
+    // --- regex family ---
+    NamedQuery(
+      "q18_regex",
+      Some(
+        "SELECT p_partkey, CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num, " +
+          "regexp_replace(p_name, '[aeiou]', '', 'g') AS devowel " +
+          "FROM part WHERE regexp_matches(p_name, '^[a-f]') ORDER BY p_partkey"),
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(col("p_name").rlike("^[a-f]"))
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("bigint").as("brand_num"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("devowel"))
+          .orderBy(col("p_partkey"))),
+
+    // --- math function family ---
+    NamedQuery(
+      "q19_math_funcs",
+      Some(
+        "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),4) AS sq, " +
+          "round(ln(l_extendedprice),6) AS lnp, round(power(l_discount+1,3),6) AS pw, " +
+          "CAST(floor(l_extendedprice) AS BIGINT) AS fl, CAST(ceil(l_extendedprice) AS BIGINT) AS ce, " +
+          "abs(l_quantity - 25) AS ab, CAST(l_linenumber % 3 AS BIGINT) AS md, " +
+          "greatest(l_tax, l_discount) AS gr, least(l_tax, l_discount) AS ls " +
+          "FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber"),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 100)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(sqrt(col("l_extendedprice")), 4).as("sq"),
+            round(log(col("l_extendedprice")), 6).as("lnp"),
+            round(pow(col("l_discount") + 1, 3), 6).as("pw"),
+            floor(col("l_extendedprice")).cast("bigint").as("fl"),
+            ceil(col("l_extendedprice")).cast("bigint").as("ce"),
+            abs(col("l_quantity") - 25).as("ab"),
+            (col("l_linenumber") % 3).cast("bigint").as("md"),
+            greatest(col("l_tax"), col("l_discount")).as("gr"),
+            least(col("l_tax"), col("l_discount")).as("ls"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // --- date/time extraction + aggregation ---
+    NamedQuery(
+      "q20_datetime",
+      Some(
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, CAST(month(o_orderdate) AS BIGINT) AS o_month, " +
+          "count(*) AS n, round(sum(o_totalprice),2) AS total " +
+          "FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month"),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(
+            year(col("o_orderdate")).cast("bigint").as("o_year"),
+            month(col("o_orderdate")).cast("bigint").as("o_month"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("o_year"), col("o_month"))),
+
+    // --- HAVING ---
+    NamedQuery(
+      "q21_having",
+      Some(
+        "SELECT o_custkey, count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders " +
+          "GROUP BY o_custkey HAVING count(*) >= 14 AND sum(o_totalprice) > 3000000 ORDER BY o_custkey"),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+            sum(col("o_totalprice")).as("raw_total"))
+          .filter(col("n") >= 14 && col("raw_total") > 3000000)
+          .drop("raw_total")
+          .orderBy(col("o_custkey"))),
+
+    // --- uncorrelated IN subquery ---
+    viaSql(
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000) ORDER BY o_orderkey").named("q22_subquery_in"),
+
+    // --- scalar subquery ---
+    viaSql(
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 1.9 * " +
+        "(SELECT avg(o_totalprice) FROM orders) ORDER BY o_orderkey").named("q23_subquery_scalar"),
+
+    // --- correlated EXISTS subquery ---
+    viaSql(
+      "SELECT o_orderkey, o_orderstatus FROM orders o WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49) " +
+        "ORDER BY o_orderkey").named("q24_exists_correlated"),
+
+    // --- conditional aggregation ratio (TPC-H Q14 shape) ---
+    NamedQuery(
+      "q25_case_promo",
+      Some(
+        "SELECT " + stableRoundSql(
+          "100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END) " +
+            "/ sum(l_extendedprice*(1-l_discount))", 4) + " AS promo_revenue " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+          "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'"),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            stableRound(
+              lit(100.0) *
+                sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0)) /
+                sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_revenue"))),
+
+    // --- exact interpolated percentiles (DuckDB quantile_cont) ---
+    NamedQuery(
+      "q26_percentile",
+      Some(
+        "SELECT c_mktsegment, round(quantile_cont(o_totalprice, 0.5),4) AS p50, " +
+          "round(quantile_cont(o_totalprice, 0.9),4) AS p90 " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+          .orderBy(col("c_mktsegment"))),
+
+    // --- approximate sketches (no DuckDB oracle: HLL/KLL differ by impl;
+    //     the driver records a rows-only check) ---
+    NamedQuery(
+      "q27_approx",
+      None,
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+            expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"))),
+
+    // --- timestamp truncation + aggregation over the events table ---
+    NamedQuery(
+      "q28_events_daily",
+      Some(
+        "SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n, " +
+          "round(sum(value),2) AS total, " + stableRoundSql("avg(value)", 4) + " AS avg_value " +
+          "FROM events GROUP BY 1, 2 ORDER BY day, event_type"),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("total"),
+            stableRound(avg(col("value")), 4).as("avg_value"))
+          .orderBy(col("day"), col("event_type"))),
+
+    // --- gap-based sessionization via window lag ---
+    NamedQuery(
+      "q29_sessionize",
+      Some(
+        "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM " +
+          "(SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 " +
+          "WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s " +
+          "FROM events) t GROUP BY user_id ORDER BY user_id"),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), lag(col("ts"), 1).over(w).as("prev_ts"))
+          .select(
+            col("user_id"),
+            when(col("prev_ts").isNull, 1)
+              .when(col("ts") - col("prev_ts") > expr("INTERVAL 30 MINUTE"), 1)
+              .otherwise(0).as("new_s"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_s")).cast("bigint").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      }),
+
+    // --- equi join with additional range (theta) condition ---
+    NamedQuery(
+      "q30_join_range",
+      Some(
+        "SELECT o_orderstatus AS status, count(*) AS n FROM lineitem JOIN orders " +
+          "ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY " +
+          "GROUP BY o_orderstatus ORDER BY status"),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(
+            t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("status")))
+  )
+}
