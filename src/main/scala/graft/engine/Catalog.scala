@@ -1,0 +1,195 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** File-backed catalog over a warehouse directory.
+  *
+  * Layout: `<wh>/<db>/<schema>/<table>/` holding `descriptor.json`, a
+  * `data/` dir of parquet parts, and `_serial/<columnId>` counter files.
+  * Mirrors the semantics of the reference's
+  * catalog-in-KV `_databases` meta-table (reference: src/sql/client.rs:98-195,
+  * 445-564): three-level namespace, implicit `public` schema per database,
+  * create/drop/list with IF [NOT] EXISTS tolerance, and a global id
+  * allocator standing in for the KV `Increment`-driven serial id column.
+  *
+  * Single-driver engine: all mutations synchronize on this object, which is
+  * faithful to the reference's per-statement transactional writes at the
+  * observable level (its own tests are single-node, single-client).
+  */
+final class Catalog(val warehouse: String) {
+  private val root: Path = Paths.get(warehouse)
+  Files.createDirectories(root)
+
+  private def idsFile = root.resolve("_ids")
+
+  /** Global id allocator (reference: `_databases.id` serial column). */
+  private def nextId(): Long = synchronized {
+    val cur = if (Files.exists(idsFile)) Files.readString(idsFile).trim.toLong else 0L
+    val next = cur + 1
+    Files.writeString(idsFile, next.toString)
+    next
+  }
+
+  private def dbPath(db: String): Path = root.resolve(db)
+  private def schemaPath(db: String, schema: String): Path = dbPath(db).resolve(schema)
+  private def tablePath(db: String, schema: String, table: String): Path =
+    schemaPath(db, schema).resolve(table)
+
+  // ---------- databases ----------
+
+  /** Creates the database plus its implicit `public` schema
+    * (reference: src/sql/client.rs:118-166). */
+  def createDatabase(name: String, ifNotExists: Boolean): Unit = synchronized {
+    val p = dbPath(name)
+    if (Files.exists(p)) {
+      if (ifNotExists) return
+      throw SqlError.databaseAlreadyExists(name)
+    }
+    nextId() // database id
+    nextId() // public schema id
+    Files.createDirectories(p.resolve("public"))
+  }
+
+  def databaseExists(name: String): Boolean = Files.isDirectory(dbPath(name))
+
+  def listDatabases(): Seq[String] =
+    if (!Files.isDirectory(root)) Seq.empty
+    else Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filterNot(_.startsWith("_")).toSeq.sorted
+
+  def listSchemas(db: String): Seq[String] = {
+    requireDatabase(db)
+    Files.list(dbPath(db)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+  }
+
+  private def requireDatabase(db: String): Unit =
+    if (!databaseExists(db)) throw SqlError.databaseNotExists(db)
+  private def requireSchema(db: String, schema: String): Unit = {
+    requireDatabase(db)
+    if (!Files.isDirectory(schemaPath(db, schema))) throw SqlError.schemaNotExists(schema)
+  }
+
+  // ---------- tables ----------
+
+  def createTable(
+      db: String, schema: String,
+      builder: TableDescriptorBuilder, ifNotExists: Boolean): Option[TableDescriptor] = synchronized {
+    requireSchema(db, schema)
+    val descriptor = builder.build(nextId())
+    val p = tablePath(db, schema, descriptor.name)
+    if (Files.exists(p)) {
+      if (ifNotExists) return None
+      throw SqlError.tableAlreadyExists(descriptor.name)
+    }
+    Files.createDirectories(p.resolve("data"))
+    Files.createDirectories(p.resolve("_serial"))
+    Files.writeString(p.resolve("descriptor.json"), DescriptorJson.write(descriptor))
+    Some(descriptor)
+  }
+
+  def tableExists(db: String, schema: String, table: String): Boolean =
+    Files.exists(tablePath(db, schema, table).resolve("descriptor.json"))
+
+  def getTable(db: String, schema: String, table: String): TableDescriptor = synchronized {
+    requireSchema(db, schema)
+    val f = tablePath(db, schema, table).resolve("descriptor.json")
+    if (!Files.exists(f)) throw SqlError.tableNotExists(table)
+    DescriptorJson.read(Files.readString(f))
+  }
+
+  def listTables(db: String, schema: String): Seq[String] = {
+    requireSchema(db, schema)
+    Files.list(schemaPath(db, schema)).iterator().asScala
+      .filter(p => Files.exists(p.resolve("descriptor.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** Drops descriptor + all data (reference: src/sql/plan/drop_table.rs:35-123). */
+  def dropTable(db: String, schema: String, table: String, ifExists: Boolean): Unit = synchronized {
+    requireSchema(db, schema)
+    val p = tablePath(db, schema, table)
+    if (!Files.exists(p.resolve("descriptor.json"))) {
+      if (ifExists) return
+      throw SqlError.tableNotExists(table)
+    }
+    deleteRecursively(p)
+  }
+
+  def dataDir(db: String, schema: String, table: String): String =
+    tablePath(db, schema, table).resolve("data").toString
+
+  // ---------- serial counters ----------
+  // reference: counter at key 't'+table_id+'c'+column_id bumped via KV
+  // Increment during insert prefill (src/sql/client.rs:266-313). Counter is
+  // advanced BEFORE the data write — ids may have gaps on failed inserts,
+  // same as the reference.
+
+  private def serialFile(db: String, schema: String, table: String, columnId: Int): Path =
+    tablePath(db, schema, table).resolve("_serial").resolve(columnId.toString)
+
+  def peekSerial(db: String, schema: String, table: String, columnId: Int): Long = synchronized {
+    val f = serialFile(db, schema, table, columnId)
+    if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+  }
+
+  /** Reserves `n` values; returns the first reserved value (last+1).
+    * Overflow-checked against the column type's ceiling
+    * (reference: src/sql/client.rs:278-296). */
+  def reserveSerial(
+      db: String, schema: String, table: String,
+      column: ColumnDescriptor, n: Long): Long = synchronized {
+    if (!column.typeKind.serialCapable)
+      throw SqlError.unexpected(
+        s"column ${column.name} has type ${column.typeKind.name}, is not a serial column type")
+    val f = serialFile(db, schema, table, column.id)
+    val cur = if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+    val last = cur + n
+    if (last > column.typeKind.serialMax)
+      throw SqlError.unexpected(s"column ${column.name} overflow")
+    Files.writeString(f, last.toString)
+    cur + 1
+  }
+
+  /** Test hook: force the counter (e.g. near the type ceiling). */
+  def setSerial(db: String, schema: String, table: String, columnId: Int, value: Long): Unit =
+    synchronized { Files.writeString(serialFile(db, schema, table, columnId), value.toString) }
+
+  // ---------- staging (statement-atomic append) ----------
+
+  /** Moves every parquet part file from `stagingDir` into the table's data
+    * dir under fresh unique names — the visible "commit" of an INSERT
+    * (observable parity with the reference's transactional commit:
+    * src/sql/client.rs:67-80). */
+  def commitStaged(db: String, schema: String, table: String, stagingDir: Path): Long = synchronized {
+    val dataDirPath = tablePath(db, schema, table).resolve("data")
+    var moved = 0L
+    val parts = Files.list(stagingDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.getFileName.toString)
+    parts.foreach { part =>
+      val target = dataDirPath.resolve(
+        s"part-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.parquet")
+      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      moved += 1
+    }
+    deleteRecursively(stagingDir)
+    moved
+  }
+
+  /** Abandons a staged write without publishing anything. */
+  def discardStaged(stagingDir: Path): Unit = synchronized { deleteRecursively(stagingDir) }
+
+  def newStagingDir(db: String, schema: String, table: String): Path = synchronized {
+    val p = tablePath(db, schema, table).resolve(s".staging-${java.util.UUID.randomUUID()}")
+    Files.createDirectories(p)
+    p
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,312 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Connection metadata (reference: SqlContext at src/sql/context.rs —
+  * database/user from the PG connection, port 0 when unconnected). */
+final case class SqlContext(database: String, user: String, port: Int = 0)
+
+/** The PG-semantics statement engine: `execute(sql)` returns a DataFrame.
+  *
+  * Architecture mirrors the reference's decision (SURVEY §7): a thin
+  * statement-level shell — our own handling for CREATE DATABASE / CREATE
+  * TABLE / DROP TABLE / INSERT and session functions — with every
+  * relational query falling through to Spark SQL (as the reference falls
+  * through to DataFusion: src/sql/postgresql/mod.rs:269, src/sql/mod.rs:136).
+  *
+  * Tables are parquet-backed managed tables; a query resolves each table at
+  * planning time to the parquet files then present, which is the observable
+  * equivalent of the reference's snapshot reads (SURVEY §1.5).
+  */
+final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: SqlContext) {
+  import SqlParser._
+
+  registerSessionFunctions()
+
+  def execute(sql: String): DataFrame = SqlParser.parse(sql) match {
+    case CreateDatabase(name, ine) =>
+      catalog.createDatabase(name, ine); spark.emptyDataFrame
+    case CreateTable(name, builder, ine) =>
+      val (db, schema, _) = resolve(name)
+      catalog.createTable(db, schema, builder, ine)
+      spark.emptyDataFrame
+    case DropTable(name, ie) =>
+      val (db, schema, table) = resolve(name)
+      catalog.dropTable(db, schema, table, ie)
+      spark.catalog.dropTempView(table)
+      spark.emptyDataFrame
+    case ins: Insert => insert(ins)
+    case ShowDatabases() =>
+      toDf(catalog.listDatabases().map(Row(_)), StructType(Seq(StructField("name", StringType, false))))
+    case ShowTables() =>
+      toDf(catalog.listTables(ctx.database, "public").map(Row(_)),
+        StructType(Seq(StructField("name", StringType, false))))
+    case Describe(name) =>
+      val (db, schema, table) = resolve(name)
+      val d = catalog.getTable(db, schema, table)
+      toDf(
+        d.columns.map(c => Row(c.name, c.typeKind.name, c.nullable, c.serial)),
+        StructType(Seq(
+          StructField("column", StringType, false), StructField("type", StringType, false),
+          StructField("nullable", BooleanType, false), StructField("serial", BooleanType, false))))
+    case Query(q) => query(q)
+  }
+
+  private def toDf(rows: Seq[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+  /** reference: name.resolve(default_catalog, "public") (src/sql/traits.rs:80-83). */
+  private def resolve(name: Seq[String]): (String, String, String) = name match {
+    case Seq(t) => (ctx.database, "public", t)
+    case Seq(s, t) => (ctx.database, s, t)
+    case Seq(d, s, t) => (d, s, t)
+    case _ => throw SqlError.invalid(s"table name ${name.mkString(".")}")
+  }
+
+  def readTable(db: String, schema: String, table: String): DataFrame = {
+    val d = catalog.getTable(db, schema, table)
+    spark.read.schema(d.toStructType).parquet(catalog.dataDir(db, schema, table))
+  }
+
+  // ---------- query path ----------
+
+  /** Registers every table of the connected database as a temp view (the
+    * per-statement descriptor fetch of the reference, src/sql/mod.rs:60-75),
+    * rewrites PG session functions, and hands the text to Spark SQL. */
+  private def query(sql: String): DataFrame = {
+    if (catalog.databaseExists(ctx.database)) {
+      catalog.listSchemas(ctx.database).foreach { schema =>
+        catalog.listTables(ctx.database, schema).foreach { t =>
+          readTable(ctx.database, schema, t).createOrReplaceTempView(t)
+        }
+      }
+    }
+    try spark.sql(rewriteSessionFunctions(sql))
+    catch {
+      // map Spark's resolution failure to the reference's error shape
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition != null && e.getCondition.startsWith("TABLE_OR_VIEW_NOT_FOUND") =>
+        throw SqlError(SqlError.TableNotExists, e.getMessage)
+    }
+  }
+
+  // ---------- session functions (reference A7) ----------
+  // current_catalog / current_database / current_schema / current_user /
+  // current_role / inet_client_port, values bound to the connection context
+  // (reference: src/sql/postgresql/functions/mod.rs:31-193). Spark's parser
+  // special-cases some of these names, so the engine rewrites them to
+  // graft_-prefixed session UDFs and re-aliases to the PG column name.
+
+  private def registerSessionFunctions(): Unit = {
+    val db = ctx.database
+    val user = ctx.user
+    val port = ctx.port
+    spark.udf.register("graft_current_catalog", () => db)
+    spark.udf.register("graft_current_database", () => db)
+    spark.udf.register("graft_current_schema", () => "public")
+    spark.udf.register("graft_current_user", () => user)
+    spark.udf.register("graft_inet_client_port", () => port)
+  }
+
+  private val sessionFns: Map[String, String] = Map(
+    "current_catalog" -> "graft_current_catalog",
+    "current_database" -> "graft_current_database",
+    "current_schema" -> "graft_current_schema",
+    "current_user" -> "graft_current_user",
+    "current_role" -> "graft_current_user",
+    "session_user" -> "graft_current_user",
+    "inet_client_port" -> "graft_inet_client_port")
+
+  private[engine] def rewriteSessionFunctions(sql: String): String = {
+    val toks = SqlParser.tokenize(sql)
+    val out = new StringBuilder
+    var depth = 0
+    var i = 0
+    def emit(s: String): Unit = {
+      if (out.nonEmpty) out.append(' ')
+      out.append(s)
+    }
+    while (i < toks.length) {
+      toks(i) match {
+        case Word(w) if sessionFns.contains(w) && depth == 0 =>
+          val target = sessionFns(w)
+          // swallow optional ()
+          var j = i + 1
+          if (toks.lift(j).contains(Sym("(")) && toks.lift(j + 1).contains(Sym(")"))) j += 2
+          // alias to the PG-visible name when in a bare select-list position
+          val aliased = toks.lift(j) match {
+            case None | Some(Sym(",")) | Some(Word("from")) => true
+            case _ => false
+          }
+          emit(s"$target()")
+          if (aliased) emit(s"as $w")
+          i = j
+        case Word(w) =>
+          emit(w); i += 1
+        case QuotedIdent(q) => emit("`" + q.replace("`", "``") + "`"); i += 1
+        case Str(s) => emit("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"); i += 1
+        case Num(n) => emit(n); i += 1
+        case Sym(s) =>
+          if (s == "(") depth += 1
+          if (s == ")") depth = math.max(0, depth - 1)
+          emit(s); i += 1
+      }
+    }
+    out.toString
+  }
+
+  // ---------- insert path ----------
+  // Parity with InsertExec + prefill (reference: src/sql/plan/insert.rs:55-247,
+  // src/sql/client.rs:247-313): validate target columns, fill NULLs for
+  // missing nullable columns, assign serial values from the table counter,
+  // enforce unique indexes, append atomically, return a 1-row `count`.
+
+  private def insert(ins: Insert): DataFrame = {
+    val (db, schema, table) = resolve(ins.table)
+    val desc = catalog.getTable(db, schema, table)
+
+    // source: VALUES/SELECT planned by Spark SQL. A SELECT may reference
+    // other tables — register views first.
+    if (catalog.databaseExists(ctx.database)) {
+      catalog.listTables(ctx.database, "public").foreach { t =>
+        readTable(ctx.database, "public", t).createOrReplaceTempView(t)
+      }
+    }
+    val source = spark.sql(ins.restSql)
+
+    val provided: Seq[String] = ins.columns.getOrElse(desc.columns.map(_.name))
+    if (provided.distinct.length != provided.length)
+      throw SqlError.invalid(s"duplicate target columns in INSERT into $table")
+    provided.foreach { c =>
+      if (desc.findColumn(c).isEmpty) throw SqlError.invalid(s"table $table has no column $c")
+    }
+    if (source.columns.length != provided.length)
+      throw SqlError.invalid(
+        s"INSERT into $table has ${source.columns.length} expressions but ${provided.length} target columns")
+
+    // type validation (reference validate_column: src/sql/client.rs:247-264)
+    val byTarget: Map[String, (String, DataType)] =
+      provided.zip(source.schema.fields).map { case (tgt, f) => tgt -> (f.name, f.dataType) }.toMap
+    byTarget.foreach { case (tgt, (_, srcType)) =>
+      val col = desc.findColumn(tgt).get
+      if (!typeCompatible(srcType, col.typeKind))
+        throw SqlError.mismatchColumnType(table, col.name, col.typeKind.name, srcType.simpleString)
+    }
+
+    val missingSerials = desc.columns.filter(c => c.serial && !provided.contains(c.name))
+    // columns present in the candidate before serial assignment, in
+    // descriptor order minus missing serials
+    val preCols: Seq[org.apache.spark.sql.Column] = desc.columns.flatMap { c =>
+      if (provided.contains(c.name)) {
+        val (srcName, _) = byTarget(c.name)
+        Some(source.col(s"`$srcName`").cast(c.typeKind.sparkType).as(c.name))
+      } else if (c.serial) None
+      else if (c.nullable) Some(lit(null).cast(c.typeKind.sparkType).as(c.name))
+      else throw SqlError.missingColumn(c.name)
+    }
+    val pre = source.select(preCols: _*)
+    pre.persist()
+    try {
+      val n = pre.count()
+
+      // NOT NULL validation on the provided data
+      val notNullable = desc.columns.filter(c => !c.nullable && provided.contains(c.name))
+      if (notNullable.nonEmpty && n > 0) {
+        val counts = pre.select(notNullable.map(c =>
+          sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(c.name)): _*).head()
+        notNullable.zipWithIndex.foreach { case (c, i) =>
+          if (counts.getLong(i) > 0) throw SqlError.notNullableColumn(table, c.name)
+        }
+      }
+
+      // serial assignment: contiguous ids from the table counter in input
+      // order (reference increments per row; we reserve the whole range —
+      // same observable ids, one counter write)
+      val cand: DataFrame = if (missingSerials.isEmpty) pre else {
+        val starts = missingSerials.map(c => c -> catalog.reserveSerial(db, schema, table, c, n)).toMap
+        val fullSchema = desc.toStructType
+        val preOrder = desc.columns.filterNot(c => missingSerials.exists(_.id == c.id))
+        val rdd = pre.rdd.zipWithIndex().map { case (row, idx) =>
+          val bySrc: Map[String, Any] = preOrder.map(_.name).zip(row.toSeq).toMap
+          Row.fromSeq(desc.columns.map { c =>
+            if (missingSerials.exists(_.id == c.id)) {
+              val v = starts(c) + idx
+              c.typeKind match {
+                case ColumnTypeKind.Int16Kind => v.toShort
+                case ColumnTypeKind.Int32Kind => v.toInt
+                case _ => v
+              }
+            } else bySrc(c.name)
+          })
+        }
+        spark.createDataFrame(rdd, fullSchema)
+      }
+
+      // unique enforcement before any write (statement atomicity)
+      if (n > 0) enforceUnique(desc, cand, db, schema, table)
+
+      // atomic append: stage then move
+      val staging = catalog.newStagingDir(db, schema, table)
+      try {
+        cand.write.mode("overwrite").parquet(staging.toString)
+        catalog.commitStaged(db, schema, table, staging)
+      } catch {
+        case e: Throwable =>
+          try catalog.discardStaged(staging) catch { case _: Throwable => }
+          throw e
+      }
+
+      toDf(Seq(Row(n)), StructType(Seq(StructField("count", LongType, false))))
+    } finally pre.unpersist()
+  }
+
+  private def typeCompatible(src: DataType, tgt: ColumnTypeKind): Boolean = {
+    import ColumnTypeKind._
+    if (src == NullType) return true
+    val numeric = src match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType => true
+      case _ => false
+    }
+    tgt match {
+      case BooleanKind => src == BooleanType
+      case Int16Kind | Int32Kind | Int64Kind | Float32Kind | Float64Kind => numeric
+      case BytesKind => src == BinaryType
+      case StringKind => src == StringType || src.isInstanceOf[VarcharType] || src.isInstanceOf[CharType]
+    }
+  }
+
+  /** Unique-index enforcement (SURVEY §7: groupBy within batch + join
+    * against existing rows; NULLS NOT DISTINCT uses null-safe equality,
+    * realizing the reference's key-encoding semantics at src/sql/row.rs:97-106).
+    * At scale both checks are shuffle/broadcast joins on the key — no
+    * driver-side collection.
+    */
+  private def enforceUnique(
+      desc: TableDescriptor, cand: DataFrame,
+      db: String, schema: String, table: String): Unit = {
+    val uniqueIdx = desc.indices.filter(_.isUnique)
+    if (uniqueIdx.isEmpty) return
+    lazy val existing = readTable(db, schema, table)
+    uniqueIdx.foreach { idx =>
+      val keys = idx.columnIds.map(desc.column(_).name)
+      val nullsDistinct = idx.kind != IndexKind.UniqueNullsNotDistinct
+      // within-batch duplicates: Spark's groupBy treats NULLs as equal,
+      // which is exactly NULLS NOT DISTINCT; for NULLS DISTINCT drop rows
+      // with any NULL key first (each NULL is unique by definition)
+      val inBatch =
+        (if (nullsDistinct) cand.filter(keys.map(col(_).isNotNull).reduce(_ && _)) else cand)
+          .groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+      if (!inBatch.isEmpty)
+        throw SqlError.uniqueKeyAlreadyExists(table, idx.name)
+      // against existing rows
+      val cond = keys.map { k =>
+        if (nullsDistinct) cand(k) === existing(k) else cand(k) <=> existing(k)
+      }.reduce(_ && _)
+      if (!cand.join(existing, cond, "left_semi").isEmpty)
+        throw SqlError.uniqueKeyAlreadyExists(table, idx.name)
+    }
+  }
+}

@@ -1,0 +1,187 @@
+package graft.engine
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** F1–F3 end-to-end parity with the reference's SQL tests
+  * (reference: src/sql/mod.rs:175-426, README.md:20-33). */
+class SqlEngineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshEngine(db: String = "test1", user: String = "user1"): SqlEngine = {
+    val wh = Files.createTempDirectory("graft-wh-").toString
+    new SqlEngine(spark, new Catalog(wh), SqlContext(db, user))
+  }
+
+  test("F1: create/insert/select golden rows (reference src/sql/mod.rs:175-275)") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute(
+      """CREATE TABLE table1 (
+        |    id serial PRIMARY KEY,
+        |    count bigint,
+        |    price real,
+        |    description text
+        |);""".stripMargin)
+    val inserted = e.execute(
+      """INSERT INTO table1
+        |(count, price, description)
+        |VALUES
+        |(4, 15.6, NULL),
+        |(3, 7.8, 'NNNNNN'),
+        |(8, 3.4, 'a'),
+        |(8, 2.9, 'b');
+        |""".stripMargin)
+    assert(inserted.collect().map(_.getLong(0)).toSeq == Seq(4L))
+
+    val rows = e.execute(
+      "select id, count, description from table1 ORDER BY count DESC, id ASC;").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getInt(0) == 3 && rows(0).getLong(1) == 8 && rows(0).getString(2) == "a")
+    assert(rows(1).getInt(0) == 4 && rows(1).getLong(1) == 8 && rows(1).getString(2) == "b")
+    assert(rows(2).getInt(0) == 1 && rows(2).getLong(1) == 4 && rows(2).isNullAt(2))
+    assert(rows(3).getInt(0) == 2 && rows(3).getLong(1) == 3 && rows(3).getString(2) == "NNNNNN")
+
+    // session functions: expected ('test1','test1','public',0)
+    val fns = e.execute(
+      "select current_catalog, current_database() as database, current_schema(), inet_client_port()")
+    val r = fns.collect()(0)
+    assert(fns.columns.toSeq == Seq("current_catalog", "database", "current_schema", "inet_client_port"))
+    assert(r.getString(0) == "test1" && r.getString(1) == "test1" && r.getString(2) == "public")
+    assert(r.getInt(3) == 0)
+
+    // README.md:32 aggregate query
+    val agg = e.execute(
+      "SELECT sum(count) AS count, max(price) AS max_price, min(price) AS min_price, " +
+        "sum(count*price) AS sales_amount FROM table1 ORDER BY max_price DESC").collect()(0)
+    assert(agg.getLong(0) == 23L)
+    assert(math.abs(agg.getFloat(1) - 15.6f) < 1e-5)
+    assert(math.abs(agg.getFloat(2) - 2.9f) < 1e-5)
+  }
+
+  test("F2: UNIQUE NULLS DISTINCT allows two NULLs, rejects dup non-NULL (src/sql/mod.rs:277-368)") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute(
+      """CREATE TABLE table1 (
+        |    id serial PRIMARY KEY,
+        |    name text,
+        |    description text,
+        |    CONSTRAINT unique_name UNIQUE NULLS DISTINCT (name)
+        |)""".stripMargin)
+    val ins = e.execute(
+      "INSERT INTO table1 (name, description) VALUES (NULL, 'row1'), ('name2', 'row2'), (NULL, 'row3')")
+    assert(ins.collect()(0).getLong(0) == 3L)
+    val rows = e.execute("SELECT id, name, description FROM table1 ORDER BY id ASC").collect()
+    assert(rows.map(r => (r.getInt(0), Option(r.getString(1)), r.getString(2))).toSeq == Seq(
+      (1, None, "row1"), (2, Some("name2"), "row2"), (3, None, "row3")))
+    val err = intercept[SqlError](
+      e.execute("INSERT INTO table1 (name, description) VALUES ('name2', 'row4')"))
+    assert(err.kind == SqlError.UniqueKeyAlreadyExists)
+    assert(err.getMessage.contains("unique_name"))
+    // another NULL is still fine after the failure
+    assert(e.execute("INSERT INTO table1 (name, description) VALUES (NULL, 'row5')")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("F3: UNIQUE NULLS NOT DISTINCT rejects second NULL (src/sql/mod.rs:370-426)") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute(
+      """CREATE TABLE table1 (
+        |    id serial PRIMARY KEY,
+        |    name text,
+        |    description text,
+        |    CONSTRAINT unique_name UNIQUE NULLS NOT DISTINCT (name)
+        |)""".stripMargin)
+    val err = intercept[SqlError](e.execute(
+      "INSERT INTO table1 (name, description) VALUES (NULL, 'row1'), ('name2', 'row2'), (NULL, 'row3')"))
+    assert(err.kind == SqlError.UniqueKeyAlreadyExists)
+    // statement atomicity: nothing was written
+    assert(e.execute("SELECT count(*) AS n FROM table1").collect()(0).getLong(0) == 0L)
+    // single NULL is fine; a second in a later statement errors too
+    e.execute("INSERT INTO table1 (name, description) VALUES (NULL, 'row1')")
+    val err2 = intercept[SqlError](
+      e.execute("INSERT INTO table1 (name, description) VALUES (NULL, 'rowX')"))
+    assert(err2.kind == SqlError.UniqueKeyAlreadyExists)
+  }
+
+  test("serial overflow: int16/int32 ceilings error (src/sql/client.rs:278-296)") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t16 (id smallserial PRIMARY KEY, v text)")
+    e.catalog.setSerial("test1", "public", "t16", 1, Short.MaxValue - 1L)
+    assert(e.execute("INSERT INTO t16 (v) VALUES ('a')").collect()(0).getLong(0) == 1L)
+    val ids = e.execute("SELECT id FROM t16").collect().map(_.getShort(0))
+    assert(ids.toSeq == Seq(Short.MaxValue))
+    val err = intercept[SqlError](e.execute("INSERT INTO t16 (v) VALUES ('b')"))
+    assert(err.getMessage.contains("overflow"))
+  }
+
+  test("insert validation: missing column, not-null, type mismatch, unknown column") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (a int PRIMARY KEY, b text NOT NULL, c real)")
+    assert(intercept[SqlError](e.execute("INSERT INTO t (a) VALUES (1)"))
+      .kind == SqlError.MissingColumn)
+    assert(intercept[SqlError](e.execute("INSERT INTO t (a, b) VALUES (1, NULL)"))
+      .kind == SqlError.NotNullableColumn)
+    assert(intercept[SqlError](e.execute("INSERT INTO t (a, b, c) VALUES (1, true, 2.0)"))
+      .kind == SqlError.MismatchColumnType)
+    assert(intercept[SqlError](e.execute("INSERT INTO t (a, b, zzz) VALUES (1, 'x', 2)"))
+      .getMessage.contains("no column"))
+    assert(intercept[SqlError](e.execute("INSERT INTO t (a, b) VALUES (1, 'x', 2)"))
+      .getMessage.contains("target columns"))
+    // a valid insert still works afterwards
+    assert(e.execute("INSERT INTO t VALUES (1, 'x', 2.5)").collect()(0).getLong(0) == 1L)
+    // PK duplicate across statements
+    assert(intercept[SqlError](e.execute("INSERT INTO t VALUES (1, 'y', 3.5)"))
+      .kind == SqlError.UniqueKeyAlreadyExists)
+  }
+
+  test("DDL semantics: IF NOT EXISTS / IF EXISTS / not exists errors / drop removes data") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    assert(intercept[SqlError](e.execute("CREATE DATABASE test1"))
+      .kind == SqlError.DatabaseAlreadyExists)
+    e.execute("CREATE DATABASE IF NOT EXISTS test1")
+    e.execute("CREATE TABLE t (a int PRIMARY KEY)")
+    assert(intercept[SqlError](e.execute("CREATE TABLE t (a int PRIMARY KEY)"))
+      .kind == SqlError.TableAlreadyExists)
+    e.execute("CREATE TABLE IF NOT EXISTS t (a int PRIMARY KEY)")
+    e.execute("INSERT INTO t VALUES (1), (2)")
+    e.execute("DROP TABLE t")
+    assert(intercept[SqlError](e.execute("SELECT * FROM t")).kind == SqlError.TableNotExists)
+    e.execute("DROP TABLE IF EXISTS t")
+    assert(intercept[SqlError](e.execute("DROP TABLE t")).kind == SqlError.TableNotExists)
+    // recreate: serial counters and data start fresh
+    e.execute("CREATE TABLE t (a serial PRIMARY KEY, b text)")
+    e.execute("INSERT INTO t (b) VALUES ('x')")
+    val r = e.execute("SELECT a, b FROM t").collect()
+    assert(r.length == 1 && r(0).getInt(0) == 1)
+  }
+
+  test("INSERT .. SELECT with serial assignment and catalog surface") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE src (k int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO src VALUES (10, 'a'), (20, 'b'), (30, 'c')")
+    e.execute("CREATE TABLE dst (id serial PRIMARY KEY, k int, v text)")
+    val ins = e.execute("INSERT INTO dst (k, v) SELECT k, v FROM src ORDER BY k")
+    assert(ins.collect()(0).getLong(0) == 3L)
+    val rows = e.execute("SELECT id, k FROM dst ORDER BY id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 10), (2, 20), (3, 30)))
+
+    assert(e.execute("SHOW TABLES").collect().map(_.getString(0)).toSeq == Seq("dst", "src"))
+    assert(e.execute("SHOW DATABASES").collect().map(_.getString(0)).toSeq == Seq("test1"))
+    val d = e.execute("DESCRIBE dst").collect()
+    assert(d.map(_.getString(0)).toSeq == Seq("id", "k", "v"))
+  }
+}
