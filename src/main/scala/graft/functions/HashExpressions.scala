@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit hashing shared by the sketch expressions. */
+object Hashing {
+  /** FNV-1a over UTF-8 bytes. */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  /** splitmix64 finalizer — decorrelates seeded variants of one base hash. */
+  def mix64(zIn: Long): Long = {
+    var z = zIn + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def seed(i: Int): Long = mix64(0x5eed5eedL * (i + 1))
+}
+
+/** minhash_sig(shingles array<string>, k) → array<long>: the k-permutation
+  * MinHash signature computed in ONE pass over the shingle set (k seeded
+  * variants of one base hash per element), instead of k separate
+  * hash-then-min aggregations — the built-in functions would need k
+  * expression trees walking the array.
+  *
+  * Registered as a SQL function; used by the MinHash-LSH dedup operator.
+  */
+case class MinHashSig(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val base = Hashing.fnv1a64(arr.getUTF8String(i).getBytes)
+        var s = 0
+        while (s < k) {
+          val h = Hashing.mix64(base ^ Hashing.seed(s))
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** simhash64(tokens array<string>) → long: 64-bit SimHash over the token
+  * multiset (per-bit vote of each token's hash, sign → bit). */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Hashing.mix64(Hashing.fnv1a64(arr.getUTF8String(i).getBytes))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** hyperplane_sig(vec array<float|double>, bits) → long: random-hyperplane
+  * (sign-of-projection) LSH signature. Plane coefficients are deterministic
+  * pseudo-gaussian values derived from (bit, dim) — every executor
+  * regenerates the same planes, so nothing needs broadcasting. */
+case class HyperplaneSig(child: Expression, bits: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  private def coeff(b: Int, i: Int): Double = {
+    // uniform in [-1, 1) is sufficient for sign-projection LSH
+    val h = Hashing.mix64(Hashing.seed(b) ^ (0x9e3779b97f4a7c15L * (i + 1)))
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+    val n = arr.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val v = elemType match {
+            case FloatType => arr.getFloat(i).toDouble
+            case DoubleType => arr.getDouble(i)
+            case _ => 0.0
+          }
+          dot += v * coeff(b, i)
+        }
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+  override def prettyName: String = "hyperplane_sig"
+}
+
+/** rolling_fingerprint(text, w) → long: Rabin-Karp rolling hash over the
+  * UTF-8 bytes with window w; the fingerprint is the MINIMUM mixed window
+  * hash (winnowing-style document fingerprint — stable under local edits
+  * away from the minimizing window). */
+case class RollingFingerprint(child: Expression, w: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  private val B = 257L
+  private lazy val bPowW: Long = { var p = 1L; var i = 0; while (i < w) { p *= B; i += 1 }; p }
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.length <= w) return Hashing.mix64(Hashing.fnv1a64(bytes))
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    var min = Hashing.mix64(h)
+    while (i < bytes.length) {
+      h = h * B + (bytes(i) & 0xffL) - bPowW * (bytes(i - w) & 0xffL)
+      val m = Hashing.mix64(h)
+      if (m < min) min = m
+      i += 1
+    }
+    min
+  }
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
+  override def prettyName: String = "rolling_fingerprint"
+}
+
+/** Registers the sketch expressions as SQL functions on a session, so
+  * operators can use them inside `expr(...)` / `spark.sql(...)` and they
+  * compose with higher-order functions. */
+object GraftFunctions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head, intLit(exprs(1), "k")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_sig", exprs => HyperplaneSig(exprs.head, intLit(exprs(1), "bits")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_fingerprint", exprs => RollingFingerprint(exprs.head, intLit(exprs(1), "w")), "built-in")
+  }
+}

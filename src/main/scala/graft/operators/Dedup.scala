@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * the LLM-training-data pipeline surface (BASELINE.json north star).
+  *
+  * Every algorithm is expressed as a shuffle-conscious DataFrame plan:
+  *   - exact dedup: one hash-shuffle on the content digest;
+  *   - MinHash-LSH: linear signature pass (custom one-pass Catalyst
+  *     expression), then a self-join keyed on (band, band-hash) — shuffle
+  *     volume is #docs × #bands rows of 24 bytes, never the text;
+  *   - SimHash: 64-bit sketch + pigeonhole banding (4×16 bits) so any pair
+  *     within Hamming distance 3 shares at least one exact band key;
+  *   - n-gram Jaccard: inverted-index join with a document-frequency cap
+  *     (stop-shingle removal) — the standard skew guard: without it one
+  *     ubiquitous shingle produces a quadratic bucket at 100 TB;
+  *   - embedding near-dup: random-hyperplane LSH banding, exact cosine
+  *     only on bucket collisions.
+  * None of them collect to the driver; all scale by adding partitions.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3,
+          array_distinct(expr(
+            "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+          .otherwise(array(concat_ws(" ", col("toks")))))
+  }
+
+  private def stableRound(c: Column, scale: Int): Column =
+    round(c.cast(org.apache.spark.sql.types.DecimalType(28, 8)), scale).cast("double")
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // exact dedup: keep the smallest doc_id per distinct content. Grouping
+    // key is the 256-bit digest, not the text, so the shuffle carries 32
+    // bytes per row regardless of document size.
+    NamedQuery(
+      "d01_dedup_exact",
+      Some("SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .groupBy(sha2(col("text"), 256))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))),
+
+    // MinHash (k=64) + LSH banding (16 bands × 4 rows): candidate pairs
+    // share a band; signature agreement estimates Jaccard.
+    NamedQuery(
+      "d02_dedup_minhash",
+      None,
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("sig", expr("minhash_sig(shingles, 64)"))
+          .select(col("doc_id"), col("sig"))
+        d.persist()
+        val bands = d.select(
+          col("doc_id"),
+          posexplode(expr("transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))"))
+            .as(Seq("band", "bh")))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val sa = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+        val sb = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+        cand.join(sa, "id_a").join(sb, "id_b")
+          .withColumn("est_jaccard", stableRound(
+            expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+              .cast("double") / 64.0, 4))
+          .filter(col("est_jaccard") >= 0.35)
+          .select(col("id_a"), col("id_b"), col("est_jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      }),
+
+    // SimHash near-dup: pairs within Hamming distance 3 of the 64-bit
+    // sketch; 4 bands of 16 bits guarantee a shared band key (pigeonhole).
+    NamedQuery(
+      "d03_dedup_simhash",
+      None,
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("sim", expr("simhash64(toks)"))
+          .select(col("doc_id"), col("sim"))
+        val bands = d.select(
+          col("doc_id"), col("sim"),
+          posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
+            .as(Seq("band", "bucket")))
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            expr("bit_count(a.sim ^ b.sim)").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+          .orderBy(col("id_a"), col("id_b"))
+      }),
+
+    // exact n-gram Jaccard via inverted-index join. The doc-frequency cap
+    // on shingles bounds the worst bucket (skew guard at scale).
+    NamedQuery(
+      "d04_dedup_ngram",
+      None,
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 100)
+        val filtered = sh.join(rare, "shingle").select(col("doc_id"), col("shingle"))
+        val co = filtered.as("a")
+          .join(filtered.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("co"))
+        val sizes = d.select(col("doc_id"), size(col("shingles")).as("sz"))
+        co.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+          .withColumn("jaccard",
+            stableRound(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 4))
+          .filter(col("jaccard") >= 0.4)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      }),
+
+    // embedding near-dup: 32-bit hyperplane signature split into 8 bands of
+    // 4 bits; exact cosine only on band collisions. At scale, band width is
+    // the recall/cost dial (wider bands = fewer, larger buckets).
+    NamedQuery(
+      "d05_dedup_embedding",
+      None,
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            expr("hyperplane_sig(embedding, 32)").as("sig"))
+        val bands = e.select(
+          col("vec_id"), col("embedding"),
+          posexplode(expr("transform(sequence(0, 7), b -> shiftright(sig, b*4) & 15)"))
+            .as(Seq("band", "bucket")))
+        val dot = "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+        val na = "sqrt(aggregate(a_emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        val nb = "sqrt(aggregate(b_emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            col("a.embedding").as("a_emb"), col("b.embedding").as("b_emb"))
+          .distinct()
+          .withColumn("cos_sim", stableRound(expr(s"$dot / ($na * $nb)"), 4))
+          .filter(col("cos_sim") >= 0.4)
+          .select(col("id_a"), col("id_b"), col("cos_sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      })
+  )
+}

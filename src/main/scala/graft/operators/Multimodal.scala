@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata; decode / feature-extraction runs
+  * per-partition over iterators (the Scala analogue of `mapInPandas`
+  * batch UDFs — one codec instance per partition, streaming rows, no
+  * driver involvement).
+  *
+  * The container has no image/audio libraries, so the actual byte→pixels
+  * decode is STUBBED behind [[MediaCodec]] with a deterministic fake; the
+  * Spark-side contract — schema, binary payload column, partition-wise
+  * batch execution, feature vector output — is real and tested. Swapping
+  * in a real codec changes one class.
+  */
+object Multimodal {
+
+  final case class Media(doc_id: Long, format: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, format: String, n_bytes: Long,
+      width: Int, height: Int, histogram: Array[Long])
+
+  /** The decode seam. A real implementation would parse the container
+    * format and return pixels/samples; the deterministic fake derives
+    * metadata and a 16-bin byte histogram from the payload alone. */
+  trait MediaCodec extends Serializable {
+    def decode(m: Media): MediaFeatures
+  }
+  object DeterministicFakeCodec extends MediaCodec {
+    def decode(m: Media): MediaFeatures = {
+      // STUB: stands in for real image/audio decoding (no codec libs in
+      // this environment). Deterministic so results are reproducible.
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < m.payload.length) { hist((m.payload(i) & 0xf0) >>> 4) += 1; i += 1 }
+      val w = 64 + (m.payload.length % 512)
+      val h = 64 + ((m.payload.length / 7) % 512)
+      MediaFeatures(m.doc_id, m.format, m.payload.length.toLong, w, h, hist)
+    }
+  }
+
+  /** documents → media rows: payload is the UTF-8 bytes standing in for an
+    * encoded asset; format assigned deterministically. */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpeg")
+          .otherwise("wav").as("format"),
+        col("text").cast("binary").as("payload"))
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // metadata projection over the binary column — stays in codegen; the
+    // oracle checks byte length + format routing.
+    NamedQuery(
+      "m01_mm_meta",
+      Some(
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' " +
+          "ELSE 'wav' END AS format, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes " +
+          "FROM documents ORDER BY doc_id"),
+      (s, dir) =>
+        media(s, dir)
+          .select(col("doc_id"), col("format"),
+            octet_length(col("payload")).cast("bigint").as("n_bytes"))
+          .orderBy(col("doc_id"))),
+
+    // partition-wise decode + feature extraction through the codec seam.
+    NamedQuery(
+      "m02_mm_features",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        val codec: MediaCodec = DeterministicFakeCodec
+        media(s, dir).as[Media]
+          .mapPartitions { it =>
+            // one codec per partition (mirrors batch-UDF lifecycle: init
+            // once, stream the partition through it)
+            it.map(codec.decode)
+          }
+          .toDF()
+          .orderBy(col("doc_id"))
+      })
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: language ID
+  * (stopword-hit heuristic), quality scoring, token counting, and
+  * rolling-hash document fingerprinting. All are single-pass projections
+  * (no shuffle except the final aggregations) built from codegen'd
+  * built-ins plus the custom fingerprint expression.
+  */
+object TextAnalysis {
+
+  private def stableRound(c: Column, scale: Int): Column =
+    round(c.cast(org.apache.spark.sql.types.DecimalType(28, 8)), scale).cast("double")
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "ein", "zu", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "pour", "dans"))
+
+  private def hitCount(lang: String): Column = {
+    val arr = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(toks, t -> array_contains(array($arr), t)))")
+  }
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    // language-ID heuristic vs the ground-truth lang column: confusion
+    // counts per (true, predicted). Deterministic tie-break by priority.
+    NamedQuery(
+      "t01_text_langid",
+      None,
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(lower(col("text")), "\\s+"))
+          .withColumn("s_en", hitCount("en"))
+          .withColumn("s_de", hitCount("de"))
+          .withColumn("s_es", hitCount("es"))
+          .withColumn("s_fr", hitCount("fr"))
+          .withColumn("best", greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
+          .withColumn("pred",
+            when(col("best") === 0, "und")
+              .when(col("s_en") === col("best"), "en")
+              .when(col("s_de") === col("best"), "de")
+              .when(col("s_es") === col("best"), "es")
+              .otherwise("fr"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))),
+
+    // quality features + composite score; oracle replicates each feature
+    // in DuckDB (same single-space tokenization, same regex, lambdas).
+    NamedQuery(
+      "t02_text_quality",
+      Some {
+        val stops = stopwords("en").map(w => s"'$w'").mkString(", ")
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+          "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits, " +
+          "CAST(round(CAST(CAST(len(list_filter(string_split(text, ' '), t -> list_contains([" + stops + "], t))) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(28,8)), 4) AS DOUBLE) AS stop_ratio, " +
+          "CAST(round(CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_token_len, " +
+          "CAST(round(CAST(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5 + CAST(len(list_filter(string_split(text, ' '), t -> list_contains([" + stops + "], t))) AS DOUBLE) / len(string_split(text, ' ')) * 0.5 AS DECIMAL(28,8)), 4) AS DOUBLE) AS quality " +
+          "FROM documents ORDER BY doc_id"
+      },
+      (s, dir) => {
+        val stops = stopwords("en").map(w => s"'$w'").mkString(", ")
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens_i", size(col("toks")))
+          .withColumn("n_stop", expr(s"size(filter(toks, t -> array_contains(array($stops), t)))"))
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("bigint").as("n_chars"),
+            col("n_tokens_i").cast("bigint").as("n_tokens"),
+            (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+              .cast("bigint").as("n_digits"),
+            stableRound(col("n_stop").cast("double") / col("n_tokens_i"), 4).as("stop_ratio"),
+            stableRound(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens_i"), 4)
+              .as("avg_token_len"),
+            stableRound(
+              least(col("n_tokens_i") / 50.0, lit(1.0)) * 0.5 +
+                col("n_stop").cast("double") / col("n_tokens_i") * 0.5, 4).as("quality"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // token counting: whitespace tokens and a BPE-ish regex segmentation
+    // (letter runs | digit runs | single non-alnum marks).
+    NamedQuery(
+      "t03_text_tokens",
+      Some(
+        "SELECT doc_id, CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws, " +
+          "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe, " +
+          "CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(trim(col("text")), " +")).cast("bigint").as("n_ws"),
+            expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("bigint").as("n_bpe"),
+            length(col("text")).cast("bigint").as("n_chars"))
+          .orderBy(col("doc_id"))),
+
+    // winnowing-style rolling-hash fingerprint (custom expression); docs
+    // sharing a fingerprint are byte-near-identical candidates.
+    NamedQuery(
+      "t04_text_fingerprint",
+      None,
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr("rolling_fingerprint(text, 16)").as("fingerprint"))
+          .orderBy(col("doc_id"))
+      })
+  )
+}
