@@ -15,7 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Plans are immutable; cache them per (session, dir, table) so repeated
+  // queries don't re-list files / re-read parquet footers.
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    planCache.computeIfAbsent(
+      (System.identityHashCode(spark).toString, dir, name), _ => load0(spark, dir, name))
+
+  private def load0(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;
     // read it as long nanos and convert to micros TIMESTAMP_NTZ — the same
     // truncation DuckDB applies, so oracle comparisons agree.

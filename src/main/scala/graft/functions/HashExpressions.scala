@@ -37,13 +37,19 @@ object Hashing {
 case class MinHashSig(child: Expression, k: Int)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val elementsAreLongs =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val base = Hashing.fnv1a64(arr.getUTF8String(i).getBytes)
+        // accepts pre-hashed shingles (array<long>, e.g. shingle_hashes
+        // output) or raw strings
+        val base =
+          if (elementsAreLongs) arr.getLong(i)
+          else Hashing.fnv1a64(arr.getUTF8String(i).getBytes)
         var s = 0
         while (s < k) {
           val h = Hashing.mix64(base ^ Hashing.seed(s))
@@ -57,6 +63,48 @@ case class MinHashSig(child: Expression, k: Int)
   }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   override def prettyName: String = "minhash_sig"
+}
+
+/** shingle_hashes(tokens array<string>, n) → array<long>: DISTINCT hashed
+  * word n-grams in one pass, never materializing the shingle strings. The
+  * equivalent built-in pipeline (transform(sequence(...)) + concat_ws +
+  * array_distinct) is interpreted per element and costs ~100× more; at
+  * 100 TB the shingle strings would also triple the shuffle volume vs
+  * 8-byte hashes. Documents with fewer than n tokens contribute one hash
+  * of the whole token list. */
+case class ShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    def windowHash(start: Int, len: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < len) {
+        if (!arr.isNullAt(start + j)) {
+          val bytes = arr.getUTF8String(start + j).getBytes
+          var b = 0
+          while (b < bytes.length) { h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+        }
+        h ^= 0x1fL; h *= 0x100000001b3L // token separator
+        j += 1
+      }
+      Hashing.mix64(h)
+    }
+    if (total < n) return new GenericArrayData(Array(windowHash(0, total)))
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](total - n + 1)
+    var i = 0
+    while (i <= total - n) {
+      val h = windowHash(i, n)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
 }
 
 /** simhash64(tokens array<string>) → long: 64-bit SimHash over the token
@@ -169,6 +217,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head, intLit(exprs(1), "k")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs.head, intLit(exprs(1), "n")), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

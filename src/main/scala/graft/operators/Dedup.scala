@@ -26,14 +26,14 @@ object Dedup {
 
   private def docs(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
+    // shingles are 64-bit hashes of word 3-grams, computed in one pass by
+    // a custom expression — shingle strings never materialize, so both the
+    // signature pass and the inverted-index shuffle move 8 bytes per
+    // shingle regardless of text size
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"))
       .withColumn("toks", split(lower(col("text")), "\\s+"))
-      .withColumn("shingles",
-        when(size(col("toks")) >= 3,
-          array_distinct(expr(
-            "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
-          .otherwise(array(concat_ws(" ", col("toks")))))
+      .withColumn("shingles", expr("shingle_hashes(toks, 3)"))
   }
 
   private def stableRound(c: Column, scale: Int): Column =
@@ -109,8 +109,12 @@ object Dedup {
           .orderBy(col("id_a"), col("id_b"))
       }),
 
-    // exact n-gram Jaccard via inverted-index join. The doc-frequency cap
-    // on shingles bounds the worst bucket (skew guard at scale).
+    // exact n-gram Jaccard via inverted-index join. Shingles above the
+    // doc-frequency cap are dropped on BOTH sides of the ratio (numerator
+    // co-counts and per-doc set sizes), so the measure stays consistent:
+    // "Jaccard over discriminative shingles". The cap is the skew guard —
+    // at 100 TB one ubiquitous shingle would otherwise create a quadratic
+    // join bucket; Σ C(df, 2) with df ≤ 50 is linear in corpus size.
     NamedQuery(
       "d04_dedup_ngram",
       None,
@@ -118,14 +122,15 @@ object Dedup {
         val d = docs(s, dir)
         val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
         val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 100)
+          .filter(col("df") <= 50)
         val filtered = sh.join(rare, "shingle").select(col("doc_id"), col("shingle"))
+        filtered.persist()
         val co = filtered.as("a")
           .join(filtered.as("b"),
             col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .agg(count(lit(1)).as("co"))
-        val sizes = d.select(col("doc_id"), size(col("shingles")).as("sz"))
+        val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         co.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
           .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
           .withColumn("jaccard",
@@ -135,9 +140,12 @@ object Dedup {
           .orderBy(col("id_a"), col("id_b"))
       }),
 
-    // embedding near-dup: 32-bit hyperplane signature split into 8 bands of
-    // 4 bits; exact cosine only on band collisions. At scale, band width is
-    // the recall/cost dial (wider bands = fewer, larger buckets).
+    // embedding near-dup: 60-bit hyperplane signature split into 5 bands of
+    // 12 bits; a random pair collides with p ≈ 5/4096, so the candidate set
+    // is linear-ish in corpus size while sign-correlated (near-dup) pairs
+    // collide with high probability. Candidates travel as id pairs only —
+    // the vectors are joined back AFTER dedup, and exact cosine runs on the
+    // small candidate set. Output: top-20 most-similar candidate pairs.
     NamedQuery(
       "d05_dedup_embedding",
       None,
@@ -145,25 +153,27 @@ object Dedup {
         GraftFunctions.register(s)
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
-            expr("hyperplane_sig(embedding, 32)").as("sig"))
+            expr("hyperplane_sig(embedding, 60)").as("sig"))
         val bands = e.select(
-          col("vec_id"), col("embedding"),
-          posexplode(expr("transform(sequence(0, 7), b -> shiftright(sig, b*4) & 15)"))
+          col("vec_id"),
+          posexplode(expr("transform(sequence(0, 4), b -> shiftright(sig, b*12) & 4095)"))
             .as(Seq("band", "bucket")))
-        val dot = "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-        val na = "sqrt(aggregate(a_emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        val nb = "sqrt(aggregate(b_emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        bands.as("a")
+        val cand = bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
               col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-            col("a.embedding").as("a_emb"), col("b.embedding").as("b_emb"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
           .distinct()
+        val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"))
+        val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("b_emb"))
+        val dot = "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+        val na = "sqrt(aggregate(a_emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        val nb = "sqrt(aggregate(b_emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        cand.join(ea, "id_a").join(eb, "id_b")
           .withColumn("cos_sim", stableRound(expr(s"$dot / ($na * $nb)"), 4))
-          .filter(col("cos_sim") >= 0.4)
           .select(col("id_a"), col("id_b"), col("cos_sim"))
-          .orderBy(col("id_a"), col("id_b"))
+          .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+          .limit(20)
       })
   )
 }
