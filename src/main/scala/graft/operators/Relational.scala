@@ -528,6 +528,84 @@ object Relational {
           .orderBy(col("user_id"))
       }),
 
+    // --- statistical aggregates (stddev/var/corr/covar) ---
+    NamedQuery(
+      "q31_stats_agg",
+      Some(
+        "SELECT l_returnflag, " +
+          stableRoundSql("stddev_samp(l_quantity)", 4) + " AS sd_qty, " +
+          stableRoundSql("var_samp(l_quantity)", 4) + " AS var_qty, " +
+          stableRoundSql("corr(l_quantity, l_extendedprice)", 4) + " AS corr_qp, " +
+          stableRoundSql("covar_samp(l_quantity, l_discount)", 4) + " AS covar_qd " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            stableRound(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            stableRound(var_samp(col("l_quantity")), 4).as("var_qty"),
+            stableRound(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+            stableRound(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qd"))
+          .orderBy(col("l_returnflag"))),
+
+    // --- remaining window function family: ntile/percent_rank/cume_dist/
+    //     first_value/last_value/nth_value over an explicit full frame ---
+    NamedQuery(
+      "q32_window_funcs",
+      Some(
+        "SELECT o_orderkey, o_orderstatus, CAST(ntile(4) OVER w AS INT) AS quartile, " +
+          stableRoundSql("percent_rank() OVER w", 6) + " AS pr, " +
+          stableRoundSql("cume_dist() OVER w", 6) + " AS cd, " +
+          "first_value(o_orderkey) OVER w2 AS first_key, " +
+          "last_value(o_orderkey) OVER w2 AS last_key, " +
+          "nth_value(o_orderkey, 3) OVER w2 AS third_key " +
+          "FROM orders WHERE o_orderkey < 2000 " +
+          "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey), " +
+          "w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+          "ORDER BY o_orderkey"),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") < 2000)
+          .select(
+            col("o_orderkey"), col("o_orderstatus"),
+            ntile(4).over(w).cast("int").as("quartile"),
+            stableRound(percent_rank().over(w), 6).as("pr"),
+            stableRound(cume_dist().over(w), 6).as("cd"),
+            first(col("o_orderkey")).over(w2).as("first_key"),
+            last(col("o_orderkey")).over(w2).as("last_key"),
+            nth_value(col("o_orderkey"), 3).over(w2).as("third_key"))
+          .orderBy(col("o_orderkey"))
+      }),
+
+    // --- NULL semantics: nullif/coalesce/null-safe comparison over an
+    //     outer join that manufactures NULLs ---
+    NamedQuery(
+      "q33_null_logic",
+      Some(
+        "SELECT o_orderstatus AS status, count(*) AS n_rows, count(c_name) AS n_matched, " +
+          "count(coalesce(c_name, 'missing')) AS n_coalesced, " +
+          "count(nullif(o_orderstatus, 'F')) AS n_not_f, " +
+          "CAST(sum(CASE WHEN c_name IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe " +
+          "FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9900) c " +
+          "ON o_custkey = c_custkey GROUP BY o_orderstatus ORDER BY status"),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(
+            t(s, dir, "customer").filter(col("c_acctbal") > 9900),
+            col("o_custkey") === col("c_custkey"), "left")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("c_name")).as("n_matched"),
+            count(coalesce(col("c_name"), lit("missing"))).as("n_coalesced"),
+            count(nullif(col("o_orderstatus"), lit("F"))).as("n_not_f"),
+            sum(when(col("c_name") <=> lit(null), 1).otherwise(0)).cast("bigint").as("n_null_safe"))
+          .orderBy(col("status"))),
+
     // --- equi join with additional range (theta) condition ---
     NamedQuery(
       "q30_join_range",

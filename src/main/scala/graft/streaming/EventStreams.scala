@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference has no streaming layer (SURVEY §2.B: absent), so this is a
+  * north-star extension: the same event analytics queries as the batch
+  * path, expressed as incremental plans — file-source → watermark →
+  * windowed aggregation / stateful dedup / custom session state. On a real
+  * cluster the file source is swapped for Kafka by changing `readStream`
+  * options only; every transform below is source-agnostic.
+  */
+object EventStreams {
+
+  /** micros since epoch keeps the state classes encoder-friendly */
+  final case class Event(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+  val gapUs: Long = 30L * 60 * 1000 * 1000 // 30 min session gap
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over the events parquet (ts arrives as raw nanos —
+    * same normalization as the batch reader in [[graft.Tables]]). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source wants a directory: stage a symlinked dir
+    // holding just the events file (testdata itself is read-only)
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-events-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(staged)
+    val link = staged.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(staged.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts per event type with a 1-hour watermark for
+    * late data; incremental equivalent of the batch q28 daily rollup. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+  /** Exactly-once-style event dedup on event_id; the watermark bounds the
+    * dedup state to the lateness horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("event_id", "ts"))
+
+  /** Gap-based sessionization with explicit state: one OpenSession per
+    * user; a >30 min gap closes and EMITS the session. The open session
+    * stays in state for the next trigger — identical semantics to the
+    * batch q29 sessionizer, made incremental. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, incoming: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = incoming.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var open = state.getOption
+          val closed = Seq.newBuilder[SessionSummary]
+          sorted.foreach { e =>
+            open match {
+              case Some(o) if e.ts_us - o.last_us <= gapUs =>
+                open = Some(o.copy(last_us = e.ts_us, n = o.n + 1))
+              case Some(o) =>
+                closed += SessionSummary(userId, o.start_us, o.last_us, o.n)
+                open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+              case None =>
+                open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Adapter: typed event stream from the raw frame. */
+  def typedEvents(events: DataFrame): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.select(
+      col("event_id"),
+      expr("unix_micros(ts)").as("ts_us"),
+      col("user_id"), col("event_type"), col("value")).as[Event]
+  }
+}

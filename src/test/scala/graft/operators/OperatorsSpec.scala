@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{SparkEntry, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness properties of the pipeline operators on sf0.001. */
+class OperatorsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("d01 exact dedup keeps one doc per distinct text") {
+    val docs = Tables.load(spark, dir, "documents")
+    assert(q("d01_dedup_exact").count() == docs.select("text").distinct().count())
+  }
+
+  test("minhash candidates cover every high-jaccard pair found exactly") {
+    val exact = q("d04_dedup_ngram").filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = q("d02_dedup_minhash")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(mh), s"missed: ${exact -- mh}")
+  }
+
+  test("simhash pairs respect the hamming bound and ordering") {
+    val rows = q("d03_dedup_simhash").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 3)
+    }
+  }
+
+  test("embedding near-dup emits top pairs sorted by cosine") {
+    val rows = q("d05_dedup_embedding").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse))
+    sims.foreach(v => assert(v >= -1.0 && v <= 1.0))
+  }
+
+  test("brute-force ANN returns a full descending top-5 per query") {
+    val rows = q("s01_ann_bruteforce").collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 8)
+    byQuery.values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.sameElements(1 to 5))
+      val sims = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN never beats the exact top-1") {
+    val exactTop = q("s01_ann_bruteforce").filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    q("s02_ann_lsh").collect().foreach { r =>
+      assert(r.getDouble(2) <= exactTop(r.getLong(0)) + 1e-9)
+    }
+  }
+
+  test("text quality/token features are internally consistent") {
+    val rows = q("t02_text_quality").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0) // n_chars
+      assert(r.getLong(2) > 0) // n_tokens
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1) // stop_ratio
+    }
+    q("t03_text_tokens").collect().foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1)) // n_bpe >= n_ws
+    }
+  }
+
+  test("sketch expressions are deterministic and discriminative") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_fingerprint('the quick brown fox jumps over the lazy dog', 16) AS a, " +
+        "rolling_fingerprint('the quick brown fox jumps over the lazy dog', 16) AS b, " +
+        "rolling_fingerprint('a completely different document body here', 16) AS c, " +
+        "minhash_sig(array('x y z', 'y z w'), 8) AS s1, " +
+        "minhash_sig(array('x y z', 'y z w'), 8) AS s2, " +
+        "simhash64(array('alpha','beta','gamma')) AS h1, " +
+        "simhash64(array('alpha','beta','delta')) AS h2, " +
+        "size(shingle_hashes(array('a','b','c','d'), 3)) AS nsh").head()
+    assert(r.getLong(0) == r.getLong(1) && r.getLong(0) != r.getLong(2))
+    assert(r.getSeq[Long](3) == r.getSeq[Long](4))
+    assert(r.getLong(5) != r.getLong(6))
+    assert(r.getInt(7) == 2)
+  }
+
+  test("multimodal meta and features agree on payload size") {
+    val meta = q("m01_mm_meta").select("doc_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q("m02_mm_features").collect().foreach { r =>
+      val histSum = r.getSeq[Long](5).sum
+      assert(r.getLong(2) == meta(r.getLong(0))) // n_bytes matches
+      assert(histSum == r.getLong(2)) // histogram covers every byte
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming results must agree with their batch equivalents on the same
+  * data — the file source replays the events table in one trigger, so the
+  * incremental plans are checked against the batch plans exactly.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("windowed counts match the batch daily rollup") {
+    val q = EventStreams.windowedCounts(EventStreams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("win_counts").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("win_counts")
+      .select(col("window.start").as("day"), col("event_type"), col("n"), col("total"))
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(
+      batch.select(col("day").cast("timestamp"), col("event_type"), col("n"), col("total"))).isEmpty)
+  }
+
+  test("stateful dedup keeps every distinct event_id") {
+    val q = EventStreams.dedup(EventStreams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("dedup_events").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = Tables.load(spark, dir, "events").select("event_id").distinct().count()
+    assert(spark.table("dedup_events").count() == expected)
+  }
+
+  test("flatMapGroupsWithState sessionization matches the batch definition") {
+    val q = EventStreams.sessionize(
+      EventStreams.typedEvents(EventStreams.readEvents(spark, dir)))
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // one trigger: every session except each user's final (still open in
+    // state) is emitted
+    val batch = graft.SparkEntry.queries("q29_sessionize")(spark, dir)
+    val totalSessions = batch.agg(sum(col("n_sessions"))).head().getLong(0)
+    val nUsers = batch.count()
+    assert(spark.table("sessions").count() == totalSessions - nUsers)
+    // session event counts must cover all non-open events
+    val emittedEvents = spark.table("sessions").agg(sum(col("n_events"))).head().getLong(0)
+    assert(emittedEvents > 0 && emittedEvents < Tables.load(spark, dir, "events").count())
+  }
+}
