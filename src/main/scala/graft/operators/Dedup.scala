@@ -39,6 +39,33 @@ object Dedup {
   private def stableRound(c: Column, scale: Int): Column =
     round(c.cast(org.apache.spark.sql.types.DecimalType(28, 8)), scale).cast("double")
 
+  /** MinHash-LSH candidate pairs with estimated Jaccard ≥ threshold —
+    * shared by the pair query (d02) and the clustering query (d06). */
+  private[operators] def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("sig", expr("minhash_sig(shingles, 64)"))
+      .select(col("doc_id"), col("sig"))
+    d.persist()
+    val bands = d.select(
+      col("doc_id"),
+      posexplode(expr("transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))"))
+        .as(Seq("band", "bh")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sa = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard", stableRound(
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / 64.0, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   val queries: Seq[NamedQuery] = Seq(
 
     // exact dedup: keep the smallest doc_id per distinct content. Grouping
@@ -59,30 +86,35 @@ object Dedup {
     NamedQuery(
       "d02_dedup_minhash",
       None,
+      (s, dir) =>
+        minhashPairs(s, dir, 0.35).orderBy(col("id_a"), col("id_b"))),
+
+    // near-dup CLUSTERS: connected components over the MinHash pair graph
+    // via iterative min-label propagation (5 synchronous rounds — dup
+    // clusters have tiny diameter). Each round is one join + one
+    // aggregation; at 100 TB this is the standard Pregel-style pattern,
+    // with no driver-side graph state. Output: member → cluster
+    // representative (= smallest doc_id in the component).
+    NamedQuery(
+      "d06_dedup_clusters",
+      None,
       (s, dir) => {
-        val d = docs(s, dir)
-          .withColumn("sig", expr("minhash_sig(shingles, 64)"))
-          .select(col("doc_id"), col("sig"))
-        d.persist()
-        val bands = d.select(
-          col("doc_id"),
-          posexplode(expr("transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))"))
-            .as(Seq("band", "bh")))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        val sa = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-        val sb = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-        cand.join(sa, "id_a").join(sb, "id_b")
-          .withColumn("est_jaccard", stableRound(
-            expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-              .cast("double") / 64.0, 4))
-          .filter(col("est_jaccard") >= 0.35)
-          .select(col("id_a"), col("id_b"), col("est_jaccard"))
-          .orderBy(col("id_a"), col("id_b"))
+        val pairs = minhashPairs(s, dir, 0.35).select(col("id_a"), col("id_b"))
+        pairs.persist()
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        var labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+        for (_ <- 1 to 5) {
+          val msgs = edges.join(labels, edges("dst") === labels("id"))
+            .select(edges("src").as("id"), col("label"))
+          labels = labels.unionByName(msgs)
+            .groupBy(col("id")).agg(min(col("label")).as("label"))
+        }
+        labels
+          .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+          .filter(col("doc_id") =!= col("cluster_rep"))
+          .orderBy(col("cluster_rep"), col("doc_id"))
       }),
 
     // SimHash near-dup: pairs within Hamming distance 3 of the 64-bit

@@ -70,6 +70,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters are closed under the pair graph") {
+    val pairs = q("d02_dedup_minhash").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = q("d06_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    // every rep is the smallest id of its component and not itself a member
+    clusters.foreach { case (member, rep) =>
+      assert(rep < member)
+      assert(!clusters.contains(rep))
+    }
+    // every paired doc appears in exactly one component
+    pairs.foreach { case (a, b) =>
+      val ra = clusters.getOrElse(a, a)
+      val rb = clusters.getOrElse(b, b)
+      assert(ra == rb, s"pair ($a,$b) split across components $ra/$rb")
+    }
+  }
+
+  test("IVF ANN agrees with brute force on most top-1 answers") {
+    val exact = q("s01_ann_bruteforce").filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = q("s03_ann_ivf").filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.size == 8)
+    val agree = exact.count { case (qid, vid) => ivf.get(qid).contains(vid) }
+    // probing 4/16 cells of random data: expect decent but not perfect recall
+    assert(agree >= 4, s"IVF top-1 recall too low: $agree/8")
+  }
+
   test("text quality/token features are internally consistent") {
     val rows = q("t02_text_quality").collect()
     rows.foreach { r =>
