@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,27 +26,18 @@ object Hashing {
   def seed(i: Int): Long = mix64(0x5eed5eedL * (i + 1))
 }
 
-/** minhash_sig(shingles array<string>, k) → array<long>: the k-permutation
-  * MinHash signature computed in ONE pass over the shingle set (k seeded
-  * variants of one base hash per element), instead of k separate
-  * hash-then-min aggregations — the built-in functions would need k
-  * expression trees walking the array.
-  *
-  * Registered as a SQL function; used by the MinHash-LSH dedup operator.
-  */
-case class MinHashSig(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  private lazy val elementsAreLongs =
-    child.dataType.asInstanceOf[ArrayType].elementType == LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+/** Evaluation kernels for the sketch expressions. Top-level object ⇒ the
+  * Scala compiler emits static forwarders, so whole-stage-codegen'd Java
+  * can call these directly (`graft.functions.HashOps.minhash(...)`) — the
+  * expressions below generate exactly that call instead of falling back to
+  * interpreted evaluation. */
+object HashOps {
+
+  def minhash(arr: ArrayData, k: Int, elementsAreLongs: Boolean): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        // accepts pre-hashed shingles (array<long>, e.g. shingle_hashes
-        // output) or raw strings
         val base =
           if (elementsAreLongs) arr.getLong(i)
           else Hashing.fnv1a64(arr.getUTF8String(i).getBytes)
@@ -61,22 +52,8 @@ case class MinHashSig(child: Expression, k: Int)
     }
     new GenericArrayData(mins)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
-  override def prettyName: String = "minhash_sig"
-}
 
-/** shingle_hashes(tokens array<string>, n) → array<long>: DISTINCT hashed
-  * word n-grams in one pass, never materializing the shingle strings. The
-  * equivalent built-in pipeline (transform(sequence(...)) + concat_ws +
-  * array_distinct) is interpreted per element and costs ~100× more; at
-  * 100 TB the shingle strings would also triple the shuffle volume vs
-  * 8-byte hashes. Documents with fewer than n tokens contribute one hash
-  * of the whole token list. */
-case class ShingleHashes(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def shingles(arr: ArrayData, n: Int): ArrayData = {
     val total = arr.numElements()
     def windowHash(start: Int, len: Int): Long = {
       var h = 0xcbf29ce484222325L
@@ -93,7 +70,7 @@ case class ShingleHashes(child: Expression, n: Int)
       Hashing.mix64(h)
     }
     if (total < n) return new GenericArrayData(Array(windowHash(0, total)))
-    val seen = new java.util.HashSet[Long]()
+    val seen = new java.util.HashSet[java.lang.Long]()
     val out = new scala.collection.mutable.ArrayBuffer[Long](total - n + 1)
     var i = 0
     while (i <= total - n) {
@@ -103,17 +80,8 @@ case class ShingleHashes(child: Expression, n: Int)
     }
     new GenericArrayData(out.toArray)
   }
-  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
-  override def prettyName: String = "shingle_hashes"
-}
 
-/** simhash64(tokens array<string>) → long: 64-bit SimHash over the token
-  * multiset (per-bit vote of each token's hash, sign → bit). */
-case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def simhash(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -132,25 +100,11 @@ case class SimHash64(child: Expression)
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
-  override def prettyName: String = "simhash64"
-}
 
-/** hyperplane_sig(vec array<float|double>, bits) → long: random-hyperplane
-  * (sign-of-projection) LSH signature. Plane coefficients are deterministic
-  * pseudo-gaussian values derived from (bit, dim) — every executor
-  * regenerates the same planes, so nothing needs broadcasting. */
-case class HyperplaneSig(child: Expression, bits: Int)
-  extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  private def coeff(b: Int, i: Int): Double = {
-    // uniform in [-1, 1) is sufficient for sign-projection LSH
-    val h = Hashing.mix64(Hashing.seed(b) ^ (0x9e3779b97f4a7c15L * (i + 1)))
-    (h.toDouble / Long.MaxValue.toDouble)
-  }
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+  /** Plane coefficients are deterministic pseudo-random values derived from
+    * (bit, dim) — every executor regenerates the same planes, so nothing
+    * needs broadcasting. */
+  def hyperplane(arr: ArrayData, bits: Int, elementsAreFloat: Boolean): Long = {
     val n = arr.numElements()
     var sig = 0L
     var b = 0
@@ -159,12 +113,9 @@ case class HyperplaneSig(child: Expression, bits: Int)
       var i = 0
       while (i < n) {
         if (!arr.isNullAt(i)) {
-          val v = elemType match {
-            case FloatType => arr.getFloat(i).toDouble
-            case DoubleType => arr.getDouble(i)
-            case _ => 0.0
-          }
-          dot += v * coeff(b, i)
+          val v = if (elementsAreFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          val h = Hashing.mix64(Hashing.seed(b) ^ (0x9e3779b97f4a7c15L * (i + 1)))
+          dot += v * (h.toDouble / Long.MaxValue.toDouble)
         }
         i += 1
       }
@@ -173,22 +124,14 @@ case class HyperplaneSig(child: Expression, bits: Int)
     }
     sig
   }
-  override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
-  override def prettyName: String = "hyperplane_sig"
-}
 
-/** rolling_fingerprint(text, w) → long: Rabin-Karp rolling hash over the
-  * UTF-8 bytes with window w; the fingerprint is the MINIMUM mixed window
-  * hash (winnowing-style document fingerprint — stable under local edits
-  * away from the minimizing window). */
-case class RollingFingerprint(child: Expression, w: Int)
-  extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  private val B = 257L
-  private lazy val bPowW: Long = { var p = 1L; var i = 0; while (i < w) { p *= B; i += 1 }; p }
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  def fingerprint(input: UTF8String, w: Int): Long = {
+    val B = 257L
+    val bytes = input.getBytes
     if (bytes.length <= w) return Hashing.mix64(Hashing.fnv1a64(bytes))
+    var bPowW = 1L
+    var p = 0
+    while (p < w) { bPowW *= B; p += 1 }
     var h = 0L
     var i = 0
     while (i < w) { h = h * B + (bytes(i) & 0xffL); i += 1 }
@@ -201,6 +144,78 @@ case class RollingFingerprint(child: Expression, w: Int)
     }
     min
   }
+}
+
+/** minhash_sig(shingles array<string|long>, k) → array<long>: the
+  * k-permutation MinHash signature computed in ONE pass over the shingle
+  * set (k seeded variants of one base hash per element), instead of k
+  * separate hash-then-min aggregations. Codegen emits a direct static
+  * call, keeping the projection inside whole-stage codegen. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val elementsAreLongs =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.minhash(input.asInstanceOf[ArrayData], k, elementsAreLongs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.minhash($c, $k, $elementsAreLongs)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** shingle_hashes(tokens array<string>, n) → array<long>: DISTINCT hashed
+  * word n-grams in one pass, never materializing the shingle strings. The
+  * equivalent built-in pipeline (transform(sequence(...)) + concat_ws +
+  * array_distinct) is interpreted per element and costs ~100× more; at
+  * 100 TB the shingle strings would also triple the shuffle volume vs
+  * 8-byte hashes. Documents with fewer than n tokens contribute one hash
+  * of the whole token list. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.shingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** simhash64(tokens array<string>) → long: 64-bit SimHash over the token
+  * multiset (per-bit vote of each token's hash, sign → bit). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** hyperplane_sig(vec array<float|double>, bits) → long: random-hyperplane
+  * (sign-of-projection) LSH signature. */
+case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  private lazy val elementsAreFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.hyperplane(input.asInstanceOf[ArrayData], bits, elementsAreFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.hyperplane($c, $bits, $elementsAreFloat)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+  override def prettyName: String = "hyperplane_sig"
+}
+
+/** rolling_fingerprint(text, w) → long: Rabin-Karp rolling hash over the
+  * UTF-8 bytes with window w; the fingerprint is the MINIMUM mixed window
+  * hash (winnowing-style document fingerprint — stable under local edits
+  * away from the minimizing window). */
+case class RollingFingerprint(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.fingerprint(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.fingerprint($c, $w)")
   override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
   override def prettyName: String = "rolling_fingerprint"
 }
