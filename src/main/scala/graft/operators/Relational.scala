@@ -606,6 +606,17 @@ object Relational {
             sum(when(col("c_name") <=> lit(null), 1).otherwise(0)).cast("bigint").as("n_null_safe"))
           .orderBy(col("status"))),
 
+    // --- ordered funnel over the events stream (same SQL, both engines):
+    //     view → click-after-view → purchase-after-click per user ---
+    viaSql(
+      "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1 " +
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2 " +
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT (SELECT count(*) FROM v) AS n_view, (SELECT count(*) FROM c) AS n_click_after_view, " +
+        "(SELECT count(*) FROM p) AS n_purchase_after_click").named("q34_funnel"),
+
     // --- equi join with additional range (theta) condition ---
     NamedQuery(
       "q30_join_range",

@@ -1,0 +1,90 @@
+package graft.plans
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks in the physical-plan properties the 100 TB design depends on.
+  * These are regression tests for the optimizer contract: if a code change
+  * stops a filter reaching parquet or turns a broadcast into a shuffle,
+  * correctness tests stay green but the plan is no longer the one we'd
+  * run at scale — this suite fails instead. */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  test("q01 pushes the shipdate filter into the parquet scan and prunes columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "scan reads columns the query never uses")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q03 broadcasts the filtered customer dimension") {
+    val p = plan("q03_top_orders")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed to scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-k not lowered")
+  }
+
+  test("q11 top-k runs without any shuffle") {
+    val p = plan("q11_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"), "global top-k should not exchange")
+  }
+
+  test("q05/q06 plan as semi/anti joins, not set operations") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("rank-only window filters get the WindowGroupLimit pushdown") {
+    // a rank<=k predicate over a rank-only window prunes per partition
+    // BEFORE the full sort; q09 itself also computes lag in the same
+    // window, which correctly disables the pushdown there — assert both.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    val rankOnly = Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    assert(rankOnly.queryExecution.explainString(FormattedMode).contains("WindowGroupLimit"))
+    val q09 = plan("q09_window_rank")
+    assert(q09.split("\\(\\d+\\) Window\\b").length == 2,
+      "row_number and lag should share ONE Window node (one sort pass)")
+  }
+
+  test("dedup scans read only the columns they need") {
+    val p = plan("d01_dedup_exact")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("salted join distributes a hot key and matches the plain join") {
+    val events = Tables.load(spark, dir, "events")
+    // manufacture skew: all rows collapsed onto user 0 for half the data
+    val skewed = events.withColumn("user_id",
+      when(col("event_id") % 2 === 0, lit(0L)).otherwise(col("user_id")))
+      .select("user_id", "event_id", "value")
+    val dim = events.select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg_"), col("user_id") % 4))
+    val plain = skewed.join(dim, "user_id")
+    val salted = SkewSalting.saltedJoin(skewed, dim, "user_id", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.agg(round(sum(col("value")), 2)).head().getDouble(0) ==
+      plain.agg(round(sum(col("value")), 2)).head().getDouble(0))
+    // the salted join key includes the salt column
+    val p = salted.queryExecution.explainString(FormattedMode)
+    assert(p.contains("_salt"))
+  }
+}
