@@ -100,9 +100,12 @@ object Dedup {
       None,
       (s, dir) => {
         val pairs = minhashPairs(s, dir, 0.35).select(col("id_a"), col("id_b"))
-        pairs.persist()
+        // materialize once and truncate lineage: iterative plans otherwise
+        // recompute every prior round (and the whole LSH pipeline) per
+        // iteration — the standard Pregel-in-DataFrames requirement
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .localCheckpoint()
         var labels = edges.select(col("src").as("id")).distinct()
           .withColumn("label", col("id"))
         for (_ <- 1 to 5) {
@@ -110,6 +113,7 @@ object Dedup {
             .select(edges("src").as("id"), col("label"))
           labels = labels.unionByName(msgs)
             .groupBy(col("id")).agg(min(col("label")).as("label"))
+            .localCheckpoint()
         }
         labels
           .select(col("id").as("doc_id"), col("label").as("cluster_rep"))

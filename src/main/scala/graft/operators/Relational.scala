@@ -606,6 +606,46 @@ object Relational {
             sum(when(col("c_name") <=> lit(null), 1).otherwise(0)).cast("bigint").as("n_null_safe"))
           .orderBy(col("status"))),
 
+    // --- multiset (bag) set operations: INTERSECT ALL / EXCEPT ALL ---
+    NamedQuery(
+      "q35_multiset_setops",
+      Some(
+        "SELECT 'inter' AS tag, k, count(*) AS n FROM " +
+          "(SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' " +
+          "INTERSECT ALL SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000) a GROUP BY k " +
+          "UNION ALL " +
+          "SELECT 'exc' AS tag, k, count(*) AS n FROM " +
+          "(SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' " +
+          "EXCEPT ALL SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000) b GROUP BY k " +
+          "ORDER BY tag, k"),
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        val big = orders.filter(col("o_totalprice") > 250000).select(col("o_custkey").as("k"))
+        f.intersectAll(big).groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .select(lit("inter").as("tag"), col("k"), col("n"))
+          .unionByName(
+            f.exceptAll(big).groupBy(col("k")).agg(count(lit(1)).as("n"))
+              .select(lit("exc").as("tag"), col("k"), col("n")))
+          .orderBy(col("tag"), col("k"))
+      }),
+
+    // --- LIKE variants: case-insensitive, negated, and escaped wildcard ---
+    NamedQuery(
+      "q36_like_variants",
+      Some(
+        "SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%WID%' " +
+          "AND p_name NOT LIKE 'small%' AND p_brand LIKE 'Brand#1_' ESCAPE '\\' " +
+          "ORDER BY p_partkey"),
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(
+            col("p_name").ilike("%WID%") &&
+              !col("p_name").like("small%") &&
+              col("p_brand").like("Brand#1_"))
+          .select(col("p_partkey"), col("p_name"))
+          .orderBy(col("p_partkey"))),
+
     // --- ordered funnel over the events stream (same SQL, both engines):
     //     view → click-after-view → purchase-after-click per user ---
     viaSql(
