@@ -168,6 +168,18 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getInt(0) == 1)
   }
 
+  test("EXPLAIN and information-schema-ish statements flow through the engine") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (a int PRIMARY KEY, b text)")
+    e.execute("INSERT INTO t VALUES (1, 'x')")
+    val planText = e.execute("EXPLAIN SELECT a FROM t WHERE a = 1")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(planText.contains("Physical Plan"))
+    assert(e.execute("SELECT * FROM (SELECT a, upper(b) AS ub FROM t) s WHERE ub = 'X'")
+      .collect().length == 1)
+  }
+
   test("INSERT .. SELECT with serial assignment and catalog surface") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")
