@@ -646,6 +646,21 @@ object Relational {
           .select(col("p_partkey"), col("p_name"))
           .orderBy(col("p_partkey"))),
 
+    // --- generator/explode: token frequency over the corpus (Spark
+    //     explode ≡ DuckDB unnest) ---
+    NamedQuery(
+      "q37_explode_tokens",
+      Some(
+        "SELECT token, count(*) AS n FROM (SELECT unnest(string_split(lower(text), ' ')) AS token " +
+          "FROM documents) t GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20)),
+
     // --- ordered funnel over the events stream (same SQL, both engines):
     //     view → click-after-view → purchase-after-click per user ---
     viaSql(
