@@ -121,6 +121,12 @@ final class Catalog(val warehouse: String) {
   def dataDir(db: String, schema: String, table: String): String =
     tablePath(db, schema, table).resolve("data").toString
 
+  /** O(1) metadata check: does the table hold any data files? */
+  def tableIsEmpty(db: String, schema: String, table: String): Boolean = synchronized {
+    val dir = tablePath(db, schema, table).resolve("data")
+    !Files.isDirectory(dir) || !Files.list(dir).iterator().hasNext
+  }
+
   // ---------- serial counters ----------
   // reference: counter at key 't'+table_id+'c'+column_id bumped via KV
   // Increment during insert prefill (src/sql/client.rs:266-313). Counter is

@@ -244,8 +244,13 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         spark.createDataFrame(rdd, fullSchema)
       }
 
-      // unique enforcement before any write (statement atomicity)
-      if (n > 0) enforceUnique(desc, cand, db, schema, table)
+      // unique enforcement before any write (statement atomicity).
+      // Indexes whose keys are covered by freshly-assigned serial columns
+      // are unique by construction — same guarantee the reference gets
+      // from its atomic Increment (src/sql/client.rs:276-306).
+      if (n > 0)
+        enforceUnique(desc, cand, db, schema, table,
+          freshSerialIds = missingSerials.map(_.id).toSet)
 
       // atomic append: stage then move
       val staging = catalog.newStagingDir(db, schema, table)
@@ -286,27 +291,38 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     */
   private def enforceUnique(
       desc: TableDescriptor, cand: DataFrame,
-      db: String, schema: String, table: String): Unit = {
+      db: String, schema: String, table: String,
+      freshSerialIds: Set[Int]): Unit = {
     val uniqueIdx = desc.indices.filter(_.isUnique)
     if (uniqueIdx.isEmpty) return
+    // fast path: a freshly-created/truncated table has nothing to conflict
+    // with — skip the existing-rows join entirely (the bulk-load case)
+    val tableEmpty = catalog.tableIsEmpty(db, schema, table)
     lazy val existing = readTable(db, schema, table)
     uniqueIdx.foreach { idx =>
       val keys = idx.columnIds.map(desc.column(_).name)
       val nullsDistinct = idx.kind != IndexKind.UniqueNullsNotDistinct
-      // within-batch duplicates: Spark's groupBy treats NULLs as equal,
-      // which is exactly NULLS NOT DISTINCT; for NULLS DISTINCT drop rows
-      // with any NULL key first (each NULL is unique by definition)
-      val inBatch =
-        (if (nullsDistinct) cand.filter(keys.map(col(_).isNotNull).reduce(_ && _)) else cand)
-          .groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-      if (!inBatch.isEmpty)
-        throw SqlError.uniqueKeyAlreadyExists(table, idx.name)
-      // against existing rows
-      val cond = keys.map { k =>
-        if (nullsDistinct) cand(k) === existing(k) else cand(k) <=> existing(k)
-      }.reduce(_ && _)
-      if (!cand.join(existing, cond, "left_semi").isEmpty)
-        throw SqlError.uniqueKeyAlreadyExists(table, idx.name)
+      // fresh serial values are distinct within the batch AND greater than
+      // every previously-issued value, so an index keyed on them alone
+      // cannot conflict — no data pass needed
+      if (!idx.columnIds.forall(freshSerialIds.contains)) {
+        // within-batch duplicates: Spark's groupBy treats NULLs as equal,
+        // which is exactly NULLS NOT DISTINCT; for NULLS DISTINCT drop rows
+        // with any NULL key first (each NULL is unique by definition)
+        val inBatch =
+          (if (nullsDistinct) cand.filter(keys.map(col(_).isNotNull).reduce(_ && _)) else cand)
+            .groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+        if (!inBatch.isEmpty)
+          throw SqlError.uniqueKeyAlreadyExists(table, idx.name)
+        // against existing rows
+        if (!tableEmpty) {
+          val cond = keys.map { k =>
+            if (nullsDistinct) cand(k) === existing(k) else cand(k) <=> existing(k)
+          }.reduce(_ && _)
+          if (!cand.join(existing, cond, "left_semi").isEmpty)
+            throw SqlError.uniqueKeyAlreadyExists(table, idx.name)
+        }
+      }
     }
   }
 }
