@@ -119,41 +119,42 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     "session_user" -> "graft_current_user",
     "inet_client_port" -> "graft_inet_client_port")
 
+  /** Splices replacements into the ORIGINAL text — string escapes,
+    * comments, and whitespace pass through untouched; only session-function
+    * tokens (at paren depth 0) are replaced. */
   private[engine] def rewriteSessionFunctions(sql: String): String = {
-    val toks = SqlParser.tokenize(sql)
+    val spans = SqlParser.tokenizeWithSpans(sql)
     val out = new StringBuilder
+    var copied = 0
     var depth = 0
     var i = 0
-    def emit(s: String): Unit = {
-      if (out.nonEmpty) out.append(' ')
-      out.append(s)
-    }
-    while (i < toks.length) {
-      toks(i) match {
+    while (i < spans.length) {
+      spans(i).tok match {
         case Word(w) if sessionFns.contains(w) && depth == 0 =>
-          val target = sessionFns(w)
+          out.append(sql.substring(copied, spans(i).start))
           // swallow optional ()
           var j = i + 1
-          if (toks.lift(j).contains(Sym("(")) && toks.lift(j + 1).contains(Sym(")"))) j += 2
+          var endPos = spans(i).end
+          if (spans.lift(j).map(_.tok).contains(Sym("(")) &&
+            spans.lift(j + 1).map(_.tok).contains(Sym(")"))) {
+            endPos = spans(j + 1).end
+            j += 2
+          }
           // alias to the PG-visible name when in a bare select-list position
-          val aliased = toks.lift(j) match {
+          val aliased = spans.lift(j).map(_.tok) match {
             case None | Some(Sym(",")) | Some(Word("from")) => true
             case _ => false
           }
-          emit(s"$target()")
-          if (aliased) emit(s"as $w")
+          out.append(sessionFns(w)).append("()")
+          if (aliased) out.append(" as ").append(w)
+          copied = endPos
           i = j
-        case Word(w) =>
-          emit(w); i += 1
-        case QuotedIdent(q) => emit("`" + q.replace("`", "``") + "`"); i += 1
-        case Str(s) => emit("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"); i += 1
-        case Num(n) => emit(n); i += 1
-        case Sym(s) =>
-          if (s == "(") depth += 1
-          if (s == ")") depth = math.max(0, depth - 1)
-          emit(s); i += 1
+        case Sym("(") => depth += 1; i += 1
+        case Sym(")") => depth = math.max(0, depth - 1); i += 1
+        case _ => i += 1
       }
     }
+    out.append(sql.substring(copied))
     out.toString
   }
 

@@ -23,12 +23,20 @@ object SqlParser {
   final case class Num(text: String) extends Tok
   final case class Sym(text: String) extends Tok
 
-  def tokenize(sql: String): Vector[Tok] = {
-    val out = ArrayBuffer.empty[Tok]
+  /** Token plus its [start, end) character span in the source text —
+    * rewrites splice the ORIGINAL text around replaced spans, so string
+    * escapes/comments/whitespace are preserved verbatim. */
+  final case class Span(tok: Tok, start: Int, end: Int)
+
+  def tokenize(sql: String): Vector[Tok] = tokenizeWithSpans(sql).map(_.tok)
+
+  def tokenizeWithSpans(sql: String): Vector[Span] = {
+    val out = ArrayBuffer.empty[Span]
     var i = 0
     val n = sql.length
     while (i < n) {
       val c = sql.charAt(i)
+      val start = i
       if (c.isWhitespace) { i += 1 }
       else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         while (i < n && sql.charAt(i) != '\n') i += 1
@@ -49,7 +57,7 @@ object SqlParser {
             else { done = true; i += 1 }
           } else { sb.append(ch); i += 1 }
         }
-        out += Str(sb.toString)
+        out += Span(Str(sb.toString), start, i)
       }
       else if (c == '"') {
         val sb = new StringBuilder
@@ -62,28 +70,26 @@ object SqlParser {
             else { done = true; i += 1 }
           } else { sb.append(ch); i += 1 }
         }
-        out += QuotedIdent(sb.toString)
+        out += Span(QuotedIdent(sb.toString), start, i)
       }
       else if (c.isLetter || c == '_') {
-        val start = i
         while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_' || sql.charAt(i) == '$')) i += 1
-        out += Word(sql.substring(start, i).toLowerCase)
+        out += Span(Word(sql.substring(start, i).toLowerCase), start, i)
       }
       else if (c.isDigit || (c == '.' && i + 1 < n && sql.charAt(i + 1).isDigit)) {
-        val start = i
         while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.' ||
           sql.charAt(i) == 'e' || sql.charAt(i) == 'E' ||
           ((sql.charAt(i) == '+' || sql.charAt(i) == '-') && i > start &&
             (sql.charAt(i - 1) == 'e' || sql.charAt(i - 1) == 'E')))) i += 1
-        out += Num(sql.substring(start, i))
+        out += Span(Num(sql.substring(start, i)), start, i)
       }
       else {
         // multi-char operators we care about keeping intact
         val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
         if (Set("<=", ">=", "<>", "!=", "||", "::", "<=>").exists(_.startsWith(two)) && two.length == 2
           && Set("<=", ">=", "<>", "!=", "||", "::").contains(two)) {
-          out += Sym(two); i += 2
-        } else { out += Sym(c.toString); i += 1 }
+          out += Span(Sym(two), start, i + 2); i += 2
+        } else { out += Span(Sym(c.toString), start, i + 1); i += 1 }
       }
     }
     out.toVector
