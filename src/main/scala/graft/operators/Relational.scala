@@ -646,6 +646,31 @@ object Relational {
           .select(col("p_partkey"), col("p_name"))
           .orderBy(col("p_partkey"))),
 
+    // --- datetime field extraction: dow/doy/week/epoch/last_day/add_months
+    //     (Spark dayofweek is 1-based Sunday, DuckDB dow is 0-based) ---
+    NamedQuery(
+      "q38_datetime_parts",
+      Some(
+        "SELECT o_orderkey, CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow, " +
+          "CAST(date_part('doy', o_orderdate) AS BIGINT) AS doy, " +
+          "CAST(date_part('week', o_orderdate) AS BIGINT) AS week, " +
+          "CAST(date_part('epoch', o_orderdate) AS BIGINT) AS epoch_s, " +
+          "CAST(last_day(o_orderdate) AS TIMESTAMP) AS eom, " +
+          "CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS TIMESTAMP) AS next_month " +
+          "FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") < 500)
+          .select(
+            col("o_orderkey"),
+            (dayofweek(col("o_orderdate")) - 1).cast("bigint").as("dow"),
+            dayofyear(col("o_orderdate")).cast("bigint").as("doy"),
+            weekofyear(col("o_orderdate")).cast("bigint").as("week"),
+            unix_timestamp(col("o_orderdate").cast("timestamp")).cast("bigint").as("epoch_s"),
+            last_day(col("o_orderdate")).cast("timestamp_ntz").as("eom"),
+            add_months(col("o_orderdate"), 1).cast("timestamp_ntz").as("next_month"))
+          .orderBy(col("o_orderkey"))),
+
     // --- generator/explode: token frequency over the corpus (Spark
     //     explode ≡ DuckDB unnest) ---
     NamedQuery(

@@ -139,6 +139,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("approximate sketches land within tolerance of exact answers") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val exact = li.agg(
+      countDistinct(col("l_partkey")), countDistinct(col("l_suppkey")),
+      expr("percentile(l_extendedprice, 0.5)")).head()
+    val approx = q("q27_approx").head()
+    assert(math.abs(approx.getLong(0) - exact.getLong(0)) <= 0.05 * exact.getLong(0))
+    assert(math.abs(approx.getLong(1) - exact.getLong(1)) <= 0.05 * exact.getLong(1))
+    assert(math.abs(approx.getDouble(2) - exact.getDouble(2)) <= 0.05 * exact.getDouble(2))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
