@@ -646,6 +646,33 @@ object Relational {
           .select(col("p_partkey"), col("p_name"))
           .orderBy(col("p_partkey"))),
 
+    // --- deep multi-join (TPC-H Q9 shape): 5-table star join with
+    //     derived-column aggregation by nation and year ---
+    NamedQuery(
+      "q39_profit_by_nation",
+      Some(
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+          "round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity), 4) AS profit " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN part ON l_partkey = p_partkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation ON s_nationkey = n_nationkey " +
+          "WHERE p_name LIKE '%bolt%' " +
+          "GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT) " +
+          "ORDER BY nation, o_year"),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%bolt%"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+          .agg(round(sum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")) -
+              col("p_retailprice") * col("l_quantity")), 4).as("profit"))
+          .orderBy(col("nation"), col("o_year"))),
+
     // --- datetime field extraction: dow/doy/week/epoch/last_day/add_months
     //     (Spark dayofweek is 1-based Sunday, DuckDB dow is 0-based) ---
     NamedQuery(

@@ -91,6 +91,18 @@ object EventStreams {
       }
   }
 
+  /** Stream-static join: enrich the event stream with a static per-user
+    * dimension (here the customer table keyed by custkey = user_id). The
+    * static side is re-resolved per micro-batch, so a dimension refresh is
+    * picked up without restarting the query; Spark broadcasts it when
+    * small — the canonical streaming-enrichment plan. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(
+      userDim.select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")),
+      Seq("user_id"), "left")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
   /** Adapter: typed event stream from the raw frame. */
   def typedEvents(events: DataFrame): Dataset[Event] = {
     import events.sparkSession.implicits._

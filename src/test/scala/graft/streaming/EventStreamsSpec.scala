@@ -42,6 +42,22 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.table("dedup_events").count() == expected)
   }
 
+  test("stream-static join enriches events with the customer dimension") {
+    val q = EventStreams.enriched(
+      EventStreams.readEvents(spark, dir), Tables.load(spark, dir, "customer"))
+      .writeStream.format("memory").queryName("enriched").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enriched")
+    val batch = Tables.load(spark, dir, "events")
+      .join(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")),
+        Seq("user_id"), "left")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch definition") {
     val q = EventStreams.sessionize(
       EventStreams.typedEvents(EventStreams.readEvents(spark, dir)))
