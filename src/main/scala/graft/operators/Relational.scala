@@ -646,6 +646,39 @@ object Relational {
           .select(col("p_partkey"), col("p_name"))
           .orderBy(col("p_partkey"))),
 
+    // --- bitwise operator family ---
+    NamedQuery(
+      "q40_bitwise",
+      Some(
+        "SELECT p_partkey, CAST(p_size & 12 AS BIGINT) AS b_and, CAST(p_size | 3 AS BIGINT) AS b_or, " +
+          "CAST(xor(p_size, 21) AS BIGINT) AS b_xor, CAST(p_size << 2 AS BIGINT) AS b_shl, " +
+          "CAST(p_size >> 1 AS BIGINT) AS b_shr FROM part WHERE p_partkey < 300 ORDER BY p_partkey"),
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(col("p_partkey") < 300)
+          .select(
+            col("p_partkey"),
+            expr("p_size & 12").cast("bigint").as("b_and"),
+            expr("p_size | 3").cast("bigint").as("b_or"),
+            expr("p_size ^ 21").cast("bigint").as("b_xor"),
+            expr("shiftleft(p_size, 2)").cast("bigint").as("b_shl"),
+            expr("shiftright(p_size, 1)").cast("bigint").as("b_shr"))
+          .orderBy(col("p_partkey"))),
+
+    // --- ordered string aggregation (listagg/string_agg) ---
+    NamedQuery(
+      "q41_string_agg",
+      Some(
+        "SELECT l_returnflag, string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses, " +
+          "count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            concat_ws(",", array_sort(collect_set(col("l_linestatus")))).as("statuses"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))),
+
     // --- deep multi-join (TPC-H Q9 shape): 5-table star join with
     //     derived-column aggregation by nation and year ---
     NamedQuery(
