@@ -24,7 +24,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -34,6 +34,14 @@ object Bench {
           return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // min over iterations: single-run numbers on a shared box carry
+    // 40%+ interference noise; the min is the plan's actual cost
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    def run(name: String): Double = {
+      val times = (1 to iters).map(_ => runOnce(name))
+      if (times.contains(-1.0)) -1.0 else times.min
     }
 
     // warmup: touch every table + exercise codegen/shuffle machinery once
