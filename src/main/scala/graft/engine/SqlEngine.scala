@@ -83,13 +83,49 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         }
       }
     }
-    try spark.sql(rewriteSessionFunctions(sql))
+    try spark.sql(rewriteSessionFunctions(rewriteQualifiedTables(sql)))
     catch {
       // map Spark's resolution failure to the reference's error shape
       case e: org.apache.spark.sql.AnalysisException
         if e.getCondition != null && e.getCondition.startsWith("TABLE_OR_VIEW_NOT_FOUND") =>
         throw SqlError(SqlError.TableNotExists, e.getMessage)
     }
+  }
+
+  /** PG queries may qualify tables (`public.t`, `db.public.t`); Spark temp
+    * views are single-part. Dotted identifier runs whose parts resolve to
+    * an existing table in OUR catalog collapse to the bare view name —
+    * anything that doesn't resolve (e.g. alias.column) passes through. */
+  private[engine] def rewriteQualifiedTables(sql: String): String = {
+    val spans = SqlParser.tokenizeWithSpans(sql)
+    def word(i: Int): Option[String] = spans.lift(i).map(_.tok).collect { case Word(w) => w }
+    def dot(i: Int): Boolean = spans.lift(i).map(_.tok).contains(Sym("."))
+    val out = new StringBuilder
+    var copied = 0
+    var i = 0
+    while (i < spans.length) {
+      (word(i), dot(i + 1), word(i + 2)) match {
+        case (Some(a), true, Some(b)) =>
+          val threePart = dot(i + 3) && word(i + 4).isDefined
+          val resolved: Option[(String, Int)] =
+            if (threePart && catalog.databaseExists(a) &&
+              catalog.tableExists(a, b, word(i + 4).get) && a == ctx.database)
+              Some((word(i + 4).get, spans(i + 4).end))
+            else if (catalog.databaseExists(ctx.database) && catalog.tableExists(ctx.database, a, b))
+              Some((b, spans(i + 2).end))
+            else None
+          resolved match {
+            case Some((table, endPos)) =>
+              out.append(sql.substring(copied, spans(i).start)).append(table)
+              copied = endPos
+              i += (if (threePart && endPos == spans(i + 4).end) 5 else 3)
+            case None => i += 1
+          }
+        case _ => i += 1
+      }
+    }
+    out.append(sql.substring(copied))
+    out.toString
   }
 
   // ---------- session functions (reference A7) ----------

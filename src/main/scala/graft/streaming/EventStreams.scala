@@ -91,6 +91,30 @@ object EventStreams {
       }
   }
 
+  /** Document ingest stream with exact dedup-on-arrival: drop any document
+    * whose content digest was already seen. At ingest scale the dedup
+    * state is 32 bytes per distinct document — the streaming counterpart
+    * of the batch d01 operator, deduplicating the corpus BEFORE it ever
+    * lands in storage. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-docs-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(staged)
+    val link = staged.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    spark.readStream.schema(schema).parquet(staged.toString)
+  }
+
+  def dedupDocuments(docs: DataFrame): DataFrame =
+    docs.withColumn("digest", sha2(col("text"), 256))
+      .dropDuplicates(Seq("digest"))
+      .drop("digest")
+
   /** Stream-static join: enrich the event stream with a static per-user
     * dimension (here the customer table keyed by custkey = user_id). The
     * static side is re-resolved per micro-batch, so a dimension refresh is

@@ -168,6 +168,17 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getInt(0) == 1)
   }
 
+  test("qualified table names resolve: schema.table and db.schema.table") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (a int PRIMARY KEY, b text)")
+    e.execute("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    assert(e.execute("SELECT a FROM public.t ORDER BY a").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(e.execute("SELECT count(*) AS n FROM test1.public.t").collect()(0).getLong(0) == 2L)
+    // alias.column references must pass through untouched
+    assert(e.execute("SELECT x.a FROM t x WHERE x.a = 2").collect()(0).getInt(0) == 2)
+  }
+
   test("EXPLAIN and information-schema-ish statements flow through the engine") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")

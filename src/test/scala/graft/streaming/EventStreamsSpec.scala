@@ -42,6 +42,14 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.table("dedup_events").count() == expected)
   }
 
+  test("document ingest dedup keeps one row per distinct content") {
+    val q = EventStreams.dedupDocuments(EventStreams.readDocuments(spark, dir))
+      .writeStream.format("memory").queryName("docs_dedup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = Tables.load(spark, dir, "documents").select("text").distinct().count()
+    assert(spark.table("docs_dedup").count() == expected)
+  }
+
   test("stream-static join enriches events with the customer dimension") {
     val q = EventStreams.enriched(
       EventStreams.readEvents(spark, dir), Tables.load(spark, dir, "customer"))
