@@ -54,9 +54,7 @@ object Curation {
 
         scored.join(exactKeep, "doc_id", "left_semi")
           .join(members, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"),
-            round(col("quality").cast(org.apache.spark.sql.types.DecimalType(28, 8)), 4)
-              .cast("double").as("quality"))
+          .select(col("doc_id"), OracleRound.stableRound(col("quality"), 4).as("quality"))
           .orderBy(col("doc_id"))
       })
   )

@@ -36,8 +36,7 @@ object Dedup {
       .withColumn("shingles", expr("shingle_hashes(toks, 3)"))
   }
 
-  private def stableRound(c: Column, scale: Int): Column =
-    round(c.cast(org.apache.spark.sql.types.DecimalType(28, 8)), scale).cast("double")
+  import OracleRound.stableRound
 
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ threshold —
     * shared by the pair query (d02) and the clustering query (d06). */

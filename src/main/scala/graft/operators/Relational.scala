@@ -39,22 +39,7 @@ object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Rounds a non-terminating value (avg, ratio) for oracle parity.
-    *
-    * `round(double, n)` diverges between engines when the true value is an
-    * exact decimal tie (e.g. avg = 38.37875: Spark rounds the shortest
-    * decimal repr HALF_UP → 38.3788, DuckDB rounds the binary double →
-    * 38.3787). Casting to DECIMAL(28,8) first makes both engines round the
-    * same exact decimal, then HALF_UP at the target scale agrees. Sums of
-    * fixed-decimal measures don't need this — rounding AT the measure's
-    * decimal resolution is convergent (both engines collapse ulp noise to
-    * the same value).
-    */
-  private def stableRound(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
-    round(c.cast(org.apache.spark.sql.types.DecimalType(28, 8)), scale).cast("double")
-  /** Same computation spelled in SQL for the DuckDB oracle. */
-  private def stableRoundSql(exprSql: String, scale: Int): String =
-    s"CAST(round(CAST($exprSql AS DECIMAL(28,8)), $scale) AS DOUBLE)"
+  import OracleRound.{stableRound, stableRoundSql}
 
   /** For subquery shapes the DataFrame API can't express directly, run the
     * exact oracle text through spark.sql — same string, two engines. */

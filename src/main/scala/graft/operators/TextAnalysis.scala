@@ -13,8 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private def stableRound(c: Column, scale: Int): Column =
-    round(c.cast(org.apache.spark.sql.types.DecimalType(28, 8)), scale).cast("double")
+  import OracleRound.stableRound
 
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
