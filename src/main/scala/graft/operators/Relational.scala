@@ -631,6 +631,35 @@ object Relational {
           .select(col("p_partkey"), col("p_name"))
           .orderBy(col("p_partkey"))),
 
+    // --- 6-way join through region (TPC-H Q5 shape): revenue only counts
+    //     when customer and supplier share the nation ---
+    NamedQuery(
+      "q42_local_supplier_volume",
+      Some(
+        "SELECT n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+          "FROM customer JOIN orders ON c_custkey = o_custkey " +
+          "JOIN lineitem ON l_orderkey = o_orderkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+          "JOIN nation ON s_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey " +
+          "WHERE r_name IN ('ASIA', 'EUROPE') " +
+          "GROUP BY n_name ORDER BY nation"),
+      (s, dir) => {
+        val region = t(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+        val nation = t(s, dir, "nation")
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        val supplier = t(s, dir, "supplier")
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supplier),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .orderBy(col("nation"))
+      }),
+
     // --- bitwise operator family ---
     NamedQuery(
       "q40_bitwise",
