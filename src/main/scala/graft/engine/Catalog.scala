@@ -31,6 +31,13 @@ final class Catalog(val warehouse: String) {
     next
   }
 
+  /** `Files.list` streams hold a directory fd until closed; every listing
+    * goes through this helper so a long-lived engine can't leak fds. */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def dbPath(db: String): Path = root.resolve(db)
   private def schemaPath(db: String, schema: String): Path = dbPath(db).resolve(schema)
   private def tablePath(db: String, schema: String, table: String): Path =
@@ -55,14 +62,14 @@ final class Catalog(val warehouse: String) {
 
   def listDatabases(): Seq[String] =
     if (!Files.isDirectory(root)) Seq.empty
-    else Files.list(root).iterator().asScala
+    else listDir(root)
       .filter(Files.isDirectory(_)).map(_.getFileName.toString)
-      .filterNot(_.startsWith("_")).toSeq.sorted
+      .filterNot(_.startsWith("_")).sorted
 
   def listSchemas(db: String): Seq[String] = {
     requireDatabase(db)
-    Files.list(dbPath(db)).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    listDir(dbPath(db))
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).sorted
   }
 
   private def requireDatabase(db: String): Unit =
@@ -102,9 +109,9 @@ final class Catalog(val warehouse: String) {
 
   def listTables(db: String, schema: String): Seq[String] = {
     requireSchema(db, schema)
-    Files.list(schemaPath(db, schema)).iterator().asScala
+    listDir(schemaPath(db, schema))
       .filter(p => Files.exists(p.resolve("descriptor.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).sorted
   }
 
   /** Drops descriptor + all data (reference: src/sql/plan/drop_table.rs:35-123). */
@@ -124,7 +131,7 @@ final class Catalog(val warehouse: String) {
   /** O(1) metadata check: does the table hold any data files? */
   def tableIsEmpty(db: String, schema: String, table: String): Boolean = synchronized {
     val dir = tablePath(db, schema, table).resolve("data")
-    !Files.isDirectory(dir) || !Files.list(dir).iterator().hasNext
+    !Files.isDirectory(dir) || listDir(dir).isEmpty
   }
 
   // ---------- serial counters ----------
@@ -172,8 +179,8 @@ final class Catalog(val warehouse: String) {
   def commitStaged(db: String, schema: String, table: String, stagingDir: Path): Long = synchronized {
     val dataDirPath = tablePath(db, schema, table).resolve("data")
     var moved = 0L
-    val parts = Files.list(stagingDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.getFileName.toString)
+    val parts = listDir(stagingDir)
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
     parts.foreach { part =>
       val target = dataDirPath.resolve(
         s"part-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.parquet")
@@ -195,7 +202,7 @@ final class Catalog(val warehouse: String) {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -38,6 +38,10 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       spark.catalog.dropTempView(table)
       spark.emptyDataFrame
     case ins: Insert => insert(ins)
+    case CopyNoOp() =>
+      // parity: the reference silently ignores COPY
+      // (src/sql/postgresql/mod.rs:548,564-566)
+      spark.emptyDataFrame
     case ShowDatabases() =>
       toDf(catalog.listDatabases().map(Row(_)), StructType(Seq(StructField("name", StringType, false))))
     case ShowTables() =>
@@ -83,6 +87,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         }
       }
     }
+    registerInformationSchema()
     try spark.sql(rewriteSessionFunctions(rewriteQualifiedTables(sql)))
     catch {
       // map Spark's resolution failure to the reference's error shape
@@ -92,10 +97,47 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     }
   }
 
+  /** The `information_schema` relations the engine exposes (the reference
+    * enables DataFusion's information_schema, src/sql/mod.rs:82). Backed by
+    * temp views refreshed per query from the catalog. */
+  private val infoSchemaTables = Set("tables", "columns")
+
+  private def registerInformationSchema(): Unit = {
+    val db = ctx.database
+    val tableRows = Seq.newBuilder[Row]
+    val columnRows = Seq.newBuilder[Row]
+    if (catalog.databaseExists(db)) {
+      for (schema <- catalog.listSchemas(db); t <- catalog.listTables(db, schema)) {
+        tableRows += Row(db, schema, t, "BASE TABLE")
+        catalog.getTable(db, schema, t).columns.zipWithIndex.foreach { case (c, i) =>
+          columnRows += Row(db, schema, t, c.name, i + 1, null,
+            if (c.nullable) "YES" else "NO", c.typeKind.name)
+        }
+      }
+    }
+    toDf(tableRows.result(), StructType(Seq(
+      StructField("table_catalog", StringType, false),
+      StructField("table_schema", StringType, false),
+      StructField("table_name", StringType, false),
+      StructField("table_type", StringType, false))))
+      .createOrReplaceTempView("graft_information_schema_tables")
+    toDf(columnRows.result(), StructType(Seq(
+      StructField("table_catalog", StringType, false),
+      StructField("table_schema", StringType, false),
+      StructField("table_name", StringType, false),
+      StructField("column_name", StringType, false),
+      StructField("ordinal_position", IntegerType, false),
+      StructField("column_default", StringType, true),
+      StructField("is_nullable", StringType, false),
+      StructField("data_type", StringType, false))))
+      .createOrReplaceTempView("graft_information_schema_columns")
+  }
+
   /** PG queries may qualify tables (`public.t`, `db.public.t`); Spark temp
     * views are single-part. Dotted identifier runs whose parts resolve to
-    * an existing table in OUR catalog collapse to the bare view name —
-    * anything that doesn't resolve (e.g. alias.column) passes through. */
+    * an existing table in OUR catalog (or to `information_schema.*`)
+    * collapse to the bare view name — anything that doesn't resolve
+    * (e.g. alias.column) passes through. */
   private[engine] def rewriteQualifiedTables(sql: String): String = {
     val spans = SqlParser.tokenizeWithSpans(sql)
     def word(i: Int): Option[String] = spans.lift(i).map(_.tok).collect { case Word(w) => w }
@@ -108,7 +150,12 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         case (Some(a), true, Some(b)) =>
           val threePart = dot(i + 3) && word(i + 4).isDefined
           val resolved: Option[(String, Int)] =
-            if (threePart && catalog.databaseExists(a) &&
+            if (threePart && a == ctx.database && b == "information_schema" &&
+              infoSchemaTables(word(i + 4).get))
+              Some(("graft_information_schema_" + word(i + 4).get, spans(i + 4).end))
+            else if (a == "information_schema" && infoSchemaTables(b))
+              Some(("graft_information_schema_" + b, spans(i + 2).end))
+            else if (threePart && catalog.databaseExists(a) &&
               catalog.tableExists(a, b, word(i + 4).get) && a == ctx.database)
               Some((word(i + 4).get, spans(i + 4).end))
             else if (catalog.databaseExists(ctx.database) && catalog.tableExists(ctx.database, a, b))
@@ -153,11 +200,19 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     "current_user" -> "graft_current_user",
     "current_role" -> "graft_current_user",
     "session_user" -> "graft_current_user",
+    // bare `user` aliases current_user (reference:
+    // src/sql/postgresql/functions/mod.rs:125)
+    "user" -> "graft_current_user",
     "inet_client_port" -> "graft_inet_client_port")
 
   /** Splices replacements into the ORIGINAL text — string escapes,
-    * comments, and whitespace pass through untouched; only session-function
-    * tokens (at paren depth 0) are replaced. */
+    * comments, and whitespace pass through untouched. Session-function
+    * tokens are replaced at ANY expression depth (Spark has same-named
+    * builtins bound to the OS/Spark user, so missing one here silently
+    * returns a WRONG value, not an error); tokens preceded by `AS` or `.`
+    * are alias/qualified positions, not function references, and pass
+    * through. The PG-visible column alias is added only at depth 0 in a
+    * bare select-list position. */
   private[engine] def rewriteSessionFunctions(sql: String): String = {
     val spans = SqlParser.tokenizeWithSpans(sql)
     val out = new StringBuilder
@@ -165,8 +220,10 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     var depth = 0
     var i = 0
     while (i < spans.length) {
+      val prev = if (i == 0) None else Some(spans(i - 1).tok)
       spans(i).tok match {
-        case Word(w) if sessionFns.contains(w) && depth == 0 =>
+        case Word(w) if sessionFns.contains(w) &&
+          !prev.contains(Word("as")) && !prev.contains(Sym(".")) =>
           out.append(sql.substring(copied, spans(i).start))
           // swallow optional ()
           var j = i + 1
@@ -177,12 +234,12 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
             j += 2
           }
           // alias to the PG-visible name when in a bare select-list position
-          val aliased = spans.lift(j).map(_.tok) match {
+          val aliased = depth == 0 && (spans.lift(j).map(_.tok) match {
             case None | Some(Sym(",")) | Some(Word("from")) => true
             case _ => false
-          }
+          })
           out.append(sessionFns(w)).append("()")
-          if (aliased) out.append(" as ").append(w)
+          if (aliased) out.append(" as `").append(w).append("`")
           copied = endPos
           i = j
         case Sym("(") => depth += 1; i += 1
@@ -232,6 +289,36 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         throw SqlError.mismatchColumnType(table, col.name, col.typeKind.name, srcType.simpleString)
     }
 
+    // integral narrowing guard: a wider source must round-trip through the
+    // target type value-for-value — out-of-range values raise (the
+    // reference's MismatchColumnType) instead of wrapping under non-ANSI
+    // cast. One aggregate pass, only when a narrowing column exists.
+    val narrowing = provided.filter { tgt =>
+      val c = desc.findColumn(tgt).get
+      val (_, srcType) = byTarget(tgt)
+      (intWidth(c.typeKind), intSrcWidth(srcType)) match {
+        case (Some(tw), Some(sw)) => sw > tw
+        case _ => false
+      }
+    }
+    if (narrowing.nonEmpty) {
+      val checks = narrowing.map { tgt =>
+        val c = desc.findColumn(tgt).get
+        val (srcName, srcType) = byTarget(tgt)
+        val sc = source.col(s"`$srcName`")
+        // try_cast: out-of-range becomes NULL (instead of an ANSI cast
+        // error mid-check), which then fails the null-safe round-trip
+        sum(when(sc.try_cast(c.typeKind.sparkType).cast(srcType) <=> sc, 0L).otherwise(1L))
+      }
+      val r = source.agg(checks.head, checks.tail: _*).head()
+      narrowing.zipWithIndex.foreach { case (tgt, i) =>
+        if (!r.isNullAt(i) && r.getLong(i) > 0) {
+          val c = desc.findColumn(tgt).get
+          throw SqlError.mismatchColumnType(table, c.name, c.typeKind.name, byTarget(tgt)._2.simpleString)
+        }
+      }
+    }
+
     val missingSerials = desc.columns.filter(c => c.serial && !provided.contains(c.name))
     // columns present in the candidate before serial assignment, in
     // descriptor order minus missing serials
@@ -265,18 +352,37 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         val starts = missingSerials.map(c => c -> catalog.reserveSerial(db, schema, table, c, n)).toMap
         val fullSchema = desc.toStructType
         val preOrder = desc.columns.filterNot(c => missingSerials.exists(_.id == c.id))
+        // positional plan computed ONCE on the driver: for each output
+        // column, either the source row ordinal or the serial start — the
+        // per-row closure then reads by position (no name hashing, O(cols)
+        // per row)
+        val preIndex: Map[String, Int] = preOrder.map(_.name).zipWithIndex.toMap
+        val nCols = desc.columns.length
+        val srcIdx: Array[Int] = desc.columns.map(c => preIndex.getOrElse(c.name, -1)).toArray
+        val serialStart: Array[Long] =
+          desc.columns.map(c => starts.collectFirst { case (k, v) if k.id == c.id => v }.getOrElse(0L)).toArray
+        // 0 = copy, 1 = long serial, 2 = int serial, 3 = short serial
+        val colOp: Array[Byte] = desc.columns.map { c =>
+          if (!missingSerials.exists(_.id == c.id)) 0: Byte
+          else c.typeKind match {
+            case ColumnTypeKind.Int16Kind => 3: Byte
+            case ColumnTypeKind.Int32Kind => 2: Byte
+            case _ => 1: Byte
+          }
+        }.toArray
         val rdd = pre.rdd.zipWithIndex().map { case (row, idx) =>
-          val bySrc: Map[String, Any] = preOrder.map(_.name).zip(row.toSeq).toMap
-          Row.fromSeq(desc.columns.map { c =>
-            if (missingSerials.exists(_.id == c.id)) {
-              val v = starts(c) + idx
-              c.typeKind match {
-                case ColumnTypeKind.Int16Kind => v.toShort
-                case ColumnTypeKind.Int32Kind => v.toInt
-                case _ => v
-              }
-            } else bySrc(c.name)
-          })
+          val vals = new Array[Any](nCols)
+          var i = 0
+          while (i < nCols) {
+            vals(i) = colOp(i) match {
+              case 0 => row.get(srcIdx(i))
+              case 1 => serialStart(i) + idx
+              case 2 => (serialStart(i) + idx).toInt
+              case _ => (serialStart(i) + idx).toShort
+            }
+            i += 1
+          }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
         spark.createDataFrame(rdd, fullSchema)
       }
@@ -304,20 +410,48 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     } finally pre.unpersist()
   }
 
+  /** Integer targets take only INTEGRAL sources (a fractional source would
+    * silently truncate under non-ANSI cast; the reference raises
+    * MismatchColumnType instead — src/sql/client.rs:247-264). Width
+    * narrowing (e.g. bigint source into int) is allowed at the type level
+    * but guarded by the round-trip value check in [[insert]]. */
   private def typeCompatible(src: DataType, tgt: ColumnTypeKind): Boolean = {
     import ColumnTypeKind._
     if (src == NullType) return true
-    val numeric = src match {
-      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
-           _: FloatType | _: DoubleType | _: DecimalType => true
+    val integral = src match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+      case d: DecimalType => d.scale == 0
       case _ => false
     }
+    val numeric = integral || (src match {
+      case _: FloatType | _: DoubleType | _: DecimalType => true
+      case _ => false
+    })
     tgt match {
       case BooleanKind => src == BooleanType
-      case Int16Kind | Int32Kind | Int64Kind | Float32Kind | Float64Kind => numeric
+      case Int16Kind | Int32Kind | Int64Kind => integral
+      case Float32Kind | Float64Kind => numeric
       case BytesKind => src == BinaryType
       case StringKind => src == StringType || src.isInstanceOf[VarcharType] || src.isInstanceOf[CharType]
     }
+  }
+
+  /** Conservative byte width of an integral source/target for the
+    * narrowing guard; sources wider than the target get a value check. */
+  private def intWidth(t: ColumnTypeKind): Option[Int] = t match {
+    case ColumnTypeKind.Int16Kind => Some(2)
+    case ColumnTypeKind.Int32Kind => Some(4)
+    case ColumnTypeKind.Int64Kind => Some(8)
+    case _ => None
+  }
+  private def intSrcWidth(t: DataType): Option[Int] = t match {
+    case _: ByteType => Some(1)
+    case _: ShortType => Some(2)
+    case _: IntegerType => Some(4)
+    case _: LongType => Some(8)
+    case d: DecimalType if d.scale == 0 =>
+      Some(if (d.precision <= 4) 2 else if (d.precision <= 9) 4 else if (d.precision <= 18) 8 else 16)
+    case _ => None
   }
 
   /** Unique-index enforcement (SURVEY §7: groupBy within batch + join

@@ -107,50 +107,49 @@ object SqlParser {
   final case class ShowDatabases() extends Statement
   final case class ShowTables() extends Statement
   final case class Describe(table: Seq[String]) extends Statement
+  /** COPY — parsed, then deliberately ignored: the reference treats COPY as
+    * a silent no-op (src/sql/postgresql/mod.rs:548,564-566). */
+  final case class CopyNoOp() extends Statement
   /** Anything else — passes through to Spark SQL. */
   final case class Query(sql: String) extends Statement
 
   /** Splits on top-level ';'; exactly one non-empty statement allowed
-    * (reference: src/sql/postgresql/mod.rs:103-110). */
+    * (reference: src/sql/postgresql/mod.rs:103-110). Splitting rides the
+    * real tokenizer, so ';' inside string literals AND comments never
+    * splits, and a comment-only segment (`SELECT 1; -- note`) counts as
+    * empty. The returned statement spans its first to last token, which
+    * preserves interior comments verbatim. */
   def singleStatement(sql: String): String = {
-    val parts = ArrayBuffer.empty[String]
-    val sb = new StringBuilder
-    var inStr = false; var inQuote = false; var i = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (inStr) { sb.append(c); if (c == '\'') inStr = false }
-      else if (inQuote) { sb.append(c); if (c == '"') inQuote = false }
-      else c match {
-        case '\'' => inStr = true; sb.append(c)
-        case '"' => inQuote = true; sb.append(c)
-        case ';' => parts += sb.toString; sb.clear()
-        case _ => sb.append(c)
-      }
-      i += 1
+    val spans = tokenizeWithSpans(sql)
+    val segs = ArrayBuffer.empty[(Int, Int)]
+    var first = -1
+    var last = -1
+    def close(): Unit = { if (first >= 0) segs += ((first, last)); first = -1; last = -1 }
+    spans.foreach { sp =>
+      if (sp.tok == Sym(";")) close()
+      else { if (first < 0) first = sp.start; last = sp.end }
     }
-    parts += sb.toString
-    val nonEmpty = parts.map(_.trim).filter(_.nonEmpty)
-    nonEmpty.length match {
+    close()
+    segs.length match {
       case 0 => throw SqlError.noStatement
-      case 1 => nonEmpty.head
+      case 1 => sql.substring(segs.head._1, segs.head._2)
       case _ => throw SqlError.multipleStatements
     }
   }
 
   def parse(sqlRaw: String): Statement = {
     val sql = singleStatement(sqlRaw)
-    val toks = tokenize(sql)
-    new Parse(toks, sql).statement()
+    new Parse(tokenizeWithSpans(sql), sql).statement()
   }
 
-  private final class Parse(toks: Vector[Tok], sql: String) {
+  private final class Parse(spans: Vector[Span], sql: String) {
     private var pos = 0
-    private def peek(k: Int = 0): Option[Tok] = toks.lift(pos + k)
+    private def peek(k: Int = 0): Option[Tok] = spans.lift(pos + k).map(_.tok)
     private def isWord(k: Int, w: String): Boolean = peek(k).exists {
       case Word(t) => t == w
       case _ => false
     }
-    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def next(): Tok = { val t = spans(pos).tok; pos += 1; t }
     private def expectWord(w: String): Unit = next() match {
       case Word(t) if t == w =>
       case other => throw SqlError.invalid(s"expected $w, got ${other.text}")
@@ -169,7 +168,7 @@ object SqlParser {
       while (peek().contains(Sym("."))) { next(); parts += ident() }
       parts.toSeq
     }
-    private def atEnd: Boolean = pos >= toks.length
+    private def atEnd: Boolean = pos >= spans.length
 
     def statement(): Statement = peek() match {
       case Some(Word("create")) => create()
@@ -177,7 +176,7 @@ object SqlParser {
       case Some(Word("insert")) => insert()
       case Some(Word("update")) => throw SqlError.unsupported("UPDATE ..")
       case Some(Word("delete")) => throw SqlError.unsupported("DELETE ..")
-      case Some(Word("copy")) => throw SqlError.unsupported("COPY ..")
+      case Some(Word("copy")) => CopyNoOp()
       case Some(Word("show")) if isWord(1, "databases") => ShowDatabases()
       case Some(Word("show")) if isWord(1, "tables") => ShowTables()
       case Some(Word("describe")) => next(); Describe(qualifiedName())
@@ -245,48 +244,15 @@ object SqlParser {
         } else pos = save
       }
       if (atEnd) throw SqlError.invalid("INSERT without source")
-      // remainder of the original text is the source query (VALUES/SELECT)
-      val restStart = offsetOfToken(pos)
+      // remainder of the original text is the source query (VALUES/SELECT);
+      // the token's recorded span gives the exact offset, comments included
+      val restStart = spans(pos).start
       peek() match {
         case Some(Word("values")) | Some(Word("select")) | Some(Sym("(")) | Some(Word("with")) =>
           Insert(table, columns, sql.substring(restStart))
         case Some(Word("default")) => throw SqlError.unsupported("INSERT .. DEFAULT VALUES")
         case other => throw SqlError.invalid(s"INSERT source ${other.map(_.text).getOrElse("")}")
       }
-    }
-
-    /** Byte offset in `sql` where token `idx` starts (re-scan). */
-    private def offsetOfToken(idx: Int): Int = {
-      // re-tokenize tracking offsets; cheap for statement-sized strings
-      var count = 0
-      var i = 0
-      val n = sql.length
-      while (i < n) {
-        val c = sql.charAt(i)
-        if (c.isWhitespace) i += 1
-        else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') { while (i < n && sql.charAt(i) != '\n') i += 1 }
-        else {
-          if (count == idx) return i
-          count += 1
-          // skip one token
-          if (c == '\'' || c == '"') {
-            val q = c; i += 1
-            var done = false
-            while (!done && i < n) {
-              if (sql.charAt(i) == q) { if (i + 1 < n && sql.charAt(i + 1) == q) i += 2 else { done = true; i += 1 } }
-              else i += 1
-            }
-          } else if (c.isLetter || c == '_') {
-            while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_' || sql.charAt(i) == '$')) i += 1
-          } else if (c.isDigit) {
-            while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.')) i += 1
-          } else {
-            i += 1
-            if (i < n && Set("<=", ">=", "<>", "!=", "||", "::").contains(sql.substring(i - 1, i + 1))) i += 1
-          }
-        }
-      }
-      sql.length
     }
 
     // ---------- CREATE TABLE ----------

@@ -10,22 +10,42 @@ import org.apache.spark.sql.functions._
   *
   *   1. quality gate: length / stopword-ratio heuristics;
   *   2. exact dedup: keep the smallest doc_id per content digest;
-  *   3. near-dup removal: MinHash-LSH pair graph → connected components →
-  *      drop every non-representative member;
+  *   3. near-dup removal: exact-Jaccard pair graph → connected components
+  *      (Dedup.connectedComponents) → drop every non-representative
+  *      member, keeping the smallest doc_id of each component;
   *   4. emit the surviving doc_ids with their quality score.
   *
   * Everything stays declarative, so Catalyst fuses the quality projection
-  * into the scan and the three stages share one pass over the text. The
-  * anti-joins that realize "drop duplicates/members" are broadcast-able
-  * when the drop lists are small (the common case: dup rate ≪ corpus) and
-  * degrade gracefully to shuffle joins when not.
+  * into the scan. The anti-joins that realize "drop duplicates/members"
+  * are broadcast-able when the drop lists are small (the common case: dup
+  * rate ≪ corpus) and degrade gracefully to shuffle joins when not.
+  *
+  * Every stage is SQL-expressible, so the DuckDB oracle replays the whole
+  * pipeline — components included, via a recursive CTE.
   */
 object Curation {
+
+  private val stops = "'the','a','of','to','in','is'"
 
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery(
       "p01_pipeline_curation",
-      None,
+      Some(
+        s"WITH RECURSIVE ${Dedup.ngramPairsSql(0.5)}, " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+          "UNION ALL SELECT id_b, id_a FROM pairs), " +
+          "reach(id, lab) AS (SELECT DISTINCT src, src FROM edges " +
+          "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst), " +
+          "drops AS (SELECT id FROM reach GROUP BY id HAVING min(lab) <> id), " +
+          "tk AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+          s"q AS (SELECT doc_id, text, len(tk) AS n_tokens, " +
+          s"least(len(tk) / 50.0, 1.0) * 0.5 + " +
+          s"len(list_filter(tk, t -> list_contains([$stops], t))) / len(tk) * 0.5 AS quality FROM tk), " +
+          "scored AS (SELECT * FROM q WHERE n_tokens >= 5 AND quality >= 0.2), " +
+          "keep AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY text) " +
+          "SELECT doc_id, " + OracleRound.stableRoundSql("quality", 4) + " AS quality " +
+          "FROM scored WHERE doc_id IN (SELECT doc_id FROM keep) " +
+          "AND doc_id NOT IN (SELECT id FROM drops) ORDER BY doc_id"),
       (s, dir) => {
         GraftFunctions.register(s)
         val docs = Tables.load(s, dir, "documents")
@@ -36,7 +56,7 @@ object Curation {
           .withColumn("n_tokens", size(col("toks")))
           .withColumn("quality",
             least(col("n_tokens") / 50.0, lit(1.0)) * 0.5 +
-              expr("size(filter(toks, t -> array_contains(array('the','a','of','to','in','is'), t)))")
+              expr(s"size(filter(toks, t -> array_contains(array($stops), t)))")
                 .cast("double") / col("n_tokens") * 0.5)
           .filter(col("n_tokens") >= 5 && col("quality") >= 0.2)
 
@@ -47,13 +67,12 @@ object Curation {
           .select(col("doc_id"))
 
         // 3. near-dup components: drop members, keep representatives
-        val members = Dedup.minhashPairs(s, dir, 0.5)
-          .select(col("id_a"), col("id_b"))
-          .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
-          .distinct()
+        val drops = Dedup.connectedComponents(
+          Dedup.exactJaccardPairs(s, dir, 0.5).select(col("id_a"), col("id_b")))
+          .select(col("doc_id"))
 
         scored.join(exactKeep, "doc_id", "left_semi")
-          .join(members, Seq("doc_id"), "left_anti")
+          .join(drops, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), OracleRound.stableRound(col("quality"), 4).as("quality"))
           .orderBy(col("doc_id"))
       })

@@ -36,15 +36,19 @@ object Dedup {
       .withColumn("shingles", expr("shingle_hashes(toks, 3)"))
   }
 
-  import OracleRound.stableRound
+  import OracleRound.{stableRound, stableRoundSql}
 
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ threshold —
-    * shared by the pair query (d02) and the clustering query (d06). */
+    * shared by the pair query (d02) and the curation capstone. */
   private[operators] def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    // localCheckpoint (not persist): materializes the signatures once for
+    // the self-join AND lets the ContextCleaner reclaim the blocks when the
+    // plan is no longer referenced — persist() would pin them for the
+    // session lifetime
     val d = docs(s, dir)
       .withColumn("sig", expr("minhash_sig(shingles, 64)"))
       .select(col("doc_id"), col("sig"))
-    d.persist()
+      .localCheckpoint()
     val bands = d.select(
       col("doc_id"),
       posexplode(expr("transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))"))
@@ -65,6 +69,98 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** EXACT n-gram Jaccard pairs ≥ threshold via a grouped inverted index:
+    * group the (doc_id, shingle) postings by shingle, emit all C(df, 2)
+    * pairs per group map-side, then count co-occurrences. Compared to the
+    * classic posting-list self-join this removes one full shuffle of the
+    * postings AND the join's C(df, 2)-row shuffle — pairs are generated
+    * after the exchange. Shingles above the df cap (the skew guard: at
+    * 100 TB one ubiquitous shingle is a quadratic bucket) are removed by
+    * anti-joining the tiny hot-shingle list, which broadcasts by
+    * construction. Shared by d04, d06 and the curation capstone. */
+  private[operators] def exactJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val sh = docs(s, dir).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 50).select(col("shingle"))
+    val filtered = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // one row per discriminative shingle, ids sorted so emitted pairs are
+    // canonical (id_a < id_b); bounded at 50 ids by the df cap. Checkpoint:
+    // both the sizes branch and the pair branch read it.
+    val byShingle = filtered.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .localCheckpoint()
+    val sizes = byShingle.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val co = byShingle.filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ids)-1), i -> " +
+          "transform(slice(ids, i+1, size(ids)-i), " +
+          "j -> named_struct('id_a', element_at(ids, i), 'id_b', j))))")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("co"))
+    co.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        stableRound(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** DuckDB replica of [[exactJaccardPairs]] as named CTEs ending in
+    * `pairs(id_a, id_b, jaccard)` — string 3-grams joined with chr(31)
+    * mirror the separator-delimited windows of `shingle_hashes`
+    * (HashExpressions.scala), including the distinct-per-doc and
+    * whole-list-when-short semantics. */
+  private[operators] def ngramPairsSql(threshold: Double): String =
+    "toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, chr(31))] " +
+      "ELSE list_distinct(list_transform(range(1, len(tk)-1), " +
+      "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) END) AS shingle FROM toks), " +
+      "dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle), " +
+      "filt AS (SELECT doc_id, s.shingle FROM sh s JOIN dfreq d ON s.shingle = d.shingle WHERE d.df <= 50), " +
+      "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt FROM filt a " +
+      "JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM filt GROUP BY doc_id), " +
+      "pairs AS (SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, " +
+      stableRoundSql("cnt / (sa.sz + sb.sz - cnt)", 4) + " AS jaccard " +
+      "FROM cp JOIN sz sa ON cp.id_a = sa.doc_id JOIN sz sb ON cp.id_b = sb.doc_id) " +
+      s"WHERE jaccard >= $threshold)"
+
+  /** Connected components over an undirected pair graph by synchronous
+    * min-label propagation, iterated UNTIL CONVERGENCE (no label changed)
+    * with a hard round bound — a fixed round count is silently wrong for
+    * any component whose diameter exceeds it. One cheap existence check per
+    * round; labels only ever decrease, so `new < old` detects every change.
+    * Returns non-representative members as (doc_id, cluster_rep). */
+  private[operators] def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // materialize once and truncate lineage per round: iterative plans
+    // otherwise recompute every prior round per iteration
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val msgs = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .filter(col("doc_id") =!= col("cluster_rep"))
+  }
+
   val queries: Seq[NamedQuery] = Seq(
 
     // exact dedup: keep the smallest doc_id per distinct content. Grouping
@@ -81,44 +177,41 @@ object Dedup {
           .orderBy(col("doc_id"))),
 
     // MinHash (k=64) + LSH banding (16 bands × 4 rows): candidate pairs
-    // share a band; signature agreement estimates Jaccard.
+    // share a band; signature agreement estimates Jaccard. The oracle is
+    // the EXACT ≥0.4 Jaccard pair set — a real recall+precision gate: the
+    // hash match proves the LSH finder surfaces exactly the true near-dup
+    // pairs on this corpus (verified to hold at sf0.001/0.01/0.1). The
+    // estimate itself is covered by OperatorsSpec.
     NamedQuery(
       "d02_dedup_minhash",
-      None,
+      Some(
+        s"WITH ${ngramPairsSql(0.4)} " +
+          "SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"),
       (s, dir) =>
-        minhashPairs(s, dir, 0.35).orderBy(col("id_a"), col("id_b"))),
+        minhashPairs(s, dir, 0.35)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))),
 
-    // near-dup CLUSTERS: connected components over the MinHash pair graph
-    // via iterative min-label propagation (5 synchronous rounds — dup
-    // clusters have tiny diameter). Each round is one join + one
-    // aggregation; at 100 TB this is the standard Pregel-style pattern,
-    // with no driver-side graph state. Output: member → cluster
-    // representative (= smallest doc_id in the component).
+    // near-dup CLUSTERS: connected components over the exact-Jaccard pair
+    // graph via min-label propagation until convergence. Each round is one
+    // join + one aggregation; at 100 TB this is the standard Pregel-style
+    // pattern, with no driver-side graph state. Output: member → cluster
+    // representative (= smallest doc_id in the component). The DuckDB
+    // oracle recomputes the components with a recursive CTE (transitive
+    // closure, min reachable id).
     NamedQuery(
       "d06_dedup_clusters",
-      None,
-      (s, dir) => {
-        val pairs = minhashPairs(s, dir, 0.35).select(col("id_a"), col("id_b"))
-        // materialize once and truncate lineage: iterative plans otherwise
-        // recompute every prior round (and the whole LSH pipeline) per
-        // iteration — the standard Pregel-in-DataFrames requirement
-        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-          .localCheckpoint()
-        var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id"))
-        for (_ <- 1 to 5) {
-          val msgs = edges.join(labels, edges("dst") === labels("id"))
-            .select(edges("src").as("id"), col("label"))
-          labels = labels.unionByName(msgs)
-            .groupBy(col("id")).agg(min(col("label")).as("label"))
-            .localCheckpoint()
-        }
-        labels
-          .select(col("id").as("doc_id"), col("label").as("cluster_rep"))
-          .filter(col("doc_id") =!= col("cluster_rep"))
-          .orderBy(col("cluster_rep"), col("doc_id"))
-      }),
+      Some(
+        s"WITH RECURSIVE ${ngramPairsSql(0.4)}, " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+          "UNION ALL SELECT id_b, id_a FROM pairs), " +
+          "reach(id, lab) AS (SELECT DISTINCT src, src FROM edges " +
+          "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst) " +
+          "SELECT id AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY id " +
+          "HAVING min(lab) <> id ORDER BY cluster_rep, doc_id"),
+      (s, dir) =>
+        connectedComponents(exactJaccardPairs(s, dir, 0.4).select(col("id_a"), col("id_b")))
+          .orderBy(col("cluster_rep"), col("doc_id"))),
 
     // SimHash near-dup: pairs within Hamming distance 3 of the 64-bit
     // sketch; 4 bands of 16 bits guarantee a shared band key (pigeonhole).
@@ -144,36 +237,18 @@ object Dedup {
           .orderBy(col("id_a"), col("id_b"))
       }),
 
-    // exact n-gram Jaccard via inverted-index join. Shingles above the
-    // doc-frequency cap are dropped on BOTH sides of the ratio (numerator
-    // co-counts and per-doc set sizes), so the measure stays consistent:
-    // "Jaccard over discriminative shingles". The cap is the skew guard —
-    // at 100 TB one ubiquitous shingle would otherwise create a quadratic
-    // join bucket; Σ C(df, 2) with df ≤ 50 is linear in corpus size.
+    // exact n-gram Jaccard over discriminative shingles (df ≤ 50 on BOTH
+    // sides of the ratio, so the measure stays consistent). See
+    // exactJaccardPairs for the plan; the DuckDB oracle rebuilds the same
+    // shingle sets from 3-gram strings and hash-checks the pair list.
     NamedQuery(
       "d04_dedup_ngram",
-      None,
-      (s, dir) => {
-        val d = docs(s, dir)
-        val sh = d.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 50)
-        val filtered = sh.join(rare, "shingle").select(col("doc_id"), col("shingle"))
-        filtered.persist()
-        val co = filtered.as("a")
-          .join(filtered.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("co"))
-        val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        co.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-          .withColumn("jaccard",
-            stableRound(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 4))
-          .filter(col("jaccard") >= 0.4)
-          .select(col("id_a"), col("id_b"), col("jaccard"))
-          .orderBy(col("id_a"), col("id_b"))
-      }),
+      Some(
+        s"WITH ${ngramPairsSql(0.4)} " +
+          "SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"),
+      (s, dir) =>
+        exactJaccardPairs(s, dir, 0.4)
+          .orderBy(col("id_a"), col("id_b"))),
 
     // embedding near-dup: 60-bit hyperplane signature split into 5 bands of
     // 12 bits; a random pair collides with p ≈ 5/4096, so the candidate set

@@ -70,19 +70,40 @@ object Multimodal {
           .orderBy(col("doc_id"))),
 
     // partition-wise decode + feature extraction through the codec seam.
+    // The 16-bin histogram is emitted as scalar columns h0..h15 (not an
+    // array) so the result is hash-comparable; the fake codec is pure byte
+    // math, so DuckDB can replicate it exactly — each byte's high nibble is
+    // the first hex char of that byte in hex(encode(text)).
     NamedQuery(
       "m02_mm_features",
-      None,
+      Some {
+        val hexDigit = (0 until 16).map(i => f"$i%X")
+        val bins = hexDigit.zipWithIndex.map { case (d, i) =>
+          s"CAST(nb - length(replace(hi, '$d', '')) AS BIGINT) AS h$i"
+        }.mkString(", ")
+        "WITH b AS (SELECT doc_id, " +
+          "CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format, " +
+          "octet_length(encode(text)) AS nb, " +
+          // keep the first hex char of every byte = the high nibble stream
+          "regexp_replace(hex(encode(text)), '(.)(.)', '\\1', 'g') AS hi FROM documents) " +
+          "SELECT doc_id, format, CAST(nb AS BIGINT) AS n_bytes, " +
+          "CAST(64 + nb % 512 AS INT) AS width, CAST(64 + (nb // 7) % 512 AS INT) AS height, " +
+          bins + " FROM b ORDER BY doc_id"
+      },
       (s, dir) => {
         import s.implicits._
         val codec: MediaCodec = DeterministicFakeCodec
-        media(s, dir).as[Media]
+        val feats = media(s, dir).as[Media]
           .mapPartitions { it =>
             // one codec per partition (mirrors batch-UDF lifecycle: init
             // once, stream the partition through it)
             it.map(codec.decode)
           }
           .toDF()
+        val binCols = (0 until 16).map(i => col("histogram")(i).as(s"h$i"))
+        feats
+          .select(Seq(col("doc_id"), col("format"), col("n_bytes"),
+            col("width"), col("height")) ++ binCols: _*)
           .orderBy(col("doc_id"))
       })
   )

@@ -463,17 +463,44 @@ object Relational {
             round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
           .orderBy(col("c_mktsegment"))),
 
-    // --- approximate sketches (no DuckDB oracle: HLL/KLL differ by impl;
-    //     the driver records a rows-only check) ---
+    // --- approximate sketches, verified against exact: the raw HLL/KLL
+    //     values differ per engine, so the hash-compared output is the
+    //     exact values PLUS bounded-error flags — EACH engine checks its
+    //     own sketch against its own exact answer (HLL stderr ≈ 1.6% and
+    //     the KLL default accuracy are both well inside the 5% bound), and
+    //     the driver's hash match proves both passed ---
     NamedQuery(
       "q27_approx",
-      None,
+      Some(
+        "SELECT exact_parts, exact_supps, " +
+          stableRoundSql("exact_median", 4) + " AS exact_median, " +
+          "abs(approx_parts - exact_parts) <= exact_parts * 0.05 AS hll_parts_ok, " +
+          "abs(approx_supps - exact_supps) <= exact_supps * 0.05 AS hll_supps_ok, " +
+          "abs(approx_median - exact_median) <= exact_median * 0.05 AS kll_median_ok " +
+          "FROM (SELECT count(DISTINCT l_partkey) AS exact_parts, " +
+          "count(DISTINCT l_suppkey) AS exact_supps, " +
+          "quantile_cont(l_extendedprice, 0.5) AS exact_median, " +
+          "approx_count_distinct(l_partkey) AS approx_parts, " +
+          "approx_count_distinct(l_suppkey) AS approx_supps, " +
+          "approx_quantile(l_extendedprice, 0.5) AS approx_median FROM lineitem)"),
       (s, dir) =>
         t(s, dir, "lineitem")
           .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_suppkey")).as("exact_supps"),
+            expr("percentile(l_extendedprice, 0.5)").as("em"),
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
             approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-            expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"))),
+            expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"))
+          .select(
+            col("exact_parts"), col("exact_supps"),
+            stableRound(col("em"), 4).as("exact_median"),
+            (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * 0.05)
+              .as("hll_parts_ok"),
+            (abs(col("approx_supps") - col("exact_supps")) <= col("exact_supps") * 0.05)
+              .as("hll_supps_ok"),
+            (abs(col("approx_median") - col("em")) <= col("em") * 0.05)
+              .as("kll_median_ok"))),
 
     // --- timestamp truncation + aggregation over the events table ---
     NamedQuery(

@@ -30,9 +30,23 @@ object TextAnalysis {
 
     // language-ID heuristic vs the ground-truth lang column: confusion
     // counts per (true, predicted). Deterministic tie-break by priority.
+    // Pure SQL (stopword hit counts), so DuckDB replicates it exactly.
     NamedQuery(
       "t01_text_langid",
-      None,
+      Some {
+        def hits(lang: String): String = {
+          val arr = stopwords(lang).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains([$arr], t)))"
+        }
+        val best = "greatest(s_en, s_de, s_es, s_fr)"
+        "WITH s AS (SELECT lang, " +
+          s"${hits("en")} AS s_en, ${hits("de")} AS s_de, " +
+          s"${hits("es")} AS s_es, ${hits("fr")} AS s_fr FROM documents), " +
+          s"p AS (SELECT lang, CASE WHEN $best = 0 THEN 'und' " +
+          s"WHEN s_en = $best THEN 'en' WHEN s_de = $best THEN 'de' " +
+          s"WHEN s_es = $best THEN 'es' ELSE 'fr' END AS pred FROM s) " +
+          "SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred ORDER BY lang, pred"
+      },
       (s, dir) =>
         Tables.load(s, dir, "documents")
           .withColumn("toks", split(lower(col("text")), "\\s+"))

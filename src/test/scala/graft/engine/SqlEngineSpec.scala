@@ -191,6 +191,79 @@ class SqlEngineSpec extends AnyFunSuite {
       .collect().length == 1)
   }
 
+  test("session functions rewrite at any depth; bare user aliases current_user") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    // nested in a function call / subquery / arithmetic — the reference
+    // registers these engine-wide, so they bind at ANY expression depth
+    val r = e.execute(
+      "SELECT coalesce(current_user, 'x') AS u, upper(current_database()) AS d").collect()(0)
+    assert(r.getString(0) == "user1" && r.getString(1) == "TEST1")
+    assert(e.execute("SELECT x FROM (SELECT current_user AS x)").collect()(0).getString(0) == "user1")
+    assert(e.execute("SELECT inet_client_port() + 1 AS p").collect()(0).getInt(0) == 1)
+    // bare `user` token (reference src/sql/postgresql/functions/mod.rs:125)
+    val u = e.execute("SELECT user")
+    assert(u.columns.toSeq == Seq("user"))
+    assert(u.collect()(0).getString(0) == "user1")
+    // alias / qualified positions must NOT be rewritten
+    assert(e.execute("SELECT 'abc' AS user").collect()(0).getString(0) == "abc")
+  }
+
+  test("COPY is a silent no-op (reference src/sql/postgresql/mod.rs:548,564-566)") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    assert(e.execute("COPY t FROM 'somewhere.csv'").collect().isEmpty)
+  }
+
+  test("comments: ';' inside comments doesn't split; INSERT offsets survive comments") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (a int PRIMARY KEY, b text)")
+    assert(e.execute("SELECT 1 AS x; -- trailing; note").collect()(0).getInt(0) == 1)
+    assert(e.execute("SELECT /* inline; comment */ 2 AS x").collect()(0).getInt(0) == 2)
+    e.execute("INSERT INTO t /* cols follow */ (a, b) /* src */ VALUES (1, 'x')")
+    assert(e.execute("SELECT count(*) AS n FROM t").collect()(0).getLong(0) == 1L)
+    assert(intercept[SqlError](e.execute("SELECT 1; SELECT 2"))
+      .kind == SqlError.MultipleStatements)
+    assert(intercept[SqlError](e.execute("-- only a comment"))
+      .kind == SqlError.NoStatement)
+  }
+
+  test("lossy numeric inserts raise MismatchColumnType instead of truncating") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (a int PRIMARY KEY, f real)")
+    // fractional into int: rejected at the type level
+    assert(intercept[SqlError](e.execute("INSERT INTO t (a, f) VALUES (1.5, 1.0)"))
+      .kind == SqlError.MismatchColumnType)
+    // out-of-range bigint into int: rejected by the round-trip value check
+    assert(intercept[SqlError](
+      e.execute("INSERT INTO t (a, f) VALUES (CAST(4294967296 AS BIGINT), 1.0)"))
+      .kind == SqlError.MismatchColumnType)
+    // in-range wider source is fine; fractional into real is fine
+    assert(e.execute("INSERT INTO t (a, f) VALUES (CAST(7 AS BIGINT), 1.5)")
+      .collect()(0).getLong(0) == 1L)
+    assert(e.execute("SELECT a FROM t").collect()(0).getInt(0) == 7)
+  }
+
+  test("information_schema.tables and .columns reflect the catalog (reference src/sql/mod.rs:82)") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (a int PRIMARY KEY, b text NULL)")
+    val tb = e.execute(
+      "SELECT table_name, table_type FROM information_schema.tables " +
+        "WHERE table_schema = 'public'").collect()
+    assert(tb.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("t", "BASE TABLE")))
+    val cols = e.execute(
+      "SELECT column_name, is_nullable FROM information_schema.columns " +
+        "WHERE table_name = 't' ORDER BY ordinal_position").collect()
+    assert(cols.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(cols(0).getString(1) == "NO" && cols(1).getString(1) == "YES")
+    // catalog-qualified three-part name resolves too
+    assert(e.execute("SELECT count(*) AS n FROM test1.information_schema.tables")
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("INSERT .. SELECT with serial assignment and catalog surface") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")

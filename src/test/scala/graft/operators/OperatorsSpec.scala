@@ -133,7 +133,7 @@ class OperatorsSpec extends AnyFunSuite {
     val meta = q("m01_mm_meta").select("doc_id", "n_bytes").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     q("m02_mm_features").collect().foreach { r =>
-      val histSum = r.getSeq[Long](5).sum
+      val histSum = (5 until 21).map(r.getLong).sum // h0..h15 scalar bins
       assert(r.getLong(2) == meta(r.getLong(0))) // n_bytes matches
       assert(histSum == r.getLong(2)) // histogram covers every byte
     }
@@ -144,10 +144,34 @@ class OperatorsSpec extends AnyFunSuite {
     val exact = li.agg(
       countDistinct(col("l_partkey")), countDistinct(col("l_suppkey")),
       expr("percentile(l_extendedprice, 0.5)")).head()
-    val approx = q("q27_approx").head()
-    assert(math.abs(approx.getLong(0) - exact.getLong(0)) <= 0.05 * exact.getLong(0))
-    assert(math.abs(approx.getLong(1) - exact.getLong(1)) <= 0.05 * exact.getLong(1))
-    assert(math.abs(approx.getDouble(2) - exact.getDouble(2)) <= 0.05 * exact.getDouble(2))
+    val r = q("q27_approx").head()
+    // exact columns agree with the direct computation…
+    assert(r.getLong(0) == exact.getLong(0) && r.getLong(1) == exact.getLong(1))
+    assert(math.abs(r.getDouble(2) - exact.getDouble(2)) < 1e-3)
+    // …and the query's own bounded-error verdicts all hold
+    assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5))
+  }
+
+  test("connected components converge past any fixed round budget (diameter-8 chain)") {
+    import spark.implicits._
+    val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val pairs = (chain :+ (100L, 101L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a 9-node chain needs 8 propagation rounds — a fixed 5-round loop
+    // would silently mislabel the tail
+    assert((2L to 9L).forall(cc(_) == 1L))
+    assert(cc(101L) == 100L)
+    assert(!cc.contains(1L) && !cc.contains(100L)) // reps are not members
+  }
+
+  test("minhash estimates stay within [threshold, 1]") {
+    val est = Dedup.minhashPairs(spark, dir, 0.35).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= 0.35 && v <= 1.0)
+    }
   }
 
   test("flagship entry returns rows") {
