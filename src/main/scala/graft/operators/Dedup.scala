@@ -79,7 +79,11 @@ object Dedup {
     * anti-joining the tiny hot-shingle list, which broadcasts by
     * construction. Shared by d04, d06 and the curation capstone. */
   private[operators] def exactJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    // postings are (8B, 8B) rows; materialize them once — tokenize+shingle
+    // is the expensive projection and BOTH the df pass and the anti-join
+    // read it
     val sh = docs(s, dir).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .localCheckpoint()
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 50).select(col("shingle"))
     val filtered = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
@@ -141,6 +145,13 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // labels only ever decrease, so sum(label) is a strict monovariant:
+    // unchanged sum ⇔ no label changed ⇔ fixpoint. One 1-row aggregate per
+    // round instead of a change-detection join.
+    // decimal(38,0) sum: immune to long overflow at any node count
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -149,10 +160,9 @@ object Dedup {
       val next = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       round += 1
     }

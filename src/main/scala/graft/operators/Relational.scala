@@ -483,15 +483,23 @@ object Relational {
           "approx_count_distinct(l_partkey) AS approx_parts, " +
           "approx_count_distinct(l_suppkey) AS approx_supps, " +
           "approx_quantile(l_extendedprice, 0.5) AS approx_median FROM lineitem)"),
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .agg(
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            countDistinct(col("l_suppkey")).as("exact_supps"),
-            expr("percentile(l_extendedprice, 0.5)").as("em"),
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-            expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"))
+      (s, dir) => {
+        // exact NDVs as partial-aggregated distinct+count (one small
+        // shuffle each) rather than count(DISTINCT) in the main aggregate:
+        // multi-distinct plans via Expand, which would replicate every row
+        // per distinct column and drag the sketch aggregates through 3x
+        // the input
+        val li = t(s, dir, "lineitem")
+        val ep = li.select(col("l_partkey")).distinct()
+          .agg(count(lit(1)).as("exact_parts"))
+        val es = li.select(col("l_suppkey")).distinct()
+          .agg(count(lit(1)).as("exact_supps"))
+        val sk = li.agg(
+          expr("percentile(l_extendedprice, 0.5)").as("em"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+          expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"))
+        sk.crossJoin(ep).crossJoin(es)
           .select(
             col("exact_parts"), col("exact_supps"),
             stableRound(col("em"), 4).as("exact_median"),
@@ -500,7 +508,8 @@ object Relational {
             (abs(col("approx_supps") - col("exact_supps")) <= col("exact_supps") * 0.05)
               .as("hll_supps_ok"),
             (abs(col("approx_median") - col("em")) <= col("em") * 0.05)
-              .as("kll_median_ok"))),
+              .as("kll_median_ok"))
+      }),
 
     // --- timestamp truncation + aggregation over the events table ---
     NamedQuery(

@@ -174,6 +174,12 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN recall gate passes for every query at sf0.001") {
+    val rows = q("s04_ann_recall").collect()
+    assert(rows.length == 8)
+    rows.foreach(r => assert(r.getBoolean(1) && r.getBoolean(2)))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
