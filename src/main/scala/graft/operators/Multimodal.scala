@@ -105,6 +105,41 @@ object Multimodal {
           .select(Seq(col("doc_id"), col("format"), col("n_bytes"),
             col("width"), col("height")) ++ binCols: _*)
           .orderBy(col("doc_id"))
+      }),
+
+    // resize + frame-sample plumbing: decode through the codec seam, then
+    // aspect-preserving resize to a 224 box and an 8-frame sampling plan
+    // (frame = 1 KiB of payload in the fake codec). All integer math, so
+    // the DuckDB oracle replays it from octet_length alone — the real
+    // codec would swap in behind the same schema.
+    NamedQuery(
+      "m03_mm_resize",
+      Some(
+        "WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents), " +
+          "d AS (SELECT doc_id, nb, 64 + nb % 512 AS w, 64 + (nb // 7) % 512 AS h, " +
+          "greatest(1, nb // 1024) AS n_frames FROM b) " +
+          "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+          "CAST(floor(w * 224 / greatest(w, h)) AS INT) AS resized_w, " +
+          "CAST(floor(h * 224 / greatest(w, h)) AS INT) AS resized_h, " +
+          "CAST(n_frames AS BIGINT) AS n_frames, " +
+          "CAST(least(8, n_frames) AS BIGINT) AS n_sampled, " +
+          "CAST(n_frames // least(8, n_frames) AS BIGINT) AS frame_stride " +
+          "FROM d ORDER BY doc_id"),
+      (s, dir) => {
+        import s.implicits._
+        val codec: MediaCodec = DeterministicFakeCodec
+        media(s, dir).as[Media]
+          .mapPartitions(it => it.map(codec.decode))
+          .toDF()
+          .withColumn("n_frames", greatest(lit(1L), expr("n_bytes div 1024")))
+          .withColumn("n_sampled", least(lit(8L), col("n_frames")))
+          .select(
+            col("doc_id"), col("width"), col("height"),
+            floor(col("width") * 224 / greatest(col("width"), col("height"))).cast("int").as("resized_w"),
+            floor(col("height") * 224 / greatest(col("width"), col("height"))).cast("int").as("resized_h"),
+            col("n_frames"), col("n_sampled"),
+            expr("n_frames div n_sampled").as("frame_stride"))
+          .orderBy(col("doc_id"))
       })
   )
 }

@@ -822,6 +822,64 @@ object Relational {
               col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
           .groupBy(col("o_orderstatus").as("status"))
           .agg(count(lit(1)).as("n"))
-          .orderBy(col("status")))
+          .orderBy(col("status"))),
+
+    // --- AS-OF join: for every purchase, the user's latest click at or
+    //     before it. Spark has no ASOF operator; the scalable encoding is
+    //     the union-marker + running last_value window — ONE shuffle on
+    //     user_id, no join explosion, linear in input (the classic
+    //     point-in-time-correct feature lookup). DuckDB verifies with its
+    //     native ASOF LEFT JOIN. Right side is pre-deduped per (user, ts)
+    //     so tie-breaking is engine-independent. ---
+    NamedQuery(
+      "q43_asof_join",
+      Some(
+        "SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS click_ts, c.value AS click_value " +
+          "FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p " +
+          "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events " +
+          "WHERE event_type = 'click' GROUP BY user_id, ts) c " +
+          "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id"),
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val right = e.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("cv"))
+        val left = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val tagged = right
+          .select(col("user_id"), col("ts"), lit(null).cast("bigint").as("event_id"),
+            lit(null).cast("double").as("value"), col("cv"), lit(0).as("side"))
+          .unionByName(left
+            .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+              lit(null).cast("double").as("cv"), lit(1).as("side")))
+        // equal timestamps sort the click (side 0) before the purchase, so
+        // the running last-click includes ts-equal clicks — ASOF >= parity
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("click_ts",
+            last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+          .withColumn("click_value",
+            last(when(col("side") === 0, col("cv")), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            col("click_ts"), col("click_value"))
+          .orderBy(col("event_id"))
+      }),
+
+    // --- JSON property extraction from the events props column ---
+    NamedQuery(
+      "q44_json_extract",
+      Some(
+        "SELECT event_type, count(*) AS n, " +
+          "CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, " +
+          "CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k " +
+          "FROM events GROUP BY event_type ORDER BY event_type"),
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+          .orderBy(col("event_type")))
   )
 }

@@ -22,10 +22,14 @@ object SkewSalting {
     * `salts` times — use for moderate-size right sides or pre-filtered
     * hot-key subsets. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String, salts: Int): DataFrame = {
-    // deterministic salt: spread rows without an RNG so results are
-    // reproducible (hash of all columns mod salts)
+    // salt = hash(all columns + a row-unique id): fully-duplicate rows
+    // (common under hot default keys) still spread across reducers; the
+    // join stays correct for ANY per-row salt because the other side is
+    // replicated over every salt value
     val salted = skewed.withColumn(
-      "_salt", pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+      "_salt", pmod(
+        xxhash64((skewed.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
+        lit(salts)).cast("int"))
     val replicated = other.withColumn(
       "_salt", explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated,

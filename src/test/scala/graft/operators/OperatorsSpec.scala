@@ -174,6 +174,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join: click is at-or-before the purchase, and is the latest one") {
+    val e = Tables.load(spark, dir, "events")
+    val rows = q("q43_asof_join").collect()
+    assert(rows.nonEmpty)
+    def ldt(r: org.apache.spark.sql.Row, i: Int) = r.getAs[java.time.LocalDateTime](i)
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(!ldt(r, 4).isAfter(ldt(r, 2))) // click_ts <= ts
+    }
+    // cross-check one purchase against a direct computation
+    val sample = rows.filter(!_.isNullAt(4)).head
+    val expected = e.filter(col("event_type") === "click" &&
+        col("user_id") === sample.getLong(1) && col("ts") <= lit(ldt(sample, 2)))
+      .agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
+    assert(ldt(sample, 4) == expected)
+  }
+
   test("ANN recall gate passes for every query at sf0.001") {
     val rows = q("s04_ann_recall").collect()
     assert(rows.length == 8)
