@@ -75,6 +75,34 @@ object Curation {
           .join(drops, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), OracleRound.stableRound(col("quality"), 4).as("quality"))
           .orderBy(col("doc_id"))
-      })
+      }),
+
+    // reproducible stratified sampling / dataset mixing: every doc gets a
+    // stable pseudo-random bucket from md5(doc_id) — NOT rand() — so the
+    // sample is identical across runs, engines, and cluster layouts (the
+    // property a 100 TB training-mix pipeline needs for resumable /
+    // auditable subsampling). Per-language quotas realize a target mix;
+    // the DuckDB oracle replays the same hash gate bit-for-bit.
+    NamedQuery(
+      "p02_stratified_sample",
+      Some(
+        "WITH g AS (SELECT doc_id, lang, " +
+          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket " +
+          "FROM documents) " +
+          "SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket FROM g " +
+          "WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 " +
+          "WHEN 'es' THEN 200 ELSE 100 END ORDER BY doc_id"),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("bucket",
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("bigint") % 1000).as("bucket"))
+          .filter(col("bucket") <
+            when(col("lang") === "en", 500)
+              .when(col("lang") === "de", 300)
+              .when(col("lang") === "es", 200)
+              .otherwise(100))
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy(col("doc_id")))
   )
 }

@@ -857,10 +857,11 @@ object Relational {
           .orderBy(col("ts"), col("side"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         tagged
-          .withColumn("click_ts",
-            last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
-          .withColumn("click_value",
-            last(when(col("side") === 0, col("cv")), ignoreNulls = true).over(w))
+          // one select → both running values share ONE Window node (a
+          // second withColumn would interleave a Project and split them)
+          .select(col("*"),
+            last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w).as("click_ts"),
+            last(when(col("side") === 0, col("cv")), ignoreNulls = true).over(w).as("click_value"))
           .filter(col("side") === 1)
           .select(col("event_id"), col("user_id"), col("ts"), col("value"),
             col("click_ts"), col("click_value"))

@@ -117,6 +117,42 @@ object TextAnalysis {
             length(col("text")).cast("bigint").as("n_chars"))
           .orderBy(col("doc_id"))),
 
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf · ln(N/df), computed as two partial-aggregated groupBys + a
+    // broadcast-able df join — the classic sparse feature-extraction op.
+    // Scoped to doc_id < 50 to keep the verified output bounded.
+    NamedQuery(
+      "t05_tfidf_terms",
+      Some(
+        "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents), " +
+          "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token), " +
+          "idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
+          "n AS (SELECT count(*) AS n FROM documents), " +
+          "scored AS (SELECT doc_id, token, " +
+          OracleRound.stableRoundSql("tf * ln(CAST(n AS DOUBLE) / df)", 4) + " AS tfidf " +
+          "FROM tf JOIN idf USING (token) CROSS JOIN n) " +
+          "SELECT doc_id, token, tfidf FROM (SELECT doc_id, token, tfidf, " +
+          "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rk " +
+          "FROM scored WHERE doc_id < 50) WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, token"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("token"))
+        val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+        tf.join(df, "token").crossJoin(n)
+          .withColumn("tfidf",
+            stableRound(col("tf") * log(col("n").cast("double") / col("df")), 4))
+          .filter(col("doc_id") < 50)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("token"), col("tfidf"))
+          .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+      }),
+
     // winnowing-style rolling-hash fingerprint (custom expression); docs
     // sharing a fingerprint are byte-near-identical candidates.
     NamedQuery(

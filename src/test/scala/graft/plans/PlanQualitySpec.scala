@@ -70,6 +70,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("as-of join plans as a window, not a join") {
+    // the union-marker encoding must not contain ANY join operator — the
+    // whole point is replacing the range join (quadratic worst case) with
+    // one partition-sorted window pass
+    val p = plan("q43_asof_join")
+    assert(!p.contains("Join"), "as-of encoding regressed to a join")
+    assert(p.split("\\(\\d+\\) Window\\b").length == 2,
+      "both as-of columns should ride ONE Window node (one sort pass)")
+  }
+
+  test("q27 computes exact NDVs without an Expand blow-up") {
+    val p = plan("q27_approx")
+    assert(!p.contains("Expand"),
+      "count(DISTINCT x, y) planning via Expand replicates every row per distinct column")
+  }
+
   test("salted join distributes a hot key and matches the plain join") {
     val events = Tables.load(spark, dir, "events")
     // manufacture skew: all rows collapsed onto user 0 for half the data
