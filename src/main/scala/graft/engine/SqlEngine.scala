@@ -333,23 +333,21 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     val pre = source.select(preCols: _*)
     pre.persist()
     try {
-      val n = pre.count()
-
-      // NOT NULL validation on the provided data
-      val notNullable = desc.columns.filter(c => !c.nullable && provided.contains(c.name))
-      if (notNullable.nonEmpty && n > 0) {
-        val counts = pre.select(notNullable.map(c =>
-          sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(c.name)): _*).head()
-        notNullable.zipWithIndex.foreach { case (c, i) =>
-          if (counts.getLong(i) > 0) throw SqlError.notNullableColumn(table, c.name)
-        }
-      }
-
       // serial assignment: contiguous ids from the table counter in input
       // order (reference increments per row; we reserve the whole range —
-      // same observable ids, one counter write)
-      val cand: DataFrame = if (missingSerials.isEmpty) pre else {
-        val starts = missingSerials.map(c => c -> catalog.reserveSerial(db, schema, table, c, n)).toMap
+      // same observable ids, one counter write). Row indexes come from
+      // per-partition offsets computed in ONE counting pass (zipWithIndex
+      // would run the same pass internally and a separate count() would
+      // add a third); the counter may advance before a later validation
+      // failure — id gaps on failed inserts, same as the reference.
+      val (cand: DataFrame, n: Long) = if (missingSerials.isEmpty) (pre, pre.count()) else {
+        val rdd0 = pre.rdd
+        val partCounts = rdd0.mapPartitions(
+          it => Iterator.single(it.foldLeft(0L)((a, _) => a + 1)),
+          preservesPartitioning = true).collect()
+        val total = partCounts.sum
+        val offsets = partCounts.scanLeft(0L)(_ + _)
+        val starts = missingSerials.map(c => c -> catalog.reserveSerial(db, schema, table, c, total)).toMap
         val fullSchema = desc.toStructType
         val preOrder = desc.columns.filterNot(c => missingSerials.exists(_.id == c.id))
         // positional plan computed ONCE on the driver: for each output
@@ -370,21 +368,35 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
             case _ => 1: Byte
           }
         }.toArray
-        val rdd = pre.rdd.zipWithIndex().map { case (row, idx) =>
-          val vals = new Array[Any](nCols)
-          var i = 0
-          while (i < nCols) {
-            vals(i) = colOp(i) match {
-              case 0 => row.get(srcIdx(i))
-              case 1 => serialStart(i) + idx
-              case 2 => (serialStart(i) + idx).toInt
-              case _ => (serialStart(i) + idx).toShort
+        val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+          var idx = offsets(pid)
+          it.map { row =>
+            val vals = new Array[Any](nCols)
+            var i = 0
+            while (i < nCols) {
+              vals(i) = colOp(i) match {
+                case 0 => row.get(srcIdx(i))
+                case 1 => serialStart(i) + idx
+                case 2 => (serialStart(i) + idx).toInt
+                case _ => (serialStart(i) + idx).toShort
+              }
+              i += 1
             }
-            i += 1
+            idx += 1
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
           }
-          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
-        spark.createDataFrame(rdd, fullSchema)
+        (spark.createDataFrame(rdd, fullSchema), total)
+      }
+
+      // NOT NULL validation on the provided data
+      val notNullable = desc.columns.filter(c => !c.nullable && provided.contains(c.name))
+      if (notNullable.nonEmpty && n > 0) {
+        val counts = pre.select(notNullable.map(c =>
+          sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(c.name)): _*).head()
+        notNullable.zipWithIndex.foreach { case (c, i) =>
+          if (counts.getLong(i) > 0) throw SqlError.notNullableColumn(table, c.name)
+        }
       }
 
       // unique enforcement before any write (statement atomicity).
