@@ -115,6 +115,44 @@ object EventStreams {
       .dropDuplicates(Seq("digest"))
       .drop("digest")
 
+  final case class SketchedDoc(doc_id: Long, sim: Long, bucket: Long)
+  final case class BucketState(sketches: List[Long])
+
+  /** NEAR-dup dedup on ingest: drop any arriving document within Hamming
+    * distance 3 (64-bit SimHash) of one already admitted to its LSH
+    * bucket. State is the admitted sketch list per 16-bit band-0 bucket —
+    * 8 bytes per kept doc, sharded across buckets. Single-band bucketing
+    * bounds state and shuffle at the cost of recall (the full pigeonhole
+    * guarantee needs all 4 bands and a cross-band vote — that's the batch
+    * d03 operator; on ingest, one band already catches sketch-identical
+    * and most low-Hamming arrivals). Deterministic: within a micro-batch,
+    * docs are admitted in doc_id order. */
+  def nearDedupDocuments(docs: DataFrame): Dataset[SketchedDoc] = {
+    import docs.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sketched = docs
+      .withColumn("sim", expr("simhash64(split(lower(text), '\\\\s+'))"))
+      .select(col("doc_id"), col("sim"), expr("sim & 65535").as("bucket"))
+      .as[SketchedDoc]
+    sketched
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, SketchedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, incoming: Iterator[SketchedDoc], state: GroupState[BucketState]) =>
+          var kept = state.getOption.map(_.sketches).getOrElse(Nil)
+          val admitted = Seq.newBuilder[SketchedDoc]
+          incoming.toSeq.sortBy(_.doc_id).foreach { d =>
+            val near = kept.exists(s => java.lang.Long.bitCount(s ^ d.sim) <= 3)
+            if (!near) {
+              admitted += d
+              kept = d.sim :: kept
+            }
+          }
+          state.update(BucketState(kept))
+          admitted.result().iterator
+      }
+  }
+
   /** Stream-static join: enrich the event stream with a static per-user
     * dimension (here the customer table keyed by custkey = user_id). The
     * static side is re-resolved per micro-batch, so a dimension refresh is

@@ -50,6 +50,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.table("docs_dedup").count() == expected)
   }
 
+  test("near-dup ingest dedup matches the batch single-band admission rule") {
+    val q = EventStreams.nearDedupDocuments(EventStreams.readDocuments(spark, dir))
+      .writeStream.format("memory").queryName("docs_near_dedup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val admitted = spark.table("docs_near_dedup").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+
+    // batch replay of the same rule: per band-0 bucket, admit in doc_id
+    // order unless within Hamming 3 of an already-admitted sketch
+    graft.functions.GraftFunctions.register(spark)
+    val sketched = Tables.load(spark, dir, "documents")
+      .withColumn("sim", expr("simhash64(split(lower(text), '\\\\s+'))"))
+      .select(col("doc_id"), col("sim"), expr("sim & 65535").as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = sketched.groupBy(_._3).values.flatMap { group =>
+      var kept = List.empty[Long]
+      group.sortBy(_._1).flatMap { case (id, sim, _) =>
+        if (kept.exists(s => java.lang.Long.bitCount(s ^ sim) <= 3)) None
+        else { kept = sim :: kept; Some(id) }
+      }
+    }.toSet
+    assert(admitted == expected)
+    // near-dup admission is strictly at-most the exact-content dedup count
+    val exactCount = Tables.load(spark, dir, "documents").select("text").distinct().count()
+    assert(admitted.size <= exactCount)
+  }
+
   test("stream-static join enriches events with the customer dimension") {
     val q = EventStreams.enriched(
       EventStreams.readEvents(spark, dir), Tables.load(spark, dir, "customer"))
