@@ -143,8 +143,10 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // initialization fuses round 1: edges carry both directions, so
+    // min(src, min(dst)) per node is one aggregation — no join needed
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint()
     // labels only ever decrease, so sum(label) is a strict monovariant:
     // unchanged sum ⇔ no label changed ⇔ fixpoint. One 1-row aggregate per
