@@ -341,52 +341,29 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // add a third); the counter may advance before a later validation
       // failure — id gaps on failed inserts, same as the reference.
       val (cand: DataFrame, n: Long) = if (missingSerials.isEmpty) (pre, pre.count()) else {
-        val rdd0 = pre.rdd
-        val partCounts = rdd0.mapPartitions(
+        // one counting pass yields both the reservation size and each
+        // partition's global row offset; id values are then produced by a
+        // codegen'd stateful expression INSIDE a projection — the insert
+        // never leaves Tungsten (no RDD round-trip, no external Rows)
+        val partCounts = pre.rdd.mapPartitions(
           it => Iterator.single(it.foldLeft(0L)((a, _) => a + 1)),
           preservesPartitioning = true).collect()
         val total = partCounts.sum
         val offsets = partCounts.scanLeft(0L)(_ + _)
-        val starts = missingSerials.map(c => c -> catalog.reserveSerial(db, schema, table, c, total)).toMap
-        val fullSchema = desc.toStructType
-        val preOrder = desc.columns.filterNot(c => missingSerials.exists(_.id == c.id))
-        // positional plan computed ONCE on the driver: for each output
-        // column, either the source row ordinal or the serial start — the
-        // per-row closure then reads by position (no name hashing, O(cols)
-        // per row)
-        val preIndex: Map[String, Int] = preOrder.map(_.name).zipWithIndex.toMap
-        val nCols = desc.columns.length
-        val srcIdx: Array[Int] = desc.columns.map(c => preIndex.getOrElse(c.name, -1)).toArray
-        val serialStart: Array[Long] =
-          desc.columns.map(c => starts.collectFirst { case (k, v) if k.id == c.id => v }.getOrElse(0L)).toArray
-        // 0 = copy, 1 = long serial, 2 = int serial, 3 = short serial
-        val colOp: Array[Byte] = desc.columns.map { c =>
-          if (!missingSerials.exists(_.id == c.id)) 0: Byte
-          else c.typeKind match {
-            case ColumnTypeKind.Int16Kind => 3: Byte
-            case ColumnTypeKind.Int32Kind => 2: Byte
-            case _ => 1: Byte
-          }
-        }.toArray
-        val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
-          var idx = offsets(pid)
-          it.map { row =>
-            val vals = new Array[Any](nCols)
-            var i = 0
-            while (i < nCols) {
-              vals(i) = colOp(i) match {
-                case 0 => row.get(srcIdx(i))
-                case 1 => serialStart(i) + idx
-                case 2 => (serialStart(i) + idx).toInt
-                case _ => (serialStart(i) + idx).toShort
-              }
-              i += 1
-            }
-            idx += 1
-            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        val starts: Map[Int, Long] = missingSerials
+          .map(c => c.id -> catalog.reserveSerial(db, schema, table, c, total)).toMap
+        val reg = spark.sessionState.functionRegistry
+        val outCols: Seq[org.apache.spark.sql.Column] = desc.columns.map { c =>
+          starts.get(c.id) match {
+            case Some(start) =>
+              val fname = s"graft_serial_${c.id}"
+              reg.createOrReplaceTempFunction(fname,
+                _ => graft.functions.PartitionOffsetId(offsets.map(_ + start)), "built-in")
+              expr(s"$fname()").cast(c.typeKind.sparkType).as(c.name)
+            case None => col(c.name)
           }
         }
-        (spark.createDataFrame(rdd, fullSchema), total)
+        (pre.select(outCols: _*), total)
       }
 
       // NOT NULL validation on the provided data

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{LeafExpression, Nondeterministic}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Contiguous-in-input-order id assignment without leaving Tungsten: the
+  * counter starts at `offsets(partitionIndex)` (the global row offset of
+  * the partition, precomputed from one counting pass) and increments per
+  * row — the codegen'd analogue of `zipWithIndex + map`, minus the
+  * external-Row round-trip. Same mechanism as Spark's
+  * `MonotonicallyIncreasingID`, but yielding exactly `offset + localRow`
+  * so serial columns are gap-free in input order (the reference's
+  * observable INSERT semantics).
+  *
+  * Stateful/nondeterministic: evaluate exactly once per row in a single
+  * projection (the insert path's final select before write).
+  */
+case class PartitionOffsetId(offsets: Array[Long]) extends LeafExpression with Nondeterministic {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def stateful: Boolean = true
+
+  @transient private[this] var count: Long = _
+
+  override protected def initializeInternal(partitionIndex: Int): Unit =
+    count = offsets(partitionIndex)
+
+  override protected def evalInternal(input: InternalRow): Long = {
+    val v = count
+    count += 1
+    v
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val countTerm = ctx.addMutableState(CodeGenerator.JAVA_LONG, "serialCount")
+    val offsetsTerm = ctx.addReferenceObj("serialOffsets", offsets, "long[]")
+    ctx.addPartitionInitializationStatement(s"$countTerm = $offsetsTerm[partitionIndex];")
+    ev.copy(
+      code = code"""
+        final long ${ev.value} = $countTerm;
+        $countTerm++;""",
+      isNull = FalseLiteral)
+  }
+
+  override def prettyName: String = "partition_offset_id"
+}

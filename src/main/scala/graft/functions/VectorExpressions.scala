@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Static vector kernels. Accumulation is SEQUENTIAL in double, index
+  * order — bit-for-bit the same result as the SQL
+  * `aggregate(zip_with(...))` pipeline it replaces AND DuckDB's
+  * `list_cosine_similarity`, so oracle hashes are unchanged; only the
+  * per-element lambda interpretation cost is gone. */
+object VectorOps {
+  def cosine(a: ArrayData, b: ArrayData, floatsA: Boolean, floatsB: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (floatsA) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (floatsB) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** cosine_sim(a array<float|double>, b array<float|double>) → double.
+  * The higher-order-function spelling (`aggregate(zip_with(..))`) is
+  * interpreted per element — three lambda invocations per dimension; this
+  * expression is one static call inside whole-stage codegen. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val fa = isFloat(left)
+  private lazy val fb = isFloat(right)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], fa, fb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b, $fa, $fb)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+object VectorFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+}

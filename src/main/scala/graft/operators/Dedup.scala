@@ -274,6 +274,7 @@ object Dedup {
       None,
       (s, dir) => {
         GraftFunctions.register(s)
+        graft.functions.VectorFunctions.register(s)
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"),
             expr("hyperplane_sig(embedding, 60)").as("sig"))
@@ -289,11 +290,8 @@ object Dedup {
           .distinct()
         val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"))
         val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("b_emb"))
-        val dot = "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-        val na = "sqrt(aggregate(a_emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        val nb = "sqrt(aggregate(b_emb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
         cand.join(ea, "id_a").join(eb, "id_b")
-          .withColumn("cos_sim", stableRound(expr(s"$dot / ($na * $nb)"), 4))
+          .withColumn("cos_sim", stableRound(expr("cosine_sim(a_emb, b_emb)"), 4))
           .select(col("id_a"), col("id_b"), col("cos_sim"))
           .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
           .limit(20)

@@ -458,9 +458,10 @@ object Relational {
         t(s, dir, "orders")
           .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
-          .agg(
-            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+          // array form: both quantiles share ONE sort buffer per group
+          .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("ps"))
+          .select(col("c_mktsegment"),
+            round(col("ps")(0), 4).as("p50"), round(col("ps")(1), 4).as("p90"))
           .orderBy(col("c_mktsegment"))),
 
     // --- approximate sketches, verified against exact: the raw HLL/KLL
