@@ -117,6 +117,45 @@ class PropertySpec extends AnyFunSuite {
     check(p, "tokenizer stability")
   }
 
+  test("statement splitting is comment-blind: interleaved comments never change the token stream") {
+    val genStmtTok: Gen[String] = Gen.oneOf(
+      genIdent, Gen.choose(0, 9999).map(_.toString),
+      Gen.const("'a; ''b'''"), Gen.oneOf("select", "from", "where", ",", "(", ")", "="))
+    val genComment: Gen[String] = Gen.oneOf(
+      Gen.const(""), Gen.const("-- note; with semicolon\n"),
+      Gen.const("/* block; ; comment */"))
+    val p = Prop.forAll(Gen.listOfN(8, Gen.zip(genStmtTok, genComment))) { pairs =>
+      val plain = pairs.map(_._1).mkString(" ")
+      val commented = pairs.map { case (t, c) => s"$t $c" }.mkString(" ") + " -- trailing; junk"
+      SqlParser.tokenize(SqlParser.singleStatement(commented)) ==
+        SqlParser.tokenize(SqlParser.singleStatement(plain))
+    }
+    check(p, "comment-blind splitting")
+  }
+
+  test("narrowing guard: bigint into int raises exactly when the value can't round-trip") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val eng = new SqlEngine(
+      spark, new Catalog(java.nio.file.Files.createTempDirectory("p-narrow").toString),
+      SqlContext("db1", "u"))
+    eng.execute("CREATE DATABASE db1")
+    eng.execute("CREATE TABLE t (id bigserial PRIMARY KEY, v int)")
+    val interesting = Seq(0L, 1L, -1L, Int.MaxValue.toLong, Int.MinValue.toLong,
+      Int.MaxValue + 1L, Int.MinValue - 1L, Long.MaxValue, Long.MinValue)
+    val p = Prop.forAll(Gen.oneOf(Gen.oneOf(interesting), Gen.choose(Long.MinValue, Long.MaxValue))) { v =>
+      val fits = v >= Int.MinValue && v <= Int.MaxValue
+      try {
+        eng.execute(s"INSERT INTO t (v) VALUES (CAST($v AS BIGINT))")
+        fits
+      } catch {
+        case e: SqlError => !fits && e.kind == SqlError.MismatchColumnType
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, s"narrowing guard: $res")
+  }
+
   test("serial counter arithmetic never exceeds the type ceiling") {
     val wh = java.nio.file.Files.createTempDirectory("p-serial").toString
     val cat = new Catalog(wh)
