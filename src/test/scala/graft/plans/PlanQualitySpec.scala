@@ -86,6 +86,20 @@ class PlanQualitySpec extends AnyFunSuite {
       "count(DISTINCT x, y) planning via Expand replicates every row per distinct column")
   }
 
+  test("IVF cell layout probes with dynamic partition pruning and matches the in-memory plan") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString
+    IvfCellLayout.build(spark, dir, path)
+    val df = IvfCellLayout.topK(spark, path, 3, 4)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val inMemory = SparkEntry.queries("s03_ann_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rows == inMemory, "partitioned probe must return the in-memory IVF answer")
+    // the base scan must carry a runtime cell filter — unprobed cell
+    // directories are never read
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), "cell join did not trigger dynamic partition pruning")
+  }
+
   test("salted join distributes a hot key and matches the plain join") {
     val events = Tables.load(spark, dir, "events")
     // manufacture skew: all rows collapsed onto user 0 for half the data
