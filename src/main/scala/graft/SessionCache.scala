@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memo for derived artifacts that have INDEX semantics —
+  * built once per (session, corpus), reused by every operator that needs
+  * them (the shingle posting index, the IVF centroid model, table scan
+  * plans). Weak session keys: entries die with their session, so stopped
+  * sessions can't pin plans or cached blocks.
+  */
+object SessionCache {
+  private val caches =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[Any, AnyRef]]())
+
+  def getOrBuild[T <: AnyRef](spark: SparkSession, key: Any)(build: => T): T = {
+    val perSession = caches.synchronized {
+      var m = caches.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[Any, AnyRef]()
+        caches.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  }
+}

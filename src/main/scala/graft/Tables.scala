@@ -16,25 +16,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   // Plans are immutable; cache them per (session, dir, table) so repeated
-  // queries don't re-list files / re-read parquet footers. Weak keys on the
-  // session object: entries die with their session (identity hashes could
-  // collide, and strong keys would pin plans of stopped sessions forever).
-  private val planCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
-
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = planCache.synchronized {
-      var m = planCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        planCache.put(spark, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent((dir, name), _ => load0(spark, dir, name))
-  }
+  // queries don't re-list files / re-read parquet footers.
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    SessionCache.getOrBuild(spark, ("table-plan", dir, name))(load0(spark, dir, name))
 
   private def load0(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by default;

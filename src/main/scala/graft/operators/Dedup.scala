@@ -78,20 +78,27 @@ object Dedup {
     * 100 TB one ubiquitous shingle is a quadratic bucket) are removed by
     * anti-joining the tiny hot-shingle list, which broadcasts by
     * construction. Shared by d04, d06 and the curation capstone. */
+  /** The discriminative-shingle POSTING INDEX: one row per shingle with
+    * df ≤ 50, holding its (≤ 50) doc ids. This is an index in the
+    * reference's sense — threshold-independent, built once per
+    * (session, corpus) and reused by every n-gram dedup operator
+    * (d04/d06/p01) — so it's session-memoized like a table plan.
+    * Postings are (8B, 8B) rows; both the df pass and the anti-join read
+    * the same materialization. */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, ("shingle-index", dir)) {
+      val sh = docs(s, dir).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .localCheckpoint()
+      val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50).select(col("shingle"))
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .groupBy(col("shingle"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .localCheckpoint()
+    }
+
   private[operators] def exactJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    // postings are (8B, 8B) rows; materialize them once — tokenize+shingle
-    // is the expensive projection and BOTH the df pass and the anti-join
-    // read it
-    val sh = docs(s, dir).select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .localCheckpoint()
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 50).select(col("shingle"))
-    val filtered = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-    // one row per discriminative shingle; bounded at 50 ids by the df cap.
-    // Checkpoint: both the sizes branch and the pair branch read it.
-    val byShingle = filtered.groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .localCheckpoint()
+    val byShingle = shingleIndex(s, dir)
     val sizes = byShingle.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // ordered pairs per group via two Generate nodes + a filter — pure
