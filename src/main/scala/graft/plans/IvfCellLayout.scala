@@ -27,8 +27,11 @@ object IvfCellLayout {
     val e = Tables.load(spark, dir, "embeddings")
       .withColumn("features",
         array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+    // deterministic single-partition training sample: the quantizer must
+    // not depend on session parallelism (see Similarity.ivfTopK)
+    val sample = e.filter(col("vec_id") < 4096).sort(col("vec_id")).coalesce(1)
     val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").fit(e)
+      .setFeaturesCol("features").fit(sample)
     model.transform(e)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(basePath(path))
