@@ -194,6 +194,22 @@ final class Catalog(val warehouse: String) {
   /** Abandons a staged write without publishing anything. */
   def discardStaged(stagingDir: Path): Unit = synchronized { deleteRecursively(stagingDir) }
 
+  // Per-table write monitors: an INSERT's uniqueness check and its staged
+  // commit must be atomic WITH RESPECT TO EACH OTHER — two concurrent
+  // inserts could otherwise both pass the check and both publish
+  // (check-then-write race). The reference gets this from its
+  // transactional commit; a single-driver engine gets it from a lock.
+  // Catalog methods stay individually synchronized; this lock spans the
+  // whole check+write window and is striped per table so unrelated
+  // tables never serialize.
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Object]()
+
+  def withTableWriteLock[T](db: String, schema: String, table: String)(body: => T): T = {
+    val lock = tableLocks.computeIfAbsent((db, schema, table), _ => new Object)
+    lock.synchronized(body)
+  }
+
   def newStagingDir(db: String, schema: String, table: String): Path = synchronized {
     val p = tablePath(db, schema, table).resolve(s".staging-${java.util.UUID.randomUUID()}")
     Files.createDirectories(p)

@@ -352,18 +352,30 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         val offsets = partCounts.scanLeft(0L)(_ + _)
         val starts: Map[Int, Long] = missingSerials
           .map(c => c.id -> catalog.reserveSerial(db, schema, table, c, total)).toMap
+        // each invocation registers UNIQUELY-named temp functions (and
+        // drops them once the plan is analyzed): a shared name would
+        // cross-wire offsets between CONCURRENT inserts into the same
+        // table
         val reg = spark.sessionState.functionRegistry
+        val token = java.util.UUID.randomUUID().toString.replace("-", "")
+        val registered = Seq.newBuilder[String]
         val outCols: Seq[org.apache.spark.sql.Column] = desc.columns.map { c =>
           starts.get(c.id) match {
             case Some(start) =>
-              val fname = s"graft_serial_${c.id}"
+              val fname = s"graft_serial_${c.id}_$token"
               reg.createOrReplaceTempFunction(fname,
                 _ => graft.functions.PartitionOffsetId(offsets.map(_ + start)), "built-in")
+              registered += fname
               expr(s"$fname()").cast(c.typeKind.sparkType).as(c.name)
             case None => col(c.name)
           }
         }
-        (pre.select(outCols: _*), total)
+        // Dataset construction analyzes the plan, so the resolved
+        // expression instances are already bound — safe to unregister
+        val out = pre.select(outCols: _*)
+        registered.result().foreach(f =>
+          reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
+        (out, total)
       }
 
       // NOT NULL validation on the provided data
@@ -376,23 +388,27 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         }
       }
 
-      // unique enforcement before any write (statement atomicity).
-      // Indexes whose keys are covered by freshly-assigned serial columns
-      // are unique by construction — same guarantee the reference gets
-      // from its atomic Increment (src/sql/client.rs:276-306).
-      if (n > 0)
-        enforceUnique(desc, cand, db, schema, table,
-          freshSerialIds = missingSerials.map(_.id).toSet)
+      // unique enforcement + staged append under the table write lock:
+      // the check and the publish must be atomic with respect to other
+      // inserts into the same table (statement atomicity; the reference
+      // gets the same from its transactional commit + atomic Increment,
+      // src/sql/client.rs:276-306). Indexes whose keys are covered by
+      // freshly-assigned serial columns are unique by construction.
+      catalog.withTableWriteLock(db, schema, table) {
+        if (n > 0)
+          enforceUnique(desc, cand, db, schema, table,
+            freshSerialIds = missingSerials.map(_.id).toSet)
 
-      // atomic append: stage then move
-      val staging = catalog.newStagingDir(db, schema, table)
-      try {
-        cand.write.mode("overwrite").parquet(staging.toString)
-        catalog.commitStaged(db, schema, table, staging)
-      } catch {
-        case e: Throwable =>
-          try catalog.discardStaged(staging) catch { case _: Throwable => }
-          throw e
+        // atomic append: stage then move
+        val staging = catalog.newStagingDir(db, schema, table)
+        try {
+          cand.write.mode("overwrite").parquet(staging.toString)
+          catalog.commitStaged(db, schema, table, staging)
+        } catch {
+          case e: Throwable =>
+            try catalog.discardStaged(staging) catch { case _: Throwable => }
+            throw e
+        }
       }
 
       toDf(Seq(Row(n)), StructType(Seq(StructField("count", LongType, false))))

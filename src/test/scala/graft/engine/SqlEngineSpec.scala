@@ -264,6 +264,32 @@ class SqlEngineSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("concurrent inserts: serials stay gap-free-per-statement and unique enforcement holds") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id serial PRIMARY KEY, tag int, CONSTRAINT u UNIQUE (tag))")
+    // 4 threads x 10 single-row inserts with distinct tags + 4 threads
+    // racing on the SAME tag (exactly one may win)
+    val okInserts = Future.traverse((0 until 4).toList) { th =>
+      Future((0 until 10).foreach(i => e.execute(s"INSERT INTO t (tag) VALUES (${th * 100 + i})")))
+    }
+    Await.result(okInserts, 120.seconds)
+    val racers = Future.traverse((0 until 4).toList) { _ =>
+      Future(
+        try { e.execute("INSERT INTO t (tag) VALUES (9999)"); 1 }
+        catch { case err: SqlError if err.kind == SqlError.UniqueKeyAlreadyExists => 0 })
+    }
+    val wins = Await.result(racers, 120.seconds).sum
+    assert(wins == 1, s"exactly one racer may publish tag 9999, got $wins")
+    val rows = e.execute("SELECT id, tag FROM t").collect()
+    assert(rows.length == 41)
+    assert(rows.map(_.getInt(0)).distinct.length == 41, "serial ids must be unique")
+    assert(rows.map(_.getInt(1)).distinct.length == 41, "unique constraint must hold")
+  }
+
   test("INSERT .. SELECT with serial assignment and catalog surface") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")
