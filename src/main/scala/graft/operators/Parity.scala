@@ -62,17 +62,22 @@ object Parity {
         e.execute("SELECT id, name FROM nations ORDER BY id")
       }),
 
-    // A7 session UDFs bound to connection context
-    // (reference: src/sql/postgresql/functions/mod.rs:31-193).
+    // A7 session UDFs bound to connection context, including the aliases
+    // current_role/session_user/bare `user` and nested-expression use
+    // (reference: src/sql/postgresql/functions/mod.rs:31-193, alias list
+    // at mod.rs:125).
     NamedQuery(
       "a07_session_udfs",
       Some(
         "SELECT 'g3' AS current_catalog, 'g3' AS database, 'public' AS current_schema, " +
-          "0 AS inet_client_port"),
+          "0 AS inet_client_port, 'user1' AS current_user, 'user1' AS current_role, " +
+          "'user1' AS \"user\", 'USER1' AS shouted_user"),
       (s, dir) => {
         val e = engine(s, "g3")
         e.execute(
-          "SELECT current_catalog, current_database() AS database, current_schema(), inet_client_port()")
+          "SELECT current_catalog, current_database() AS database, current_schema(), " +
+            "inet_client_port(), current_user, current_role, user, " +
+            "upper(session_user) AS shouted_user")
       })
   )
 }

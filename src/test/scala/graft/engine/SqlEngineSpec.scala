@@ -264,6 +264,27 @@ class SqlEngineSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("CTEs and window functions flow through the engine query path") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (a int PRIMARY KEY, g text)")
+    e.execute("INSERT INTO t VALUES (1, 'x'), (5, 'x'), (3, 'y'), (9, 'y')")
+    val top = e.execute(
+      "WITH ranked AS (SELECT a, g, row_number() OVER (PARTITION BY g ORDER BY a DESC) AS r FROM t) " +
+        "SELECT g, a FROM ranked WHERE r = 1 ORDER BY g").collect()
+    assert(top.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("x", 5), ("y", 9)))
+  }
+
+  test("varchar(n) length is declared, not enforced (reference parity)") {
+    // the reference stores max_length in the descriptor but never length-
+    // checks values on insert — parity means we accept the overflow too
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (a int PRIMARY KEY, v varchar(2))")
+    e.execute("INSERT INTO t VALUES (1, 'long-string-beyond-two')")
+    assert(e.execute("SELECT v FROM t").collect()(0).getString(0) == "long-string-beyond-two")
+  }
+
   test("concurrent inserts: serials stay gap-free-per-statement and unique enforcement holds") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
