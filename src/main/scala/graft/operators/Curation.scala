@@ -27,6 +27,32 @@ object Curation {
 
   private val stops = "'the','a','of','to','in','is'"
 
+  /** The full curation pass over any `(doc_id, text)` corpus — quality
+    * gate → exact dedup → connected-component near-dup removal — as one
+    * DataFrame-first operator returning the surviving `(doc_id, quality)`
+    * rows. `nearDupPairs` accepts any pair source (exact-Jaccard here,
+    * Dedup.minhashPairs at extreme scale). */
+  def curate(corpus: org.apache.spark.sql.DataFrame,
+      nearDupPairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scored = corpus
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("quality",
+        least(col("n_tokens") / 50.0, lit(1.0)) * 0.5 +
+          expr(s"size(filter(toks, t -> array_contains(array($stops), t)))")
+            .cast("double") / col("n_tokens") * 0.5)
+      .filter(col("n_tokens") >= 5 && col("quality") >= 0.2)
+    val exactKeep = scored
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val drops = Dedup.connectedComponents(nearDupPairs.select(col("id_a"), col("id_b")))
+      .select(col("doc_id"))
+    scored.join(exactKeep, "doc_id", "left_semi")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), OracleRound.stableRound(col("quality"), 4).as("quality"))
+  }
+
   val queries: Seq[NamedQuery] = Seq(
     NamedQuery(
       "p01_pipeline_curation",
@@ -48,32 +74,9 @@ object Curation {
           "AND doc_id NOT IN (SELECT id FROM drops) ORDER BY doc_id"),
       (s, dir) => {
         GraftFunctions.register(s)
-        val docs = Tables.load(s, dir, "documents")
-
-        // 1. quality gate
-        val scored = docs
-          .withColumn("toks", split(lower(col("text")), "\\s+"))
-          .withColumn("n_tokens", size(col("toks")))
-          .withColumn("quality",
-            least(col("n_tokens") / 50.0, lit(1.0)) * 0.5 +
-              expr(s"size(filter(toks, t -> array_contains(array($stops), t)))")
-                .cast("double") / col("n_tokens") * 0.5)
-          .filter(col("n_tokens") >= 5 && col("quality") >= 0.2)
-
-        // 2. exact dedup: smallest doc_id per digest survives
-        val exactKeep = scored
-          .groupBy(sha2(col("text"), 256).as("digest"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
-
-        // 3. near-dup components: drop members, keep representatives
-        val drops = Dedup.connectedComponents(
-          Dedup.exactJaccardPairs(s, dir, 0.5).select(col("id_a"), col("id_b")))
-          .select(col("doc_id"))
-
-        scored.join(exactKeep, "doc_id", "left_semi")
-          .join(drops, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), OracleRound.stableRound(col("quality"), 4).as("quality"))
+        curate(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+          Dedup.exactJaccardPairs(s, dir, 0.5))
           .orderBy(col("doc_id"))
       }),
 

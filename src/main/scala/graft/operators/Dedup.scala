@@ -1,12 +1,18 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.{GraftFunctions, VectorFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deduplication operators over the `documents` / `embeddings` tables —
-  * the LLM-training-data pipeline surface (BASELINE.json north star).
+/** Deduplication operators — the LLM-training-data pipeline surface
+  * (BASELINE.json north star).
+  *
+  * The public API is DataFrame-first: every operator takes a corpus
+  * DataFrame with `(doc_id: long, text: string)` columns (or
+  * `(vec_id, embedding)` for the embedding variant) and returns a plan —
+  * a user points them at ANY table; the `queries` entries below only bind
+  * them to the driver's testdata.
   *
   * Every algorithm is expressed as a shuffle-conscious DataFrame plan:
   *   - exact dedup: one hash-shuffle on the content digest;
@@ -15,37 +21,46 @@ import org.apache.spark.sql.functions._
   *     volume is #docs × #bands rows of 24 bytes, never the text;
   *   - SimHash: 64-bit sketch + pigeonhole banding (4×16 bits) so any pair
   *     within Hamming distance 3 shares at least one exact band key;
-  *   - n-gram Jaccard: inverted-index join with a document-frequency cap
-  *     (stop-shingle removal) — the standard skew guard: without it one
-  *     ubiquitous shingle produces a quadratic bucket at 100 TB;
+  *   - n-gram Jaccard: grouped inverted index with a document-frequency
+  *     cap (stop-shingle removal) — the standard skew guard: without it
+  *     one ubiquitous shingle produces a quadratic bucket at 100 TB;
   *   - embedding near-dup: random-hyperplane LSH banding, exact cosine
   *     only on bucket collisions.
   * None of them collect to the driver; all scale by adding partitions.
   */
 object Dedup {
 
-  private def docs(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    // shingles are 64-bit hashes of word 3-grams, computed in one pass by
-    // a custom expression — shingle strings never materialize, so both the
-    // signature pass and the inverted-index shuffle move 8 bytes per
-    // shingle regardless of text size
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .withColumn("toks", split(lower(col("text")), "\\s+"))
-      .withColumn("shingles", expr("shingle_hashes(toks, 3)"))
-  }
-
   import OracleRound.{stableRound, stableRoundSql}
 
-  /** MinHash-LSH candidate pairs with estimated Jaccard ≥ threshold —
-    * shared by the pair query (d02) and the curation capstone. */
-  private[operators] def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+  /** Tokenizes and shingles a `(doc_id, text)` corpus: 64-bit hashes of
+    * word n-grams, computed in one pass by a custom expression — shingle
+    * strings never materialize, so the signature pass and the
+    * inverted-index shuffle move 8 bytes per shingle regardless of text
+    * size. */
+  def shingled(corpus: DataFrame, n: Int = 3): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("shingles", expr(s"shingle_hashes(toks, $n)"))
+  }
+
+  /** Exact dedup: smallest doc_id per distinct content. The grouping key
+    * is the 256-bit digest, not the text, so the shuffle carries 32 bytes
+    * per row regardless of document size. */
+  def exactDedup(corpus: DataFrame): DataFrame =
+    corpus
+      .groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
+  /** MinHash-LSH candidate pairs with estimated Jaccard ≥ threshold
+    * (k=64 signature, 16 bands × 4 rows). */
+  def minhashPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     // localCheckpoint (not persist): materializes the signatures once for
-    // the self-join AND lets the ContextCleaner reclaim the blocks when the
-    // plan is no longer referenced — persist() would pin them for the
+    // the self-join AND lets the ContextCleaner reclaim the blocks when
+    // the plan is no longer referenced — persist() would pin them for the
     // session lifetime
-    val d = docs(s, dir)
+    val d = shingled(corpus)
       .withColumn("sig", expr("minhash_sig(shingles, 64)"))
       .select(col("doc_id"), col("sig"))
       .localCheckpoint()
@@ -69,42 +84,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** EXACT n-gram Jaccard pairs ≥ threshold via a grouped inverted index:
-    * group the (doc_id, shingle) postings by shingle, emit all C(df, 2)
-    * pairs per group map-side, then count co-occurrences. Compared to the
-    * classic posting-list self-join this removes one full shuffle of the
-    * postings AND the join's C(df, 2)-row shuffle — pairs are generated
-    * after the exchange. Shingles above the df cap (the skew guard: at
-    * 100 TB one ubiquitous shingle is a quadratic bucket) are removed by
-    * anti-joining the tiny hot-shingle list, which broadcasts by
-    * construction. Shared by d04, d06 and the curation capstone. */
-  /** The discriminative-shingle POSTING INDEX: one row per shingle with
-    * df ≤ 50, holding its (≤ 50) doc ids. This is an index in the
-    * reference's sense — threshold-independent, built once per
-    * (session, corpus) and reused by every n-gram dedup operator
-    * (d04/d06/p01) — so it's session-memoized like a table plan.
-    * Postings are (8B, 8B) rows; both the df pass and the anti-join read
-    * the same materialization. */
-  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
-    graft.SessionCache.getOrBuild(s, ("shingle-index", dir)) {
-      val sh = docs(s, dir).select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .localCheckpoint()
-      val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > 50).select(col("shingle"))
-      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-        .groupBy(col("shingle"))
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .localCheckpoint()
-    }
+  /** SimHash near-dup pairs within `maxHamming` of the 64-bit sketch;
+    * 4 bands of 16 bits guarantee a shared band key for Hamming ≤ 3
+    * (pigeonhole). */
+  def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val d = shingled(corpus)
+      .withColumn("sim", expr("simhash64(toks)"))
+      .select(col("doc_id"), col("sim"))
+    val bands = d.select(
+      col("doc_id"), col("sim"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
+        .as(Seq("band", "bucket")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.sim ^ b.sim)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
-  private[operators] def exactJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val byShingle = shingleIndex(s, dir)
-    val sizes = byShingle.select(explode(col("ids")).as("doc_id"))
+  /** The discriminative-shingle POSTING INDEX: one row per shingle with
+    * df ≤ dfCap, holding its (≤ dfCap) doc ids. Threshold-independent, so
+    * it's the reusable artifact every n-gram operator shares. Shingles
+    * above the df cap (the skew guard: at 100 TB one ubiquitous shingle
+    * is a quadratic bucket) are removed by anti-joining the tiny
+    * hot-shingle list, which broadcasts by construction. Postings are
+    * (8B, 8B) rows; both the df pass and the anti-join read the same
+    * materialization. */
+  def postingIndex(corpus: DataFrame, dfCap: Int = 50): DataFrame = {
+    val sh = shingled(corpus).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .localCheckpoint()
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .localCheckpoint()
+  }
+
+  /** EXACT n-gram Jaccard pairs ≥ threshold from a posting index: emit
+    * all C(df, 2) pairs per shingle group map-side, count co-occurrences,
+    * join back per-doc set sizes. Compared to the classic posting-list
+    * self-join this removes one full shuffle of the postings AND the
+    * join's C(df, 2)-row shuffle — pairs are generated after the
+    * exchange. */
+  def exactJaccardPairs(index: DataFrame, threshold: Double): DataFrame = {
+    val sizes = index.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // ordered pairs per group via two Generate nodes + a filter — pure
     // whole-stage codegen; the nested-lambda alternative
     // (transform(sequence)+slice) is ~6x slower per row
-    val co = byShingle.filter(size(col("ids")) >= 2)
+    val co = index.filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -118,33 +150,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** DuckDB replica of [[exactJaccardPairs]] as named CTEs ending in
-    * `pairs(id_a, id_b, jaccard)` — string 3-grams joined with chr(31)
-    * mirror the separator-delimited windows of `shingle_hashes`
-    * (HashExpressions.scala), including the distinct-per-doc and
-    * whole-list-when-short semantics. */
-  private[operators] def ngramPairsSql(threshold: Double): String =
-    "toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
-      "sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, chr(31))] " +
-      "ELSE list_distinct(list_transform(range(1, len(tk)-1), " +
-      "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) END) AS shingle FROM toks), " +
-      "dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle), " +
-      "filt AS (SELECT doc_id, s.shingle FROM sh s JOIN dfreq d ON s.shingle = d.shingle WHERE d.df <= 50), " +
-      "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt FROM filt a " +
-      "JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-      "sz AS (SELECT doc_id, count(*) AS sz FROM filt GROUP BY doc_id), " +
-      "pairs AS (SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, " +
-      stableRoundSql("cnt / (sa.sz + sb.sz - cnt)", 4) + " AS jaccard " +
-      "FROM cp JOIN sz sa ON cp.id_a = sa.doc_id JOIN sz sb ON cp.id_b = sb.doc_id) " +
-      s"WHERE jaccard >= $threshold)"
+  /** Embedding near-dup over `(vec_id, embedding)`: hyperplane LSH
+    * banding (60 bits, 5 bands × 12); candidates travel as id pairs only
+    * — vectors are joined back AFTER dedup, and exact cosine runs on the
+    * small candidate set. Returns the topN most-similar candidate pairs. */
+  def embeddingPairs(vectors: DataFrame, topN: Int = 20): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    VectorFunctions.register(vectors.sparkSession)
+    val e = vectors.select(col("vec_id"), col("embedding"),
+      expr("hyperplane_sig(embedding, 60)").as("sig"))
+    val bands = e.select(
+      col("vec_id"),
+      posexplode(expr("transform(sequence(0, 4), b -> shiftright(sig, b*12) & 4095)"))
+        .as(Seq("band", "bucket")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"))
+    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("b_emb"))
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("cos_sim", stableRound(expr("cosine_sim(a_emb, b_emb)"), 4))
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
 
-  /** Connected components over an undirected pair graph by synchronous
-    * min-label propagation, iterated UNTIL CONVERGENCE (no label changed)
-    * with a hard round bound — a fixed round count is silently wrong for
-    * any component whose diameter exceeds it. One cheap existence check per
-    * round; labels only ever decrease, so `new < old` detects every change.
-    * Returns non-representative members as (doc_id, cluster_rep). */
-  private[operators] def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  /** Connected components over an undirected `(id_a, id_b)` pair graph by
+    * synchronous min-label propagation, iterated UNTIL CONVERGENCE (no
+    * label changed) with a hard round bound — a fixed round count is
+    * silently wrong for any component whose diameter exceeds it. Returns
+    * non-representative members as (doc_id, cluster_rep). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // materialize once and truncate lineage per round: iterative plans
     // otherwise recompute every prior round per iteration
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -156,9 +195,9 @@ object Dedup {
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint()
     // labels only ever decrease, so sum(label) is a strict monovariant:
-    // unchanged sum ⇔ no label changed ⇔ fixpoint. One 1-row aggregate per
-    // round instead of a change-detection join.
-    // decimal(38,0) sum: immune to long overflow at any node count
+    // unchanged sum ⇔ no label changed ⇔ fixpoint. One 1-row aggregate
+    // per round instead of a change-detection join; decimal(38,0) sum is
+    // immune to long overflow at any node count.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
@@ -181,27 +220,55 @@ object Dedup {
       .filter(col("doc_id") =!= col("cluster_rep"))
   }
 
+  // ---------- testdata bindings (the driver contract) ----------
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+
+  /** Posting index session-memoized per corpus dir — an index in the
+    * reference's sense: built once, reused by d04/d06/p01. */
+  private[operators] def cachedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, ("shingle-index", dir))(postingIndex(corpus(s, dir)))
+
+  private[operators] def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    minhashPairs(corpus(s, dir), threshold)
+
+  private[operators] def exactJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    exactJaccardPairs(cachedIndex(s, dir), threshold)
+
+  /** DuckDB replica of [[exactJaccardPairs]] as named CTEs ending in
+    * `pairs(id_a, id_b, jaccard)` — string 3-grams joined with chr(31)
+    * mirror the separator-delimited windows of `shingle_hashes`
+    * (HashExpressions.scala), including the distinct-per-doc and
+    * whole-list-when-short semantics. */
+  private[operators] def ngramPairsSql(threshold: Double): String =
+    "toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, chr(31))] " +
+      "ELSE list_distinct(list_transform(range(1, len(tk)-1), " +
+      "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) END) AS shingle FROM toks), " +
+      "dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle), " +
+      "filt AS (SELECT doc_id, s.shingle FROM sh s JOIN dfreq d ON s.shingle = d.shingle WHERE d.df <= 50), " +
+      "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt FROM filt a " +
+      "JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM filt GROUP BY doc_id), " +
+      "pairs AS (SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, " +
+      stableRoundSql("cnt / (sa.sz + sb.sz - cnt)", 4) + " AS jaccard " +
+      "FROM cp JOIN sz sa ON cp.id_a = sa.doc_id JOIN sz sb ON cp.id_b = sb.doc_id) " +
+      s"WHERE jaccard >= $threshold)"
+
   val queries: Seq[NamedQuery] = Seq(
 
-    // exact dedup: keep the smallest doc_id per distinct content. Grouping
-    // key is the 256-bit digest, not the text, so the shuffle carries 32
-    // bytes per row regardless of document size.
     NamedQuery(
       "d01_dedup_exact",
       Some("SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"),
-      (s, dir) =>
-        Tables.load(s, dir, "documents")
-          .groupBy(sha2(col("text"), 256))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
-          .orderBy(col("doc_id"))),
+      (s, dir) => exactDedup(corpus(s, dir)).orderBy(col("doc_id"))),
 
-    // MinHash (k=64) + LSH banding (16 bands × 4 rows): candidate pairs
-    // share a band; signature agreement estimates Jaccard. The oracle is
-    // the EXACT ≥0.4 Jaccard pair set — a real recall+precision gate: the
-    // hash match proves the LSH finder surfaces exactly the true near-dup
-    // pairs on this corpus (verified to hold at sf0.001/0.01/0.1). The
-    // estimate itself is covered by OperatorsSpec.
+    // MinHash (k=64) + LSH banding: candidate pairs share a band;
+    // signature agreement estimates Jaccard. The oracle is the EXACT ≥0.4
+    // Jaccard pair set — a real recall+precision gate: the hash match
+    // proves the LSH finder surfaces exactly the true near-dup pairs on
+    // this corpus (verified to hold at sf0.001/0.01/0.1). The estimate
+    // itself is covered by OperatorsSpec.
     NamedQuery(
       "d02_dedup_minhash",
       Some(
@@ -213,12 +280,11 @@ object Dedup {
           .orderBy(col("id_a"), col("id_b"))),
 
     // near-dup CLUSTERS: connected components over the exact-Jaccard pair
-    // graph via min-label propagation until convergence. Each round is one
-    // join + one aggregation; at 100 TB this is the standard Pregel-style
-    // pattern, with no driver-side graph state. Output: member → cluster
-    // representative (= smallest doc_id in the component). The DuckDB
-    // oracle recomputes the components with a recursive CTE (transitive
-    // closure, min reachable id).
+    // graph — at 100 TB the standard Pregel-style pattern, with no
+    // driver-side graph state. Output: member → cluster representative
+    // (= smallest doc_id in the component). The DuckDB oracle recomputes
+    // the components with a recursive CTE (transitive closure, min
+    // reachable id).
     NamedQuery(
       "d06_dedup_clusters",
       Some(
@@ -233,34 +299,15 @@ object Dedup {
         connectedComponents(exactJaccardPairs(s, dir, 0.4).select(col("id_a"), col("id_b")))
           .orderBy(col("cluster_rep"), col("doc_id"))),
 
-    // SimHash near-dup: pairs within Hamming distance 3 of the 64-bit
-    // sketch; 4 bands of 16 bits guarantee a shared band key (pigeonhole).
     NamedQuery(
       "d03_dedup_simhash",
       None,
-      (s, dir) => {
-        val d = docs(s, dir)
-          .withColumn("sim", expr("simhash64(toks)"))
-          .select(col("doc_id"), col("sim"))
-        val bands = d.select(
-          col("doc_id"), col("sim"),
-          posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
-            .as(Seq("band", "bucket")))
-        bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            expr("bit_count(a.sim ^ b.sim)").as("hamming"))
-          .filter(col("hamming") <= 3)
-          .distinct()
-          .orderBy(col("id_a"), col("id_b"))
-      }),
+      (s, dir) => simhashPairs(corpus(s, dir)).orderBy(col("id_a"), col("id_b"))),
 
     // exact n-gram Jaccard over discriminative shingles (df ≤ 50 on BOTH
-    // sides of the ratio, so the measure stays consistent). See
-    // exactJaccardPairs for the plan; the DuckDB oracle rebuilds the same
-    // shingle sets from 3-gram strings and hash-checks the pair list.
+    // sides of the ratio, so the measure stays consistent); the DuckDB
+    // oracle rebuilds the same shingle sets from 3-gram strings and
+    // hash-checks the pair list.
     NamedQuery(
       "d04_dedup_ngram",
       Some(
@@ -270,38 +317,10 @@ object Dedup {
         exactJaccardPairs(s, dir, 0.4)
           .orderBy(col("id_a"), col("id_b"))),
 
-    // embedding near-dup: 60-bit hyperplane signature split into 5 bands of
-    // 12 bits; a random pair collides with p ≈ 5/4096, so the candidate set
-    // is linear-ish in corpus size while sign-correlated (near-dup) pairs
-    // collide with high probability. Candidates travel as id pairs only —
-    // the vectors are joined back AFTER dedup, and exact cosine runs on the
-    // small candidate set. Output: top-20 most-similar candidate pairs.
     NamedQuery(
       "d05_dedup_embedding",
       None,
-      (s, dir) => {
-        GraftFunctions.register(s)
-        graft.functions.VectorFunctions.register(s)
-        val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            expr("hyperplane_sig(embedding, 60)").as("sig"))
-        val bands = e.select(
-          col("vec_id"),
-          posexplode(expr("transform(sequence(0, 4), b -> shiftright(sig, b*12) & 4095)"))
-            .as(Seq("band", "bucket")))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-          .distinct()
-        val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"))
-        val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("b_emb"))
-        cand.join(ea, "id_a").join(eb, "id_b")
-          .withColumn("cos_sim", stableRound(expr("cosine_sim(a_emb, b_emb)"), 4))
-          .select(col("id_a"), col("id_b"), col("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
-          .limit(20)
-      })
+      (s, dir) =>
+        embeddingPairs(Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))))
   )
 }

@@ -42,6 +42,22 @@ object Multimodal {
     }
   }
 
+  /** Partition-wise decode + feature extraction over any
+    * `(doc_id, format, payload: binary)` frame: one codec instance per
+    * partition, rows streamed through it — the DataFrame-first public
+    * API; swap the codec to integrate a real decoder. */
+  def decodeFeatures(media: DataFrame, codec: MediaCodec = DeterministicFakeCodec): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[Media]
+      .mapPartitions { it =>
+        // one codec per partition (mirrors batch-UDF lifecycle: init
+        // once, stream the partition through it)
+        it.map(codec.decode)
+      }
+      .toDF()
+  }
+
   /** documents → media rows: payload is the UTF-8 bytes standing in for an
     * encoded asset; format assigned deterministically. */
   private def media(s: SparkSession, dir: String): DataFrame =
@@ -91,17 +107,8 @@ object Multimodal {
           bins + " FROM b ORDER BY doc_id"
       },
       (s, dir) => {
-        import s.implicits._
-        val codec: MediaCodec = DeterministicFakeCodec
-        val feats = media(s, dir).as[Media]
-          .mapPartitions { it =>
-            // one codec per partition (mirrors batch-UDF lifecycle: init
-            // once, stream the partition through it)
-            it.map(codec.decode)
-          }
-          .toDF()
         val binCols = (0 until 16).map(i => col("histogram")(i).as(s"h$i"))
-        feats
+        decodeFeatures(media(s, dir))
           .select(Seq(col("doc_id"), col("format"), col("n_bytes"),
             col("width"), col("height")) ++ binCols: _*)
           .orderBy(col("doc_id"))
@@ -126,11 +133,7 @@ object Multimodal {
           "CAST(n_frames // least(8, n_frames) AS BIGINT) AS frame_stride " +
           "FROM d ORDER BY doc_id"),
       (s, dir) => {
-        import s.implicits._
-        val codec: MediaCodec = DeterministicFakeCodec
-        media(s, dir).as[Media]
-          .mapPartitions(it => it.map(codec.decode))
-          .toDF()
+        decodeFeatures(media(s, dir))
           .withColumn("n_frames", greatest(lit(1L), expr("n_bytes div 1024")))
           .withColumn("n_sampled", least(lit(8L), col("n_frames")))
           .select(

@@ -1,24 +1,28 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.functions.{GraftFunctions, VectorFunctions}
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Approximate-nearest-neighbor search over the `embeddings` table.
+/** Approximate-nearest-neighbor search.
+  *
+  * DataFrame-first API: `base` is `(vec_id: long, embedding:
+  * array<float|double>)`, `queries` is `(query_id, q_emb)`; the `queries`
+  * entries below bind them to the driver's testdata (query set =
+  * vec_id < 8).
   *
   * Baseline: brute-force cosine top-k — a broadcast of the (small) query
   * set against the full base table, ranked per query. This is the exact
   * answer and the yardstick for any ANN index; at 100 TB the base side
   * stays partition-parallel and only the query set is broadcast.
   *
-  * Scale path: hyperplane-LSH bucketing — candidates are generated by an
-  * equi-join on (band, bucket), so the full cross product never
-  * materializes; cosine is evaluated on candidates only. (An IVF variant
-  * with learned centroids swaps the signature for a nearest-centroid id;
-  * the plan shape — equi-join on a coarse key, then exact re-rank — is
-  * identical.)
+  * Scale paths: hyperplane-LSH bucketing (candidates from an equi-join on
+  * (band, bucket) — the full cross product never materializes) and IVF
+  * (learned coarse quantizer, nprobe-cell probe, exact re-rank; see also
+  * plans.IvfCellLayout for the partitioned-on-disk version).
   *
   * s04 closes the loop: recall@10 of both approximate variants against
   * the exact answer, computed in-plan and asserted as booleans the DuckDB
@@ -34,42 +38,7 @@ object Similarity {
   // list_cosine_similarity, minus the per-element lambda interpretation
   private val cos = "cosine_sim(q_emb, b_emb)"
 
-  /** Exact cosine top-k per query (query set = vec_id < 8): broadcast the
-    * query side, rank per query. Columns: query_id, vec_id, raw_cos, rank. */
-  private def bruteTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val e = Tables.load(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val b = e.select(col("vec_id"), col("embedding").as("b_emb"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("raw_cos").desc, col("vec_id"))
-    b.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("raw_cos", expr(cos))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
-
-  /** LSH-bucketed top-k: hyperplane signature split into 8 bands of 4
-    * bits; candidates are (band, bucket) collisions, re-ranked exactly. */
-  private def lshTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
-    GraftFunctions.register(s)
-    graft.functions.VectorFunctions.register(s)
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        expr("hyperplane_sig(embedding, 32)").as("sig"))
-    val bands = e.select(
-      col("vec_id"), col("embedding"),
-      posexplode(expr("transform(sequence(0, 7), b -> shiftright(sig, b*4) & 15)"))
-        .as(Seq("band", "bucket")))
-    val qb = bands.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("band"), col("bucket"))
-    val cand = bands.as("b")
-      .join(qb.as("q"),
-        col("b.band") === col("q.band") && col("b.bucket") === col("q.bucket") &&
-          col("b.vec_id") =!= col("q.query_id"))
-      .select(col("q.query_id"), col("b.vec_id"), col("q.q_emb"), col("b.embedding").as("b_emb"))
-      .distinct()
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("raw_cos").desc, col("vec_id"))
     cand
       .withColumn("raw_cos", expr(cos))
@@ -77,36 +46,69 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF top-k: k-means coarse centroids (the "inverted file"), probe the
-    * nprobe nearest cells per query, exact re-rank of those cells only. */
-  private def ivfTopK(s: SparkSession, dir: String, k: Int, nprobe: Int = 4): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+  /** Exact cosine top-k per query: broadcast the query side, rank per
+    * query. Columns: query_id, vec_id, raw_cos, rank. */
+  def bruteForceTopK(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(base.sparkSession)
+    rankTopK(
+      base.select(col("vec_id"), col("embedding").as("b_emb"))
+        .join(broadcast(queries), col("vec_id") =!= col("query_id")), k)
+  }
+
+  /** LSH-bucketed top-k: 32-bit hyperplane signature split into 8 bands
+    * of 4 bits; candidates are (band, bucket) collisions, re-ranked
+    * exactly. */
+  def lshTopK(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(base.sparkSession)
+    VectorFunctions.register(base.sparkSession)
+    def banded(df: DataFrame, id: String, emb: String): DataFrame =
+      df.withColumn("sig", expr(s"hyperplane_sig($emb, 32)"))
+        .select(col(id), col(emb),
+          posexplode(expr("transform(sequence(0, 7), b -> shiftright(sig, b*4) & 15)"))
+            .as(Seq("band", "bucket")))
+    val bb = banded(base.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val qb = banded(queries, "query_id", "q_emb")
+    val cand = bb.as("b")
+      .join(qb.as("q"),
+        col("b.band") === col("q.band") && col("b.bucket") === col("q.bucket") &&
+          col("b.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("b.vec_id"), col("q.q_emb"), col("b.embedding").as("b_emb"))
+      .distinct()
+    rankTopK(cand, k)
+  }
+
+  /** Trains the IVF coarse quantizer on a DETERMINISTICALLY ordered
+    * single-partition sample (standard IVF practice: the quantizer trains
+    * on a bounded sample) — k-means|| init is otherwise
+    * partition-layout-dependent, and recall gates must not move with the
+    * executor count. */
+  def trainQuantizer(base: DataFrame, k: Int = 16): KMeansModel = {
     import org.apache.spark.ml.functions.array_to_vector
-    val e = Tables.load(s, dir, "embeddings")
+    val sample = base
       .withColumn("features",
         array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
-    // the trained coarse quantizer IS the IVF index — built once per
-    // (session, corpus) and shared by every probe (s03, s04, layouts).
-    // Trained on a DETERMINISTICALLY ordered single-partition sample
-    // (standard IVF practice: the quantizer trains on a bounded sample),
-    // which makes the model independent of session parallelism — k-means||
-    // init is otherwise partition-layout-dependent, and the s04 recall
-    // gate must not move with the executor count.
-    val model = graft.SessionCache.getOrBuild[KMeansModel](s, ("ivf-model", dir)) {
-      val sample = e.filter(col("vec_id") < 4096).sort(col("vec_id")).coalesce(1)
-      new KMeans().setK(16).setSeed(42).setMaxIter(5)
-        .setFeaturesCol("features").fit(sample)
-    }
-    val assigned = model.transform(e)
+      .filter(col("vec_id") < 4096).sort(col("vec_id")).coalesce(1)
+    new KMeans().setK(k).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").fit(sample)
+  }
+
+  /** IVF top-k: assign base vectors to their nearest centroid (the
+    * "inverted file"), probe the nprobe nearest cells per query, exact
+    * re-rank of those cells only — the canonical billion-vector plan
+    * shape (equi-join on a coarse key, then re-rank). */
+  def ivfTopK(base: DataFrame, queries: DataFrame, model: KMeansModel,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    VectorFunctions.register(base.sparkSession)
+    val assigned = model.transform(
+      base.withColumn("features",
+        array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))))
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     // centroid table is model metadata (16 rows) — broadcast by size
-    val centroids = s.createDataFrame(
+    val centroids = base.sparkSession.createDataFrame(
       model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
       .toDF("cell", "centroid")
     val cdist = "aggregate(zip_with(q_emb, centroid, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)"
-    val queries = assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("dist", expr(cdist))
@@ -114,15 +116,34 @@ object Similarity {
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell"))
     // candidates = base vectors in probed cells (at scale: the base table
-    // is PARTITIONED BY cell on disk, so a probe reads nprobe/k of it)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("raw_cos").desc, col("vec_id"))
-    probes.join(assigned, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding").as("b_emb"))
-      .withColumn("raw_cos", expr(cos))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // is PARTITIONED BY cell on disk, so a probe reads nprobe/k of it —
+    // plans.IvfCellLayout)
+    rankTopK(
+      probes.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding").as("b_emb")), k)
   }
+
+  /** Per-query overlap with the exact top-k: (query_id, hits). */
+  def recallHits(exact: DataFrame, approx: DataFrame): DataFrame =
+    approx.select(col("query_id"), col("vec_id"))
+      .join(exact.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+
+  // ---------- testdata bindings (the driver contract) ----------
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+
+  private def queriesOf(b: DataFrame): DataFrame =
+    b.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  /** The trained quantizer IS the IVF index — session-memoized per corpus
+    * and shared by every probe (s03, s04). */
+  private def cachedModel(s: SparkSession, dir: String): KMeansModel =
+    graft.SessionCache.getOrBuild[KMeansModel](s, ("ivf-model", dir))(
+      trainQuantizer(base(s, dir)))
 
   private def present(df: DataFrame): DataFrame =
     df.select(col("query_id"), col("vec_id"),
@@ -131,10 +152,10 @@ object Similarity {
 
   val queries: Seq[NamedQuery] = Seq(
 
-    // brute-force exact top-5 per query (query set = vec_id < 8). The
-    // DuckDB oracle recomputes it with list_cosine_similarity — both sides
-    // accumulate the 64-dim dot product sequentially in double, so the
-    // values agree bit-for-bit before the stabilized rounding.
+    // brute-force exact top-5 per query. The DuckDB oracle recomputes it
+    // with list_cosine_similarity — both sides accumulate the 64-dim dot
+    // product sequentially in double, so the values agree bit-for-bit
+    // before the stabilized rounding.
     NamedQuery(
       "s01_ann_bruteforce",
       Some(
@@ -145,21 +166,26 @@ object Similarity {
           "ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS INT) AS rank " +
           "FROM embeddings q JOIN embeddings b ON b.vec_id != q.vec_id WHERE q.vec_id < 8) t " +
           "WHERE rank <= 5 ORDER BY query_id, rank"),
-      (s, dir) => present(bruteTopK(s, dir, 5))),
+      (s, dir) => {
+        val b = base(s, dir)
+        present(bruteForceTopK(b, queriesOf(b), 5))
+      }),
 
-    // IVF-style ANN: learned coarse centroids, 4-of-16 cell probe, exact
-    // re-rank — the canonical billion-vector layout.
     NamedQuery(
       "s03_ann_ivf",
       None,
-      (s, dir) => present(ivfTopK(s, dir, 3))),
+      (s, dir) => {
+        val b = base(s, dir)
+        present(ivfTopK(b, queriesOf(b), cachedModel(s, dir), 3))
+      }),
 
-    // LSH-bucketed ANN: same queries, candidates restricted to hyperplane
-    // band collisions, then exact cosine re-rank.
     NamedQuery(
       "s02_ann_lsh",
       None,
-      (s, dir) => present(lshTopK(s, dir, 3))),
+      (s, dir) => {
+        val b = base(s, dir)
+        present(lshTopK(b, queriesOf(b), 3))
+      }),
 
     // recall@10 of the two ANN variants vs the exact answer, computed
     // in-plan. The hash-checked output asserts a 30% per-query recall
@@ -176,13 +202,12 @@ object Similarity {
           "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"),
       (s, dir) => {
         val k = 10
-        val exact = bruteTopK(s, dir, k).select(col("query_id"), col("vec_id"))
-        def recall(approx: DataFrame): DataFrame =
-          approx.select(col("query_id"), col("vec_id"))
-            .join(exact, Seq("query_id", "vec_id"), "left_semi")
-            .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-        val lsh = recall(lshTopK(s, dir, k)).withColumnRenamed("hits", "lsh_hits")
-        val ivf = recall(ivfTopK(s, dir, k)).withColumnRenamed("hits", "ivf_hits")
+        val b = base(s, dir)
+        val q = queriesOf(b)
+        val exact = bruteForceTopK(b, q, k)
+        val lsh = recallHits(exact, lshTopK(b, q, k)).withColumnRenamed("hits", "lsh_hits")
+        val ivf = recallHits(exact, ivfTopK(b, q, cachedModel(s, dir), k))
+          .withColumnRenamed("hits", "ivf_hits")
         exact.select(col("query_id")).distinct()
           .join(lsh, Seq("query_id"), "left")
           .join(ivf, Seq("query_id"), "left")

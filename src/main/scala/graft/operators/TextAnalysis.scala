@@ -3,17 +3,22 @@ package graft.operators
 import graft.Tables
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Text-analysis operators over the `documents` table: language ID
-  * (stopword-hit heuristic), quality scoring, token counting, and
-  * rolling-hash document fingerprinting. All are single-pass projections
-  * (no shuffle except the final aggregations) built from codegen'd
+/** Text-analysis operators: language ID (stopword-hit heuristic), quality
+  * scoring, token counting, TF-IDF keyword extraction, and rolling-hash
+  * document fingerprinting.
+  *
+  * DataFrame-first API: every operator takes a corpus with
+  * `(doc_id: long, text: string)` and returns a plan — the `queries`
+  * entries only bind them to the driver's testdata. All are single-pass
+  * projections (no shuffle except the aggregations) built from codegen'd
   * built-ins plus the custom fingerprint expression.
   */
 object TextAnalysis {
 
-  import OracleRound.stableRound
+  import OracleRound.{stableRound, stableRoundSql}
 
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
@@ -26,11 +31,90 @@ object TextAnalysis {
     expr(s"size(filter(toks, t -> array_contains(array($arr), t)))")
   }
 
+  /** Language prediction per document: stopword hit counts per candidate
+    * language, highest wins (deterministic priority tie-break), zero hits
+    * → "und". Adds a `pred` column. */
+  def langId(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("s_en", hitCount("en"))
+      .withColumn("s_de", hitCount("de"))
+      .withColumn("s_es", hitCount("es"))
+      .withColumn("s_fr", hitCount("fr"))
+      .withColumn("best", greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
+      .withColumn("pred",
+        when(col("best") === 0, "und")
+          .when(col("s_en") === col("best"), "en")
+          .when(col("s_de") === col("best"), "de")
+          .when(col("s_es") === col("best"), "es")
+          .otherwise("fr"))
+
+  /** Quality features + composite score per document (single pass). */
+  def qualityFeatures(corpus: DataFrame): DataFrame = {
+    val stops = stopwords("en").map(w => s"'$w'").mkString(", ")
+    corpus
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens_i", size(col("toks")))
+      .withColumn("n_stop", expr(s"size(filter(toks, t -> array_contains(array($stops), t)))"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        col("n_tokens_i").cast("bigint").as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("bigint").as("n_digits"),
+        stableRound(col("n_stop").cast("double") / col("n_tokens_i"), 4).as("stop_ratio"),
+        stableRound(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens_i"), 4)
+          .as("avg_token_len"),
+        stableRound(
+          least(col("n_tokens_i") / 50.0, lit(1.0)) * 0.5 +
+            col("n_stop").cast("double") / col("n_tokens_i") * 0.5, 4).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs | digit runs | single non-alnum marks). */
+  def tokenCounts(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("doc_id"),
+      size(split(trim(col("text")), " +")).cast("bigint").as("n_ws"),
+      expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("bigint").as("n_bpe"),
+      length(col("text")).cast("bigint").as("n_chars"))
+
+  /** Top-k terms per document by tf · ln(N/df): two partial-aggregated
+    * groupBys + a df join + a per-doc window — the classic sparse
+    * feature-extraction op. */
+  def tfidfTerms(corpus: DataFrame, k: Int): DataFrame = {
+    val toks = corpus.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = corpus.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tf.join(df, "token").crossJoin(n)
+      .withColumn("tfidf",
+        stableRound(col("tf") * log(col("n").cast("double") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("tfidf"))
+  }
+
+  /** Winnowing-style rolling-hash fingerprint (custom codegen'd
+    * expression); docs sharing a fingerprint are byte-near-identical
+    * candidates. */
+  def fingerprints(corpus: DataFrame, window: Int = 16): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col("doc_id"), expr(s"rolling_fingerprint(text, $window)").as("fingerprint"))
+  }
+
+  // ---------- testdata bindings (the driver contract) ----------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
   val queries: Seq[NamedQuery] = Seq(
 
     // language-ID heuristic vs the ground-truth lang column: confusion
-    // counts per (true, predicted). Deterministic tie-break by priority.
-    // Pure SQL (stopword hit counts), so DuckDB replicates it exactly.
+    // counts per (true, predicted). Pure SQL (stopword hit counts), so
+    // DuckDB replicates it exactly.
     NamedQuery(
       "t01_text_langid",
       Some {
@@ -48,19 +132,7 @@ object TextAnalysis {
           "SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred ORDER BY lang, pred"
       },
       (s, dir) =>
-        Tables.load(s, dir, "documents")
-          .withColumn("toks", split(lower(col("text")), "\\s+"))
-          .withColumn("s_en", hitCount("en"))
-          .withColumn("s_de", hitCount("de"))
-          .withColumn("s_es", hitCount("es"))
-          .withColumn("s_fr", hitCount("fr"))
-          .withColumn("best", greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
-          .withColumn("pred",
-            when(col("best") === 0, "und")
-              .when(col("s_en") === col("best"), "en")
-              .when(col("s_de") === col("best"), "de")
-              .when(col("s_es") === col("best"), "es")
-              .otherwise("fr"))
+        langId(docs(s, dir))
           .groupBy(col("lang"), col("pred"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("pred"))),
@@ -79,48 +151,19 @@ object TextAnalysis {
           "CAST(round(CAST(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5 + CAST(len(list_filter(string_split(text, ' '), t -> list_contains([" + stops + "], t))) AS DOUBLE) / len(string_split(text, ' ')) * 0.5 AS DECIMAL(28,8)), 4) AS DOUBLE) AS quality " +
           "FROM documents ORDER BY doc_id"
       },
-      (s, dir) => {
-        val stops = stopwords("en").map(w => s"'$w'").mkString(", ")
-        Tables.load(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .withColumn("n_tokens_i", size(col("toks")))
-          .withColumn("n_stop", expr(s"size(filter(toks, t -> array_contains(array($stops), t)))"))
-          .select(
-            col("doc_id"),
-            length(col("text")).cast("bigint").as("n_chars"),
-            col("n_tokens_i").cast("bigint").as("n_tokens"),
-            (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
-              .cast("bigint").as("n_digits"),
-            stableRound(col("n_stop").cast("double") / col("n_tokens_i"), 4).as("stop_ratio"),
-            stableRound(length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens_i"), 4)
-              .as("avg_token_len"),
-            stableRound(
-              least(col("n_tokens_i") / 50.0, lit(1.0)) * 0.5 +
-                col("n_stop").cast("double") / col("n_tokens_i") * 0.5, 4).as("quality"))
-          .orderBy(col("doc_id"))
-      }),
+      (s, dir) => qualityFeatures(docs(s, dir)).orderBy(col("doc_id"))),
 
-    // token counting: whitespace tokens and a BPE-ish regex segmentation
-    // (letter runs | digit runs | single non-alnum marks).
     NamedQuery(
       "t03_text_tokens",
       Some(
         "SELECT doc_id, CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws, " +
           "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe, " +
           "CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id"),
-      (s, dir) =>
-        Tables.load(s, dir, "documents")
-          .select(
-            col("doc_id"),
-            size(split(trim(col("text")), " +")).cast("bigint").as("n_ws"),
-            expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("bigint").as("n_bpe"),
-            length(col("text")).cast("bigint").as("n_chars"))
-          .orderBy(col("doc_id"))),
+      (s, dir) => tokenCounts(docs(s, dir)).orderBy(col("doc_id"))),
 
-    // TF-IDF keyword extraction: top-3 terms per document by
-    // tf · ln(N/df), computed as two partial-aggregated groupBys + a
-    // broadcast-able df join — the classic sparse feature-extraction op.
-    // Scoped to doc_id < 50 to keep the verified output bounded.
+    // TF-IDF keyword extraction, scoped to doc_id < 50 to keep the
+    // verified output bounded (the filter pushes through the window and
+    // into the tf branch; df is still computed over the full corpus).
     NamedQuery(
       "t05_tfidf_terms",
       Some(
@@ -129,40 +172,22 @@ object TextAnalysis {
           "idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token), " +
           "n AS (SELECT count(*) AS n FROM documents), " +
           "scored AS (SELECT doc_id, token, " +
-          OracleRound.stableRoundSql("tf * ln(CAST(n AS DOUBLE) / df)", 4) + " AS tfidf " +
+          stableRoundSql("tf * ln(CAST(n AS DOUBLE) / df)", 4) + " AS tfidf " +
           "FROM tf JOIN idf USING (token) CROSS JOIN n) " +
           "SELECT doc_id, token, tfidf FROM (SELECT doc_id, token, tfidf, " +
           "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rk " +
           "FROM scored WHERE doc_id < 50) WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, token"),
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = Tables.load(s, dir, "documents")
-        val toks = docs.select(col("doc_id"),
-          explode(split(lower(col("text")), "\\s+")).as("token"))
-        val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
-        tf.join(df, "token").crossJoin(n)
-          .withColumn("tfidf",
-            stableRound(col("tf") * log(col("n").cast("double") / col("df")), 4))
+      (s, dir) =>
+        // the doc_id filter pushes through the window into the tf branch;
+        // it CANNOT reach the df branch (no doc_id column there), so idf
+        // stays corpus-wide
+        tfidfTerms(docs(s, dir), 3)
           .filter(col("doc_id") < 50)
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("doc_id"), col("token"), col("tfidf"))
-          .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
-      }),
+          .orderBy(col("doc_id"), col("tfidf").desc, col("token"))),
 
-    // winnowing-style rolling-hash fingerprint (custom expression); docs
-    // sharing a fingerprint are byte-near-identical candidates.
     NamedQuery(
       "t04_text_fingerprint",
       None,
-      (s, dir) => {
-        GraftFunctions.register(s)
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), expr("rolling_fingerprint(text, 16)").as("fingerprint"))
-          .orderBy(col("doc_id"))
-      })
+      (s, dir) => fingerprints(docs(s, dir)).orderBy(col("doc_id")))
   )
 }

@@ -22,16 +22,12 @@ object IvfCellLayout {
   /** One-time layout build: k-means assignment, base written by cell,
     * centroid table (k rows) alongside. */
   def build(spark: SparkSession, dir: String, path: String, k: Int = 16): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = Tables.load(spark, dir, "embeddings")
-      .withColumn("features",
-        array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
-    // deterministic single-partition training sample: the quantizer must
-    // not depend on session parallelism (see Similarity.ivfTopK)
-    val sample = e.filter(col("vec_id") < 4096).sort(col("vec_id")).coalesce(1)
-    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").fit(sample)
+    val base = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // deterministic sample-trained quantizer shared with the in-memory plan
+    val model = graft.operators.Similarity.trainQuantizer(base, k)
+    val e = base.withColumn("features",
+      array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
     model.transform(e)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(basePath(path))
