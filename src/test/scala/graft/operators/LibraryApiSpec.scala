@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataFrame-first operator API on CALLER-SUPPLIED data — no testdata
+  * binding anywhere. This is the "a user of the reference could switch"
+  * contract: every operator accepts any frame with the documented columns. */
+class LibraryApiSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import scala.jdk.CollectionConverters._
+  private def corpus(): org.apache.spark.sql.DataFrame = {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // exact dup of 1
+      (3L, base + " tonight"),                      // near dup of 1
+      (4L, "completely different text about winter storms in the north atlantic region today"),
+      (5L, "short doc"),
+      (6L, base + " tonight"),                      // exact dup of 3
+      (7L, "der hund und die katze sind nicht ein gutes team mit dem vogel"))
+    spark.createDataFrame(
+      docs.map { case (i, t) => org.apache.spark.sql.Row(i, t) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+  }
+
+  test("dedup family runs on a caller-supplied corpus") {
+    val c = corpus()
+    // exact dedup keeps the smallest id per distinct text: drops 2 and 6
+    val kept = Dedup.exactDedup(c).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 7L))
+    // exact jaccard finds the duplicate/near-dup group around doc 1
+    val pairs = Dedup.exactJaccardPairs(Dedup.postingIndex(c), 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 6L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    // components collapse 1,2,3,6 under representative 1
+    val cc = Dedup.connectedComponents(
+      Dedup.exactJaccardPairs(Dedup.postingIndex(c), 0.4).select(col("id_a"), col("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(2L -> 1L, 3L -> 1L, 6L -> 1L))
+    // curation keeps one representative of the dup group and doc 4
+    val curated = Curation.curate(c,
+      Dedup.exactJaccardPairs(Dedup.postingIndex(c), 0.4)).collect().map(_.getLong(0)).toSet
+    assert(curated.contains(1L) && !curated.contains(2L) &&
+      !curated.contains(3L) && !curated.contains(6L))
+  }
+
+  test("text analysis runs on a caller-supplied corpus") {
+    val c = corpus()
+    val preds = TextAnalysis.langId(c).select("doc_id", "pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en" && preds(7L) == "de")
+    val q = TextAnalysis.qualityFeatures(c).filter(col("doc_id") === 5L).head()
+    assert(q.getLong(2) == 2L) // n_tokens of "short doc"
+    val tfidf = TextAnalysis.tfidfTerms(c, 2)
+    assert(tfidf.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+  }
+
+  test("similarity runs on caller-supplied vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),  // nearest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)))
+    val base = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val queries = base.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val top = Similarity.bruteForceTopK(base, queries, 1).head()
+    assert(top.getAs[Long]("vec_id") == 1L) // the near-parallel vector wins
+  }
+}
