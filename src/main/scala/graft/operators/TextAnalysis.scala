@@ -97,6 +97,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tfidf"))
   }
 
+  /** Pattern redaction — the scrubbing/normalization step of a training
+    * pipeline: replaces every match of `pattern` with `replacement` and
+    * reports the match count per doc. Single-pass projection. */
+  def redact(corpus: DataFrame, pattern: String, replacement: String): DataFrame =
+    corpus.select(
+      col("doc_id"),
+      expr(s"regexp_count(text, '$pattern')").cast("bigint").as("n_matches"),
+      regexp_replace(col("text"), pattern, replacement).as("redacted"))
+
   /** Winnowing-style rolling-hash fingerprint (custom codegen'd
     * expression); docs sharing a fingerprint are byte-near-identical
     * candidates. */
@@ -188,6 +197,17 @@ object TextAnalysis {
     NamedQuery(
       "t04_text_fingerprint",
       None,
-      (s, dir) => fingerprints(docs(s, dir)).orderBy(col("doc_id")))
+      (s, dir) => fingerprints(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // redaction: digit runs → <NUM> (the normalization/scrubbing pass);
+    // the oracle replays the same regex and hash-checks the full
+    // redacted text plus per-doc match counts.
+    NamedQuery(
+      "t06_text_redact",
+      Some(
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_matches, " +
+          "regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted " +
+          "FROM documents ORDER BY doc_id"),
+      (s, dir) => redact(docs(s, dir), "[0-9]+", "<NUM>").orderBy(col("doc_id")))
   )
 }
