@@ -153,6 +153,29 @@ object EventStreams {
       }
   }
 
+  /** STREAM-STREAM join with event-time bounds: attribute each purchase
+    * to any click by the same user in the preceding hour. Both sides are
+    * watermarked and the join carries an explicit time-range condition,
+    * so Spark can expire join state — the two requirements that make a
+    * stream-stream join runnable indefinitely (unbounded state
+    * otherwise). */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(
+      clicks,
+      purchases("user_id") === clicks("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), purchases("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_ts"), col("click_value"))
+  }
+
   /** Stream-static join: enrich the event stream with a static per-user
     * dimension (here the customer table keyed by custkey = user_id). The
     * static side is re-resolved per micro-batch, so a dimension refresh is

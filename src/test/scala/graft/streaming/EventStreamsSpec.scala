@@ -93,6 +93,22 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty)
   }
 
+  test("stream-stream purchase attribution matches the batch interval join") {
+    val q = EventStreams.purchaseAttribution(EventStreams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("attribution").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") <= col("ts") &&
+          col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+    assert(spark.table("attribution").count() == batch.count())
+    assert(batch.count() > 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch definition") {
     val q = EventStreams.sessionize(
       EventStreams.typedEvents(EventStreams.readEvents(spark, dir)))
