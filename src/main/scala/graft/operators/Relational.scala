@@ -473,11 +473,13 @@ object Relational {
     NamedQuery(
       "q27_approx",
       Some(
+        // verdicts as INT 0/1: dtype-identical in both engines' parquet/
+        // pandas paths (bool dtype nuances stay out of the hash compare)
         "SELECT exact_parts, exact_supps, " +
           stableRoundSql("exact_median", 4) + " AS exact_median, " +
-          "abs(approx_parts - exact_parts) <= exact_parts * 0.05 AS hll_parts_ok, " +
-          "abs(approx_supps - exact_supps) <= exact_supps * 0.05 AS hll_supps_ok, " +
-          "abs(approx_median - exact_median) <= exact_median * 0.05 AS kll_median_ok " +
+          "CAST(abs(approx_parts - exact_parts) <= exact_parts * 0.05 AS INT) AS hll_parts_ok, " +
+          "CAST(abs(approx_supps - exact_supps) <= exact_supps * 0.05 AS INT) AS hll_supps_ok, " +
+          "CAST(abs(approx_median - exact_median) <= exact_median * 0.05 AS INT) AS kll_median_ok " +
           "FROM (SELECT count(DISTINCT l_partkey) AS exact_parts, " +
           "count(DISTINCT l_suppkey) AS exact_supps, " +
           "quantile_cont(l_extendedprice, 0.5) AS exact_median, " +
@@ -505,11 +507,11 @@ object Relational {
             col("exact_parts"), col("exact_supps"),
             stableRound(col("em"), 4).as("exact_median"),
             (abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * 0.05)
-              .as("hll_parts_ok"),
+              .cast("int").as("hll_parts_ok"),
             (abs(col("approx_supps") - col("exact_supps")) <= col("exact_supps") * 0.05)
-              .as("hll_supps_ok"),
+              .cast("int").as("hll_supps_ok"),
             (abs(col("approx_median") - col("em")) <= col("em") * 0.05)
-              .as("kll_median_ok"))
+              .cast("int").as("kll_median_ok"))
       }),
 
     // --- timestamp truncation + aggregation over the events table ---

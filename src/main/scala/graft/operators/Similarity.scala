@@ -197,8 +197,8 @@ object Similarity {
     NamedQuery(
       "s04_ann_recall",
       Some(
-        "SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS lsh_recall_ok, " +
-          "CAST(1 AS BOOLEAN) AS ivf_recall_ok " +
+        "SELECT vec_id AS query_id, CAST(1 AS INT) AS lsh_recall_ok, " +
+          "CAST(1 AS INT) AS ivf_recall_ok " +
           "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"),
       (s, dir) => {
         val k = 10
@@ -213,8 +213,8 @@ object Similarity {
           .join(ivf, Seq("query_id"), "left")
           .select(
             col("query_id"),
-            (coalesce(col("lsh_hits"), lit(0L)) >= k * 0.3).as("lsh_recall_ok"),
-            (coalesce(col("ivf_hits"), lit(0L)) >= k * 0.3).as("ivf_recall_ok"))
+            (coalesce(col("lsh_hits"), lit(0L)) >= k * 0.3).cast("int").as("lsh_recall_ok"),
+            (coalesce(col("ivf_hits"), lit(0L)) >= k * 0.3).cast("int").as("ivf_recall_ok"))
           .orderBy(col("query_id"))
       })
   )

@@ -148,8 +148,8 @@ class OperatorsSpec extends AnyFunSuite {
     // exact columns agree with the direct computation…
     assert(r.getLong(0) == exact.getLong(0) && r.getLong(1) == exact.getLong(1))
     assert(math.abs(r.getDouble(2) - exact.getDouble(2)) < 1e-3)
-    // …and the query's own bounded-error verdicts all hold
-    assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5))
+    // …and the query's own bounded-error verdicts all hold (1 = ok)
+    assert(r.getInt(3) == 1 && r.getInt(4) == 1 && r.getInt(5) == 1)
   }
 
   test("connected components converge past any fixed round budget (diameter-8 chain)") {
@@ -193,7 +193,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("ANN recall gate passes for every query at sf0.001") {
     val rows = q("s04_ann_recall").collect()
     assert(rows.length == 8)
-    rows.foreach(r => assert(r.getBoolean(1) && r.getBoolean(2)))
+    rows.foreach(r => assert(r.getInt(1) == 1 && r.getInt(2) == 1))
   }
 
   test("flagship entry returns rows") {
