@@ -871,6 +871,53 @@ object Relational {
           .orderBy(col("event_id"))
       }),
 
+    // --- wide scalar-function matrix: one row per part, ~18 functions
+    //     from the string/math library that both engines share by name or
+    //     near-name (Spark instr ≡ DuckDB strpos, signum ≡ sign) ---
+    NamedQuery(
+      "q45_function_matrix",
+      Some(
+        "SELECT p_partkey, lpad(p_brand, 12, '*') AS lpadded, rpad(p_brand, 12, '*') AS rpadded, " +
+          "reverse(p_name) AS rev, translate(p_type, 'EO', 'eo') AS transl, " +
+          "repeat(left(p_name, 2), 3) AS rep, left(p_name, 5) AS l5, right(p_name, 4) AS r4, " +
+          "split_part(p_name, ' ', 2) AS word2, CAST(strpos(p_name, 'widget') AS INT) AS pos, " +
+          "CAST(ascii(p_name) AS INT) AS asc0, chr(65 + CAST(p_partkey % 26 AS INT)) AS letter, " +
+          "CAST(levenshtein(p_brand, p_type) AS INT) AS lev, " +
+          "CAST(bit_length(p_brand) AS INT) AS bits, md5(p_name) AS digest, " +
+          "CAST(sign(p_retailprice - 1000) AS INT) AS sgn, " +
+          OracleRound.stableRoundSql("degrees(p_retailprice / 1000)", 4) + " AS deg, " +
+          OracleRound.stableRoundSql("radians(p_size)", 4) + " AS rad, " +
+          OracleRound.stableRoundSql("cbrt(p_retailprice)", 4) + " AS cub, " +
+          OracleRound.stableRoundSql("log2(p_retailprice)", 4) + " AS lg2, " +
+          OracleRound.stableRoundSql("atan2(p_retailprice, p_size)", 4) + " AS at2 " +
+          "FROM part WHERE p_partkey < 200 ORDER BY p_partkey"),
+      (s, dir) =>
+        t(s, dir, "part")
+          .filter(col("p_partkey") < 200)
+          .select(
+            col("p_partkey"),
+            lpad(col("p_brand"), 12, "*").as("lpadded"),
+            rpad(col("p_brand"), 12, "*").as("rpadded"),
+            reverse(col("p_name")).as("rev"),
+            translate(col("p_type"), "EO", "eo").as("transl"),
+            expr("repeat(left(p_name, 2), 3)").as("rep"),
+            expr("left(p_name, 5)").as("l5"),
+            expr("right(p_name, 4)").as("r4"),
+            expr("split_part(p_name, ' ', 2)").as("word2"),
+            instr(col("p_name"), "widget").cast("int").as("pos"),
+            ascii(col("p_name")).cast("int").as("asc0"),
+            expr("chr(65 + CAST(p_partkey % 26 AS INT))").as("letter"),
+            levenshtein(col("p_brand"), col("p_type")).cast("int").as("lev"),
+            bit_length(col("p_brand")).cast("int").as("bits"),
+            md5(col("p_name")).as("digest"),
+            signum(col("p_retailprice") - 1000).cast("int").as("sgn"),
+            stableRound(degrees(col("p_retailprice") / 1000), 4).as("deg"),
+            stableRound(radians(col("p_size")), 4).as("rad"),
+            stableRound(cbrt(col("p_retailprice")), 4).as("cub"),
+            stableRound(log2(col("p_retailprice")), 4).as("lg2"),
+            stableRound(atan2(col("p_retailprice"), col("p_size").cast("double")), 4).as("at2"))
+          .orderBy(col("p_partkey"))),
+
     // --- JSON property extraction from the events props column ---
     NamedQuery(
       "q44_json_extract",
