@@ -918,6 +918,37 @@ object Relational {
             stableRound(atan2(col("p_retailprice"), col("p_size").cast("double")), 4).as("at2"))
           .orderBy(col("p_partkey"))),
 
+    // --- array/list function matrix over tokenized documents: Spark
+    //     array_* ≡ DuckDB list_* (results order-normalized via sort
+    //     where construction order could differ) ---
+    NamedQuery(
+      "q46_array_funcs",
+      Some(
+        "SELECT doc_id, CAST(len(list_distinct(tk)) AS INT) AS n_distinct, " +
+          "CAST(list_max(list_transform(tk, t -> length(t))) AS INT) AS max_len, " +
+          "CAST(list_min(list_transform(tk, t -> length(t))) AS INT) AS min_len, " +
+          "CAST(coalesce(list_position(tk, 'the'), 0) AS INT) AS pos_the, " +
+          "CAST(list_contains(tk, 'and') AS INT) AS has_and, " +
+          "array_to_string(list_slice(list_sort(list_distinct(tk)), 1, 3), '-') AS first3, " +
+          "CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS sum_len " +
+          "FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id < 100) " +
+          "ORDER BY doc_id"),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .withColumn("tk", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(array_distinct(col("tk"))).cast("int").as("n_distinct"),
+            array_max(expr("transform(tk, t -> length(t))")).cast("int").as("max_len"),
+            array_min(expr("transform(tk, t -> length(t))")).cast("int").as("min_len"),
+            array_position(col("tk"), "the").cast("int").as("pos_the"),
+            array_contains(col("tk"), "and").cast("int").as("has_and"),
+            array_join(slice(array_sort(array_distinct(col("tk"))), 1, 3), "-").as("first3"),
+            expr("aggregate(transform(tk, t -> CAST(length(t) AS BIGINT)), 0L, (a, x) -> a + x)")
+              .as("sum_len"))
+          .orderBy(col("doc_id"))),
+
     // --- JSON property extraction from the events props column ---
     NamedQuery(
       "q44_json_extract",
