@@ -264,6 +264,13 @@ class SqlEngineSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("PG-isms pass through the query path: ::-cast and || concatenation") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    val r = e.execute("SELECT '42'::INT + 1 AS x, 'a' || 'b' AS y").collect()(0)
+    assert(r.getInt(0) == 43 && r.getString(1) == "ab")
+  }
+
   test("CTEs and window functions flow through the engine query path") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")
