@@ -176,6 +176,26 @@ object EventStreams {
         col("purchase_value"), col("click_ts"), col("click_value"))
   }
 
+  /** Streaming INGESTION INTO THE ENGINE: lands every micro-batch in a
+    * managed table through the full INSERT pipeline (validation, serial
+    * assignment, unique enforcement, staged atomic append) via
+    * foreachBatch — the standard exactly-once-per-batch sink pattern for
+    * a store with its own transactional append. Compose with
+    * [[dedupDocuments]] / [[nearDedupDocuments]] upstream for
+    * dedup-before-storage. */
+  def ingestInto(stream: DataFrame, engine: graft.engine.SqlEngine,
+      table: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // foreachBatch runs on a cloned session; a GLOBAL temp view is the
+      // cross-session handoff the engine's own session can resolve
+      val view = s"graft_ingest_${table}"
+      batch.createOrReplaceGlobalTempView(view)
+      // target columns by name, so serial/defaulted columns prefill
+      val cols = batch.columns.mkString(", ")
+      engine.execute(s"INSERT INTO $table ($cols) SELECT * FROM global_temp.$view")
+      ()
+    }
+
   /** Stream-static join: enrich the event stream with a static per-user
     * dimension (here the customer table keyed by custkey = user_id). The
     * static side is re-resolved per micro-batch, so a dimension refresh is

@@ -93,6 +93,22 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty)
   }
 
+  test("streaming ingest lands in the engine through the full INSERT pipeline") {
+    import graft.engine.{Catalog, SqlContext, SqlEngine}
+    val wh = java.nio.file.Files.createTempDirectory("graft-stream-wh-").toString
+    val e = new SqlEngine(spark, new Catalog(wh), SqlContext("ing", "u"))
+    e.execute("CREATE DATABASE ing")
+    e.execute("CREATE TABLE landed (id bigserial PRIMARY KEY, doc_id bigint, digest text)")
+    val stream = EventStreams.dedupDocuments(EventStreams.readDocuments(spark, dir))
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    val q = EventStreams.ingestInto(stream.select(col("doc_id"), col("digest")), e, "landed").start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = Tables.load(spark, dir, "documents").select("text").distinct().count()
+    val landed = e.execute("SELECT count(*) AS n, count(DISTINCT id) AS ids FROM landed").collect()(0)
+    assert(landed.getLong(0) == expected, "every deduped doc must land exactly once")
+    assert(landed.getLong(1) == expected, "serial ids assigned per-batch stay unique")
+  }
+
   test("stream-stream purchase attribution matches the batch interval join") {
     val q = EventStreams.purchaseAttribution(EventStreams.readEvents(spark, dir))
       .writeStream.format("memory").queryName("attribution").outputMode("append").start()
