@@ -86,6 +86,16 @@ class PlanQualitySpec extends AnyFunSuite {
       "count(DISTINCT x, y) planning via Expand replicates every row per distinct column")
   }
 
+  test("t05 pushes the doc filter into the tf branch only — idf stays corpus-wide") {
+    val p = plan("t05_tfidf_terms")
+    // exactly one of the two document scans carries the doc_id<50 pushdown
+    // (the tf side); the df/idf side must keep reading the full corpus
+    assert(p.split("LessThan\\(doc_id,50\\)").length == 2,
+      "expected the doc filter pushed into exactly one scan")
+    assert(p.split("ReadSchema: struct<doc_id:bigint,text:string>").length >= 3,
+      "expected a second, unfiltered corpus scan for idf")
+  }
+
   test("IVF cell layout probes with dynamic partition pruning and matches the in-memory plan") {
     val path = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString
     IvfCellLayout.build(spark, dir, path)
