@@ -949,6 +949,42 @@ object Relational {
               .as("sum_len"))
           .orderBy(col("doc_id"))),
 
+    // --- datetime function matrix: day/month distances, quarter trunc,
+    //     locale names, interval shift, clamp, month anchor (DuckDB
+    //     date_diff('day') counts boundaries ≡ Spark datediff on the
+    //     midnight-aligned o_orderdate; month distance spelled as the
+    //     engine-neutral year*12+month difference) ---
+    NamedQuery(
+      "q47_datetime_matrix",
+      Some(
+        "SELECT o_orderkey, " +
+          "CAST(date_diff('day', o_orderdate, TIMESTAMP '1997-06-15') AS BIGINT) AS days_to_anchor, " +
+          "CAST((1997*12 + 6) - (year(o_orderdate)*12 + month(o_orderdate)) AS BIGINT) AS months_to_anchor, " +
+          "CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr, " +
+          "dayname(o_orderdate) AS dow_name, monthname(o_orderdate) AS mon_name, " +
+          "CAST(o_orderdate + INTERVAL 45 DAY AS TIMESTAMP) AS plus45, " +
+          "CAST(greatest(o_orderdate, TIMESTAMP '1997-01-01') AS TIMESTAMP) AS clamped, " +
+          "CAST(make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS TIMESTAMP) AS month_start " +
+          "FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") < 300)
+          .select(
+            col("o_orderkey"),
+            datediff(lit("1997-06-15").cast("date"), col("o_orderdate")).cast("bigint")
+              .as("days_to_anchor"),
+            (lit(1997 * 12 + 6) - (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))))
+              .cast("bigint").as("months_to_anchor"),
+            date_trunc("quarter", col("o_orderdate")).cast("timestamp_ntz").as("qtr"),
+            date_format(col("o_orderdate"), "EEEE").as("dow_name"),
+            date_format(col("o_orderdate"), "MMMM").as("mon_name"),
+            (col("o_orderdate") + expr("INTERVAL 45 DAY")).cast("timestamp_ntz").as("plus45"),
+            greatest(col("o_orderdate"), lit("1997-01-01").cast("timestamp"))
+              .cast("timestamp_ntz").as("clamped"),
+            make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+              .cast("timestamp_ntz").as("month_start"))
+          .orderBy(col("o_orderkey"))),
+
     // --- JSON property extraction from the events props column ---
     NamedQuery(
       "q44_json_extract",
