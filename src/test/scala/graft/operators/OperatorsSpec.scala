@@ -196,6 +196,34 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(1) == 1 && r.getInt(2) == 1))
   }
 
+  test("m03 resize preserves the 224 box and frame plan invariants") {
+    q("m03_mm_resize").collect().foreach { r =>
+      val (w, h, rw, rh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(math.max(rw, rh) <= 224 && math.min(rw, rh) >= 1)
+      assert((w >= h) == (rw >= rh)) // orientation preserved
+      val (frames, sampled, stride) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(sampled <= 8 && sampled >= 1 && stride >= 1)
+      assert(stride * sampled <= frames || frames < 8)
+    }
+  }
+
+  test("p02 stratified sample respects per-language quotas") {
+    val rows = q("p02_stratified_sample").collect()
+    assert(rows.nonEmpty)
+    val quota = Map("en" -> 500L, "de" -> 300L, "es" -> 200L).withDefaultValue(100L)
+    rows.foreach(r => assert(r.getLong(2) < quota(r.getString(1))))
+    // deterministic: a second run returns the identical sample
+    assert(q("p02_stratified_sample").collect().map(_.getLong(0)).toSeq ==
+      rows.map(_.getLong(0)).toSeq)
+  }
+
+  test("t06 redaction removes every digit and counts matches") {
+    q("t06_text_redact").collect().foreach { r =>
+      assert(!r.getString(2).exists(_.isDigit))
+      assert((r.getLong(1) > 0) == r.getString(2).contains("<NUM>"))
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
