@@ -38,7 +38,7 @@ object Bench {
 
     // min over iterations: single-run numbers on a shared box carry
     // 40%+ interference noise; the min is the plan's actual cost
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     def run(name: String): Double = {
       val times = (1 to iters).map(_ => runOnce(name))
       if (times.contains(-1.0)) -1.0 else times.min
