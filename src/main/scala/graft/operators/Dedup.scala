@@ -299,10 +299,43 @@ object Dedup {
         connectedComponents(exactJaccardPairs(s, dir, 0.4).select(col("id_a"), col("id_b")))
           .orderBy(col("cluster_rep"), col("doc_id"))),
 
+    // SimHash gate (driver-visible): for every EXACT ≥0.4-Jaccard pair
+    // (the oracle-computable truth set), assert two properties as INT
+    // verdicts a constant DuckDB oracle hash-checks:
+    //   sketch_near_ok  — the 64-bit sketches are within Hamming 16
+    //     (measured max over true pairs: 8/6/11 at sf0.001/0.01/0.1; a
+    //     RANDOM pair lands at Hamming ≤16 with p≈3e-5, so the margin is
+    //     wide on both sides);
+    //   band_complete_ok — banded-finder membership ⟺ Hamming ≤ 3: the
+    //     4×16-bit pigeonhole banding is COMPLETE for its contract (any
+    //     pair within Hamming 3 shares an exact band key), so the
+    //     equivalence is deterministic, not statistical.
     NamedQuery(
       "d03_dedup_simhash",
-      None,
-      (s, dir) => simhashPairs(corpus(s, dir)).orderBy(col("id_a"), col("id_b"))),
+      Some(
+        s"WITH ${ngramPairsSql(0.4)} " +
+          "SELECT id_a, id_b, CAST(1 AS INT) AS sketch_near_ok, " +
+          "CAST(1 AS INT) AS band_complete_ok FROM pairs ORDER BY id_a, id_b"),
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val docs = corpus(s, dir)
+        val sketches = docs
+          .withColumn("toks", split(lower(col("text")), "\\s+"))
+          .withColumn("sim", expr("simhash64(toks)"))
+          .select(col("doc_id"), col("sim"))
+        val found = simhashPairs(docs)
+          .select(col("id_a"), col("id_b"), lit(1).as("f"))
+        exactJaccardPairs(s, dir, 0.4).select(col("id_a"), col("id_b"))
+          .join(sketches.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+          .join(sketches.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+          .withColumn("ham", expr("bit_count(sim_a ^ sim_b)"))
+          .join(found, Seq("id_a", "id_b"), "left")
+          .select(
+            col("id_a"), col("id_b"),
+            (col("ham") <= 16).cast("int").as("sketch_near_ok"),
+            (col("f").isNotNull === (col("ham") <= 3)).cast("int").as("band_complete_ok"))
+          .orderBy(col("id_a"), col("id_b"))
+      }),
 
     // exact n-gram Jaccard over discriminative shingles (df ≤ 50 on BOTH
     // sides of the ratio, so the measure stays consistent); the DuckDB
@@ -317,10 +350,26 @@ object Dedup {
         exactJaccardPairs(s, dir, 0.4)
           .orderBy(col("id_a"), col("id_b"))),
 
+    // Embedding near-dup gate (driver-visible): plant 8 scaled clones
+    // (vec_id+1e6, embedding × 2) into the corpus and require the LSH
+    // finder's top-8 to be EXACTLY the planted pairs at cosine 1.0000.
+    // Deterministic end-to-end: positive scaling preserves every
+    // sign-of-projection bit (the 60-bit signature is IDENTICAL, so the
+    // banded candidate join cannot miss), and cosine(v, 2v) is 1.0 to 4dp
+    // in both engines, while the best RANDOM pair in the corpus sits at
+    // ~0.51 — the top-8 hash-matches the constant oracle only if banding,
+    // candidate generation, exact re-rank, and ranking all work.
     NamedQuery(
       "d05_dedup_embedding",
-      None,
-      (s, dir) =>
-        embeddingPairs(Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))))
+      Some(
+        "SELECT vec_id AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b, " +
+          "CAST(1.0 AS DOUBLE) AS cos_sim FROM embeddings WHERE vec_id < 8 ORDER BY id_a"),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val clones = emb.filter(col("vec_id") < 8)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+        embeddingPairs(emb.unionByName(clones), 8).orderBy(col("id_a"))
+      })
   )
 }
