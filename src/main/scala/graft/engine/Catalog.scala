@@ -17,7 +17,7 @@ import scala.jdk.CollectionConverters._
   * faithful to the reference's per-statement transactional writes at the
   * observable level (its own tests are single-node, single-client).
   */
-final class Catalog(val warehouse: String) {
+class Catalog(val warehouse: String) {
   private val root: Path = Paths.get(warehouse)
   Files.createDirectories(root)
 

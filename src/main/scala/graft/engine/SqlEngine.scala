@@ -36,6 +36,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       val (db, schema, table) = resolve(name)
       catalog.dropTable(db, schema, table, ie)
       spark.catalog.dropTempView(table)
+      spark.catalog.dropTempView(xdbView(db, schema, table))
       spark.emptyDataFrame
     case ins: Insert => insert(ins)
     case CopyNoOp() =>
@@ -76,23 +77,26 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
 
   // ---------- query path ----------
 
-  /** Registers every table of the connected database as a temp view (the
-    * per-statement descriptor fetch of the reference, src/sql/mod.rs:60-75),
-    * rewrites PG session functions, and hands the text to Spark SQL. */
+  /** Registers ONLY the statement's referenced tables as temp views (the
+    * reference's per-statement descriptor fetch: visit_relations at
+    * src/sql/traits.rs:68-78 feeding src/sql/mod.rs:60-75 — it never
+    * touches descriptors the statement doesn't name), rewrites PG session
+    * functions, and hands the text to Spark SQL. Driver-side work is
+    * O(statement), not O(catalog): a 1000-table catalog costs a query
+    * exactly what its own tables cost. */
   private def query(sql: String): DataFrame = {
-    if (catalog.databaseExists(ctx.database)) {
-      catalog.listSchemas(ctx.database).foreach { schema =>
-        catalog.listTables(ctx.database, schema).foreach { t =>
-          readTable(ctx.database, schema, t).createOrReplaceTempView(t)
-        }
-      }
-    }
-    registerInformationSchema()
-    try spark.sql(rewriteSessionFunctions(rewriteQualifiedTables(sql)))
+    val (rewritten, refs, infoSchema) = resolveTables(sql)
+    refs.foreach(r => readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view))
+    if (infoSchema) registerInformationSchema()
+    try spark.sql(rewriteSessionFunctions(rewritten))
     catch {
-      // map Spark's resolution failure to the reference's error shape
+      // map Spark's resolution failures to the reference's error shape; a
+      // qualified name whose database/schema doesn't exist in OUR catalog
+      // passes through unrewritten and surfaces as Spark's catalog/
+      // namespace error — same user-visible condition as a missing table
       case e: org.apache.spark.sql.AnalysisException
-        if e.getCondition != null && e.getCondition.startsWith("TABLE_OR_VIEW_NOT_FOUND") =>
+        if e.getCondition != null && Seq("TABLE_OR_VIEW_NOT_FOUND", "CATALOG_NOT_FOUND",
+          "SCHEMA_NOT_FOUND", "REQUIRES_SINGLE_PART_NAMESPACE").exists(e.getCondition.startsWith) =>
         throw SqlError(SqlError.TableNotExists, e.getMessage)
     }
   }
@@ -133,15 +137,38 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       .createOrReplaceTempView("graft_information_schema_columns")
   }
 
-  /** PG queries may qualify tables (`public.t`, `db.public.t`); Spark temp
-    * views are single-part. Dotted identifier runs whose parts resolve to
-    * an existing table in OUR catalog (or to `information_schema.*`)
-    * collapse to the bare view name — anything that doesn't resolve
-    * (e.g. alias.column) passes through. */
-  private[engine] def rewriteQualifiedTables(sql: String): String = {
+  /** One referenced table resolved to the temp view that hosts it. */
+  private[engine] final case class TableRef(db: String, schema: String, table: String, view: String)
+
+  /** View name hosting a cross-database reference (`db.schema.t` with
+    * `db != ctx.database`); db/schema/table are identifier-charset only,
+    * so the composed name is a valid view identifier. */
+  private def xdbView(db: String, schema: String, table: String): String =
+    s"graft_xdb_${db}_${schema}_$table"
+
+  /** Resolves the statement's table references — the reference collects
+    * them from the AST (`visit_relations`, src/sql/traits.rs:68-78) and
+    * fetches descriptors for JUST those (src/sql/mod.rs:60-75); we walk the
+    * token stream. PG queries may qualify tables (`public.t`,
+    * `db.public.t`); Spark temp views are single-part, so dotted runs that
+    * resolve in OUR catalog (or to `information_schema.*`) collapse to
+    * their hosting view name — same-database names to the bare table,
+    * cross-database names to a db-prefixed view — and anything that
+    * doesn't resolve (e.g. alias.column) passes through. Bare identifiers
+    * that name a table of the connected database are collected for
+    * registration (last sorted schema wins, matching the previous
+    * register-all ordering). Returns (rewritten SQL, referenced tables,
+    * information_schema referenced?). */
+  private[engine] def resolveTables(sql: String): (String, Seq[TableRef], Boolean) = {
     val spans = SqlParser.tokenizeWithSpans(sql)
     def word(i: Int): Option[String] = spans.lift(i).map(_.tok).collect { case Word(w) => w }
     def dot(i: Int): Boolean = spans.lift(i).map(_.tok).contains(Sym("."))
+    val refs = scala.collection.mutable.LinkedHashMap.empty[String, TableRef]
+    var infoSchema = false
+    lazy val schemas: Seq[String] =
+      if (catalog.databaseExists(ctx.database)) catalog.listSchemas(ctx.database) else Seq.empty
+    def addRef(db: String, schema: String, table: String, view: String): Unit =
+      refs.getOrElseUpdate(view, TableRef(db, schema, table, view))
     val out = new StringBuilder
     var copied = 0
     var i = 0
@@ -149,30 +176,46 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       (word(i), dot(i + 1), word(i + 2)) match {
         case (Some(a), true, Some(b)) =>
           val threePart = dot(i + 3) && word(i + 4).isDefined
+          lazy val c = word(i + 4).get
           val resolved: Option[(String, Int)] =
             if (threePart && a == ctx.database && b == "information_schema" &&
-              infoSchemaTables(word(i + 4).get))
-              Some(("graft_information_schema_" + word(i + 4).get, spans(i + 4).end))
-            else if (a == "information_schema" && infoSchemaTables(b))
+              infoSchemaTables(c)) {
+              infoSchema = true
+              Some(("graft_information_schema_" + c, spans(i + 4).end))
+            } else if (a == "information_schema" && infoSchemaTables(b)) {
+              infoSchema = true
               Some(("graft_information_schema_" + b, spans(i + 2).end))
-            else if (threePart && catalog.databaseExists(a) &&
-              catalog.tableExists(a, b, word(i + 4).get) && a == ctx.database)
-              Some((word(i + 4).get, spans(i + 4).end))
-            else if (catalog.databaseExists(ctx.database) && catalog.tableExists(ctx.database, a, b))
+            } else if (threePart && catalog.databaseExists(a) && catalog.tableExists(a, b, c)) {
+              val view = if (a == ctx.database) c else xdbView(a, b, c)
+              addRef(a, b, c, view)
+              Some((view, spans(i + 4).end))
+            } else if (catalog.databaseExists(ctx.database) && catalog.tableExists(ctx.database, a, b)) {
+              addRef(ctx.database, a, b, b)
               Some((b, spans(i + 2).end))
-            else None
+            } else None
           resolved match {
-            case Some((table, endPos)) =>
-              out.append(sql.substring(copied, spans(i).start)).append(table)
+            case Some((view, endPos)) =>
+              out.append(sql.substring(copied, spans(i).start)).append(view)
               copied = endPos
               i += (if (threePart && endPos == spans(i + 4).end) 5 else 3)
             case None => i += 1
           }
+        case (Some(a), _, _) =>
+          // bare identifier: a table reference candidate unless it sits in
+          // a qualified position (x.a — handled above / skipped by the
+          // prev-dot guard) or is a function call
+          val prevDot = i > 0 && spans(i - 1).tok == Sym(".")
+          val nextParen = spans.lift(i + 1).exists(_.tok == Sym("("))
+          if (!prevDot && !nextParen) {
+            val hosting = schemas.filter(s => catalog.tableExists(ctx.database, s, a))
+            if (hosting.nonEmpty) addRef(ctx.database, hosting.max, a, a)
+          }
+          i += 1
         case _ => i += 1
       }
     }
     out.append(sql.substring(copied))
-    out.toString
+    (out.toString, refs.values.toSeq, infoSchema)
   }
 
   // ---------- session functions (reference A7) ----------
@@ -262,13 +305,12 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     val desc = catalog.getTable(db, schema, table)
 
     // source: VALUES/SELECT planned by Spark SQL. A SELECT may reference
-    // other tables — register views first.
-    if (catalog.databaseExists(ctx.database)) {
-      catalog.listTables(ctx.database, "public").foreach { t =>
-        readTable(ctx.database, "public", t).createOrReplaceTempView(t)
-      }
-    }
-    val source = spark.sql(ins.restSql)
+    // other tables — resolve and register JUST those (same referenced-
+    // tables path as queries, so non-public schemas and cross-database
+    // sources work here too; a VALUES source registers nothing).
+    val (restRewritten, refs, _) = resolveTables(ins.restSql)
+    refs.foreach(r => readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view))
+    val source = spark.sql(restRewritten)
 
     val provided: Seq[String] = ins.columns.getOrElse(desc.columns.map(_.name))
     if (provided.distinct.length != provided.length)
@@ -345,7 +387,13 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         // partition's global row offset; id values are then produced by a
         // codegen'd stateful expression INSIDE a projection — the insert
         // never leaves Tungsten (no RDD round-trip, no external Rows)
-        val partCounts = pre.rdd.mapPartitions(
+        // queryExecution.toRdd counts InternalRows straight off the cached
+        // plan — Dataset.rdd would bolt a deserialize-to-external-Row pass
+        // onto every partition just to discard the rows, doubling the
+        // insert's read work; partition layout is identical (Dataset.rdd IS
+        // toRdd plus that conversion), so the offsets line up with the
+        // serial projection below
+        val partCounts = pre.queryExecution.toRdd.mapPartitions(
           it => Iterator.single(it.foldLeft(0L)((a, _) => a + 1)),
           preservesPartitioning = true).collect()
         val total = partCounts.sum

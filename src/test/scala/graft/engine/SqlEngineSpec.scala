@@ -179,6 +179,55 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.execute("SELECT x.a FROM t x WHERE x.a = 2").collect()(0).getInt(0) == 2)
   }
 
+  test("cross-database qualified names: SELECT and INSERT-source resolve any db (src/sql/descriptor.rs:43-79)") {
+    val wh = Files.createTempDirectory("graft-wh-").toString
+    val cat = new Catalog(wh)
+    val e1 = new SqlEngine(spark, cat, SqlContext("db1", "user1"))
+    e1.execute("CREATE DATABASE db1")
+    e1.execute("CREATE DATABASE db2")
+    e1.execute("CREATE TABLE db2.public.remote (k int PRIMARY KEY, v text)")
+    e1.execute("INSERT INTO db2.public.remote VALUES (1, 'a'), (2, 'b')")
+    // SELECT against another database's table through a db1-connected engine
+    val rows = e1.execute("SELECT k, v FROM db2.public.remote ORDER BY k").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
+    // joined with a local table
+    e1.execute("CREATE TABLE local (k int PRIMARY KEY)")
+    e1.execute("INSERT INTO local VALUES (2), (3)")
+    assert(e1.execute(
+      "SELECT r.v FROM db2.public.remote r JOIN local l ON r.k = l.k").collect()
+      .map(_.getString(0)).toSeq == Seq("b"))
+    // INSERT whose SELECT source lives in the other database
+    e1.execute("CREATE TABLE copied (k int PRIMARY KEY, v text)")
+    e1.execute("INSERT INTO copied SELECT k, v FROM db2.public.remote")
+    assert(e1.execute("SELECT count(*) AS n FROM copied").collect()(0).getLong(0) == 2L)
+    // unknown database still errors
+    assert(intercept[SqlError](e1.execute("SELECT * FROM nodb.public.remote"))
+      .kind == SqlError.TableNotExists)
+  }
+
+  test("per-statement registration touches only referenced descriptors (src/sql/mod.rs:60-75)") {
+    val wh = Files.createTempDirectory("graft-wh-").toString
+    val cat = new Catalog(wh) {
+      @volatile var descriptorReads = 0
+      override def getTable(db: String, schema: String, table: String): TableDescriptor = {
+        descriptorReads += 1
+        super.getTable(db, schema, table)
+      }
+    }
+    val e = new SqlEngine(spark, cat, SqlContext("test1", "user1"))
+    e.execute("CREATE DATABASE test1")
+    (0 until 50).foreach(i => e.execute(s"CREATE TABLE t_$i (a int PRIMARY KEY, b text)"))
+    e.execute("INSERT INTO t_7 VALUES (1, 'x')")
+    cat.descriptorReads = 0
+    e.execute("SELECT a, b FROM t_7 WHERE a = 1").collect()
+    assert(cat.descriptorReads <= 2,
+      s"a 1-table query on a 50-table catalog read ${cat.descriptorReads} descriptors")
+    cat.descriptorReads = 0
+    e.execute("SELECT x.a FROM t_7 x JOIN t_8 y ON x.a = y.a").collect()
+    assert(cat.descriptorReads <= 4,
+      s"a 2-table query read ${cat.descriptorReads} descriptors")
+  }
+
   test("EXPLAIN and information-schema-ish statements flow through the engine") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")
