@@ -126,30 +126,54 @@ object EventStreams {
     * guarantee needs all 4 bands and a cross-band vote — that's the batch
     * d03 operator; on ingest, one band already catches sketch-identical
     * and most low-Hamming arrivals). Deterministic: within a micro-batch,
-    * docs are admitted in doc_id order. */
-  def nearDedupDocuments(docs: DataFrame): Dataset[SketchedDoc] = {
+    * docs are admitted in doc_id order.
+    *
+    * State is BOUNDED two ways — an ingest pipeline runs forever, so
+    * unbounded sketch lists are an OOM, not a feature:
+    *   - `maxSketchesPerBucket` caps each bucket's list, evicting the
+    *     oldest admissions first (a doc near an evicted sketch re-admits —
+    *     the standard sliding-recall tradeoff of streaming dedup);
+    *   - `stateTtl` drops buckets idle past the horizon via
+    *     processing-time timeout, so cold buckets don't pin memory.
+    *     Opt-in (None default) because a pending processing-time timeout
+    *     makes the microbatch engine run a batch EVERY trigger; pair it
+    *     with an explicit trigger interval (e.g.
+    *     `Trigger.ProcessingTime("1 minute")`), never the default
+    *     as-fast-as-possible trigger, which would busy-loop empty
+    *     batches. */
+  def nearDedupDocuments(docs: DataFrame, maxSketchesPerBucket: Int = 4096,
+      stateTtl: Option[String] = None): Dataset[SketchedDoc] = {
     import docs.sparkSession.implicits._
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sketched = docs
       .withColumn("sim", expr("simhash64(split(lower(text), '\\\\s+'))"))
       .select(col("doc_id"), col("sim"), expr("sim & 65535").as("bucket"))
       .as[SketchedDoc]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     sketched
       .groupByKey(_.bucket)
-      .flatMapGroupsWithState[BucketState, SketchedDoc](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[BucketState, SketchedDoc](OutputMode.Append, timeout) {
         (_: Long, incoming: Iterator[SketchedDoc], state: GroupState[BucketState]) =>
-          var kept = state.getOption.map(_.sketches).getOrElse(Nil)
-          val admitted = Seq.newBuilder[SketchedDoc]
-          incoming.toSeq.sortBy(_.doc_id).foreach { d =>
-            val near = kept.exists(s => java.lang.Long.bitCount(s ^ d.sim) <= 3)
-            if (!near) {
-              admitted += d
-              kept = d.sim :: kept
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var kept = state.getOption.map(_.sketches).getOrElse(Nil)
+            val admitted = Seq.newBuilder[SketchedDoc]
+            incoming.toSeq.sortBy(_.doc_id).foreach { d =>
+              val near = kept.exists(s => java.lang.Long.bitCount(s ^ d.sim) <= 3)
+              if (!near) {
+                admitted += d
+                // newest at the head ⇒ take() evicts oldest-admitted first
+                kept = (d.sim :: kept).take(maxSketchesPerBucket)
+              }
             }
+            state.update(BucketState(kept))
+            stateTtl.foreach(state.setTimeoutDuration)
+            admitted.result().iterator
           }
-          state.update(BucketState(kept))
-          admitted.result().iterator
       }
   }
 
