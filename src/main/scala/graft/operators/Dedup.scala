@@ -124,13 +124,15 @@ object Dedup {
       .localCheckpoint()
   }
 
-  /** EXACT n-gram Jaccard pairs ≥ threshold from a posting index: emit
-    * all C(df, 2) pairs per shingle group map-side, count co-occurrences,
-    * join back per-doc set sizes. Compared to the classic posting-list
-    * self-join this removes one full shuffle of the postings AND the
-    * join's C(df, 2)-row shuffle — pairs are generated after the
-    * exchange. */
-  def exactJaccardPairs(index: DataFrame, threshold: Double): DataFrame = {
+  /** Threshold-INDEPENDENT exact-Jaccard pair graph from a posting index:
+    * emit all C(df, 2) pairs per shingle group map-side, count
+    * co-occurrences, join back per-doc set sizes. Compared to the classic
+    * posting-list self-join this removes one full shuffle of the postings
+    * AND the join's C(df, 2)-row shuffle — pairs are generated after the
+    * exchange. Nothing here depends on a similarity threshold, so this is
+    * the reusable artifact: operators at different thresholds filter one
+    * materialization instead of re-running the quadratic stage. */
+  def jaccardPairGraph(index: DataFrame): DataFrame = {
     val sizes = index.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // ordered pairs per group via two Generate nodes + a filter — pure
@@ -146,9 +148,13 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         stableRound(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 4))
-      .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** EXACT n-gram Jaccard pairs ≥ threshold (a filter over
+    * [[jaccardPairGraph]]). */
+  def exactJaccardPairs(index: DataFrame, threshold: Double): DataFrame =
+    jaccardPairGraph(index).filter(col("jaccard") >= threshold)
 
   /** Embedding near-dup over `(vec_id, embedding)`: hyperplane LSH
     * banding (60 bits, 5 bands × 12); candidates travel as id pairs only
@@ -233,8 +239,16 @@ object Dedup {
   private[operators] def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
     minhashPairs(corpus(s, dir), threshold)
 
+  /** Pair graph session-memoized per corpus dir and MATERIALIZED once
+    * (localCheckpoint) — d04 (0.4), d06 (0.4), and p01's curation (0.5)
+    * all filter this same artifact, so the quadratic pair stage runs once
+    * per corpus, not once per threshold. */
+  private[operators] def cachedPairGraph(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, ("pair-graph", dir))(
+      jaccardPairGraph(cachedIndex(s, dir)).localCheckpoint())
+
   private[operators] def exactJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    exactJaccardPairs(cachedIndex(s, dir), threshold)
+    cachedPairGraph(s, dir).filter(col("jaccard") >= threshold)
 
   /** DuckDB replica of [[exactJaccardPairs]] as named CTEs ending in
     * `pairs(id_a, id_b, jaccard)` — string 3-grams joined with chr(31)
