@@ -23,6 +23,15 @@ object SessionCache {
       }
       m
     }
-    perSession.computeIfAbsent(key, _ => build).asInstanceOf[T]
+    // NOT computeIfAbsent: builds may be NESTED (the pair graph builds the
+    // posting index), and a re-entrant computeIfAbsent throws "Recursive
+    // update" whenever the two keys land in the same bin. Check-then-put
+    // races at worst rebuild the artifact once; putIfAbsent keeps one
+    // canonical value.
+    val cached = perSession.get(key)
+    if (cached != null) return cached.asInstanceOf[T]
+    val built = build
+    val prev = perSession.putIfAbsent(key, built)
+    (if (prev != null) prev else built).asInstanceOf[T]
   }
 }

@@ -53,7 +53,50 @@ object Curation {
       .select(col("doc_id"), OracleRound.stableRound(col("quality"), 4).as("quality"))
   }
 
+  /** Benchmark DECONTAMINATION — the train/test-overlap scrub every LLM
+    * training pipeline runs before a corpus ships: flag each training doc
+    * sharing ≥ `minOverlap` distinct word 3-gram shingles with any
+    * benchmark doc. The benchmark side is benchmark-sized (thousands of
+    * docs), so it broadcasts and the 100 TB train side stays a linear
+    * scan + map-side join — no shuffle of the corpus. Shingles ride the
+    * same one-pass `shingle_hashes` kernel as the dedup family (8-byte
+    * hashes, never strings). Returns (doc_id, bench_id, overlap). */
+  def contamination(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame, minOverlap: Int): org.apache.spark.sql.DataFrame = {
+    val tr = Dedup.shingled(corpus).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val be = Dedup.shingled(benchmark)
+      .select(col("doc_id").as("bench_id"), explode(col("shingles")).as("shingle"))
+    // shingle_hashes emits DISTINCT hashes per doc, so the pair count IS
+    // the intersection size
+    tr.join(broadcast(be), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   val queries: Seq[NamedQuery] = Seq(
+
+    // decontamination against a planted "benchmark" (doc_id < 25 — the
+    // corpus's near-dup structure guarantees cross-boundary overlap at
+    // every SF); the DuckDB oracle rebuilds both shingle sets from 3-gram
+    // strings and hash-checks every (train, bench, overlap) row.
+    NamedQuery(
+      "p03_decontaminate",
+      Some(
+        "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+          "sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, chr(31))] " +
+          "ELSE list_distinct(list_transform(range(1, len(tk)-1), " +
+          "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) END) AS shingle FROM toks), " +
+          "tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 25), " +
+          "be AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 25) " +
+          "SELECT tr.doc_id, be.bench_id, count(*) AS overlap FROM tr JOIN be USING (shingle) " +
+          "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY doc_id, bench_id"),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        contamination(docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), 3)
+          .orderBy(col("doc_id"), col("bench_id"))
+      }),
+
     NamedQuery(
       "p01_pipeline_curation",
       Some(

@@ -106,6 +106,37 @@ object TextAnalysis {
       expr(s"regexp_count(text, '$pattern')").cast("bigint").as("n_matches"),
       regexp_replace(col("text"), pattern, replacement).as("redacted"))
 
+  /** Gopher-style REPETITION filter — the within-document quality rule of
+    * a pretraining pipeline: per doc, the duplicate-token ratio
+    * (1 − distinct/total) and the most-frequent-bigram share of all
+    * bigrams; `keep` flags docs under both repetition ceilings. Two
+    * partial-aggregated groupBys keyed on (doc, bigram) then doc — no
+    * corpus-wide state, scales linearly. */
+  def repetitionStats(corpus: DataFrame,
+      maxDupRatio: Double = 0.65, maxTopBigram: Double = 0.1): DataFrame = {
+    val t = corpus
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("n", size(col("toks")))
+    val base = t.select(
+      col("doc_id"), col("n"),
+      (lit(1.0) - expr("size(array_distinct(toks))").cast("double") / col("n")).as("dup_r"))
+    val top = t.filter(col("n") >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, n - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_bg"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n").cast("bigint").as("n_tokens"),
+        stableRound(col("dup_r"), 4).as("dup_ratio"),
+        stableRound(coalesce(col("top_bg"), lit(0.0)), 4).as("top_bigram_frac"),
+        (!(col("dup_r") > maxDupRatio || coalesce(col("top_bg"), lit(0.0)) >= maxTopBigram))
+          .cast("int").as("keep"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint (custom codegen'd
     * expression); docs sharing a fingerprint are byte-near-identical
     * candidates. */
@@ -253,6 +284,26 @@ object TextAnalysis {
         "SELECT doc_id, CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_matches, " +
           "regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted " +
           "FROM documents ORDER BY doc_id"),
-      (s, dir) => redact(docs(s, dir), "[0-9]+", "<NUM>").orderBy(col("doc_id")))
+      (s, dir) => redact(docs(s, dir), "[0-9]+", "<NUM>").orderBy(col("doc_id"))),
+
+    // repetition filter: the oracle replays duplicate-token ratio, top
+    // bigram share, and the keep rule per doc (both engines compare the
+    // UNROUNDED ratios — int-derived doubles, so the branch is bit-stable)
+    NamedQuery(
+      "t07_text_repetition",
+      Some(
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+          "b AS (SELECT doc_id, len(tk) AS n, " +
+          "1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_r FROM t), " +
+          "bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), " +
+          "i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t WHERE len(tk) >= 2), " +
+          "c AS (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2), " +
+          "topf AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bg FROM c GROUP BY doc_id) " +
+          "SELECT b.doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+          stableRoundSql("dup_r", 4) + " AS dup_ratio, " +
+          stableRoundSql("coalesce(top_bg, 0.0)", 4) + " AS top_bigram_frac, " +
+          "CAST(CASE WHEN dup_r > 0.65 OR coalesce(top_bg, 0.0) >= 0.1 THEN 0 ELSE 1 END AS INT) AS keep " +
+          "FROM b LEFT JOIN topf USING (doc_id) ORDER BY doc_id"),
+      (s, dir) => repetitionStats(docs(s, dir)).orderBy(col("doc_id")))
   )
 }
