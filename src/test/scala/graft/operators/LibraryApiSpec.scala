@@ -67,6 +67,29 @@ class LibraryApiSpec extends AnyFunSuite {
     assert(tfidf.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
   }
 
+  test("contamination and repetition stats run on caller-supplied corpora") {
+    val c = corpus()
+    // benchmark = doc 1's text: docs 2 (exact) and 3/6 (near) overlap it
+    val bench = c.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val hits = Curation.contamination(c, bench, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((1L, 101L)) && hits.contains((2L, 101L)) && hits.contains((3L, 101L)))
+    assert(!hits.exists(_._1 == 4L), "unrelated doc must not be flagged")
+
+    val rep = spark.createDataFrame(Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "every token in this rather long example sentence stays fully distinct because " +
+        "no word ever appears twice across the whole carefully constructed document body")))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionStats(rep).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(4) == 0, "pure repetition must be dropped")
+    assert(rows(1L).getDouble(2) > 0.8 && rows(1L).getDouble(3) == 1.0)
+    assert(rows(2L).getInt(4) == 1, "distinct-token doc must be kept")
+    assert(rows(2L).getDouble(2) == 0.0)
+  }
+
   test("similarity runs on caller-supplied vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

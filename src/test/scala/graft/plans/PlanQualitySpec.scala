@@ -110,6 +110,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning"), "cell join did not trigger dynamic partition pruning")
   }
 
+  test("decontamination broadcasts the benchmark side — the corpus never shuffles") {
+    val p = plan("p03_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "benchmark side must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join defeats the linear-scan design")
+  }
+
   test("salted join distributes a hot key and matches the plain join") {
     val events = Tables.load(spark, dir, "events")
     // manufacture skew: all rows collapsed onto user 0 for half the data
