@@ -91,6 +91,59 @@ object EventStreams {
       }
   }
 
+  /** Sessionization that also CLOSES idle sessions: same gap rule as
+    * [[sessionize]], plus an event-time timeout at `last_event + gap` so a
+    * user's final session is emitted once the watermark passes it —
+    * without this, every user's last session sits in state forever (the
+    * operational leak of the NoTimeout variant, kept for exact batch
+    * parity in one trigger). Event-time based, so firing is deterministic
+    * against the data, not the wall clock, and the engine only runs
+    * batches when data arrives (no busy trigger loop). */
+  /** carries the WATERMARKED ts column through the typed projection —
+    * event-time timeout requires it to survive into the stateful op */
+  final case class WatermarkedEvent(
+      event_id: Long, ts: java.sql.Timestamp, ts_us: Long, user_id: Long)
+
+  def sessionizeClosing(events: DataFrame, lateness: String = "1 hour"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .withWatermark("ts", lateness)
+      .select(col("event_id"), col("ts"), expr("unix_micros(ts)").as("ts_us"), col("user_id"))
+      .as[WatermarkedEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, incoming: Iterator[WatermarkedEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, o.start_us, o.last_us, o.n))
+          } else {
+            val sorted = incoming.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            sorted.foreach { e =>
+              open match {
+                case Some(o) if e.ts_us - o.last_us <= gapUs =>
+                  open = Some(o.copy(last_us = e.ts_us, n = o.n + 1))
+                case Some(o) =>
+                  closed += SessionSummary(userId, o.start_us, o.last_us, o.n)
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+                case None =>
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // close when the WATERMARK (not the clock) passes the gap
+              state.setTimeoutTimestamp((o.last_us + gapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Document ingest stream with exact dedup-on-arrival: drop any document
     * whose content digest was already seen. At ingest scale the dedup
     * state is 32 bytes per distinct document — the streaming counterpart

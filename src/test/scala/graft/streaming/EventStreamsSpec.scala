@@ -203,6 +203,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("sessionizeClosing emits idle sessions once the watermark passes the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    def ts(plusMin: Long) = java.sql.Timestamp.from(t0.plusSeconds(plusMin * 60))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.sessionizeClosing(events)
+      .writeStream.format("memory").queryName("closing_sessions").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart — one open session
+      input.addData((1L, ts(0), 1L, "click", 1.0), (2L, ts(10), 1L, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("closing_sessions").isEmpty)
+      // user 2 far in the future advances the watermark past user 1's gap
+      input.addData((3L, ts(600), 2L, "click", 1.0))
+      q.processAllAvailable()
+      // the timeout fires on the NEXT batch after the watermark advances
+      input.addData((4L, ts(610), 2L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("closing_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(rows == Set((1L, 2L)), s"user 1's idle session must close, got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch definition") {
     val q = EventStreams.sessionize(
       EventStreams.typedEvents(EventStreams.readEvents(spark, dir)))
