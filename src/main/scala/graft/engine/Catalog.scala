@@ -194,6 +194,32 @@ class Catalog(val warehouse: String) {
   /** Abandons a staged write without publishing anything. */
   def discardStaged(stagingDir: Path): Unit = synchronized { deleteRecursively(stagingDir) }
 
+  /** Number + total bytes of the table's data files (compaction planning). */
+  def dataFileStats(db: String, schema: String, table: String): (Int, Long) = synchronized {
+    val dir = tablePath(db, schema, table).resolve("data")
+    if (!Files.isDirectory(dir)) return (0, 0L)
+    val parts = listDir(dir).filter(_.getFileName.toString.endsWith(".parquet"))
+    (parts.size, parts.map(Files.size).sum)
+  }
+
+  /** REPLACES the table's data with the staged parts — the publish step of
+    * compaction (the reference's memtable→file compaction swap,
+    * src/tablet/service.rs:242-294). Caller must hold the table write
+    * lock; the swap itself is two renames, so a crash window leaves
+    * either the old or the new file set, never a mix. */
+  def replaceData(db: String, schema: String, table: String, stagingDir: Path): Unit = synchronized {
+    val dataDirPath = tablePath(db, schema, table).resolve("data")
+    val old = tablePath(db, schema, table).resolve(s".old-${java.util.UUID.randomUUID()}")
+    Files.move(dataDirPath, old, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(stagingDir, dataDirPath, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        Files.move(old, dataDirPath, StandardCopyOption.ATOMIC_MOVE)
+        throw e
+    }
+    deleteRecursively(old)
+  }
+
   // Per-table write monitors: an INSERT's uniqueness check and its staged
   // commit must be atomic WITH RESPECT TO EACH OTHER — two concurrent
   // inserts could otherwise both pass the check and both publish

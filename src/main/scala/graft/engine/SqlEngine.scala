@@ -218,6 +218,45 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     (out.toString, refs.values.toSeq, infoSchema)
   }
 
+  // ---------- maintenance ----------
+
+  /** Compacts a table's accumulated small parquet parts (one per INSERT
+    * statement) into ≈128 MB files — the small-files maintenance every
+    * parquet store needs at scale, and the analogue of the reference's
+    * memtable→file compaction (src/tablet/service.rs:242-294). Runs under
+    * the table write lock, so it serializes with INSERTs; the publish is
+    * an atomic directory swap. Row content, schema, and serial counters
+    * are untouched. Returns (filesBefore, filesAfter). */
+  def compactTable(db: String, schema: String, table: String, targetFileBytes: Long = 128L << 20): (Int, Int) =
+    catalog.withTableWriteLock(db, schema, table) {
+      val (nFiles, bytes) = catalog.dataFileStats(db, schema, table)
+      if (nFiles <= 1) return (nFiles, nFiles)
+      val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      if (target >= nFiles) return (nFiles, nFiles)
+      val staging = catalog.newStagingDir(db, schema, table)
+      try {
+        // coalesce, not repartition: merging down needs no shuffle
+        readTable(db, schema, table).coalesce(target)
+          .write.mode("overwrite").parquet(staging.toString)
+        // the committer leaves _SUCCESS etc. — keep only parquet parts
+        val stray = java.nio.file.Files.list(staging)
+        try {
+          val it = stray.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (!p.getFileName.toString.endsWith(".parquet"))
+              java.nio.file.Files.deleteIfExists(p)
+          }
+        } finally stray.close()
+        catalog.replaceData(db, schema, table, staging)
+        (nFiles, catalog.dataFileStats(db, schema, table)._1)
+      } catch {
+        case e: Throwable =>
+          try catalog.discardStaged(staging) catch { case _: Throwable => }
+          throw e
+      }
+    }
+
   // ---------- session functions (reference A7) ----------
   // current_catalog / current_database / current_schema / current_user /
   // current_role / inet_client_port, values bound to the connection context

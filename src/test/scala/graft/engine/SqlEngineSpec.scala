@@ -367,6 +367,28 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).distinct.length == 41, "unique constraint must hold")
   }
 
+  test("compaction merges per-statement parts, preserves rows, serials keep counting") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id serial PRIMARY KEY, v int)")
+    (1 to 12).foreach(i => e.execute(s"INSERT INTO t (v) VALUES ($i)"))
+    val (before, _) = e.catalog.dataFileStats("test1", "public", "t")
+    assert(before >= 12, s"each INSERT statement appends its own part, got $before")
+    val sumBefore = e.execute("SELECT sum(v) AS s, count(*) AS n, max(id) AS m FROM t").collect()(0)
+    val (was, now) = e.compactTable("test1", "public", "t")
+    assert(was == before && now < before && now >= 1, s"compaction $was -> $now")
+    val after = e.execute("SELECT sum(v) AS s, count(*) AS n, max(id) AS m FROM t").collect()(0)
+    assert(after == sumBefore, "compaction must not change table content")
+    // inserts after compaction continue the serial sequence
+    e.execute("INSERT INTO t (v) VALUES (99)")
+    assert(e.execute("SELECT max(id) AS m FROM t").collect()(0).getInt(0) == 13)
+    // merging in the post-compaction part, then a true no-op on one file
+    val (_, n2) = e.compactTable("test1", "public", "t")
+    assert(n2 == 1)
+    assert(e.compactTable("test1", "public", "t") == ((1, 1)))
+    assert(e.execute("SELECT count(*) AS n FROM t").collect()(0).getLong(0) == 13L)
+  }
+
   test("INSERT .. SELECT with serial assignment and catalog surface") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")
