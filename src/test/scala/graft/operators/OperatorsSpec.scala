@@ -80,6 +80,50 @@ class OperatorsSpec extends AnyFunSuite {
       s"recall+precision must be exact on the planted corpus, got $found")
   }
 
+  test("repetitionStats and contamination match a Scala reference model on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = (0 until 30).map(i => s"w$i")
+    // lengths 1..40 include the no-bigram edge (n = 1)
+    val docs: Seq[(Long, String)] = (0 until 100).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+
+    // --- repetition: exact per-doc model ---
+    val got = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toMap
+    docs.foreach { case (id, text) =>
+      val tk = text.split("\\s+").toSeq
+      val dup = 1.0 - tk.distinct.size.toDouble / tk.size
+      val bgs = tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val top = if (bgs.isEmpty) 0.0
+        else bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size
+      val (n, dupR, topR, keep) = got(id)
+      assert(n == tk.size)
+      assert(math.abs(dupR - dup) < 1e-4, s"doc $id dup_ratio")
+      assert(math.abs(topR - top) < 1e-4, s"doc $id top_bigram_frac")
+      assert(keep == (if (dup > 0.65 || top >= 0.1) 0 else 1), s"doc $id keep")
+    }
+
+    // --- contamination: distinct 3-gram intersection model ---
+    def shingleSet(text: String): Set[Seq[String]] = {
+      val tk = text.toLowerCase.split("\\s+").toSeq
+      if (tk.size < 3) Set(tk) else tk.sliding(3).toSet
+    }
+    val bench = docs.take(10).map { case (id, t) => (id + 1000L, t) }
+    val gotC = Curation.contamination(df, bench.toDF("doc_id", "text"), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expC = (for {
+      (ti, tt) <- docs
+      (bi, bt) <- bench
+      ov = (shingleSet(tt) intersect shingleSet(bt)).size
+      if ov >= 2
+    } yield (ti, bi) -> ov.toLong).toMap
+    assert(gotC == expC, s"contamination mismatch: extra=${gotC.keySet -- expC.keySet} missing=${expC.keySet -- gotC.keySet}")
+  }
+
   test("brute-force ANN returns a full descending top-5 per query") {
     val rows = q("s01_ann_bruteforce").collect()
     val byQuery = rows.groupBy(_.getLong(0))
