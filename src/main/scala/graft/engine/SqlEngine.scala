@@ -230,9 +230,9 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
   def compactTable(db: String, schema: String, table: String, targetFileBytes: Long = 128L << 20): (Int, Int) =
     catalog.withTableWriteLock(db, schema, table) {
       val (nFiles, bytes) = catalog.dataFileStats(db, schema, table)
-      if (nFiles <= 1) return (nFiles, nFiles)
       val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      if (target >= nFiles) return (nFiles, nFiles)
+      if (nFiles <= 1 || target >= nFiles) (nFiles, nFiles)
+      else {
       val staging = catalog.newStagingDir(db, schema, table)
       try {
         // coalesce, not repartition: merging down needs no shuffle
@@ -254,6 +254,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         case e: Throwable =>
           try catalog.discardStaged(staging) catch { case _: Throwable => }
           throw e
+      }
       }
     }
 
