@@ -203,6 +203,11 @@ class SqlEngineSpec extends AnyFunSuite {
     // unknown database still errors
     assert(intercept[SqlError](e1.execute("SELECT * FROM nodb.public.remote"))
       .kind == SqlError.TableNotExists)
+    // dropping the remote table also clears its hosting view — a stale
+    // view must not keep serving the dropped table's data
+    e1.execute("DROP TABLE db2.public.remote")
+    assert(intercept[SqlError](e1.execute("SELECT * FROM db2.public.remote"))
+      .kind == SqlError.TableNotExists)
   }
 
   test("per-statement registration touches only referenced descriptors (src/sql/mod.rs:60-75)") {
@@ -387,6 +392,28 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(n2 == 1)
     assert(e.compactTable("test1", "public", "t") == ((1, 1)))
     assert(e.execute("SELECT count(*) AS n FROM t").collect()(0).getLong(0) == 13L)
+  }
+
+  test("compaction racing concurrent INSERTs loses no rows (write-lock serialization)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id serial PRIMARY KEY, v int)")
+    e.execute("INSERT INTO t (v) VALUES (0)")
+    val inserts = Future.traverse((1 to 20).toList) { i =>
+      Future(e.execute(s"INSERT INTO t (v) VALUES ($i)"))
+    }
+    val compactions = Future((1 to 5).foreach { _ =>
+      e.compactTable("test1", "public", "t"); Thread.sleep(20)
+    })
+    Await.result(inserts, 120.seconds)
+    Await.result(compactions, 120.seconds)
+    e.compactTable("test1", "public", "t")
+    val r = e.execute("SELECT count(*) AS n, count(DISTINCT id) AS ids, sum(v) AS s FROM t").collect()(0)
+    assert(r.getLong(0) == 21L && r.getLong(1) == 21L && r.getLong(2) == 210L,
+      s"lost rows under compaction/insert race: $r")
   }
 
   test("INSERT .. SELECT with serial assignment and catalog surface") {
