@@ -216,6 +216,35 @@ object Similarity {
             (coalesce(col("lsh_hits"), lit(0L)) >= k * 0.3).cast("int").as("lsh_recall_ok"),
             (coalesce(col("ivf_hits"), lit(0L)) >= k * 0.3).cast("int").as("ivf_recall_ok"))
           .orderBy(col("query_id"))
+      }),
+
+    // planted-clone gate for BOTH approximate indexes: insert an identical
+    // clone (vec_id+1e6, same embedding) of each query vector and require
+    // each index to rank it first. Deterministic end-to-end — an identical
+    // vector has an identical 32-bit hyperplane signature (every LSH band
+    // collides) and an identical coarse-cell assignment (the probe's
+    // nearest cell IS the clone's cell), and its exact cosine ≈1.0 beats
+    // every random pair (max ≈0.51) — so a constant DuckDB oracle
+    // hash-checks that banding, cell probing, candidate generation, and
+    // re-ranking all function, complementing s04's statistical floor.
+    NamedQuery(
+      "s05_ann_planted",
+      Some(
+        "SELECT vec_id AS query_id, CAST(1 AS INT) AS lsh_top1_ok, " +
+          "CAST(1 AS INT) AS ivf_top1_ok " +
+          "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"),
+      (s, dir) => {
+        val b = base(s, dir)
+        val q = queriesOf(b)
+        val aug = b.unionByName(
+          q.select((col("query_id") + 1000000L).as("vec_id"), col("q_emb").as("embedding")))
+        def top1Ok(df: DataFrame, name: String): DataFrame =
+          df.filter(col("rank") === 1)
+            .select(col("query_id"),
+              (col("vec_id") === col("query_id") + 1000000L).cast("int").as(name))
+        top1Ok(lshTopK(aug, q, 1), "lsh_top1_ok")
+          .join(top1Ok(ivfTopK(aug, q, cachedModel(s, dir), 1), "ivf_top1_ok"), Seq("query_id"))
+          .orderBy(col("query_id"))
       })
   )
 }
