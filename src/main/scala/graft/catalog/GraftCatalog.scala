@@ -62,7 +62,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case Array(d, s) => (d, s)
       case _ => throw new NoSuchNamespaceException(namespace)
     }
-    if (!engineCatalog.databaseExists(db)) throw new NoSuchNamespaceException(namespace)
+    // check the full namespace here: leaking the engine's SqlError from
+    // listTables would break the TableCatalog contract (Spark expects
+    // NoSuchNamespaceException → a proper SCHEMA_NOT_FOUND error)
+    if (!namespaceExists(Array(db, schema))) throw new NoSuchNamespaceException(namespace)
     engineCatalog.listTables(db, schema).map(Identifier.of(namespace, _)).toArray
   }
 
@@ -76,11 +79,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val desc = engineCatalog.getTable(db, schema, table)
     val spark = SparkSession.active
-    val path = engineCatalog.dataDir(db, schema, table)
+    // scan the MANIFEST snapshot, not the directory — after a compaction
+    // the directory holds vacuum-pending parts a listing would double-read
+    val paths = engineCatalog.livePartPaths(db, schema, table) match {
+      case Seq() => Seq(engineCatalog.dataDir(db, schema, table)) // empty table: schema-only scan
+      case ps => ps
+    }
     val delegate = ParquetTable(
       s"$catalogName.$db.$schema.$table", spark,
-      new CaseInsensitiveStringMap(util.Map.of("path", path)),
-      Seq(path), Some(desc.toStructType), classOf[ParquetFileFormat])
+      CaseInsensitiveStringMap.empty(),
+      paths, Some(desc.toStructType), classOf[ParquetFileFormat])
     new GraftTable(s"$catalogName.$db.$schema.$table", desc, delegate)
   }
 

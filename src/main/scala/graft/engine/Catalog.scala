@@ -93,6 +93,7 @@ class Catalog(val warehouse: String) {
     }
     Files.createDirectories(p.resolve("data"))
     Files.createDirectories(p.resolve("_serial"))
+    Files.writeString(p.resolve("manifest"), "")
     Files.writeString(p.resolve("descriptor.json"), DescriptorJson.write(descriptor))
     Some(descriptor)
   }
@@ -128,10 +129,48 @@ class Catalog(val warehouse: String) {
   def dataDir(db: String, schema: String, table: String): String =
     tablePath(db, schema, table).resolve("data").toString
 
+  // ---------- data snapshots (manifest) ----------
+  // The table's LIVE file set is the `manifest` file (one part filename
+  // per line), not the data directory listing: a reader resolves the
+  // manifest at planning time and keeps a consistent snapshot even if a
+  // compaction republishes the table mid-query (SURVEY §1.5 — the
+  // observable analogue of the reference's snapshot reads; same reason
+  // Iceberg/Delta list files through metadata, never the directory).
+  // Manifest updates are write-temp + ATOMIC_MOVE, so readers see the old
+  // or the new file set, never a mix.
+
+  private def manifestFile(db: String, schema: String, table: String): Path =
+    tablePath(db, schema, table).resolve("manifest")
+
+  /** Live part filenames (relative to data/), manifest order. */
+  def liveParts(db: String, schema: String, table: String): Seq[String] = synchronized {
+    val f = manifestFile(db, schema, table)
+    if (Files.exists(f)) Files.readString(f).split("\n").toSeq.filter(_.nonEmpty)
+    else {
+      // pre-manifest table (or foreign warehouse): the directory IS the
+      // truth; adopt it
+      val dir = tablePath(db, schema, table).resolve("data")
+      if (!Files.isDirectory(dir)) Seq.empty
+      else listDir(dir).map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
+    }
+  }
+
+  /** Absolute paths of the live parts — what a scan should read. */
+  def livePartPaths(db: String, schema: String, table: String): Seq[String] = synchronized {
+    val dir = tablePath(db, schema, table).resolve("data")
+    liveParts(db, schema, table).map(p => dir.resolve(p).toString)
+  }
+
+  private def writeManifest(db: String, schema: String, table: String, parts: Seq[String]): Unit = {
+    val f = manifestFile(db, schema, table)
+    val tmp = f.resolveSibling(s".manifest-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, parts.mkString("\n"))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** O(1) metadata check: does the table hold any data files? */
   def tableIsEmpty(db: String, schema: String, table: String): Boolean = synchronized {
-    val dir = tablePath(db, schema, table).resolve("data")
-    !Files.isDirectory(dir) || listDir(dir).isEmpty
+    liveParts(db, schema, table).isEmpty
   }
 
   // ---------- serial counters ----------
@@ -173,20 +212,26 @@ class Catalog(val warehouse: String) {
   // ---------- staging (statement-atomic append) ----------
 
   /** Moves every parquet part file from `stagingDir` into the table's data
-    * dir under fresh unique names — the visible "commit" of an INSERT
-    * (observable parity with the reference's transactional commit:
-    * src/sql/client.rs:67-80). */
+    * dir under fresh unique names and APPENDS them to the manifest — the
+    * visible "commit" of an INSERT (observable parity with the reference's
+    * transactional commit: src/sql/client.rs:67-80). A reader only sees
+    * the new rows once the manifest move lands. */
   def commitStaged(db: String, schema: String, table: String, stagingDir: Path): Long = synchronized {
     val dataDirPath = tablePath(db, schema, table).resolve("data")
+    // snapshot the live set BEFORE moving: the pre-manifest fallback lists
+    // the directory, which would double-count the parts just moved in
+    val prior = liveParts(db, schema, table)
     var moved = 0L
+    val names = Seq.newBuilder[String]
     val parts = listDir(stagingDir)
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
     parts.foreach { part =>
-      val target = dataDirPath.resolve(
-        s"part-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.parquet")
-      Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+      val name = s"part-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.parquet"
+      Files.move(part, dataDirPath.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      names += name
       moved += 1
     }
+    writeManifest(db, schema, table, prior ++ names.result())
     deleteRecursively(stagingDir)
     moved
   }
@@ -194,30 +239,48 @@ class Catalog(val warehouse: String) {
   /** Abandons a staged write without publishing anything. */
   def discardStaged(stagingDir: Path): Unit = synchronized { deleteRecursively(stagingDir) }
 
-  /** Number + total bytes of the table's data files (compaction planning). */
+  /** Number + total bytes of the table's LIVE data files (compaction
+    * planning) — vacuum-pending garbage is not counted. */
   def dataFileStats(db: String, schema: String, table: String): (Int, Long) = synchronized {
     val dir = tablePath(db, schema, table).resolve("data")
-    if (!Files.isDirectory(dir)) return (0, 0L)
-    val parts = listDir(dir).filter(_.getFileName.toString.endsWith(".parquet"))
+    val parts = liveParts(db, schema, table).map(dir.resolve).filter(Files.exists(_))
     (parts.size, parts.map(Files.size).sum)
   }
 
-  /** REPLACES the table's data with the staged parts — the publish step of
-    * compaction (the reference's memtable→file compaction swap,
-    * src/tablet/service.rs:242-294). Caller must hold the table write
-    * lock; the swap itself is two renames, so a crash window leaves
-    * either the old or the new file set, never a mix. */
+  /** REPLACES the table's live file set with the staged parts — the
+    * publish step of compaction (the reference's memtable→file compaction
+    * swap, src/tablet/service.rs:242-294). Caller must hold the table
+    * write lock. The previous parts are NOT deleted: a reader that
+    * resolved the old manifest keeps a consistent snapshot; reclaiming
+    * the garbage is [[vacuum]]'s job. */
   def replaceData(db: String, schema: String, table: String, stagingDir: Path): Unit = synchronized {
     val dataDirPath = tablePath(db, schema, table).resolve("data")
-    val old = tablePath(db, schema, table).resolve(s".old-${java.util.UUID.randomUUID()}")
-    Files.move(dataDirPath, old, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(stagingDir, dataDirPath, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: Throwable =>
-        Files.move(old, dataDirPath, StandardCopyOption.ATOMIC_MOVE)
-        throw e
+    val names = Seq.newBuilder[String]
+    listDir(stagingDir)
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+      .foreach { part =>
+        val name = s"compact-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}.parquet"
+        Files.move(part, dataDirPath.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        names += name
+      }
+    writeManifest(db, schema, table, names.result())
+    deleteRecursively(stagingDir)
+  }
+
+  /** Deletes data files no longer referenced by the manifest (parts
+    * superseded by a compaction). Run it once queries planned before the
+    * compaction have drained — the one maintenance step that is not
+    * snapshot-safe, exactly like any table format's expire/vacuum.
+    * Returns the number of files removed. */
+  def vacuum(db: String, schema: String, table: String): Int = synchronized {
+    val dir = tablePath(db, schema, table).resolve("data")
+    if (!Files.isDirectory(dir)) return 0
+    val live = liveParts(db, schema, table).toSet
+    val dead = listDir(dir).filter { p =>
+      p.getFileName.toString.endsWith(".parquet") && !live(p.getFileName.toString)
     }
-    deleteRecursively(old)
+    dead.foreach(Files.deleteIfExists(_))
+    dead.size
   }
 
   // Per-table write monitors: an INSERT's uniqueness check and its staged

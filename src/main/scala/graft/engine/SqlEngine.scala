@@ -8,6 +8,21 @@ import org.apache.spark.sql.types._
   * database/user from the PG connection, port 0 when unconnected). */
 final case class SqlContext(database: String, user: String, port: Int = 0)
 
+object SqlEngine {
+  /** Plain SQL keywords the bare-identifier scan never probes as table
+    * names — not a validator, purely a per-token catalog-stat saver (a
+    * user table named like a keyword would collide with Spark's parser
+    * anyway). */
+  private[engine] val sqlKeywords: Set[String] = Set(
+    "select", "from", "where", "and", "or", "not", "as", "on", "join", "inner", "left",
+    "right", "full", "outer", "cross", "group", "by", "order", "having", "limit", "offset",
+    "union", "all", "distinct", "case", "when", "then", "else", "end", "with", "in",
+    "exists", "between", "like", "ilike", "is", "null", "true", "false", "asc", "desc",
+    "nulls", "first", "last", "cast", "over", "partition", "rows", "range", "unbounded",
+    "preceding", "following", "current", "row", "values", "insert", "into", "explain",
+    "escape", "interval", "using", "semi", "anti")
+}
+
 /** The PG-semantics statement engine: `execute(sql)` returns a DataFrame.
   *
   * Architecture mirrors the reference's decision (SURVEY §7): a thin
@@ -70,9 +85,15 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     case _ => throw SqlError.invalid(s"table name ${name.mkString(".")}")
   }
 
+  /** Scans the table's MANIFEST snapshot: the file list is resolved here,
+    * at planning time, so the plan stays consistent even if a compaction
+    * republishes the table before the query runs (SURVEY §1.5). */
   def readTable(db: String, schema: String, table: String): DataFrame = {
     val d = catalog.getTable(db, schema, table)
-    spark.read.schema(d.toStructType).parquet(catalog.dataDir(db, schema, table))
+    val paths = catalog.livePartPaths(db, schema, table)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], d.toStructType)
+    else spark.read.schema(d.toStructType).parquet(paths: _*)
   }
 
   // ---------- query path ----------
@@ -141,10 +162,12 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
   private[engine] final case class TableRef(db: String, schema: String, table: String, view: String)
 
   /** View name hosting a cross-database reference (`db.schema.t` with
-    * `db != ctx.database`); db/schema/table are identifier-charset only,
-    * so the composed name is a valid view identifier. */
+    * `db != ctx.database`). Part LENGTHS are encoded so the name is
+    * injective — identifiers may contain '_', and a plain underscore join
+    * would let two distinct (db, schema, table) triples collide on one
+    * view and silently serve each other's data. */
   private def xdbView(db: String, schema: String, table: String): String =
-    s"graft_xdb_${db}_${schema}_$table"
+    s"graft_xdb_${db.length}_${schema.length}_${db}_${schema}_$table"
 
   /** Resolves the statement's table references — the reference collects
     * them from the AST (`visit_relations`, src/sql/traits.rs:68-78) and
@@ -169,12 +192,24 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       if (catalog.databaseExists(ctx.database)) catalog.listSchemas(ctx.database) else Seq.empty
     def addRef(db: String, schema: String, table: String, view: String): Unit =
       refs.getOrElseUpdate(view, TableRef(db, schema, table, view))
+    // per-statement memo: repeated identifiers cost one catalog probe
+    val hostingSchema = scala.collection.mutable.HashMap.empty[String, Option[String]]
+    def hostOf(name: String): Option[String] =
+      hostingSchema.getOrElseUpdate(name, {
+        // last sorted schema wins, matching the previous register-all order
+        val hosting = schemas.filter(s => catalog.tableExists(ctx.database, s, name))
+        if (hosting.isEmpty) None else Some(hosting.max)
+      })
     val out = new StringBuilder
     var copied = 0
     var i = 0
     while (i < spans.length) {
+      // a word preceded by '.' is the TAIL of a longer dotted chain (e.g.
+      // `spark_catalog.db.schema.t`): never rewrite mid-chain — mangling
+      // `b.c` out of `a.b.c.d` corrupts the outer reference
+      val prevIsDot = i > 0 && spans(i - 1).tok == Sym(".")
       (word(i), dot(i + 1), word(i + 2)) match {
-        case (Some(a), true, Some(b)) =>
+        case (Some(a), true, Some(b)) if !prevIsDot =>
           val threePart = dot(i + 3) && word(i + 4).isDefined
           lazy val c = word(i + 4).get
           val resolved: Option[(String, Int)] =
@@ -202,14 +237,11 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           }
         case (Some(a), _, _) =>
           // bare identifier: a table reference candidate unless it sits in
-          // a qualified position (x.a — handled above / skipped by the
-          // prev-dot guard) or is a function call
-          val prevDot = i > 0 && spans(i - 1).tok == Sym(".")
+          // a qualified position (x.a — skipped via prevIsDot), is a
+          // function call, or is a plain SQL keyword
           val nextParen = spans.lift(i + 1).exists(_.tok == Sym("("))
-          if (!prevDot && !nextParen) {
-            val hosting = schemas.filter(s => catalog.tableExists(ctx.database, s, a))
-            if (hosting.nonEmpty) addRef(ctx.database, hosting.max, a, a)
-          }
+          if (!prevIsDot && !nextParen && !SqlEngine.sqlKeywords(a))
+            hostOf(a).foreach(schema => addRef(ctx.database, schema, a, a))
           i += 1
         case _ => i += 1
       }
@@ -225,8 +257,10 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     * parquet store needs at scale, and the analogue of the reference's
     * memtable→file compaction (src/tablet/service.rs:242-294). Runs under
     * the table write lock, so it serializes with INSERTs; the publish is
-    * an atomic directory swap. Row content, schema, and serial counters
-    * are untouched. Returns (filesBefore, filesAfter). */
+    * an atomic manifest replace — readers that planned against the old
+    * manifest keep their snapshot (old parts stay on disk until
+    * [[vacuumTable]]). Row content, schema, and serial counters are
+    * untouched. Returns (filesBefore, filesAfter). */
   def compactTable(db: String, schema: String, table: String, targetFileBytes: Long = 128L << 20): (Int, Int) =
     catalog.withTableWriteLock(db, schema, table) {
       val (nFiles, bytes) = catalog.dataFileStats(db, schema, table)
@@ -238,16 +272,6 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         // coalesce, not repartition: merging down needs no shuffle
         readTable(db, schema, table).coalesce(target)
           .write.mode("overwrite").parquet(staging.toString)
-        // the committer leaves _SUCCESS etc. — keep only parquet parts
-        val stray = java.nio.file.Files.list(staging)
-        try {
-          val it = stray.iterator()
-          while (it.hasNext) {
-            val p = it.next()
-            if (!p.getFileName.toString.endsWith(".parquet"))
-              java.nio.file.Files.deleteIfExists(p)
-          }
-        } finally stray.close()
         catalog.replaceData(db, schema, table, staging)
         (nFiles, catalog.dataFileStats(db, schema, table)._1)
       } catch {
@@ -256,6 +280,13 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           throw e
       }
       }
+    }
+
+  /** Reclaims parts superseded by compaction — safe once queries planned
+    * before the compaction have drained. */
+  def vacuumTable(db: String, schema: String, table: String): Int =
+    catalog.withTableWriteLock(db, schema, table) {
+      catalog.vacuum(db, schema, table)
     }
 
   // ---------- session functions (reference A7) ----------
@@ -346,10 +377,12 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
 
     // source: VALUES/SELECT planned by Spark SQL. A SELECT may reference
     // other tables — resolve and register JUST those (same referenced-
-    // tables path as queries, so non-public schemas and cross-database
-    // sources work here too; a VALUES source registers nothing).
-    val (restRewritten, refs, _) = resolveTables(ins.restSql)
+    // tables path as queries, so non-public schemas, cross-database, and
+    // information_schema sources work here too; a VALUES source registers
+    // nothing).
+    val (restRewritten, refs, infoSchema) = resolveTables(ins.restSql)
     refs.foreach(r => readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view))
+    if (infoSchema) registerInformationSchema()
     val source = spark.sql(restRewritten)
 
     val provided: Seq[String] = ins.columns.getOrElse(desc.columns.map(_.name))

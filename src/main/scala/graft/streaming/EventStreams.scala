@@ -78,7 +78,11 @@ object EventStreams {
           sorted.foreach { e =>
             open match {
               case Some(o) if e.ts_us - o.last_us <= gapUs =>
-                open = Some(o.copy(last_us = e.ts_us, n = o.n + 1))
+                // max/min guards: a late-but-in-watermark event from an
+                // earlier batch must extend the session, never rewind its
+                // end (rewinding inverts the interval and splits wrongly)
+                open = Some(o.copy(start_us = math.min(o.start_us, e.ts_us),
+                  last_us = math.max(o.last_us, e.ts_us), n = o.n + 1))
               case Some(o) =>
                 closed += SessionSummary(userId, o.start_us, o.last_us, o.n)
                 open = Some(OpenSession(e.ts_us, e.ts_us, 1))
@@ -126,7 +130,9 @@ object EventStreams {
             sorted.foreach { e =>
               open match {
                 case Some(o) if e.ts_us - o.last_us <= gapUs =>
-                  open = Some(o.copy(last_us = e.ts_us, n = o.n + 1))
+                  // late events extend, never rewind (see sessionize)
+                  open = Some(o.copy(start_us = math.min(o.start_us, e.ts_us),
+                    last_us = math.max(o.last_us, e.ts_us), n = o.n + 1))
                 case Some(o) =>
                   closed += SessionSummary(userId, o.start_us, o.last_us, o.n)
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1))

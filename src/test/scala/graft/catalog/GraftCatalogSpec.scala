@@ -47,10 +47,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     engine
     val plan = spark.sql("SELECT v FROM graft.db1.t1 WHERE n > 15")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("n"),
-      s"expected parquet pushdown in:\n$plan")
+    assert(plan.contains("GreaterThan(n,15)"),
+      s"the n > 15 predicate must reach the parquet scan:\n$plan")
     assert(plan.contains("ReadSchema") && !plan.contains("id:"),
       "column pruning must drop unreferenced columns")
+  }
+
+  test("nonexistent schema raises Spark's namespace error, not an engine exception") {
+    engine
+    val err = intercept[Exception](spark.sql("SHOW TABLES IN graft.db1.nosuch").collect())
+    assert(err.isInstanceOf[org.apache.spark.sql.AnalysisException],
+      s"expected AnalysisException, got ${err.getClass}: ${err.getMessage}")
+  }
+
+  test("catalog-qualified 4-part names pass through the ENGINE untouched") {
+    // the engine's resolver must not rewrite the `db1.public.t1` tail out
+    // of `graft.db1.public.t1` — the whole chain belongs to the plugin
+    val r = engine.execute("SELECT count(*) AS n FROM graft.db1.public.t1").collect()(0)
+    assert(r.getLong(0) == 3L)
   }
 
   test("SHOW NAMESPACES / SHOW TABLES surface the engine catalog") {

@@ -210,6 +210,39 @@ class SqlEngineSpec extends AnyFunSuite {
       .kind == SqlError.TableNotExists)
   }
 
+  test("INSERT sourced from information_schema registers the views (review regression)") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE a_first (x int PRIMARY KEY)")
+    e.execute("CREATE TABLE names (id serial PRIMARY KEY, tn text)")
+    e.execute("INSERT INTO names (tn) SELECT table_name FROM information_schema.tables")
+    val got = e.execute("SELECT tn FROM names ORDER BY tn").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a_first", "names"))
+    // and the snapshot is CURRENT per statement, not a stale registration
+    e.execute("CREATE TABLE zz_later (x int PRIMARY KEY)")
+    e.execute("INSERT INTO names (tn) SELECT table_name FROM information_schema.tables " +
+      "WHERE table_name = 'zz_later'")
+    assert(e.execute("SELECT count(*) AS n FROM names").collect()(0).getLong(0) == 3L)
+  }
+
+  test("cross-db view names are injective: underscore-laden identifiers never collide") {
+    val wh = Files.createTempDirectory("graft-wh-").toString
+    val cat = new Catalog(wh)
+    val e = new SqlEngine(spark, cat, SqlContext("main", "u"))
+    e.execute("CREATE DATABASE main")
+    e.execute("CREATE DATABASE x")
+    e.execute("CREATE DATABASE x_public_y")
+    // underscore-joined, these two would both name graft_xdb_x_public_y_public_z
+    e.execute("CREATE TABLE x.public.y_public_z (v int PRIMARY KEY)")
+    e.execute("INSERT INTO x.public.y_public_z VALUES (1)")
+    e.execute("CREATE TABLE x_public_y.public.z (v int PRIMARY KEY)")
+    e.execute("INSERT INTO x_public_y.public.z VALUES (2)")
+    val r = e.execute(
+      "SELECT a.v AS va, b.v AS vb FROM x.public.y_public_z a " +
+        "CROSS JOIN x_public_y.public.z b").collect()(0)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2, "each reference must serve its own table")
+  }
+
   test("per-statement registration touches only referenced descriptors (src/sql/mod.rs:60-75)") {
     val wh = Files.createTempDirectory("graft-wh-").toString
     val cat = new Catalog(wh) {
@@ -392,6 +425,23 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(n2 == 1)
     assert(e.compactTable("test1", "public", "t") == ((1, 1)))
     assert(e.execute("SELECT count(*) AS n FROM t").collect()(0).getLong(0) == 13L)
+  }
+
+  test("compaction is snapshot-safe: pre-compaction plans keep their files until vacuum") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id serial PRIMARY KEY, v int)")
+    (1 to 8).foreach(i => e.execute(s"INSERT INTO t (v) VALUES ($i)"))
+    // resolve a plan (and its file listing) BEFORE the compaction
+    val planned = e.execute("SELECT sum(v) AS s FROM t")
+    e.compactTable("test1", "public", "t")
+    // old parts are retained, so the pre-compaction snapshot still reads
+    assert(planned.collect()(0).getLong(0) == 36L,
+      "a plan resolved before compaction must keep a consistent snapshot")
+    // vacuum reclaims the superseded parts; fresh reads are unaffected
+    assert(e.vacuumTable("test1", "public", "t") >= 8)
+    assert(e.vacuumTable("test1", "public", "t") == 0)
+    assert(e.execute("SELECT sum(v) AS s FROM t").collect()(0).getLong(0) == 36L)
   }
 
   test("compaction racing concurrent INSERTs loses no rows (write-lock serialization)") {

@@ -230,6 +230,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late in-watermark events extend a session instead of rewinding it (review regression)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.time.Instant.parse("2026-02-01T12:00:00Z")
+    def ts(plusMin: Long) = java.sql.Timestamp.from(t0.plusSeconds(plusMin * 60))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = EventStreams.sessionizeClosing(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), 1L, "c", 1.0), (2L, ts(20), 1L, "c", 1.0))
+      q.processAllAvailable()
+      // late-but-in-watermark event BEFORE the session start (lateness 1h)
+      input.addData((3L, ts(-10), 1L, "c", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the gap, then a batch to fire it
+      input.addData((4L, ts(600), 2L, "c", 1.0)); q.processAllAvailable()
+      input.addData((5L, ts(610), 2L, "c", 1.0)); q.processAllAvailable()
+      val rows = spark.table("late_sessions")
+        .select("user_id", "start_us", "end_us", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.length == 1, s"one merged session expected, got ${rows.mkString(",")}")
+      val (u, start, end, n) = rows(0)
+      assert(u == 1L && n == 3L)
+      assert(start == ts(-10).getTime * 1000 && end == ts(20).getTime * 1000,
+        s"session must span the late event to the true end, got [$start, $end]")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch definition") {
     val q = EventStreams.sessionize(
       EventStreams.typedEvents(EventStreams.readEvents(spark, dir)))
