@@ -137,6 +137,34 @@ object TextAnalysis {
           .cast("int").as("keep"))
   }
 
+  /** CCNet-style statistical language-model score: the average negative
+    * log conditional probability of each document's word bigrams under
+    * the corpus's OWN bigram model (c(w1 w2)/c(w1·)) — the perplexity
+    * filter of a pretraining pipeline, here with the corpus as its own
+    * reference model so the operator is self-contained. High `nll` =
+    * improbable word sequences (gibberish/boilerplate candidates). Model
+    * building and scoring are two partial-aggregated groupBys + two
+    * key-joins — no corpus-wide state on any single node. Docs with
+    * fewer than 2 tokens carry no bigram evidence and are omitted. */
+  def lmScore(corpus: DataFrame): DataFrame = {
+    val t = corpus
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("n", size(col("toks")))
+    val bg = t.filter(col("n") >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, concat(toks[i], ' ', toks[i + 1]) AS bg))"))
+          .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    bg.join(cb, "bg").join(c1, "w1")
+      .groupBy(col("doc_id"))
+      .agg(
+        stableRound(avg(-log(col("cb").cast("double") / col("c1"))), 4).as("nll"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint (custom codegen'd
     * expression); docs sharing a fingerprint are byte-near-identical
     * candidates. */
@@ -304,6 +332,26 @@ object TextAnalysis {
           stableRoundSql("coalesce(top_bg, 0.0)", 4) + " AS top_bigram_frac, " +
           "CAST(CASE WHEN dup_r > 0.65 OR coalesce(top_bg, 0.0) >= 0.1 THEN 0 ELSE 1 END AS INT) AS keep " +
           "FROM b LEFT JOIN topf USING (doc_id) ORDER BY doc_id"),
-      (s, dir) => repetitionStats(docs(s, dir)).orderBy(col("doc_id")))
+      (s, dir) => repetitionStats(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // bigram-LM scoring: the oracle rebuilds the same corpus-global bigram
+    // model and per-doc average NLL (integer count ratios through ln —
+    // summation-order noise is absorbed by the stabilized rounding, the
+    // q31/t05 precedent)
+    NamedQuery(
+      "t08_text_lm_score",
+      Some(
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+          "bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), " +
+          "i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t WHERE len(tk) >= 2), " +
+          "pre AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgs), " +
+          "c1 AS (SELECT w1, count(*) AS c1 FROM pre GROUP BY w1), " +
+          "cb AS (SELECT bg, count(*) AS cb FROM pre GROUP BY bg) " +
+          "SELECT doc_id, " +
+          stableRoundSql("avg(-ln(CAST(cb AS DOUBLE) / c1))", 4) + " AS nll, " +
+          "count(*) AS n_bigrams " +
+          "FROM pre JOIN cb USING (bg) JOIN c1 USING (w1) " +
+          "GROUP BY doc_id ORDER BY doc_id"),
+      (s, dir) => lmScore(docs(s, dir)).orderBy(col("doc_id")))
   )
 }
