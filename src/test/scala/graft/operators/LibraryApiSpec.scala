@@ -90,6 +90,27 @@ class LibraryApiSpec extends AnyFunSuite {
     assert(rows(2L).getDouble(2) == 0.0)
   }
 
+  test("lmScore ranks improbable word sequences above common ones") {
+    // corpus where "the cat sat" repeats; doc 9 pairs the COMMON word
+    // 'the' with words it never precedes elsewhere — rare continuations of
+    // a frequent context are exactly what the NLL must penalize. (Fully
+    // unique bigrams after hapax words score 0 under a self-trained model:
+    // c(w1 w2) = c(w1) = 1 is "perfectly predicted".)
+    val docs = (1L to 8L).map(i => (i, "the cat sat on the mat")) :+
+      (9L, "the zyx the qpo the nml")
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val scores = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.size == 9)
+    assert((1L to 8L).map(scores).distinct.size == 1, "identical docs score identically")
+    assert(scores(9L) > scores(1L), "rare continuations of a common word must score higher")
+    // c1(the)=19 (16 from docs 1-8, 3 from doc 9): doc 1's scored bigrams
+    // are (the,cat)+(the,mat) at -ln(8/19) each over 5 bigrams; doc 9's
+    // are 3 × -ln(1/19) over 5
+    assert(math.abs(scores(1L) - 2 * math.log(19.0 / 8) / 5) < 1e-3)
+    assert(math.abs(scores(9L) - 3 * math.log(19.0) / 5) < 1e-3)
+  }
+
   test("similarity runs on caller-supplied vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
