@@ -133,6 +133,29 @@ class PropertySpec extends AnyFunSuite {
     check(p, "comment-blind splitting")
   }
 
+  test("resolveTables is byte-identity on statements referencing no catalog table") {
+    // the resolver splices the ORIGINAL text around resolutions; with no
+    // resolvable reference it must return the input verbatim — whitespace,
+    // comments, casing, dotted alias chains and all
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val eng = new SqlEngine(
+      spark, new Catalog(java.nio.file.Files.createTempDirectory("p-resolve").toString),
+      SqlContext("db1", "u"))
+    eng.execute("CREATE DATABASE db1")
+    eng.execute("CREATE TABLE ztable99x (a int PRIMARY KEY)") // 9 chars — never generated
+    val genTok: Gen[String] = Gen.oneOf(
+      genIdent, Gen.choose(0, 99999).map(_.toString),
+      Gen.const("'str; lit'"), Gen.const("-- cmt\n"), Gen.const("/* c */"),
+      Gen.oneOf("select", "from", "where", "join", "on", "(", ")", ",", ".", "=", "*"))
+    val p = Prop.forAll(Gen.listOfN(14, genTok)) { toks =>
+      val sql = toks.mkString(" ")
+      val (rewritten, refs, infoSchema) = eng.resolveTables(sql)
+      rewritten == sql && refs.isEmpty && !infoSchema
+    }
+    check(p, "resolveTables identity")
+  }
+
   test("narrowing guard: bigint into int raises exactly when the value can't round-trip") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
