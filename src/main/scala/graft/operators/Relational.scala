@@ -985,6 +985,40 @@ object Relational {
               .cast("timestamp_ntz").as("month_start"))
           .orderBy(col("o_orderkey"))),
 
+    // --- IGNORE NULLS window variants: lead/lag skip nulls; first/last
+    //     over the full frame. Window order (l_linenumber, l_quantity,
+    //     l_partkey) is verified UNIQUE per order at every SF, so the
+    //     offset functions are deterministic across engines ---
+    NamedQuery(
+      "q48_window_ignore_nulls",
+      Some(
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_partkey, " +
+          "lag(nullif(l_returnflag, 'N') IGNORE NULLS) OVER w AS prev_flag, " +
+          "lead(nullif(l_returnflag, 'N') IGNORE NULLS) OVER w AS next_flag, " +
+          "first_value(nullif(l_returnflag, 'N') IGNORE NULLS) OVER wf AS first_flag, " +
+          "last_value(nullif(l_returnflag, 'N') IGNORE NULLS) OVER wf AS last_flag " +
+          "FROM lineitem WHERE l_orderkey < 300 " +
+          "WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_partkey), " +
+          "wf AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_partkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+          "ORDER BY l_orderkey, l_linenumber, l_quantity, l_partkey"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_quantity"), col("l_partkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 300)
+          .withColumn("flag", nullif(col("l_returnflag"), lit("N")))
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_partkey"),
+            lag(col("flag"), 1, null, ignoreNulls = true).over(w).as("prev_flag"),
+            lead(col("flag"), 1, null, ignoreNulls = true).over(w).as("next_flag"),
+            first(col("flag"), ignoreNulls = true).over(wf).as("first_flag"),
+            last(col("flag"), ignoreNulls = true).over(wf).as("last_flag"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_partkey"))
+      }),
+
     // --- JSON property extraction from the events props column ---
     NamedQuery(
       "q44_json_extract",
