@@ -1019,6 +1019,54 @@ object Relational {
           .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_partkey"))
       }),
 
+    // --- PIVOT: long→wide reshape with an EXPLICIT value list (the
+    //     deterministic form — inferred pivot values would depend on a
+    //     distinct scan). The oracle replays it as conditional
+    //     aggregation, which is also exactly how Catalyst lowers PIVOT ---
+    NamedQuery(
+      "q49_pivot",
+      Some(
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+          "CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS \"click\", " +
+          "CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS \"view\", " +
+          "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS \"purchase\", " +
+          "CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS \"signup\", " +
+          "CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS \"error\" " +
+          "FROM events GROUP BY 1 ORDER BY day"),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("day"))),
+
+    // --- GROUPING/GROUPING_ID markers under ROLLUP: how a consumer tells
+    //     a subtotal row's NULL from a data NULL ---
+    NamedQuery(
+      "q50_grouping_id",
+      Some(
+        "SELECT coalesce(l_returnflag, '!') AS rf, coalesce(l_linestatus, '!') AS ls, " +
+          "CAST(grouping(l_returnflag) AS INT) AS g_rf, " +
+          "CAST(grouping(l_linestatus) AS INT) AS g_ls, " +
+          "CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid, " +
+          "CAST(count(*) AS BIGINT) AS n " +
+          "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+          "ORDER BY gid, rf, ls"),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n"))
+          .select(
+            coalesce(col("l_returnflag"), lit("!")).as("rf"),
+            coalesce(col("l_linestatus"), lit("!")).as("ls"),
+            col("g_rf"), col("g_ls"), col("gid"), col("n"))
+          .orderBy(col("gid"), col("rf"), col("ls"))),
+
     // --- JSON property extraction from the events props column ---
     NamedQuery(
       "q44_json_extract",
