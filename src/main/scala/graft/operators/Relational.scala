@@ -1019,6 +1019,19 @@ object Relational {
           .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_partkey"))
       }),
 
+    // --- correlated LATERAL subquery with ORDER BY + LIMIT: per-order
+    //     top-2 line items — the "top-k per group as a join" spelling
+    //     (same text through both engines; selection fully tie-broken,
+    //     (orderkey, linenumber, quantity, partkey) is unique) ---
+    viaSql(
+      "SELECT o.o_orderkey, l.l_extendedprice AS price, l.l_linenumber, l.l_partkey, l.l_quantity " +
+        "FROM orders o, LATERAL (SELECT l_extendedprice, l_linenumber, l_partkey, l_quantity " +
+        "FROM lineitem WHERE l_orderkey = o.o_orderkey " +
+        "ORDER BY l_extendedprice DESC, l_linenumber, l_partkey, l_quantity LIMIT 2) l " +
+        "WHERE o.o_orderkey < 300 " +
+        "ORDER BY o.o_orderkey, price DESC, l.l_linenumber, l.l_partkey, l.l_quantity")
+      .named("q51_lateral"),
+
     // --- PIVOT: long→wide reshape with an EXPLICIT value list (the
     //     deterministic form — inferred pivot values would depend on a
     //     distinct scan). The oracle replays it as conditional
