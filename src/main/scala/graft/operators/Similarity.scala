@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   * (learned coarse quantizer, nprobe-cell probe, exact re-rank; see also
   * plans.IvfCellLayout for the partitioned-on-disk version).
   *
-  * s04 closes the loop: recall@10 of both approximate variants against
-  * the exact answer, computed in-plan and asserted as booleans the DuckDB
-  * oracle hash-checks — the driver-visible quality gate for the ANN
-  * indexes.
+  * Every driver-visible query is oracle-gated: s01 is bit-exact vs
+  * DuckDB's list_cosine_similarity; s02/s03 emit per-index planted-clone
+  * verdicts (constant oracle); s04 asserts a recall@10 floor; s05 asserts
+  * both indexes rank a planted clone first. The raw approximate top-k
+  * shapes live in OperatorsSpec.
   */
 object Similarity {
 
@@ -140,10 +141,36 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
   /** The trained quantizer IS the IVF index — session-memoized per corpus
-    * and shared by every probe (s03, s04). */
+    * and shared by every probe (s02–s05). */
   private def cachedModel(s: SparkSession, dir: String): KMeansModel =
     graft.SessionCache.getOrBuild[KMeansModel](s, ("ivf-model", dir))(
       trainQuantizer(base(s, dir)))
+
+  /** Base corpus plus an IDENTICAL clone (vec_id+1e6) of every query
+    * vector — the deterministic fixture behind the s02/s03/s05 gates: an
+    * identical vector has an identical hyperplane signature (every LSH
+    * band collides) and an identical coarse-cell assignment (the probe's
+    * nearest cell IS the clone's cell), and its exact cosine ≈1.0 beats
+    * every random pair (max ≈0.51). */
+  private def withClones(b: DataFrame, q: DataFrame): DataFrame =
+    b.unionByName(
+      q.select((col("query_id") + 1000000L).as("vec_id"), col("q_emb").as("embedding")))
+
+  /** (query_id, <name>_ok, <name>_cos) from an index's planted-clone top-1:
+    * ok = the clone ranked first, cos = its re-ranked cosine (exactly 1.0
+    * for an identical vector after the stabilized rounding) — both
+    * constants a DuckDB oracle can hash-check. */
+  private def plantedVerdict(topk: DataFrame, name: String): DataFrame =
+    topk.filter(col("rank") === 1)
+      .select(col("query_id"),
+        (col("vec_id") === col("query_id") + 1000000L).cast("int").as(s"${name}_top1_ok"),
+        stableRound(col("raw_cos"), 4).as(s"${name}_top1_cos"))
+      .orderBy(col("query_id"))
+
+  private def plantedOracle(name: String): String =
+    s"SELECT vec_id AS query_id, CAST(1 AS INT) AS ${name}_top1_ok, " +
+      s"CAST(1.0 AS DOUBLE) AS ${name}_top1_cos " +
+      "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"
 
   private def present(df: DataFrame): DataFrame =
     df.select(col("query_id"), col("vec_id"),
@@ -171,20 +198,29 @@ object Similarity {
         present(bruteForceTopK(b, queriesOf(b), 5))
       }),
 
+    // per-index planted-clone verdicts: the raw approximate top-k is not
+    // DuckDB-recomputable (no hyperplane/k-means in SQL), so the
+    // driver-visible output is the DETERMINISTIC quality verdict instead —
+    // clone every query vector into the base and require the index to rank
+    // it first at cosine 1.0. Banding, cell probing, candidate generation,
+    // and re-ranking all sit on the verified path; the raw top-k shape is
+    // pinned by OperatorsSpec.
     NamedQuery(
       "s03_ann_ivf",
-      None,
+      Some(plantedOracle("ivf")),
       (s, dir) => {
         val b = base(s, dir)
-        present(ivfTopK(b, queriesOf(b), cachedModel(s, dir), 3))
+        val q = queriesOf(b)
+        plantedVerdict(ivfTopK(withClones(b, q), q, cachedModel(s, dir), 1), "ivf")
       }),
 
     NamedQuery(
       "s02_ann_lsh",
-      None,
+      Some(plantedOracle("lsh")),
       (s, dir) => {
         val b = base(s, dir)
-        present(lshTopK(b, queriesOf(b), 3))
+        val q = queriesOf(b)
+        plantedVerdict(lshTopK(withClones(b, q), q, 1), "lsh")
       }),
 
     // recall@10 of the two ANN variants vs the exact answer, computed
@@ -236,8 +272,7 @@ object Similarity {
       (s, dir) => {
         val b = base(s, dir)
         val q = queriesOf(b)
-        val aug = b.unionByName(
-          q.select((col("query_id") + 1000000L).as("vec_id"), col("q_emb").as("embedding")))
+        val aug = withClones(b, q)
         def top1Ok(df: DataFrame, name: String): DataFrame =
           df.filter(col("rank") === 1)
             .select(col("query_id"),

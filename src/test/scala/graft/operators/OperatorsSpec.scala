@@ -135,11 +135,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("LSH ANN never beats the exact top-1") {
-    val exactTop = q("s01_ann_bruteforce").filter(col("rank") === 1)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    q("s02_ann_lsh").collect().foreach { r =>
-      assert(r.getDouble(2) <= exactTop(r.getLong(0)) + 1e-9)
+  // raw approximate top-k shapes (the driver-visible s02/s03 queries emit
+  // planted-clone verdicts instead, so the oracle can hash-check them)
+  private def annBase = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+  private def annQueries = annBase.filter(col("vec_id") < 8)
+    .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  test("LSH ANN raw top-k never beats the exact top-1 and ranks contiguously") {
+    val exactTop = Similarity.bruteForceTopK(annBase, annQueries, 1)
+      .collect().map(r => r.getLong(r.fieldIndex("query_id")) -> r.getDouble(r.fieldIndex("raw_cos"))).toMap
+    val rows = Similarity.lshTopK(annBase, annQueries, 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("raw_cos")) <= exactTop(r.getLong(r.fieldIndex("query_id"))) + 1e-9)
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val ranks = g.map(r => r.getInt(r.fieldIndex("rank"))).sorted
+      assert(ranks.sameElements(1 to ranks.length)) // contiguous from 1
     }
   }
 
@@ -162,15 +174,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF ANN agrees with brute force on most top-1 answers") {
+  test("IVF ANN raw top-1 agrees with brute force on most queries") {
     val exact = q("s01_ann_bruteforce").filter(col("rank") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ivf = q("s03_ann_ivf").filter(col("rank") === 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val model = Similarity.trainQuantizer(annBase)
+    val ivf = Similarity.ivfTopK(annBase, annQueries, model, 1)
+      .collect().map(r => r.getLong(r.fieldIndex("query_id")) -> r.getLong(r.fieldIndex("vec_id"))).toMap
     assert(ivf.size == 8)
     val agree = exact.count { case (qid, vid) => ivf.get(qid).contains(vid) }
     // probing 4/16 cells of random data: expect decent but not perfect recall
     assert(agree >= 4, s"IVF top-1 recall too low: $agree/8")
+  }
+
+  test("s02/s03 planted-clone verdicts are all-green constants") {
+    Seq("s02_ann_lsh" -> "lsh", "s03_ann_ivf" -> "ivf").foreach { case (name, p) =>
+      val rows = q(name).collect()
+      assert(rows.map(_.getLong(0)).toSeq == (0L until 8L), s"$name query ids")
+      rows.foreach { r =>
+        assert(r.getInt(r.fieldIndex(s"${p}_top1_ok")) == 1, s"$name clone not top-1")
+        assert(r.getDouble(r.fieldIndex(s"${p}_top1_cos")) == 1.0, s"$name clone cosine")
+      }
+    }
   }
 
   test("text quality/token features are internally consistent") {

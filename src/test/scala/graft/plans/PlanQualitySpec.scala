@@ -101,8 +101,16 @@ class PlanQualitySpec extends AnyFunSuite {
     IvfCellLayout.build(spark, dir, path)
     val df = IvfCellLayout.topK(spark, path, 3, 4)
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
-    val inMemory = SparkEntry.queries("s03_ann_ivf")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // in-memory equi-join IVF with the SAME deterministic quantizer (the
+    // driver-visible s03 emits a planted-clone verdict, not the raw top-k)
+    val base = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val queries = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val inMemory = graft.operators.Similarity
+      .ivfTopK(base, queries, graft.operators.Similarity.trainQuantizer(base), 3, 4)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("vec_id")),
+        r.getInt(r.fieldIndex("rank")))).toSet
     assert(rows == inMemory, "partitioned probe must return the in-memory IVF answer")
     // the base scan must carry a runtime cell filter — unprobed cell
     // directories are never read
