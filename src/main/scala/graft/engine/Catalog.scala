@@ -251,10 +251,13 @@ class Catalog(val warehouse: String) {
     * publish step of compaction (the reference's memtable→file compaction
     * swap, src/tablet/service.rs:242-294). Caller must hold the table
     * write lock. The previous parts are NOT deleted: a reader that
-    * resolved the old manifest keeps a consistent snapshot; reclaiming
-    * the garbage is [[vacuum]]'s job. */
+    * resolved the old manifest keeps a consistent snapshot; the superseded
+    * parts are recorded in the graveyard with their supersede TIME, and
+    * reclaiming them is [[vacuum]]'s job once they age past its retention
+    * window. */
   def replaceData(db: String, schema: String, table: String, stagingDir: Path): Unit = synchronized {
     val dataDirPath = tablePath(db, schema, table).resolve("data")
+    val prior = liveParts(db, schema, table)
     val names = Seq.newBuilder[String]
     listDir(stagingDir)
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
@@ -263,24 +266,66 @@ class Catalog(val warehouse: String) {
         Files.move(part, dataDirPath.resolve(name), StandardCopyOption.ATOMIC_MOVE)
         names += name
       }
-    writeManifest(db, schema, table, names.result())
+    val fresh = names.result()
+    writeManifest(db, schema, table, fresh)
+    val now = System.currentTimeMillis()
+    writeGraveyard(db, schema, table,
+      readGraveyard(db, schema, table) ++
+        prior.filterNot(fresh.toSet).map(_ -> now))
     deleteRecursively(stagingDir)
   }
 
+  // ---------- graveyard (vacuum retention) ----------
+  // `_dead` records WHEN each part was superseded ("<millis>\t<name>" per
+  // line) — a part's file mtime is its WRITE time (possibly long before
+  // the compaction that killed it), so age-based retention must track the
+  // supersede event itself, exactly like a table format's snapshot-expiry
+  // metadata.
+
+  private def graveyardFile(db: String, schema: String, table: String): Path =
+    tablePath(db, schema, table).resolve("_dead")
+
+  private def readGraveyard(db: String, schema: String, table: String): Seq[(String, Long)] = {
+    val f = graveyardFile(db, schema, table)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readString(f).split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", 2) match {
+        case Array(ts, name) => ts.toLongOption.map(name -> _)
+        case _ => None
+      }
+    }
+  }
+
+  private def writeGraveyard(db: String, schema: String, table: String, entries: Seq[(String, Long)]): Unit = {
+    val f = graveyardFile(db, schema, table)
+    val tmp = f.resolveSibling(s".dead-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, entries.map { case (n, t) => s"$t\t$n" }.mkString("\n"))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Deletes data files no longer referenced by the manifest (parts
-    * superseded by a compaction). Run it once queries planned before the
-    * compaction have drained — the one maintenance step that is not
-    * snapshot-safe, exactly like any table format's expire/vacuum.
-    * Returns the number of files removed. */
-  def vacuum(db: String, schema: String, table: String): Int = synchronized {
+    * superseded by a compaction) — but ONLY those dead for at least
+    * `retentionMs`: a reader that planned against the pre-compaction
+    * manifest keeps its files for the grace window, so compact-then-vacuum
+    * cannot break an in-flight query (the same age-based retention every
+    * table format's expire/vacuum applies). Unreferenced parts with no
+    * graveyard record (crash leftovers from a pre-graveyard failure) are
+    * enrolled now and reclaimed once THEY age out. Returns the number of
+    * files removed. */
+  def vacuum(db: String, schema: String, table: String, retentionMs: Long = 0L): Int = synchronized {
     val dir = tablePath(db, schema, table).resolve("data")
     if (!Files.isDirectory(dir)) return 0
     val live = liveParts(db, schema, table).toSet
-    val dead = listDir(dir).filter { p =>
-      p.getFileName.toString.endsWith(".parquet") && !live(p.getFileName.toString)
-    }
-    dead.foreach(Files.deleteIfExists(_))
-    dead.size
+    val now = System.currentTimeMillis()
+    val recorded = readGraveyard(db, schema, table).toMap
+    val dead = listDir(dir)
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !live(n))
+    val deadAt = dead.map(n => n -> recorded.getOrElse(n, now))
+    val (expired, retained) = deadAt.partition { case (_, t) => now - t >= retentionMs }
+    expired.foreach { case (n, _) => Files.deleteIfExists(dir.resolve(n)) }
+    writeGraveyard(db, schema, table, retained)
+    expired.size
   }
 
   // Per-table write monitors: an INSERT's uniqueness check and its staged

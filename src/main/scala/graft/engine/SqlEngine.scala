@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
 final case class SqlContext(database: String, user: String, port: Int = 0)
 
 object SqlEngine {
-  /** Plain SQL keywords the bare-identifier scan never probes as table
-    * names — not a validator, purely a per-token catalog-stat saver (a
-    * user table named like a keyword would collide with Spark's parser
-    * anyway). */
+  /** Plain SQL keywords the bare-identifier scan's FIRST pass never probes
+    * as table names — not a validator, purely a per-token catalog-stat
+    * saver. PG treats most of these as non-reserved identifiers, so a
+    * resolution miss retries once WITH keyword probing (see
+    * [[SqlEngine.planRelational]]) — a table named `first` stays
+    * queryable. */
   private[engine] val sqlKeywords: Set[String] = Set(
     "select", "from", "where", "and", "or", "not", "as", "on", "join", "inner", "left",
     "right", "full", "outer", "cross", "group", "by", "order", "having", "limit", "offset",
@@ -21,6 +23,10 @@ object SqlEngine {
     "nulls", "first", "last", "cast", "over", "partition", "rows", "range", "unbounded",
     "preceding", "following", "current", "row", "values", "insert", "into", "explain",
     "escape", "interval", "using", "semi", "anti")
+
+  /** Default [[SqlEngine.vacuumTable]] grace window: parts superseded more
+    * recently than this stay on disk for in-flight readers. */
+  val defaultVacuumRetentionMs: Long = 10L * 60 * 1000
 }
 
 /** The PG-semantics statement engine: `execute(sql)` returns a DataFrame.
@@ -105,20 +111,43 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     * functions, and hands the text to Spark SQL. Driver-side work is
     * O(statement), not O(catalog): a 1000-table catalog costs a query
     * exactly what its own tables cost. */
-  private def query(sql: String): DataFrame = {
-    val (rewritten, refs, infoSchema) = resolveTables(sql)
-    refs.foreach(r => readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view))
-    if (infoSchema) registerInformationSchema()
-    try spark.sql(rewriteSessionFunctions(rewritten))
+  private def query(sql: String): DataFrame =
+    planRelational(sql, rewriteSessionFunctions)
+
+  private def isResolutionFailure(e: org.apache.spark.sql.AnalysisException): Boolean =
+    e.getCondition != null && Seq("TABLE_OR_VIEW_NOT_FOUND", "CATALOG_NOT_FOUND",
+      "SCHEMA_NOT_FOUND", "REQUIRES_SINGLE_PART_NAMESPACE").exists(e.getCondition.startsWith)
+
+  /** The ONE resolve-register-run path for relational text (queries and
+    * INSERT sources): resolve referenced tables, register their snapshot
+    * views, hand the rewritten text to Spark SQL.
+    *
+    * The first pass never probes keyword tokens as table names (a
+    * per-token catalog-stat saver); PG's sqlparser accepts NON-RESERVED
+    * keywords as identifiers (/root/reference/src/sql/postgresql/mod.rs:119-121
+    * delegates to PostgreSqlDialect), so `CREATE TABLE first ...` is legal
+    * and `SELECT * FROM first` must resolve. On a resolution miss we retry
+    * ONCE probing keyword tokens too — the retry costs only the error
+    * path, never the hot path. Spark's resolution failures map to the
+    * reference's error shape: a qualified name whose database/schema
+    * doesn't exist in OUR catalog passes through unrewritten and surfaces
+    * as Spark's catalog/namespace error — same user-visible condition as a
+    * missing table. */
+  private def planRelational(sql: String, rewrite: String => String): DataFrame = {
+    def attempt(probeKeywords: Boolean): DataFrame = {
+      val (rewritten, refs, infoSchema) = resolveTables(sql, probeKeywords)
+      refs.foreach(r => readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view))
+      if (infoSchema) registerInformationSchema()
+      spark.sql(rewrite(rewritten))
+    }
+    try attempt(probeKeywords = false)
     catch {
-      // map Spark's resolution failures to the reference's error shape; a
-      // qualified name whose database/schema doesn't exist in OUR catalog
-      // passes through unrewritten and surfaces as Spark's catalog/
-      // namespace error — same user-visible condition as a missing table
-      case e: org.apache.spark.sql.AnalysisException
-        if e.getCondition != null && Seq("TABLE_OR_VIEW_NOT_FOUND", "CATALOG_NOT_FOUND",
-          "SCHEMA_NOT_FOUND", "REQUIRES_SINGLE_PART_NAMESPACE").exists(e.getCondition.startsWith) =>
-        throw SqlError(SqlError.TableNotExists, e.getMessage)
+      case e: org.apache.spark.sql.AnalysisException if isResolutionFailure(e) =>
+        try attempt(probeKeywords = true)
+        catch {
+          case e2: org.apache.spark.sql.AnalysisException if isResolutionFailure(e2) =>
+            throw SqlError(SqlError.TableNotExists, e2.getMessage)
+        }
     }
   }
 
@@ -182,7 +211,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     * registration (last sorted schema wins, matching the previous
     * register-all ordering). Returns (rewritten SQL, referenced tables,
     * information_schema referenced?). */
-  private[engine] def resolveTables(sql: String): (String, Seq[TableRef], Boolean) = {
+  private[engine] def resolveTables(
+      sql: String, probeKeywords: Boolean = false): (String, Seq[TableRef], Boolean) = {
     val spans = SqlParser.tokenizeWithSpans(sql)
     def word(i: Int): Option[String] = spans.lift(i).map(_.tok).collect { case Word(w) => w }
     def dot(i: Int): Boolean = spans.lift(i).map(_.tok).contains(Sym("."))
@@ -240,7 +270,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           // a qualified position (x.a — skipped via prevIsDot), is a
           // function call, or is a plain SQL keyword
           val nextParen = spans.lift(i + 1).exists(_.tok == Sym("("))
-          if (!prevIsDot && !nextParen && !SqlEngine.sqlKeywords(a))
+          if (!prevIsDot && !nextParen && (probeKeywords || !SqlEngine.sqlKeywords(a)))
             hostOf(a).foreach(schema => addRef(ctx.database, schema, a, a))
           i += 1
         case _ => i += 1
@@ -282,11 +312,16 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       }
     }
 
-  /** Reclaims parts superseded by compaction — safe once queries planned
-    * before the compaction have drained. */
-  def vacuumTable(db: String, schema: String, table: String): Int =
+  /** Reclaims parts superseded by compaction once they have been dead for
+    * `retentionMs`. The default grace window keeps a part on disk long
+    * enough for queries planned against the pre-compaction manifest to
+    * drain — compact-then-vacuum in quick succession cannot break an
+    * in-flight reader. Pass 0 to force immediate reclamation (tests,
+    * decommissioning). */
+  def vacuumTable(db: String, schema: String, table: String,
+      retentionMs: Long = SqlEngine.defaultVacuumRetentionMs): Int =
     catalog.withTableWriteLock(db, schema, table) {
-      catalog.vacuum(db, schema, table)
+      catalog.vacuum(db, schema, table, retentionMs)
     }
 
   // ---------- session functions (reference A7) ----------
@@ -375,15 +410,11 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     val (db, schema, table) = resolve(ins.table)
     val desc = catalog.getTable(db, schema, table)
 
-    // source: VALUES/SELECT planned by Spark SQL. A SELECT may reference
-    // other tables — resolve and register JUST those (same referenced-
-    // tables path as queries, so non-public schemas, cross-database, and
-    // information_schema sources work here too; a VALUES source registers
-    // nothing).
-    val (restRewritten, refs, infoSchema) = resolveTables(ins.restSql)
-    refs.foreach(r => readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view))
-    if (infoSchema) registerInformationSchema()
-    val source = spark.sql(restRewritten)
+    // source: VALUES/SELECT planned by Spark SQL through the SAME
+    // resolve-register-run path as queries — non-public schemas,
+    // cross-database, information_schema, and keyword-named sources all
+    // behave identically here (a VALUES source registers nothing).
+    val source = planRelational(ins.restSql, identity)
 
     val provided: Seq[String] = ins.columns.getOrElse(desc.columns.map(_.name))
     if (provided.distinct.length != provided.length)

@@ -438,9 +438,17 @@ class SqlEngineSpec extends AnyFunSuite {
     // old parts are retained, so the pre-compaction snapshot still reads
     assert(planned.collect()(0).getLong(0) == 36L,
       "a plan resolved before compaction must keep a consistent snapshot")
-    // vacuum reclaims the superseded parts; fresh reads are unaffected
-    assert(e.vacuumTable("test1", "public", "t") >= 8)
-    assert(e.vacuumTable("test1", "public", "t") == 0)
+    // vacuum under the retention grace window reclaims NOTHING — a reader
+    // planned just before the compaction keeps collecting
+    val grace = e.execute("SELECT sum(v) AS s FROM t")
+    assert(e.vacuumTable("test1", "public", "t") == 0,
+      "default retention must skip freshly-superseded parts")
+    assert(planned.collect()(0).getLong(0) == 36L,
+      "compact-then-vacuum must not break a pre-compaction reader inside the grace window")
+    assert(grace.collect()(0).getLong(0) == 36L)
+    // retention 0 forces immediate reclamation; fresh reads are unaffected
+    assert(e.vacuumTable("test1", "public", "t", retentionMs = 0L) >= 8)
+    assert(e.vacuumTable("test1", "public", "t", retentionMs = 0L) == 0)
     assert(e.execute("SELECT sum(v) AS s FROM t").collect()(0).getLong(0) == 36L)
   }
 
@@ -481,5 +489,27 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.execute("SHOW DATABASES").collect().map(_.getString(0)).toSeq == Seq("test1"))
     val d = e.execute("DESCRIBE dst").collect()
     assert(d.map(_.getString(0)).toSeq == Seq("id", "k", "v"))
+  }
+
+  test("keyword-named tables stay queryable (PG non-reserved keywords as identifiers)") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    // `first` is a keyword for the resolver's fast path but a non-reserved
+    // identifier in PG (the reference's sqlparser-rs accepts it as a table
+    // name) — creatable tables must stay queryable
+    e.execute("CREATE TABLE first (id int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO first VALUES (1, 'a'), (2, 'b')")
+    assert(e.execute("SELECT id, v FROM first ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
+    // the same token still parses as the FIRST() aggregate in the same statement
+    val agg = e.execute("SELECT first(v) AS f FROM (SELECT v FROM first ORDER BY id) s").collect()(0)
+    assert(agg.getString(0) == "a")
+    // keyword-named table as an INSERT source rides the same resolution path
+    e.execute("CREATE TABLE dst2 (id int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO dst2 SELECT id, v FROM first")
+    assert(e.execute("SELECT count(*) AS n FROM dst2").collect()(0).getLong(0) == 2L)
+    // a genuinely missing table still raises the reference's error shape
+    val err = intercept[SqlError](e.execute("SELECT * FROM missing_tbl"))
+    assert(err.kind == SqlError.TableNotExists)
   }
 }
