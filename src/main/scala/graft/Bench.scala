@@ -1,5 +1,7 @@
 package graft
 
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
@@ -12,6 +14,22 @@ import org.apache.spark.sql.SparkSession
   * numbers measure the plan, not the JVM.
   */
 object Bench {
+
+  /** JSON-safe seconds: Locale.ROOT always yields a '.' decimal point — a
+    * ','-decimal JVM locale (de, fr, ...) would emit invalid JSON and
+    * zero out the round's bench signal. */
+  private[graft] def fmtSeconds(v: Double): String =
+    if (v < 0) "-1" else "%.3f".formatLocal(Locale.ROOT, v)
+
+  /** Display key per query: the unique prefix before the first '_' (q01,
+    * d02, ...), falling back to the FULL name whenever two queries share a
+    * prefix — a silent collision would drop a timing from the board. */
+  private[graft] def shortKeys(names: Seq[String]): Map[String, String] = {
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val collisions = names.groupBy(short).collect { case (p, ns) if ns.size > 1 => p }.toSet
+    names.map(k => k -> (if (collisions(short(k))) k else short(k))).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,14 +54,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // min over iterations: single-run numbers on a shared box carry
-    // 40%+ interference noise; the min is the plan's actual cost
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    def run(name: String): Double = {
-      val times = (1 to iters).map(_ => runOnce(name))
-      if (times.contains(-1.0)) -1.0 else times.min
-    }
-
     // warmup: touch every table + exercise codegen/shuffle machinery once
     try {
       Tables.registerAll(spark, sfDir)
@@ -52,17 +62,34 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => }
 
+    // min over iterations, INTERLEAVED across the whole query list
+    // (round 1 of all queries, then round 2, ...): back-to-back repeats
+    // let one host-interference window poison a contiguous block of the
+    // board, which min-of-N-adjacent demonstrably fails to suppress
+    // (r05 q32–q36, r06 q19–q24). Spreading a query's N samples minutes
+    // apart makes the per-query min robust to any noise window shorter
+    // than a full round.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> run(n))
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to iters; name <- names) {
+      val t = runOnce(name)
+      val prev = best.get(name)
+      best(name) =
+        if (t < 0 || prev.contains(-1.0)) -1.0
+        else math.min(t, prev.getOrElse(Double.MaxValue))
+    }
+    val results = names.map(n => n -> best(n))
+
     // The harness keeps only the tail of this process's output, so the JSON
-    // line must stay well under 2000 chars: short keys (the unique prefix
-    // before the first '_': q01, d02, s04, ...) and 3-decimal seconds.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // line must stay well under 2000 chars: short keys and 3-decimal
+    // seconds.
+    val key = shortKeys(names)
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + key(k) + "\":" + fmtSeconds(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmtSeconds(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -125,8 +125,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     case other => throw SqlError.unsupported(s"data type ${other.simpleString}")
   }
 
+  // Unsupported mutations throw the JDK type the TableCatalog /
+  // SupportsNamespaces contract specifies — Spark code paths catch
+  // UnsupportedOperationException and translate it to the proper SQL error
+  // condition; a raw engine SqlError would leak through them (same reason
+  // listTables translates to NoSuchNamespaceException above).
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw SqlError.unsupported("ALTER TABLE")
+    throw new UnsupportedOperationException(
+      s"$catalogName catalog does not support ALTER TABLE")
 
   override def dropTable(ident: Identifier): Boolean = {
     val (db, schema, table) = resolve(ident)
@@ -136,7 +142,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw SqlError.unsupported("RENAME TABLE")
+    throw new UnsupportedOperationException(
+      s"$catalogName catalog does not support RENAME TABLE")
 
   // ---------- namespaces ----------
 
@@ -173,7 +180,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
-    throw SqlError.unsupported("ALTER NAMESPACE")
+    throw new UnsupportedOperationException(
+      s"$catalogName catalog does not support ALTER NAMESPACE")
 
   /** No DROP DATABASE in the reference — parity. */
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =

@@ -17,6 +17,14 @@ import scala.jdk.CollectionConverters._
   * faithful to the reference's per-statement transactional writes at the
   * observable level (its own tests are single-node, single-client).
   */
+object Catalog {
+  /** Default [[Catalog.vacuum]] grace window: parts superseded more
+    * recently than this stay on disk for in-flight readers. Lives HERE so
+    * a direct caller of the catalog API gets the snapshot-safe behavior by
+    * default — immediate reclamation (0) must be an explicit opt-in. */
+  val defaultVacuumRetentionMs: Long = 10L * 60 * 1000
+}
+
 class Catalog(val warehouse: String) {
   private val root: Path = Paths.get(warehouse)
   Files.createDirectories(root)
@@ -312,7 +320,8 @@ class Catalog(val warehouse: String) {
     * graveyard record (crash leftovers from a pre-graveyard failure) are
     * enrolled now and reclaimed once THEY age out. Returns the number of
     * files removed. */
-  def vacuum(db: String, schema: String, table: String, retentionMs: Long = 0L): Int = synchronized {
+  def vacuum(db: String, schema: String, table: String,
+      retentionMs: Long = Catalog.defaultVacuumRetentionMs): Int = synchronized {
     val dir = tablePath(db, schema, table).resolve("data")
     if (!Files.isDirectory(dir)) return 0
     val live = liveParts(db, schema, table).toSet

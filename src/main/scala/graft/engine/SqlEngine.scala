@@ -24,9 +24,9 @@ object SqlEngine {
     "preceding", "following", "current", "row", "values", "insert", "into", "explain",
     "escape", "interval", "using", "semi", "anti")
 
-  /** Default [[SqlEngine.vacuumTable]] grace window: parts superseded more
-    * recently than this stay on disk for in-flight readers. */
-  val defaultVacuumRetentionMs: Long = 10L * 60 * 1000
+  /** Default [[SqlEngine.vacuumTable]] grace window — the catalog's
+    * snapshot-safe default ([[Catalog.defaultVacuumRetentionMs]]). */
+  val defaultVacuumRetentionMs: Long = Catalog.defaultVacuumRetentionMs
 }
 
 /** The PG-semantics statement engine: `execute(sql)` returns a DataFrame.
@@ -134,16 +134,47 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     * as Spark's catalog/namespace error — same user-visible condition as a
     * missing table. */
   private def planRelational(sql: String, rewrite: String => String): DataFrame = {
-    def attempt(probeKeywords: Boolean): DataFrame = {
+    def register(probeKeywords: Boolean): (String, Seq[TableRef]) = {
       val (rewritten, refs, infoSchema) = resolveTables(sql, probeKeywords)
       refs.foreach(r => readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view))
       if (infoSchema) registerInformationSchema()
-      spark.sql(rewrite(rewritten))
+      (rewritten, refs)
     }
-    try attempt(probeKeywords = false)
-    catch {
+    // keyword-named temp views must NOT outlive the statement: a LATER
+    // statement's first pass (which never probes keywords) would resolve
+    // Spark-side against the lingering view — whose file list was pinned at
+    // registration — without ever reaching our resolver. That serves stale
+    // rows after an INSERT and dangling paths after compact+vacuum.
+    // Dropping them forces every statement referencing a keyword-named
+    // table back through a fresh registration (via the retry, or via the
+    // dotted-chain path that resolves `public.first` on the first pass).
+    // Non-keyword views are refreshed per statement by
+    // createOrReplaceTempView, so persisting is harmless for them.
+    // spark.sql analyzes eagerly — the returned DataFrame's plan already
+    // holds the resolved file scan, so dropping the view right after is
+    // safe even if the caller executes later.
+    def run(rewritten: String, refs: Seq[TableRef]): DataFrame =
+      try spark.sql(rewrite(rewritten))
+      finally refs.filter(r => SqlEngine.sqlKeywords(r.view))
+        .foreach(r => spark.catalog.dropTempView(r.view))
+    try {
+      val (rewritten, refs) = register(probeKeywords = false)
+      run(rewritten, refs)
+    } catch {
       case e: org.apache.spark.sql.AnalysisException if isResolutionFailure(e) =>
-        try attempt(probeKeywords = true)
+        // retry ONCE probing keyword tokens as table names. Registration is
+        // a separate step so a registration failure (e.g. a name Spark's
+        // view parser rejects) maps back to the ORIGINAL resolution miss in
+        // the reference's error shape, while a genuine analysis error in
+        // the query itself (column typo, GROUP BY mismatch) propagates raw
+        // — exactly as it does for non-keyword tables.
+        val (rewritten, refs) =
+          try register(probeKeywords = true)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              throw SqlError(SqlError.TableNotExists, e.getMessage)
+          }
+        try run(rewritten, refs)
         catch {
           case e2: org.apache.spark.sql.AnalysisException if isResolutionFailure(e2) =>
             throw SqlError(SqlError.TableNotExists, e2.getMessage)

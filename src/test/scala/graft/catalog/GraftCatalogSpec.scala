@@ -94,6 +94,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft.db3").collect().isEmpty)
   }
 
+  test("unsupported mutations throw the DSv2 contract types, not engine errors") {
+    engine
+    // through spark.sql: Spark's ALTER TABLE path must see the contract's
+    // UnsupportedOperationException (it surfaces it directly), never an
+    // engine SqlError
+    val alter = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db1.t1 SET TBLPROPERTIES('x'='y')"))
+    assert(rootCause(alter).isInstanceOf[UnsupportedOperationException],
+      s"ALTER TABLE: expected UnsupportedOperationException, got ${rootCause(alter).getClass}")
+    val rename = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db1.t1 RENAME TO graft.db1.t1_renamed"))
+    assert(rootCause(rename).isInstanceOf[UnsupportedOperationException],
+      s"RENAME: expected UnsupportedOperationException, got ${rootCause(rename).getClass}")
+    val alterNs = intercept[Exception](
+      spark.sql("ALTER NAMESPACE graft.db1 SET PROPERTIES('x'='y')"))
+    assert(rootCause(alterNs).isInstanceOf[UnsupportedOperationException],
+      s"ALTER NAMESPACE: expected UnsupportedOperationException, got ${rootCause(alterNs).getClass}")
+    // the table is untouched
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db1.t1").collect()(0).getLong(0) == 3L)
+  }
+
+  private def rootCause(e: Throwable): Throwable = {
+    var c = e
+    while (c.getCause != null && c.getCause != c &&
+      !c.isInstanceOf[UnsupportedOperationException]) c = c.getCause
+    c
+  }
+
   test("empty tables scan as zero rows with the descriptor schema") {
     engine
     spark.sql("CREATE TABLE graft.db2.empty_t (a BIGINT, s STRING) TBLPROPERTIES('primary_key'='a')")

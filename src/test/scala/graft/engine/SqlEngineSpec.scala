@@ -1,6 +1,7 @@
 package graft.engine
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -511,5 +512,157 @@ class SqlEngineSpec extends AnyFunSuite {
     // a genuinely missing table still raises the reference's error shape
     val err = intercept[SqlError](e.execute("SELECT * FROM missing_tbl"))
     assert(err.kind == SqlError.TableNotExists)
+  }
+
+  test("keyword-named tables never serve a stale snapshot (write/compact/vacuum then read)") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE first (id int PRIMARY KEY, v text)")
+    e.execute("INSERT INTO first VALUES (1, 'a')")
+    // SELECT registers the keyword view via the retry; it must not pin the
+    // pre-insert file list for later statements
+    assert(e.execute("SELECT count(*) AS n FROM first").collect()(0).getLong(0) == 1L)
+    e.execute("INSERT INTO first VALUES (2, 'b')")
+    assert(e.execute("SELECT count(*) AS n FROM first").collect()(0).getLong(0) == 2L)
+    // dotted-chain resolution registers the same view on the FIRST pass —
+    // the bare-name read after it must still see later inserts
+    assert(e.execute("SELECT count(*) AS n FROM public.first").collect()(0).getLong(0) == 2L)
+    e.execute("INSERT INTO first VALUES (3, 'c')")
+    assert(e.execute("SELECT count(*) AS n FROM first").collect()(0).getLong(0) == 3L)
+    // compact + immediate vacuum deletes the superseded parts; a lingering
+    // view pinned to them would throw file-not-found at execution
+    e.compactTable("test1", "public", "first")
+    e.vacuumTable("test1", "public", "first", retentionMs = 0L)
+    assert(e.execute("SELECT sum(id) AS s FROM first").collect()(0).getLong(0) == 6L)
+    e.execute("INSERT INTO first VALUES (4, 'd')")
+    assert(e.execute("SELECT sum(id) AS s FROM first").collect()(0).getLong(0) == 10L)
+    // no keyword view survives the statements above
+    assert(!spark.catalog.tableExists("first"))
+    // genuine analysis errors against a keyword table propagate raw, not as
+    // a misleading TableNotExists
+    intercept[org.apache.spark.sql.AnalysisException] {
+      e.execute("SELECT no_such_col FROM first")
+    }
+  }
+
+  test("catalog resolution is O(statement), not O(catalog): 300 tables, 2 descriptor reads") {
+    val wh = Files.createTempDirectory("graft-wh-").toString
+    val reads = scala.collection.mutable.Map.empty[String, Int]
+    val counting = new Catalog(wh) {
+      override def getTable(db: String, schema: String, table: String): TableDescriptor = {
+        reads.synchronized { reads(table) = reads.getOrElse(table, 0) + 1 }
+        super.getTable(db, schema, table)
+      }
+    }
+    val e = new SqlEngine(spark, counting, SqlContext("test1", "u"))
+    e.execute("CREATE DATABASE test1")
+    (0 until 300).foreach(i => e.execute(f"CREATE TABLE wide_$i%03d (id int PRIMARY KEY, v int)"))
+    e.execute("INSERT INTO wide_001 VALUES (1, 10), (2, 20)")
+    e.execute("INSERT INTO wide_002 VALUES (1, 100)")
+    reads.synchronized(reads.clear())
+    val r = e.execute(
+      "SELECT a.id AS id, a.v + b.v AS s FROM wide_001 a JOIN wide_002 b ON a.id = b.id").collect()
+    assert(r.length == 1 && r(0).getInt(0) == 1 && r(0).getInt(1) == 110)
+    val snapshot = reads.synchronized(reads.toMap)
+    // the 298 unreferenced descriptors are never opened (guards the
+    // round-4 O(statement) win and round-6's unified planRelational)
+    assert(snapshot.keySet == Set("wide_001", "wide_002"),
+      s"descriptor reads touched unreferenced tables: $snapshot")
+    assert(snapshot.values.sum <= 4, s"descriptor read amplification: $snapshot")
+  }
+
+  test("keyword sweep: every resolver keyword round-trips as a table name or fails cleanly") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    val outcomes = scala.collection.mutable.Map.empty[String, String]
+    for (kw <- SqlEngine.sqlKeywords.toSeq.sorted) {
+      outcomes(kw) =
+        try {
+          e.execute(s"CREATE TABLE $kw (id int PRIMARY KEY, v int)")
+          try {
+            e.execute(s"INSERT INTO $kw VALUES (1, 10), (2, 20)")
+            assert(e.execute(s"SELECT sum(v) AS s FROM $kw").collect()(0).getLong(0) == 30L,
+              s"wrong data through keyword table `$kw`")
+            // freshness: the retry-registered view must not pin a snapshot
+            e.execute(s"INSERT INTO $kw VALUES (3, 70)")
+            assert(e.execute(s"SELECT sum(v) AS s FROM $kw").collect()(0).getLong(0) == 100L,
+              s"stale read through keyword table `$kw`")
+            "roundtrip"
+          } catch {
+            // creatable but not queryable through Spark: acceptable ONLY as
+            // the reference's clean error shape or a parse error (PG also
+            // rejects RESERVED words in table position at parse time)
+            case err: SqlError => s"sql-error:${err.kind}"
+            case _: org.apache.spark.sql.catalyst.parser.ParseException => "spark-parse"
+          }
+          // our own DDL parser rejected the name — clean engine error,
+          // matching sqlparser-rs rejecting reserved words at CREATE
+        } catch {
+          case err: SqlError => s"create-rejected:${err.kind}"
+          case _: org.apache.spark.sql.catalyst.parser.ParseException => "create-spark-parse"
+        }
+    }
+    info(s"keyword sweep outcomes: ${outcomes.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap}")
+    // no keyword may leak an unclassified error (raw AnalysisException,
+    // internal Spark errors, wrong results, stale reads all fail above)
+    val bad = outcomes.collect { case (k, o) if !o.startsWith("roundtrip") &&
+      !o.startsWith("sql-error") && !o.startsWith("create-rejected") &&
+      !o.startsWith("spark-parse") && !o.startsWith("create-spark-parse") => k -> o }
+    assert(bad.isEmpty, s"unclean keyword outcomes: $bad")
+    // the non-reserved bulk must actually round-trip — a regression that
+    // turns queryable names into errors must fail loudly
+    val roundtrips = outcomes.count(_._2 == "roundtrip")
+    assert(outcomes("first") == "roundtrip", s"`first` regressed: ${outcomes("first")}")
+    assert(roundtrips >= SqlEngine.sqlKeywords.size / 2,
+      s"only $roundtrips/${SqlEngine.sqlKeywords.size} keywords round-trip: $outcomes")
+  }
+
+  test("concurrent compact+vacuum cycles lose no graveyard entries and never delete live parts") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id serial PRIMARY KEY, v int)")
+    (1 to 6).foreach(i => e.execute(s"INSERT INTO t (v) VALUES ($i)"))
+    // one thread inserts+compacts (each compact supersedes parts), one
+    // vacuums with the DEFAULT retention (fresh graveyard entries must
+    // never be reclaimed), readers run throughout
+    val compactor = Future((1 to 8).foreach { i =>
+      e.execute(s"INSERT INTO t (v) VALUES (${100 + i})")
+      e.compactTable("test1", "public", "t")
+    })
+    val vacuums = Future((1 to 16).foreach { _ =>
+      e.vacuumTable("test1", "public", "t"); Thread.sleep(5)
+    })
+    val readers = Future((1 to 16).foreach { _ =>
+      assert(e.execute("SELECT count(*) AS n FROM t").collect()(0).getLong(0) >= 6L)
+      Thread.sleep(5)
+    })
+    Await.result(compactor, 120.seconds)
+    Await.result(vacuums, 120.seconds)
+    Await.result(readers, 120.seconds)
+    // a final vacuum enrolls any crash leftovers; default retention still
+    // reclaims nothing this fresh
+    assert(e.vacuumTable("test1", "public", "t") == 0,
+      "default retention reclaimed a freshly-superseded part")
+    val r = e.execute("SELECT count(*) AS n, sum(v) AS s FROM t").collect()(0)
+    assert(r.getLong(0) == 14L && r.getLong(1) == (21L + (101 to 108).sum),
+      s"data loss under concurrent compact+vacuum: $r")
+    // disk audit: every live part exists; every superseded .parquet is
+    // still on disk AND recorded in the graveyard (no lost entries)
+    val tableDir = java.nio.file.Paths.get(e.catalog.warehouse, "test1", "public", "t")
+    val live = e.catalog.liveParts("test1", "public", "t").toSet
+    live.foreach(p => assert(Files.exists(tableDir.resolve("data").resolve(p)),
+      s"live part $p missing from disk"))
+    val onDisk = {
+      val s = Files.list(tableDir.resolve("data"))
+      try s.iterator().asScala.map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    val deadRecorded = Files.readString(tableDir.resolve("_dead")).split("\n")
+      .filter(_.nonEmpty).map(_.split("\t", 2)(1)).toSet
+    assert(onDisk -- live == deadRecorded,
+      s"graveyard lost entries: on-disk dead ${(onDisk -- live).size}, recorded ${deadRecorded.size}")
   }
 }
