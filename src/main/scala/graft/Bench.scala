@@ -40,7 +40,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: repeated per-query UDF registration emits a WARN
+    // per function ("replaced a previously registered function") that
+    // floods the harness's bounded output tail around the one JSON line
+    // that matters.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
