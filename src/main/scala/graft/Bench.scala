@@ -74,7 +74,12 @@ object Bench {
     // apart makes the per-query min robust to any noise window shorter
     // than a full round.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // optional comma-separated name/prefix filter for local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q27,d02); unset = the full board
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to iters; name <- names) {
       val t = runOnce(name)

@@ -497,11 +497,17 @@ object Relational {
           .agg(count(lit(1)).as("exact_parts"))
         val es = li.select(col("l_suppkey")).distinct()
           .agg(count(lit(1)).as("exact_supps"))
+        // exact median by distributed selection, NOT the `percentile`
+        // aggregate: ungrouped exact percentile buffers the whole column
+        // in one task — the one shape guaranteed to OOM at 100 TB. This
+        // also leaves the remaining aggregate fully partial-aggregable.
+        val exactMedian =
+          ExactQuantile.quantiles(li, "l_extendedprice", Seq(0.5)).head
         val sk = li.agg(
-          expr("percentile(l_extendedprice, 0.5)").as("em"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_suppkey")).as("approx_supps"),
           expr("percentile_approx(l_extendedprice, 0.5)").as("approx_median"))
+          .withColumn("em", lit(exactMedian))
         sk.crossJoin(ep).crossJoin(es)
           .select(
             col("exact_parts"), col("exact_supps"),
