@@ -102,4 +102,124 @@ object ExactQuantile {
       if (lo == hi) vLo else vLo + (found(hi) - vLo) * (p - lo)
     }
   }
+
+  /** Per-group exact interpolated quantiles for LOW-cardinality group
+    * keys — the dangerous case for the `percentile` aggregate, where a
+    * handful of groups each buffer |table|/|groups| values in one task.
+    * Same selection scheme as [[quantiles]], range-partitioned on
+    * (key, value) so a single group's values still spread over many
+    * partitions; driver metadata is O(partitions × groups) counts, which
+    * is exactly the regime (few groups) this path exists for. Groups with
+    * high cardinality have small per-group buffers and should use the
+    * plain aggregate instead.
+    *
+    * The key is compared as a string (cast on input); null keys form
+    * their own group, as SQL GROUP BY does. Returns (key, quantiles)
+    * pairs in no particular order. */
+  def groupedQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      qs: Seq[Double]): Seq[(String, Seq[Double])] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile probabilities must be in [0,1], got $qs")
+    val sorted = df
+      .select(col(keyCol).cast("string").as("k"), col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+      .repartitionByRange(col("k"), col("v"))
+      .sortWithinPartitions("k", "v")
+      .localCheckpoint()
+    val rdd = sorted.queryExecution.toRdd
+
+    // pass 1: one (key, count) per contiguous key run per partition
+    def keyOf(row: org.apache.spark.sql.catalyst.InternalRow): String =
+      if (row.isNullAt(0)) null else row.getUTF8String(0).toString
+    val runs: Array[(Int, String, Long)] = rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        val out = Array.newBuilder[(Int, String, Long)]
+        var cur: String = null
+        var started = false
+        var c = 0L
+        while (it.hasNext) {
+          val k = keyOf(it.next())
+          if (!started || k != cur) {
+            if (started) out += ((pi, cur, c))
+            cur = k; c = 0L; started = true
+          }
+          c += 1L
+        }
+        if (started) out += ((pi, cur, c))
+        out.result().iterator
+      }
+      .collect()
+
+    // per key: partition-ordered counts -> prefix offsets -> the
+    // (partition, index-within-key-run) address of each wanted ordinal
+    val byKey = runs.groupBy(_._2)
+    // per partition, per key: (index within this partition's key run,
+    // global ordinal) picks — the global ordinal rides along so results
+    // address back uniquely even when a key's run spans partitions
+    val picks = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.Map[String, Array[(Long, Long)]]]
+    val interp = byKey.map { case (key, rs) =>
+      val ordered = rs.sortBy(_._1) // (pi, key, cnt) in partition order
+      val n = ordered.map(_._3).sum
+      val positions = qs.map(q => q * (n - 1).toDouble)
+      val wanted = positions
+        .flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong))
+        .distinct.sorted
+      val offsets = ordered.map(_._3).scanLeft(0L)(_ + _)
+      wanted.foreach { ord =>
+        val ri = offsets.lastIndexWhere(_ <= ord, offsets.length - 2)
+        val pi = ordered(ri)._1
+        val perKey = picks.getOrElseUpdate(pi, scala.collection.mutable.Map.empty)
+        perKey(key) =
+          perKey.getOrElse(key, Array.empty[(Long, Long)]) :+ ((ord - offsets(ri), ord))
+      }
+      key -> positions
+    }
+    val targets: Map[Int, Map[String, Array[(Long, Long)]]] =
+      picks.map { case (pi, m) => pi -> m.map { case (k, a) => k -> a.sortBy(_._1) }.toMap }.toMap
+
+    // pass 2: selection — per-key run counters, early exit per partition
+    val found: Map[(String, Long), Double] = rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        targets.get(pi) match {
+          case None => Iterator.empty
+          case Some(perKey) =>
+            val out = Array.newBuilder[((String, Long), Double)]
+            var remaining = perKey.values.map(_.length).sum
+            var cur: String = null
+            var started = false
+            var idx = 0L
+            var queue: Array[(Long, Long)] = Array.empty
+            var qi = 0
+            while (it.hasNext && remaining > 0) {
+              val row = it.next()
+              val k = keyOf(row)
+              if (!started || k != cur) {
+                cur = k; idx = 0L; started = true
+                queue = perKey.getOrElse(k, Array.empty); qi = 0
+              }
+              if (qi < queue.length && idx == queue(qi)._1) {
+                out += (((k, queue(qi)._2), row.getDouble(1)))
+                qi += 1; remaining -= 1
+              }
+              idx += 1L
+            }
+            out.result().iterator
+        }
+      }
+      .collect()
+      .toMap
+
+    interp.map { case (key, positions) =>
+      key -> positions.map { p =>
+        val lo = math.floor(p).toLong
+        val hi = math.ceil(p).toLong
+        val vLo = found((key, lo))
+        if (lo == hi) vLo else vLo + (found((key, hi)) - vLo) * (p - lo)
+      }
+    }.toSeq
+  }
 }

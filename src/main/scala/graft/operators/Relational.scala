@@ -454,15 +454,22 @@ object Relational {
           "round(quantile_cont(o_totalprice, 0.9),4) AS p90 " +
           "FROM orders JOIN customer ON o_custkey = c_custkey " +
           "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
-      (s, dir) =>
-        t(s, dir, "orders")
+      (s, dir) => {
+        // 5 segment groups over ALL of orders: the percentile aggregate
+        // would buffer |orders|/5 values per task — the grouped flavor of
+        // the single-task OOM shape. Distributed per-group selection
+        // instead; only (segment, 2 quantiles) × 5 reach the driver.
+        val joined = t(s, dir, "orders")
           .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_mktsegment"))
-          // array form: both quantiles share ONE sort buffer per group
-          .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("ps"))
+        val ps = ExactQuantile.groupedQuantiles(
+          joined, "c_mktsegment", "o_totalprice", Seq(0.5, 0.9))
+        import s.implicits._
+        ps.map { case (k, v) => (k, v(0), v(1)) }
+          .toDF("c_mktsegment", "p50raw", "p90raw")
           .select(col("c_mktsegment"),
-            round(col("ps")(0), 4).as("p50"), round(col("ps")(1), 4).as("p90"))
-          .orderBy(col("c_mktsegment"))),
+            round(col("p50raw"), 4).as("p50"), round(col("p90raw"), 4).as("p90"))
+          .orderBy(col("c_mktsegment"))
+      }),
 
     // --- approximate sketches, verified against exact: the raw HLL/KLL
     //     values differ per engine, so the hash-compared output is the

@@ -60,6 +60,38 @@ class ExactQuantileSpec extends AnyFunSuite {
     assert(ExactQuantile.quantiles(empty, "v", Seq(0.5)).head.isNaN)
   }
 
+  test("grouped variant matches the per-group percentile aggregate, incl. cross-partition key runs") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .join(Tables.load(spark, "/root/testdata/sf0.001", "customer"),
+        col("o_custkey") === col("c_custkey"))
+    val got = ExactQuantile
+      .groupedQuantiles(orders, "c_mktsegment", "o_totalprice", Seq(0.5, 0.9))
+      .toMap
+    val want = orders.groupBy("c_mktsegment")
+      .agg(expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1))
+      .toMap
+    assert(got.keySet == want.keySet && want.size == 5)
+    for (k <- want.keys; i <- 0 to 1)
+      assert(math.abs(got(k)(i) - want(k)(i)) <= math.abs(want(k)(i)) * 1e-12,
+        s"$k q$i: got ${got(k)(i)}, want ${want(k)(i)}")
+  }
+
+  test("grouped variant handles null keys and single-row groups") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 4.0),
+      (Some("b"), 10.0),
+      (None, 5.0), (None, 7.0))
+      .toDF("k", "v")
+      .select(col("k"), col("v"))
+    val got = ExactQuantile.groupedQuantiles(df, "k", "v", Seq(0.5)).toMap
+    assert(got(null) == Seq(6.0))
+    assert(got("a") == Seq(2.0))
+    assert(got("b") == Seq(10.0))
+  }
+
   test("selection pass leaves no pinned blocks behind (ContextCleaner-reclaimable)") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toDouble).toDF("v")
