@@ -230,6 +230,11 @@ object GraftFunctions {
   }
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // idempotent: every operator entry point calls this, and re-replacing
+    // emits a Spark WARN per function per call — skip when our set is
+    // already in the session (replace stays the path if any is missing)
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_fingerprint"))) return
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head, intLit(exprs(1), "k")), "built-in")
     reg.createOrReplaceTempFunction(

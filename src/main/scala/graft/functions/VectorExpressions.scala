@@ -50,7 +50,11 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object VectorFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // idempotent — see GraftFunctions.register
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+  }
 }
