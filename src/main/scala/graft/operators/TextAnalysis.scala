@@ -156,13 +156,24 @@ object TextAnalysis {
           "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, concat(toks[i], ' ', toks[i + 1]) AS bg))"))
           .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    bg.join(cb, "bg").join(c1, "w1")
+    // reduce to per-(doc, bigram) multiplicities FIRST: one corpus
+    // tokenize pass feeds everything (the unigram/bigram models fold from
+    // the reduced relation, not fresh scans), and the model joins carry
+    // distinct (doc, bigram) rows instead of the raw instance stream —
+    // per-doc instance averages become k-weighted sums, same numbers
+    // (no materialization needed: the three consumers below share ONE
+    // identical shuffle subtree, which ReuseExchange dedupes in-plan)
+    val dbg = bg.groupBy(col("doc_id"), col("w1"), col("bg"))
+      .agg(count(lit(1)).as("k"))
+    val c1 = dbg.groupBy(col("w1")).agg(sum(col("k")).as("c1"))
+    val cb = dbg.groupBy(col("bg")).agg(sum(col("k")).as("cb"))
+    dbg.join(cb, "bg").join(c1, "w1")
       .groupBy(col("doc_id"))
       .agg(
-        stableRound(avg(-log(col("cb").cast("double") / col("c1"))), 4).as("nll"),
-        count(lit(1)).as("n_bigrams"))
+        stableRound(
+          sum(col("k") * -log(col("cb").cast("double") / col("c1"))) / sum(col("k")), 4)
+          .as("nll"),
+        sum(col("k")).as("n_bigrams"))
   }
 
   /** Winnowing-style rolling-hash fingerprint (custom codegen'd
