@@ -91,6 +91,7 @@ object Dedup {
     val d = shingled(corpus)
       .withColumn("sim", expr("simhash64(toks)"))
       .select(col("doc_id"), col("sim"))
+      .localCheckpoint() // one signature pass feeds both join sides (as d02)
     val bands = d.select(
       col("doc_id"), col("sim"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
@@ -163,9 +164,14 @@ object Dedup {
   def embeddingPairs(vectors: DataFrame, topN: Int = 20): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
     VectorFunctions.register(vectors.sparkSession)
-    val e = vectors.select(col("vec_id"), col("embedding"),
-      expr("hyperplane_sig(embedding, 60)").as("sig"))
-    val bands = e.select(
+    // checkpoint SIGNATURES only (16 bytes/row): one hyperplane pass
+    // feeds both self-join sides, while the exact-cosine lookups below
+    // re-scan the (columnar, pruned) vector source instead of pinning a
+    // copy of the embedding column
+    val sigs = vectors
+      .select(col("vec_id"), expr("hyperplane_sig(embedding, 60)").as("sig"))
+      .localCheckpoint()
+    val bands = sigs.select(
       col("vec_id"),
       posexplode(expr("transform(sequence(0, 4), b -> shiftright(sig, b*12) & 4095)"))
         .as(Seq("band", "bucket")))
@@ -175,8 +181,8 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"))
-    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("b_emb"))
+    val ea = vectors.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"))
+    val eb = vectors.select(col("vec_id").as("id_b"), col("embedding").as("b_emb"))
     cand.join(ea, "id_a").join(eb, "id_b")
       .withColumn("cos_sim", stableRound(expr("cosine_sim(a_emb, b_emb)"), 4))
       .select(col("id_a"), col("id_b"), col("cos_sim"))
