@@ -53,57 +53,112 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
+  /** SQL predicate keeping a banded self-join row only in the LOWEST
+    * agreeing band of a long-typed signature split into `numBands` chunks
+    * of `widthBits`: qualifying pairs become unique by construction, so
+    * no distinct() pair shuffle is needed. Unrolled to plain bitwise ops
+    * on `a.<sigCol>`/`b.<sigCol>` — a higher-order filter/array_min
+    * lambda here is interpreted, not codegen'd, and benches 4x slower. */
+  private def firstMatchBand(sigCol: String, numBands: Int, widthBits: Int): String = {
+    val mask = (1L << widthBits) - 1
+    (0 until numBands).map { k =>
+      val earlierDiffer = (0 until k).map(j =>
+        s"(shiftright(a.$sigCol, ${j * widthBits}) & $mask) != " +
+          s"(shiftright(b.$sigCol, ${j * widthBits}) & $mask)")
+      (s"a.band = $k" +: earlierDiffer).mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+  }
+
   /** MinHash-LSH candidate pairs with estimated Jaccard ≥ threshold
-    * (k=64 signature, 16 bands × 4 rows). */
+    * (k=64 signature, 16 bands × 4 rows).
+    *
+    * Banding runs over the DISTINCT signatures (see [[simhashPairs]] for
+    * the measured rationale): clone groups collapse to one signature row
+    * each, so hot LSH buckets stay quadratic only in distinct members;
+    * doc pairs are reconstituted afterwards by joins linear in the
+    * output. Same-signature doc pairs are est_jaccard 1.0 by definition
+    * (64/64 agreeing minhashes) and come from a grouped self-join. */
   def minhashPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     // localCheckpoint (not persist): materializes the signatures once for
-    // the self-join AND lets the ContextCleaner reclaim the blocks when
-    // the plan is no longer referenced — persist() would pin them for the
-    // session lifetime
+    // the distinct + both expansion sides AND lets the ContextCleaner
+    // reclaim the blocks when the plan is no longer referenced —
+    // persist() would pin them for the session lifetime
     val d = shingled(corpus)
       .withColumn("sig", expr("minhash_sig(shingles, 64)"))
       .select(col("doc_id"), col("sig"))
       .localCheckpoint()
-    val bands = d.select(
-      col("doc_id"),
+    val sigs = d.select(col("sig")).distinct()
+    val bands = sigs.select(
+      col("sig"),
       posexplode(expr("transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))"))
         .as(Seq("band", "bh")))
-    val cand = bands.as("a")
+    // the sig-level candidate set is small, so a plain distinct() on the
+    // (array, array) pair key is cheaper than carrying slice comparisons
+    // through the join filter
+    val sigPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          col("a.sig") < col("b.sig"))
+      .select(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-    val sa = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val sb = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard", stableRound(
         expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / 64.0, 4))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    val cross = sigPairs
+      .join(d.select(col("doc_id").as("da"), col("sig").as("sig_a")), "sig_a")
+      .join(d.select(col("doc_id").as("db"), col("sig").as("sig_b")), "sig_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("est_jaccard"))
+    val intra = d.as("x")
+      .join(d.as("y"), col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("est_jaccard"))
+    cross.unionAll(intra).filter(col("est_jaccard") >= threshold)
   }
 
   /** SimHash near-dup pairs within `maxHamming` of the 64-bit sketch;
     * 4 bands of 16 bits guarantee a shared band key for Hamming ≤ 3
-    * (pigeonhole). */
+    * (pigeonhole).
+    *
+    * Banding runs over the DISTINCT sketches, not the documents: on a
+    * duplicate-heavy corpus (the population dedup exists for) every
+    * clone group shares one sketch, so doc-level banding explodes hot
+    * buckets quadratically in the clone factor (measured 3.2e8 candidate
+    * pairs for 1.5e5 docs / 4964 sketches at the 30x scale point) while
+    * sketch-level banding is quadratic only in DISTINCT bucket members
+    * (~3.6e5 candidates on the same data). Qualifying sketch pairs then
+    * expand back to doc pairs through two joins that are linear in the
+    * OUTPUT, and same-sketch (Hamming 0) doc pairs come from a grouped
+    * self-join that never crosses groups. */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
     val d = shingled(corpus)
       .withColumn("sim", expr("simhash64(toks)"))
       .select(col("doc_id"), col("sim"))
-      .localCheckpoint() // one signature pass feeds both join sides (as d02)
-    val bands = d.select(
-      col("doc_id"), col("sim"),
+      .localCheckpoint() // one signature pass feeds sims + both expansion sides
+    val sims = d.select(col("sim")).distinct()
+    val bands = sims.select(
+      col("sim"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
         .as(Seq("band", "bucket")))
-    bands.as("a")
+    val simPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.sim") < col("b.sim"))
+      .filter(expr(firstMatchBand("sim", 4, 16)))
+      .select(col("a.sim").as("sim_a"), col("b.sim").as("sim_b"),
         expr("bit_count(a.sim ^ b.sim)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    val cross = simPairs
+      .join(d.select(col("doc_id").as("da"), col("sim").as("sim_a")), "sim_a")
+      .join(d.select(col("doc_id").as("db"), col("sim").as("sim_b")), "sim_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("hamming"))
+    val intra = d.as("x")
+      .join(d.as("y"), col("x.sim") === col("y.sim") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionAll(intra)
   }
 
   /** The discriminative-shingle POSTING INDEX: one row per shingle with
@@ -160,27 +215,46 @@ object Dedup {
   /** Embedding near-dup over `(vec_id, embedding)`: hyperplane LSH
     * banding (60 bits, 5 bands × 12); candidates travel as id pairs only
     * — vectors are joined back AFTER dedup, and exact cosine runs on the
-    * small candidate set. Returns the topN most-similar candidate pairs. */
+    * small candidate set. Returns the topN most-similar candidate pairs.
+    *
+    * Banding runs over the DISTINCT 60-bit signatures (see
+    * [[simhashPairs]] for the measured rationale): identical vectors —
+    * and positively-scaled near-clones — share a signature, so clone
+    * groups collapse to one banding row and hot buckets stay quadratic
+    * only in distinct members. Candidate vec pairs are reconstituted by
+    * joins linear in the candidate count; exact cosine then runs per vec
+    * pair exactly as before (vectors within a signature group need NOT be
+    * identical, so cosine is never computed at group level). */
   def embeddingPairs(vectors: DataFrame, topN: Int = 20): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
     VectorFunctions.register(vectors.sparkSession)
     // checkpoint SIGNATURES only (16 bytes/row): one hyperplane pass
-    // feeds both self-join sides, while the exact-cosine lookups below
-    // re-scan the (columnar, pruned) vector source instead of pinning a
-    // copy of the embedding column
+    // feeds the distinct + both expansion sides, while the exact-cosine
+    // lookups below re-scan the (columnar, pruned) vector source instead
+    // of pinning a copy of the embedding column
     val sigs = vectors
       .select(col("vec_id"), expr("hyperplane_sig(embedding, 60)").as("sig"))
       .localCheckpoint()
-    val bands = sigs.select(
-      col("vec_id"),
+    val distinctSigs = sigs.select(col("sig")).distinct()
+    val bands = distinctSigs.select(
+      col("sig"),
       posexplode(expr("transform(sequence(0, 4), b -> shiftright(sig, b*12) & 4095)"))
         .as(Seq("band", "bucket")))
-    val cand = bands.as("a")
+    val sigPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+          col("a.sig") < col("b.sig"))
+      .filter(expr(firstMatchBand("sig", 5, 12)))
+      .select(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val cross = sigPairs
+      .join(sigs.select(col("vec_id").as("va"), col("sig").as("sig_a")), "sig_a")
+      .join(sigs.select(col("vec_id").as("vb"), col("sig").as("sig_b")), "sig_b")
+      .select(least(col("va"), col("vb")).as("id_a"),
+        greatest(col("va"), col("vb")).as("id_b"))
+    val intra = sigs.as("x")
+      .join(sigs.as("y"), col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    val cand = cross.unionAll(intra)
     val ea = vectors.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"))
     val eb = vectors.select(col("vec_id").as("id_b"), col("embedding").as("b_emb"))
     cand.join(ea, "id_a").join(eb, "id_b")
