@@ -71,7 +71,10 @@ object TextAnalysis {
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
-    * (letter runs | digit runs | single non-alnum marks). */
+    * (letter runs | digit runs | single non-alnum marks). Stays a
+    * single-pass shuffle-free projection: content-addressing
+    * ([[perDistinctText]]) trades a text shuffle for the dedup, which
+    * benches NEGATIVE for an op this cheap per byte. */
   def tokenCounts(corpus: DataFrame): DataFrame =
     corpus.select(
       col("doc_id"),
@@ -106,14 +109,41 @@ object TextAnalysis {
       expr(s"regexp_count(text, '$pattern')").cast("bigint").as("n_matches"),
       regexp_replace(col("text"), pattern, replacement).as("redacted"))
 
+  /** CONTENT-ADDRESSED per-document computation: `f` sees one
+    * (doc_id, text) row per DISTINCT text (doc_id = the text's 64-bit
+    * digest) and its per-row outputs fan back to every document sharing
+    * the text. On a duplicate-heavy corpus the tokenize/regex work
+    * shrinks by the clone factor; on a unique corpus the digest groupBy
+    * collapses nothing but still costs only one text shuffle (collapsed
+    * map-side where clones co-reside) plus a narrow fan-out join.
+    * xxhash64 keys the fan-out: a 64-bit collision mis-scores one
+    * document pair (p ≈ n²/2⁶⁵ — ~3% chance of ONE affected pair per
+    * 1e9 docs), acceptable for quality metrics; exact dedup (d01) stays
+    * on sha2-256. The repartition() spreads the tokenize stage: AQE
+    * coalesces the digest exchange by its (few) bytes, not its
+    * (per-token) downstream cost. */
+  private def perDistinctText(corpus: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+    val keyed = corpus.select(col("doc_id"), xxhash64(col("text")).as("dig"))
+    val reps = corpus.select(xxhash64(col("text")).as("doc_id"), col("text"))
+      .groupBy(col("doc_id")).agg(first(col("text")).as("text"))
+      .repartition(col("doc_id"))
+    val scored = f(reps).withColumnRenamed("doc_id", "dig")
+    keyed.join(scored, "dig").drop("dig")
+  }
+
   /** Gopher-style REPETITION filter — the within-document quality rule of
     * a pretraining pipeline: per doc, the duplicate-token ratio
     * (1 − distinct/total) and the most-frequent-bigram share of all
     * bigrams; `keep` flags docs under both repetition ceilings. Two
     * partial-aggregated groupBys keyed on (doc, bigram) then doc — no
-    * corpus-wide state, scales linearly. */
+    * corpus-wide state, scales linearly; duplicate texts are measured
+    * once ([[perDistinctText]]). */
   def repetitionStats(corpus: DataFrame,
-      maxDupRatio: Double = 0.65, maxTopBigram: Double = 0.1): DataFrame = {
+      maxDupRatio: Double = 0.65, maxTopBigram: Double = 0.1): DataFrame =
+    perDistinctText(corpus)(repetitionStats0(_, maxDupRatio, maxTopBigram))
+
+  private def repetitionStats0(corpus: DataFrame,
+      maxDupRatio: Double, maxTopBigram: Double): DataFrame = {
     val t = corpus
       .withColumn("toks", split(lower(col("text")), "\\s+"))
       .withColumn("n", size(col("toks")))
@@ -147,33 +177,54 @@ object TextAnalysis {
     * key-joins — no corpus-wide state on any single node. Docs with
     * fewer than 2 tokens carry no bigram evidence and are omitted. */
   def lmScore(corpus: DataFrame): DataFrame = {
-    val t = corpus
+    // CONTENT-ADDRESSED: tokenize and score each DISTINCT text once and
+    // fan the score back to documents by digest. Identical texts produce
+    // identical bigram multisets, so the model just weights each distinct
+    // text by its multiplicity (c(w1), c(bg) are unchanged) and every
+    // clone inherits its representative's nll verbatim. On a
+    // duplicate-heavy corpus (the pretraining population) the whole
+    // tokenize/explode/model pipeline shrinks by the clone factor; on a
+    // fully-unique corpus it is STILL cheaper than scoring doc rows —
+    // the digest groupBy collapses duplicates map-side and shuffles each
+    // text once, where the per-doc plan shuffled the exploded bigram
+    // strings (~3x the text bytes).
+    val keyed = corpus.select(col("doc_id"), xxhash64(col("text")).as("dig"), col("text"))
+    // repartition() after the digest agg: its output is FEW BYTES but
+    // feeds the tokenize/explode stage whose cost is per-token, and AQE
+    // coalesces exchanges by byte size — without this the whole bigram
+    // explode of a small-on-disk corpus runs in one coalesced task
+    val groups = keyed.groupBy(col("dig"))
+      .agg(first(col("text")).as("text"), count(lit(1)).as("mult"))
+      .repartition(col("dig"))
+    val t = groups
       .withColumn("toks", split(lower(col("text")), "\\s+"))
       .withColumn("n", size(col("toks")))
     val bg = t.filter(col("n") >= 2)
-      .select(col("doc_id"),
+      .select(col("dig"), col("mult"),
         explode(expr(
           "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, concat(toks[i], ' ', toks[i + 1]) AS bg))"))
           .as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
-    // reduce to per-(doc, bigram) multiplicities FIRST: one corpus
-    // tokenize pass feeds everything (the unigram/bigram models fold from
-    // the reduced relation, not fresh scans), and the model joins carry
-    // distinct (doc, bigram) rows instead of the raw instance stream —
-    // per-doc instance averages become k-weighted sums, same numbers
-    // (no materialization needed: the three consumers below share ONE
-    // identical shuffle subtree, which ReuseExchange dedupes in-plan)
-    val dbg = bg.groupBy(col("doc_id"), col("w1"), col("bg"))
+      .select(col("dig"), col("mult"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    // reduce to per-(text, bigram) multiplicities FIRST: the
+    // unigram/bigram models fold from the reduced relation (weighted by
+    // the clone multiplicity), and the model joins carry distinct
+    // (text, bigram) rows instead of the raw instance stream — per-doc
+    // instance averages become k-weighted sums, same numbers (the three
+    // consumers below share ONE identical shuffle subtree, which
+    // ReuseExchange dedupes in-plan)
+    val dbg = bg.groupBy(col("dig"), col("mult"), col("w1"), col("bg"))
       .agg(count(lit(1)).as("k"))
-    val c1 = dbg.groupBy(col("w1")).agg(sum(col("k")).as("c1"))
-    val cb = dbg.groupBy(col("bg")).agg(sum(col("k")).as("cb"))
-    dbg.join(cb, "bg").join(c1, "w1")
-      .groupBy(col("doc_id"))
+    val c1 = dbg.groupBy(col("w1")).agg(sum(col("k") * col("mult")).as("c1"))
+    val cb = dbg.groupBy(col("bg")).agg(sum(col("k") * col("mult")).as("cb"))
+    val scored = dbg.join(cb, "bg").join(c1, "w1")
+      .groupBy(col("dig"))
       .agg(
         stableRound(
           sum(col("k") * -log(col("cb").cast("double") / col("c1"))) / sum(col("k")), 4)
           .as("nll"),
         sum(col("k")).as("n_bigrams"))
+    keyed.select(col("doc_id"), col("dig")).join(scored, "dig")
+      .select(col("doc_id"), col("nll"), col("n_bigrams"))
   }
 
   /** Winnowing-style rolling-hash fingerprint (custom codegen'd
