@@ -80,6 +80,53 @@ class OperatorsSpec extends AnyFunSuite {
       s"recall+precision must be exact on the planted corpus, got $found")
   }
 
+  test("sketch-level banding is exact and duplicate-free on a clone-heavy corpus") {
+    // the LSH finders band DISTINCT signatures and reconstitute doc pairs
+    // by expansion joins (the scale-point shape: many exact clones per
+    // original). Pin (a) simhashPairs == the brute-force Hamming<=3 pair
+    // set, (b) no (id_a, id_b) leaves any finder twice — uniqueness now
+    // comes from a first-match-band filter plus a cross/intra union, not
+    // a distinct()
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val originals = (0 until 12).map { i =>
+      (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // 12 originals x 4 exact clones each + 2 one-token edits
+    val docs = originals.zipWithIndex.flatMap { case (text, i) =>
+      (0 until 4).map(c => (i * 10L + c, text))
+    } ++ Seq((900L, originals(0).replace("w", "x")),
+      (901L, originals(1).split(" ").updated(5, "edited").mkString(" ")))
+    val corpus = docs.toDF("doc_id", "text")
+
+    val found = Dedup.simhashPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(found.size == found.distinct.size, "simhashPairs emitted a duplicate pair")
+
+    // brute force: all C(n,2) sketch pairs within Hamming 3
+    val sk = Dedup.shingled(corpus)
+      .withColumn("sim", expr("simhash64(toks)"))
+      .select(col("doc_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, sa) <- sk; (ib, sb) <- sk if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(found.toSet == expected,
+      s"sketch-level banding must equal brute force: missing=${expected -- found.toSet} extra=${found.toSet -- expected}")
+
+    val mh = Dedup.minhashPairs(corpus, 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(mh.size == mh.distinct.size, "minhashPairs emitted a duplicate pair")
+    // every exact-clone pair estimates jaccard 1.0 >= threshold
+    val clonePairs = (for {
+      i <- 0 until 12; a <- 0 until 4; b <- a + 1 until 4
+    } yield (i * 10L + a, i * 10L + b)).toSet
+    assert(clonePairs.subsetOf(mh.toSet), "minhashPairs missed an exact-clone pair")
+  }
+
   test("repetitionStats and contamination match a Scala reference model on a random corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
