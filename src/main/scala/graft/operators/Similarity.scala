@@ -43,6 +43,10 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("raw_cos").desc, col("vec_id"))
     cand
       .withColumn("raw_cos", expr(cos))
+      // cosine is consumed here: project the embeddings away so the
+      // per-query window exchange carries 3 scalars per candidate, not
+      // two vectors
+      .select(col("query_id"), col("vec_id"), col("raw_cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -64,17 +68,26 @@ object Similarity {
     VectorFunctions.register(base.sparkSession)
     def banded(df: DataFrame, id: String, emb: String): DataFrame =
       df.withColumn("sig", expr(s"hyperplane_sig($emb, 32)"))
-        .select(col(id), col(emb),
+        .select(col(id), col(emb), col("sig"),
           posexplode(expr("transform(sequence(0, 7), b -> shiftright(sig, b*4) & 15)"))
             .as(Seq("band", "bucket")))
     val bb = banded(base.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
     val qb = banded(queries, "query_id", "q_emb")
+    // keep a (query, vector) candidate only in its LOWEST agreeing band
+    // (both sigs are in hand — nibble j of b.sig ^ q.sig is zero iff band
+    // j agrees): unique by construction, which deletes the distinct()
+    // that re-shuffled both embedding columns per candidate
+    val firstMatch = (0 until 8).map { bnd =>
+      val earlierDiffer = (0 until bnd)
+        .map(j => s"(shiftright(b.sig, ${j * 4}) & 15) != (shiftright(q.sig, ${j * 4}) & 15)")
+      (s"b.band = $bnd" +: earlierDiffer).mkString("(", " AND ", ")")
+    }.mkString(" OR ")
     val cand = bb.as("b")
       .join(qb.as("q"),
         col("b.band") === col("q.band") && col("b.bucket") === col("q.bucket") &&
           col("b.vec_id") =!= col("q.query_id"))
+      .filter(expr(firstMatch))
       .select(col("q.query_id"), col("b.vec_id"), col("q.q_emb"), col("b.embedding").as("b_emb"))
-      .distinct()
     rankTopK(cand, k)
   }
 
