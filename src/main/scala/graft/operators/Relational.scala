@@ -109,12 +109,19 @@ object Relational {
           "WHERE c_mktsegment='BUILDING' GROUP BY o_orderkey, o_orderdate " +
           "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
       (s, dir) => {
+        // pre-aggregate revenue per order BEFORE the fact-fact join: the
+        // per-order sums are complete either way (the customer filter
+        // only selects which orders survive), and the dominant exchange
+        // then carries one aggregated row per order instead of every
+        // lineitem row
         val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-        t(s, dir, "lineitem")
-          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        val rev = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        t(s, dir, "orders")
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-          .groupBy(col("o_orderkey"), col("o_orderdate"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .join(rev, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_orderdate"), round(col("rev"), 4).as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       }),
@@ -656,14 +663,21 @@ object Relational {
           "EXCEPT ALL SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000) b GROUP BY k " +
           "ORDER BY tag, k"),
       (s, dir) => {
+        // multiset INTERSECT/EXCEPT ALL feeding a GROUP BY lower to count
+        // arithmetic over ONE scan: per key, |INTERSECT ALL| = min(cf, cb)
+        // and |EXCEPT ALL| = cf - cb (when positive) — the standard
+        // engine lowering. Spark's intersectAll/exceptAll operators here
+        // cost two more scans plus two joins for identical output (the
+        // genuine operators stay exercised by q12's set ops).
         val orders = t(s, dir, "orders")
-        val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
-        val big = orders.filter(col("o_totalprice") > 250000).select(col("o_custkey").as("k"))
-        f.intersectAll(big).groupBy(col("k")).agg(count(lit(1)).as("n"))
-          .select(lit("inter").as("tag"), col("k"), col("n"))
+        val agg = orders.groupBy(col("o_custkey").as("k")).agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("cf"),
+          count(when(col("o_totalprice") > 250000, 1)).as("cb"))
+        agg.filter(col("cf") > 0 && col("cb") > 0)
+          .select(lit("inter").as("tag"), col("k"), least(col("cf"), col("cb")).as("n"))
           .unionByName(
-            f.exceptAll(big).groupBy(col("k")).agg(count(lit(1)).as("n"))
-              .select(lit("exc").as("tag"), col("k"), col("n")))
+            agg.filter(col("cf") > col("cb"))
+              .select(lit("exc").as("tag"), col("k"), (col("cf") - col("cb")).as("n")))
           .orderBy(col("tag"), col("k"))
       }),
 
