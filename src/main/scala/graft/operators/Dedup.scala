@@ -78,7 +78,8 @@ object Dedup {
     * doc pairs are reconstituted afterwards by joins linear in the
     * output. Same-signature doc pairs are est_jaccard 1.0 by definition
     * (64/64 agreeing minhashes) and come from a grouped self-join. */
-  def minhashPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def minhashPairs(corpus: DataFrame, threshold: Double,
+      distinctRatio: Option[Double] = None): DataFrame = {
     // localCheckpoint (not persist): materializes the signatures once for
     // the distinct + both expansion sides AND lets the ContextCleaner
     // reclaim the blocks when the plan is no longer referenced —
@@ -87,75 +88,120 @@ object Dedup {
       .withColumn("sig", expr("minhash_sig(shingles, 64)"))
       .select(col("doc_id"), col("sig"))
       .localCheckpoint()
-    val sigs = d.select(col("sig")).distinct()
-    val bands = sigs.select(
-      col("sig"),
+    // ADAPTIVE banding level (see CorpusStats): on a clone-heavy corpus,
+    // band the DISTINCT signatures — clone groups collapse to one banding
+    // row, hot LSH buckets stay quadratic only in distinct members, and
+    // doc pairs are reconstituted by expansion joins linear in the
+    // output. On a mostly-unique corpus, band the docs directly — the
+    // distinct pass and the intra-group machinery would collapse nothing
+    // and cost two extra exchanges.
+    //
+    // Both modes run the SAME downstream plan over (dk: doc_id → sid,
+    // grouped: sid → banding value, group size): per-doc mode keys rows
+    // by doc_id with cnt=1 (the intra self-join below gates to empty);
+    // sketch mode keys by the signature's 64-bit xxhash (`sid`) so the
+    // pair distinct, both expansion joins, and the intra gate shuffle
+    // 8-byte keys, never the 512-byte signature array. A sid collision
+    // would merge two distinct signature groups (p ≈ n²/2⁶⁵ over DISTINCT
+    // signatures — negligible); exact dedup (d01) stays on sha2-256.
+    //
+    // The intra (same-signature) pairs come from a self-join gated by the
+    // multi-doc sid list: empty on a unique corpus, and it STREAMS a
+    // viral clone group where a collect_list(ids) variant would
+    // concentrate the whole id list in one row.
+    val cloneHeavy =
+      distinctRatio.getOrElse(CorpusStats.headDistinctRatio(corpus)) <
+        CorpusStats.cloneHeavyBelow
+    val (dk, grouped) =
+      if (cloneHeavy)
+        (d.select(col("doc_id"), xxhash64(col("sig")).as("sid")),
+          d.groupBy(xxhash64(col("sig")).as("sid"))
+            .agg(first(col("sig")).as("sig"), count(lit(1)).as("cnt")))
+      else
+        (d.select(col("doc_id"), col("doc_id").as("sid")),
+          d.select(col("doc_id").as("sid"), col("sig"), lit(1L).as("cnt")))
+    val bands = grouped.select(
+      col("sid"), col("sig"),
       posexplode(expr("transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))"))
         .as(Seq("band", "bh")))
     // the sig-level candidate set is small, so a plain distinct() on the
-    // (array, array) pair key is cheaper than carrying slice comparisons
+    // (sid, sid) pair key is cheaper than carrying slice comparisons
     // through the join filter
     val sigPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.sig") < col("b.sig"))
-      .select(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .withColumn("est_jaccard", stableRound(
-        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("double") / 64.0, 4))
+          col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"),
+        stableRound(
+          expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+            .cast("double") / 64.0, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .distinct()
     val cross = sigPairs
-      .join(d.select(col("doc_id").as("da"), col("sig").as("sig_a")), "sig_a")
-      .join(d.select(col("doc_id").as("db"), col("sig").as("sig_b")), "sig_b")
+      .join(dk.select(col("doc_id").as("da"), col("sid").as("sid_a")), "sid_a")
+      .join(dk.select(col("doc_id").as("db"), col("sid").as("sid_b")), "sid_b")
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"), col("est_jaccard"))
-    val intra = d.as("x")
-      .join(d.as("y"), col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+    val dm = dk.join(grouped.filter(col("cnt") > 1).select(col("sid")), Seq("sid"), "left_semi")
+    val intra = dm.as("x")
+      .join(dm.as("y"), col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(1.0).as("est_jaccard"))
-    cross.unionAll(intra).filter(col("est_jaccard") >= threshold)
+    cross.unionAll(intra)
   }
 
   /** SimHash near-dup pairs within `maxHamming` of the 64-bit sketch;
     * 4 bands of 16 bits guarantee a shared band key for Hamming ≤ 3
     * (pigeonhole).
     *
-    * Banding runs over the DISTINCT sketches, not the documents: on a
-    * duplicate-heavy corpus (the population dedup exists for) every
-    * clone group shares one sketch, so doc-level banding explodes hot
-    * buckets quadratically in the clone factor (measured 3.2e8 candidate
-    * pairs for 1.5e5 docs / 4964 sketches at the 30x scale point) while
-    * sketch-level banding is quadratic only in DISTINCT bucket members
-    * (~3.6e5 candidates on the same data). Qualifying sketch pairs then
-    * expand back to doc pairs through two joins that are linear in the
-    * OUTPUT, and same-sketch (Hamming 0) doc pairs come from a grouped
-    * self-join that never crosses groups. */
-  def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * Banding level is ADAPTIVE (see [[minhashPairs]] / CorpusStats): on a
+    * duplicate-heavy corpus every clone group shares one sketch, so
+    * doc-level banding explodes hot buckets quadratically in the clone
+    * factor (measured 3.2e8 candidate pairs for 1.5e5 docs / 4964
+    * sketches at the 30x scale point) while sketch-level banding is
+    * quadratic only in DISTINCT bucket members (~3.6e5 candidates on the
+    * same data); qualifying sketch pairs expand back to doc pairs through
+    * joins linear in the OUTPUT, and Hamming-0 doc pairs come from a
+    * gated same-sketch self-join. On a mostly-unique corpus doc-level
+    * banding skips the collapse machinery. The sketch IS the 8-byte key,
+    * so no hashing is needed in sketch mode. */
+  def simhashPairs(corpus: DataFrame, maxHamming: Int = 3,
+      distinctRatio: Option[Double] = None): DataFrame = {
     val d = shingled(corpus)
       .withColumn("sim", expr("simhash64(toks)"))
       .select(col("doc_id"), col("sim"))
       .localCheckpoint() // one signature pass feeds sims + both expansion sides
-    val sims = d.select(col("sim")).distinct()
-    val bands = sims.select(
-      col("sim"),
+    val cloneHeavy =
+      distinctRatio.getOrElse(CorpusStats.headDistinctRatio(corpus)) <
+        CorpusStats.cloneHeavyBelow
+    val (dk, grouped) =
+      if (cloneHeavy)
+        (d.select(col("doc_id"), col("sim").as("sid")),
+          d.groupBy(col("sim")).agg(count(lit(1)).as("cnt"))
+            .select(col("sim").as("sid"), col("sim"), col("cnt")))
+      else
+        (d.select(col("doc_id"), col("doc_id").as("sid")),
+          d.select(col("doc_id").as("sid"), col("sim"), lit(1L).as("cnt")))
+    val bands = grouped.select(
+      col("sid"), col("sim"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
         .as(Seq("band", "bucket")))
     val simPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.sim") < col("b.sim"))
+          col("a.sid") < col("b.sid"))
       .filter(expr(firstMatchBand("sim", 4, 16)))
-      .select(col("a.sim").as("sim_a"), col("b.sim").as("sim_b"),
+      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"),
         expr("bit_count(a.sim ^ b.sim)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
     val cross = simPairs
-      .join(d.select(col("doc_id").as("da"), col("sim").as("sim_a")), "sim_a")
-      .join(d.select(col("doc_id").as("db"), col("sim").as("sim_b")), "sim_b")
+      .join(dk.select(col("doc_id").as("da"), col("sid").as("sid_a")), "sid_a")
+      .join(dk.select(col("doc_id").as("db"), col("sid").as("sid_b")), "sid_b")
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"), col("hamming"))
-    val intra = d.as("x")
-      .join(d.as("y"), col("x.sim") === col("y.sim") && col("x.doc_id") < col("y.doc_id"))
+    val dm = dk.join(grouped.filter(col("cnt") > 1).select(col("sid")), Seq("sid"), "left_semi")
+    val intra = dm.as("x")
+      .join(dm.as("y"), col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(0).cast("int").as("hamming"))
     cross.unionAll(intra)
@@ -217,15 +263,17 @@ object Dedup {
     * — vectors are joined back AFTER dedup, and exact cosine runs on the
     * small candidate set. Returns the topN most-similar candidate pairs.
     *
-    * Banding runs over the DISTINCT 60-bit signatures (see
-    * [[simhashPairs]] for the measured rationale): identical vectors —
-    * and positively-scaled near-clones — share a signature, so clone
-    * groups collapse to one banding row and hot buckets stay quadratic
-    * only in distinct members. Candidate vec pairs are reconstituted by
-    * joins linear in the candidate count; exact cosine then runs per vec
-    * pair exactly as before (vectors within a signature group need NOT be
-    * identical, so cosine is never computed at group level). */
-  def embeddingPairs(vectors: DataFrame, topN: Int = 20): DataFrame = {
+    * Banding level is ADAPTIVE (see [[simhashPairs]]): on a clone-heavy
+    * corpus it runs over the DISTINCT 60-bit signatures — identical
+    * vectors and positively-scaled near-clones share a signature, so
+    * clone groups collapse to one banding row and hot buckets stay
+    * quadratic only in distinct members, with vec pairs reconstituted by
+    * joins linear in the candidate count; on a mostly-unique corpus it
+    * bands the vectors directly. Exact cosine runs per vec pair in both
+    * modes (vectors within a signature group need NOT be identical, so
+    * cosine is never computed at group level). */
+  def embeddingPairs(vectors: DataFrame, topN: Int = 20,
+      distinctRatio: Option[Double] = None): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
     VectorFunctions.register(vectors.sparkSession)
     // checkpoint SIGNATURES only (16 bytes/row): one hyperplane pass
@@ -235,24 +283,37 @@ object Dedup {
     val sigs = vectors
       .select(col("vec_id"), expr("hyperplane_sig(embedding, 60)").as("sig"))
       .localCheckpoint()
-    val distinctSigs = sigs.select(col("sig")).distinct()
-    val bands = distinctSigs.select(
-      col("sig"),
+    // adaptive banding level (see minhashPairs): grouped = one row per
+    // banding unit (distinct signature, or vector), dk = vec_id → unit
+    val cloneHeavy =
+      distinctRatio.getOrElse(CorpusStats.headDistinctRatio(vectors, "embedding")) <
+        CorpusStats.cloneHeavyBelow
+    val (dk, grouped) =
+      if (cloneHeavy)
+        (sigs.select(col("vec_id"), col("sig").as("sid")),
+          sigs.groupBy(col("sig")).agg(count(lit(1)).as("cnt"))
+            .select(col("sig").as("sid"), col("sig"), col("cnt")))
+      else
+        (sigs.select(col("vec_id"), col("vec_id").as("sid")),
+          sigs.select(col("vec_id").as("sid"), col("sig"), lit(1L).as("cnt")))
+    val bands = grouped.select(
+      col("sid"), col("sig"),
       posexplode(expr("transform(sequence(0, 4), b -> shiftright(sig, b*12) & 4095)"))
         .as(Seq("band", "bucket")))
     val sigPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.sig") < col("b.sig"))
+          col("a.sid") < col("b.sid"))
       .filter(expr(firstMatchBand("sig", 5, 12)))
-      .select(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"))
     val cross = sigPairs
-      .join(sigs.select(col("vec_id").as("va"), col("sig").as("sig_a")), "sig_a")
-      .join(sigs.select(col("vec_id").as("vb"), col("sig").as("sig_b")), "sig_b")
+      .join(dk.select(col("vec_id").as("va"), col("sid").as("sid_a")), "sid_a")
+      .join(dk.select(col("vec_id").as("vb"), col("sid").as("sid_b")), "sid_b")
       .select(least(col("va"), col("vb")).as("id_a"),
         greatest(col("va"), col("vb")).as("id_b"))
-    val intra = sigs.as("x")
-      .join(sigs.as("y"), col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+    val sm = dk.join(grouped.filter(col("cnt") > 1).select(col("sid")), Seq("sid"), "left_semi")
+    val intra = sm.as("x")
+      .join(sm.as("y"), col("x.sid") === col("y.sid") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
     val cand = cross.unionAll(intra)
     val ea = vectors.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"))
@@ -316,8 +377,13 @@ object Dedup {
   private[operators] def cachedIndex(s: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrBuild(s, ("shingle-index", dir))(postingIndex(corpus(s, dir)))
 
+  /** Session-cached distinct-text ratio of the dir's documents table —
+    * one head-sample estimate shared by every adaptive operator binding. */
+  private[operators] def docRatio(s: SparkSession, dir: String): Double =
+    CorpusStats.cachedHeadDistinctRatio(s, dir, "documents", "text")
+
   private[operators] def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    minhashPairs(corpus(s, dir), threshold)
+    minhashPairs(corpus(s, dir), threshold, Some(docRatio(s, dir)))
 
   /** Pair graph session-memoized per corpus dir and MATERIALIZED once
     * (localCheckpoint) — d04 (0.4), d06 (0.4), and p01's curation (0.5)
@@ -417,7 +483,7 @@ object Dedup {
           .withColumn("toks", split(lower(col("text")), "\\s+"))
           .withColumn("sim", expr("simhash64(toks)"))
           .select(col("doc_id"), col("sim"))
-        val found = simhashPairs(docs)
+        val found = simhashPairs(docs, 3, Some(docRatio(s, dir)))
           .select(col("id_a"), col("id_b"), lit(1).as("f"))
         exactJaccardPairs(s, dir, 0.4).select(col("id_a"), col("id_b"))
           .join(sketches.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
@@ -463,7 +529,9 @@ object Dedup {
         val clones = emb.filter(col("vec_id") < 8)
           .select((col("vec_id") + 1000000L).as("vec_id"),
             expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
-        embeddingPairs(emb.unionByName(clones), 8).orderBy(col("id_a"))
+        embeddingPairs(emb.unionByName(clones), 8,
+          Some(CorpusStats.cachedHeadDistinctRatio(s, dir, "embeddings", "embedding")))
+          .orderBy(col("id_a"))
       })
   )
 }

@@ -109,26 +109,42 @@ object TextAnalysis {
       expr(s"regexp_count(text, '$pattern')").cast("bigint").as("n_matches"),
       regexp_replace(col("text"), pattern, replacement).as("redacted"))
 
-  /** CONTENT-ADDRESSED per-document computation: `f` sees one
-    * (doc_id, text) row per DISTINCT text (doc_id = the text's 64-bit
-    * digest) and its per-row outputs fan back to every document sharing
-    * the text. On a duplicate-heavy corpus the tokenize/regex work
-    * shrinks by the clone factor; on a unique corpus the digest groupBy
-    * collapses nothing but still costs only one text shuffle (collapsed
-    * map-side where clones co-reside) plus a narrow fan-out join.
-    * xxhash64 keys the fan-out: a 64-bit collision mis-scores one
-    * document pair (p ≈ n²/2⁶⁵ — ~3% chance of ONE affected pair per
-    * 1e9 docs), acceptable for quality metrics; exact dedup (d01) stays
-    * on sha2-256. The repartition() spreads the tokenize stage: AQE
-    * coalesces the digest exchange by its (few) bytes, not its
-    * (per-token) downstream cost. */
-  private def perDistinctText(corpus: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
-    val keyed = corpus.select(col("doc_id"), xxhash64(col("text")).as("dig"))
-    val reps = corpus.select(xxhash64(col("text")).as("doc_id"), col("text"))
-      .groupBy(col("doc_id")).agg(first(col("text")).as("text"))
-      .repartition(col("doc_id"))
-    val scored = f(reps).withColumnRenamed("doc_id", "dig")
-    keyed.join(scored, "dig").drop("dig")
+  /** ADAPTIVELY CONTENT-ADDRESSED per-document computation (see
+    * CorpusStats): on a clone-heavy corpus, `f` sees one (doc_id, text)
+    * row per DISTINCT text (doc_id = the text's 64-bit digest) and its
+    * per-row outputs fan back to every document sharing the text — the
+    * tokenize/regex work shrinks by the clone factor. On a mostly-unique
+    * corpus the collapse would remove nothing, so `f` runs over the
+    * documents directly, shuffle-free. xxhash64 keys the fan-out: a
+    * 64-bit collision mis-scores one document pair (p ≈ n²/2⁶⁵ — ~3%
+    * chance of ONE affected pair per 1e9 docs), acceptable for quality
+    * metrics; exact dedup (d01) stays on sha2-256.
+    *
+    * The explicit-N repartition comes BEFORE the digest groupBy: the agg
+    * reuses that exchange (HashPartitioning(dig) satisfies its
+    * distribution), so the text is shuffled exactly once, and because an
+    * explicit-N repartition is exempt from AQE coalescing the per-token
+    * work in `f` fuses into the post-agg stage at full parallelism. The
+    * earlier shape (groupBy then repartition(col)) shuffled the text
+    * TWICE — AQE coalesces the digest exchange by its (few) bytes, not
+    * its (per-token) downstream cost, so the second shuffle was needed
+    * just to spread the stage — and benched ~2x slower on a unique
+    * corpus. */
+  private def perDistinctText(corpus: DataFrame, distinctRatio: Option[Double])(
+      f: DataFrame => DataFrame): DataFrame = {
+    val cloneHeavy =
+      distinctRatio.getOrElse(CorpusStats.headDistinctRatio(corpus)) <
+        CorpusStats.cloneHeavyBelow
+    if (!cloneHeavy) f(corpus)
+    else {
+      val keyed = corpus.select(col("doc_id"), xxhash64(col("text")).as("dig"))
+      val n = corpus.sparkSession.sessionState.conf.numShufflePartitions
+      val reps = corpus.select(xxhash64(col("text")).as("doc_id"), col("text"))
+        .repartition(n, col("doc_id"))
+        .groupBy(col("doc_id")).agg(first(col("text")).as("text"))
+      val scored = f(reps).withColumnRenamed("doc_id", "dig")
+      keyed.join(scored, "dig").drop("dig")
+    }
   }
 
   /** Gopher-style REPETITION filter — the within-document quality rule of
@@ -139,8 +155,9 @@ object TextAnalysis {
     * corpus-wide state, scales linearly; duplicate texts are measured
     * once ([[perDistinctText]]). */
   def repetitionStats(corpus: DataFrame,
-      maxDupRatio: Double = 0.65, maxTopBigram: Double = 0.1): DataFrame =
-    perDistinctText(corpus)(repetitionStats0(_, maxDupRatio, maxTopBigram))
+      maxDupRatio: Double = 0.65, maxTopBigram: Double = 0.1,
+      distinctRatio: Option[Double] = None): DataFrame =
+    perDistinctText(corpus, distinctRatio)(repetitionStats0(_, maxDupRatio, maxTopBigram))
 
   private def repetitionStats0(corpus: DataFrame,
       maxDupRatio: Double, maxTopBigram: Double): DataFrame = {
@@ -176,26 +193,56 @@ object TextAnalysis {
     * building and scoring are two partial-aggregated groupBys + two
     * key-joins — no corpus-wide state on any single node. Docs with
     * fewer than 2 tokens carry no bigram evidence and are omitted. */
-  def lmScore(corpus: DataFrame): DataFrame = {
-    // CONTENT-ADDRESSED: tokenize and score each DISTINCT text once and
+  def lmScore(corpus: DataFrame, distinctRatio: Option[Double] = None): DataFrame = {
+    // ADAPTIVELY CONTENT-ADDRESSED (see perDistinctText): on a
+    // clone-heavy corpus, tokenize and score each DISTINCT text once and
     // fan the score back to documents by digest. Identical texts produce
     // identical bigram multisets, so the model just weights each distinct
     // text by its multiplicity (c(w1), c(bg) are unchanged) and every
-    // clone inherits its representative's nll verbatim. On a
-    // duplicate-heavy corpus (the pretraining population) the whole
-    // tokenize/explode/model pipeline shrinks by the clone factor; on a
-    // fully-unique corpus it is STILL cheaper than scoring doc rows —
-    // the digest groupBy collapses duplicates map-side and shuffles each
-    // text once, where the per-doc plan shuffled the exploded bigram
-    // strings (~3x the text bytes).
-    val keyed = corpus.select(col("doc_id"), xxhash64(col("text")).as("dig"), col("text"))
-    // repartition() after the digest agg: its output is FEW BYTES but
-    // feeds the tokenize/explode stage whose cost is per-token, and AQE
-    // coalesces exchanges by byte size — without this the whole bigram
-    // explode of a small-on-disk corpus runs in one coalesced task
-    val groups = keyed.groupBy(col("dig"))
-      .agg(first(col("text")).as("text"), count(lit(1)).as("mult"))
-      .repartition(col("dig"))
+    // clone inherits its representative's nll verbatim — the whole
+    // tokenize/explode/model pipeline shrinks by the clone factor. On a
+    // mostly-unique corpus the collapse removes nothing, so the model
+    // folds over the documents directly (mult = 1) with no text shuffle
+    // and no fan-back join.
+    val cloneHeavy =
+      distinctRatio.getOrElse(CorpusStats.headDistinctRatio(corpus)) <
+        CorpusStats.cloneHeavyBelow
+    if (!cloneHeavy)
+      lmScoreCore(
+        corpus.select(col("doc_id").as("dig"), col("text"), lit(1L).as("mult")),
+        inputPartitionedByDig = false)
+        .select(col("dig").as("doc_id"), col("nll"), col("n_bigrams"))
+    else {
+      val keyed = corpus.select(col("doc_id"), xxhash64(col("text")).as("dig"))
+      // explicit-N repartition BEFORE the digest agg (see
+      // perDistinctText): one text shuffle that the agg reuses, at a
+      // partition count AQE cannot coalesce away under the per-token
+      // explode stage
+      val nPart = corpus.sparkSession.sessionState.conf.numShufflePartitions
+      val groups = corpus.select(xxhash64(col("text")).as("dig"), col("text"))
+        .repartition(nPart, col("dig"))
+        .groupBy(col("dig"))
+        .agg(first(col("text")).as("text"), count(lit(1)).as("mult"))
+      keyed.join(lmScoreCore(groups, inputPartitionedByDig = true), "dig")
+        .select(col("doc_id"), col("nll"), col("n_bigrams"))
+    }
+  }
+
+  /** The bigram-model fold over `(dig, text, mult)` scoring units:
+    * returns (dig, nll, n_bigrams), one row per unit with ≥ 2 tokens.
+    * Units are documents (mult 1) or distinct texts weighted by clone
+    * multiplicity — the model counts and scores are identical.
+    *
+    * `inputPartitionedByDig` tells the core whether the reduced-relation
+    * agg will inherit a hash partitioning on `dig` (the content-addressed
+    * caller pre-shuffles by digest): if so, the agg plans WITHOUT an
+    * exchange and an explicit repartition(bg) must be inserted as the
+    * shared materialization point — otherwise the tokenize/explode/agg
+    * subtree is recomputed once per downstream consumer (measured 1.6x).
+    * If not, the agg's own exchange is that reuse point and a second
+    * shuffle of the reduced relation would only double its cost. */
+  private def lmScoreCore(groups: DataFrame, inputPartitionedByDig: Boolean): DataFrame = {
+    val nPart = groups.sparkSession.sessionState.conf.numShufflePartitions
     val t = groups
       .withColumn("toks", split(lower(col("text")), "\\s+"))
       .withColumn("n", size(col("toks")))
@@ -209,22 +256,20 @@ object TextAnalysis {
     // unigram/bigram models fold from the reduced relation (weighted by
     // the clone multiplicity), and the model joins carry distinct
     // (text, bigram) rows instead of the raw instance stream — per-doc
-    // instance averages become k-weighted sums, same numbers (the three
-    // consumers below share ONE identical shuffle subtree, which
-    // ReuseExchange dedupes in-plan)
-    val dbg = bg.groupBy(col("dig"), col("mult"), col("w1"), col("bg"))
+    // instance averages become k-weighted sums, same numbers.
+    //
+    val dbgAgg = bg.groupBy(col("dig"), col("mult"), col("w1"), col("bg"))
       .agg(count(lit(1)).as("k"))
+    val dbg = if (inputPartitionedByDig) dbgAgg.repartition(nPart, col("bg")) else dbgAgg
     val c1 = dbg.groupBy(col("w1")).agg(sum(col("k") * col("mult")).as("c1"))
     val cb = dbg.groupBy(col("bg")).agg(sum(col("k") * col("mult")).as("cb"))
-    val scored = dbg.join(cb, "bg").join(c1, "w1")
+    dbg.join(cb, "bg").join(c1, "w1")
       .groupBy(col("dig"))
       .agg(
         stableRound(
           sum(col("k") * -log(col("cb").cast("double") / col("c1"))) / sum(col("k")), 4)
           .as("nll"),
         sum(col("k")).as("n_bigrams"))
-    keyed.select(col("doc_id"), col("dig")).join(scored, "dig")
-      .select(col("doc_id"), col("nll"), col("n_bigrams"))
   }
 
   /** Winnowing-style rolling-hash fingerprint (custom codegen'd
@@ -394,7 +439,8 @@ object TextAnalysis {
           stableRoundSql("coalesce(top_bg, 0.0)", 4) + " AS top_bigram_frac, " +
           "CAST(CASE WHEN dup_r > 0.65 OR coalesce(top_bg, 0.0) >= 0.1 THEN 0 ELSE 1 END AS INT) AS keep " +
           "FROM b LEFT JOIN topf USING (doc_id) ORDER BY doc_id"),
-      (s, dir) => repetitionStats(docs(s, dir)).orderBy(col("doc_id"))),
+      (s, dir) => repetitionStats(docs(s, dir),
+        distinctRatio = Some(Dedup.docRatio(s, dir))).orderBy(col("doc_id"))),
 
     // bigram-LM scoring: the oracle rebuilds the same corpus-global bigram
     // model and per-doc average NLL (integer count ratios through ln —
@@ -414,6 +460,6 @@ object TextAnalysis {
           "count(*) AS n_bigrams " +
           "FROM pre JOIN cb USING (bg) JOIN c1 USING (w1) " +
           "GROUP BY doc_id ORDER BY doc_id"),
-      (s, dir) => lmScore(docs(s, dir)).orderBy(col("doc_id")))
+      (s, dir) => lmScore(docs(s, dir), Some(Dedup.docRatio(s, dir))).orderBy(col("doc_id")))
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{SparkEntry, Tables}
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, VectorFunctions}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -125,6 +125,53 @@ class OperatorsSpec extends AnyFunSuite {
       i <- 0 until 12; a <- 0 until 4; b <- a + 1 until 4
     } yield (i * 10L + a, i * 10L + b)).toSet
     assert(clonePairs.subsetOf(mh.toSet), "minhashPairs missed an exact-clone pair")
+  }
+
+  test("adaptive plan modes are result-equivalent (per-doc vs sketch/content-addressed)") {
+    // every adaptive operator picks between two plan SHAPES by the
+    // corpus's distinct ratio (CorpusStats); the choice must never change
+    // the ANSWER. Force both modes via the explicit distinctRatio knob on
+    // a corpus holding clones, near-edits, and uniques, and require
+    // identical result sets.
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val originals = (0 until 10).map { _ =>
+      (0 until 25).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val docs = originals.zipWithIndex.flatMap { case (text, i) =>
+      (0 until 3).map(c => (i * 10L + c, text)) // 3 exact clones each
+    } ++ Seq(
+      (900L, originals(0).split(" ").updated(3, "edited").mkString(" ")),
+      (901L, (0 until 25).map(i => s"u$i").mkString(" ")))
+    val corpus = docs.toDF("doc_id", "text")
+    val perDoc = Some(1.0) // >= threshold → per-doc shape
+    val sketch = Some(0.0) // < threshold → sketch / content-addressed
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+
+    assert(rows(Dedup.minhashPairs(corpus, 0.35, perDoc)) ==
+      rows(Dedup.minhashPairs(corpus, 0.35, sketch)), "minhashPairs modes disagree")
+    assert(rows(Dedup.simhashPairs(corpus, 3, perDoc)) ==
+      rows(Dedup.simhashPairs(corpus, 3, sketch)), "simhashPairs modes disagree")
+    assert(rows(TextAnalysis.repetitionStats(corpus, distinctRatio = perDoc)) ==
+      rows(TextAnalysis.repetitionStats(corpus, distinctRatio = sketch)),
+      "repetitionStats modes disagree")
+    assert(rows(TextAnalysis.lmScore(corpus, perDoc)) ==
+      rows(TextAnalysis.lmScore(corpus, sketch)), "lmScore modes disagree")
+
+    VectorFunctions.register(spark)
+    val vecs = ((0 until 6).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    } ++ (0 until 3).map { i =>
+      (100L + i, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }).flatMap { case (id, v) =>
+      if (id < 3) Seq((id, v), (id + 1000L, v.map(_ * 2f))) else Seq((id, v))
+    }.toDF("vec_id", "embedding")
+    assert(rows(Dedup.embeddingPairs(vecs, 5, perDoc)) ==
+      rows(Dedup.embeddingPairs(vecs, 5, sketch)), "embeddingPairs modes disagree")
   }
 
   test("repetitionStats and contamination match a Scala reference model on a random corpus") {
