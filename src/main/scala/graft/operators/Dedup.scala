@@ -284,9 +284,16 @@ object Dedup {
       .select(col("vec_id"), expr("hyperplane_sig(embedding, 60)").as("sig"))
       .localCheckpoint()
     // adaptive banding level (see minhashPairs): grouped = one row per
-    // banding unit (distinct signature, or vector), dk = vec_id → unit
+    // banding unit (distinct signature, or vector), dk = vec_id → unit.
+    // The auto-estimate samples the SIGNATURE ratio off the checkpoint
+    // (free — no recompute): the signature is the collapse key, so this
+    // also catches positively-scaled clones whose embedding BYTES differ
+    // but whose sign-of-projection bits are identical. An explicit
+    // distinctRatio measured on embedding bytes is a conservative stand-in
+    // (byte-distinct ≥ sig-distinct, erring toward the always-correct
+    // per-vector shape).
     val cloneHeavy =
-      distinctRatio.getOrElse(CorpusStats.headDistinctRatio(vectors, "embedding")) <
+      distinctRatio.getOrElse(CorpusStats.headDistinctRatio(sigs, "sig")) <
         CorpusStats.cloneHeavyBelow
     val (dk, grouped) =
       if (cloneHeavy)
