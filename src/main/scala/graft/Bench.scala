@@ -73,11 +73,13 @@ object Bench {
     // (r05 q32–q36, r06 q19–q24). Spreading a query's N samples minutes
     // apart makes the per-query min robust to any noise window shorter
     // than a full round.
-    // 5 interleaved rounds ≈ 8 min wall on the full board at sf0.1: long
-    // enough that every query's min sees at least one quiet window when
-    // the host interferes in minutes-long bursts (observed pattern:
-    // whole-board +40-100% for several minutes, then quiet)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    // 4 interleaved rounds ≈ 7 min wall on the full board at sf0.1: long
+    // enough that every query's min usually sees a quiet window when the
+    // host interferes in minutes-long bursts (observed pattern:
+    // whole-board +40-100% for several minutes, then quiet), while
+    // staying near the 3-round runtime the per-round harness has always
+    // tolerated
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
     // optional comma-separated name/prefix filter for local iteration
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q27,d02); unset = the full board
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
