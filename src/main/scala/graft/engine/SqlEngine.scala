@@ -321,7 +321,17 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     * an atomic manifest replace — readers that planned against the old
     * manifest keep their snapshot (old parts stay on disk until
     * [[vacuumTable]]). Row content, schema, and serial counters are
-    * untouched. Returns (filesBefore, filesAfter). */
+    * untouched. Returns (filesBefore, filesAfter).
+    *
+    * Tables with a PRIMARY KEY are CLUSTERED on it while compacting
+    * (range-partition + sort within parts): the reference's tables are
+    * key-ordered by construction (tablet files hold sorted key ranges, so
+    * its compaction preserves key order for free), and the parquet
+    * equivalent is disjoint per-file key ranges with ordered row groups —
+    * point/range predicates on the key then prune at row-group level via
+    * parquet min/max stats, the 100 TB analogue of the reference's
+    * primary-index seek. Costs one range shuffle instead of coalesce's
+    * shuffle-free merge; key-less tables keep the coalesce path. */
   def compactTable(db: String, schema: String, table: String, targetFileBytes: Long = 128L << 20): (Int, Int) =
     catalog.withTableWriteLock(db, schema, table) {
       val (nFiles, bytes) = catalog.dataFileStats(db, schema, table)
@@ -330,9 +340,14 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       else {
       val staging = catalog.newStagingDir(db, schema, table)
       try {
-        // coalesce, not repartition: merging down needs no shuffle
-        readTable(db, schema, table).coalesce(target)
-          .write.mode("overwrite").parquet(staging.toString)
+        val desc = catalog.getTable(db, schema, table)
+        val data = readTable(db, schema, table)
+        val pk: Seq[org.apache.spark.sql.Column] = desc.indices.find(_.isPrimary)
+          .map(_.columnIds.map(id => col(desc.column(id).name))).getOrElse(Seq.empty)
+        val compacted =
+          if (pk.isEmpty) data.coalesce(target) // merging down needs no shuffle
+          else data.repartitionByRange(target, pk: _*).sortWithinPartitions(pk: _*)
+        compacted.write.mode("overwrite").parquet(staging.toString)
         catalog.replaceData(db, schema, table, staging)
         (nFiles, catalog.dataFileStats(db, schema, table)._1)
       } catch {

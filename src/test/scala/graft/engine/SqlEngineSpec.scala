@@ -406,6 +406,37 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).distinct.length == 41, "unique constraint must hold")
   }
 
+  test("compaction clusters primary-key tables into disjoint per-file key ranges") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (pk bigint PRIMARY KEY, v text)")
+    // interleaved key ranges across insert batches: every part overlaps
+    // every other before compaction
+    (0 until 6).foreach { b =>
+      val vals = (0 until 40).map(i => s"(${i * 6 + b}, 'v${i * 6 + b}')").mkString(", ")
+      e.execute(s"INSERT INTO t (pk, v) VALUES $vals")
+    }
+    val rowsBefore = e.execute("SELECT pk, v FROM t ORDER BY pk").collect().toSeq
+    val (_, bytes) = e.catalog.dataFileStats("test1", "public", "t")
+    // size the target so compaction emits SEVERAL files — clustering with
+    // one output file would be trivially disjoint
+    val (was, now) = e.compactTable("test1", "public", "t", targetFileBytes = bytes / 3)
+    assert(now > 1 && now < was, s"need a multi-file clustered compaction, got $was -> $now")
+    val ranges = e.catalog.livePartPaths("test1", "public", "t").map { p =>
+      val mm = spark.read.parquet(p)
+        .agg(org.apache.spark.sql.functions.min("pk"),
+          org.apache.spark.sql.functions.max("pk")).collect()(0)
+      (mm.getLong(0), mm.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"per-file key ranges must be disjoint, got $ranges")
+      case _ =>
+    }
+    assert(e.execute("SELECT pk, v FROM t ORDER BY pk").collect().toSeq == rowsBefore,
+      "clustering must not change table content")
+  }
+
   test("compaction merges per-statement parts, preserves rows, serials keep counting") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")
