@@ -86,8 +86,22 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
+    // fixed CPU-bound probe, one sample per iteration round: its spread
+    // calibrates HOST interference for readers of the JSON line (two
+    // rounds of this board were polluted by minutes-long whole-board
+    // noise bursts; the canary makes inflation visible and normalizable
+    // instead of indistinguishable from regression). The work is
+    // constant by construction — 200M-long sum over 32 fixed splits,
+    // no data, no shuffle — so any spread is the machine, not the code.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32).agg(org.apache.spark.sql.functions.sum("id")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canary = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     val best = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to iters; name <- names) {
+    for (_ <- 1 to iters) { canary += canaryOnce(); for (name <- names) {
       val t = runOnce(name)
       val prev = best.get(name)
       best(name) =
@@ -102,7 +116,7 @@ object Bench {
       // text queries, which run last. A GC nudge per run keeps each
       // query's sample independent of the board's run order.
       System.gc()
-    }
+    } }
     val results = names.map(n => n -> best(n))
 
     // The harness keeps only the tail of this process's output, so the JSON
@@ -113,7 +127,11 @@ object Bench {
       .map { case (k, v) => "\"" + key(k) + "\":" + fmtSeconds(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmtSeconds(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val canarySorted = canary.sorted
+    val canaryJson =
+      if (canarySorted.isEmpty) "null"
+      else s"""{"min":${fmtSeconds(canarySorted.head)},"max":${fmtSeconds(canarySorted.last)}}"""
+    println(s"""{"metric":"total","value":${fmtSeconds(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
