@@ -525,27 +525,44 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     val pre = source.select(preCols: _*)
     pre.persist()
     try {
+      // ONE fused pass over the cached candidate yields the row count
+      // (serial reservation size + each partition's global row offset)
+      // AND the NOT NULL violation counts — a separate aggregate for the
+      // null check would re-scan the whole candidate. The pass iterates
+      // InternalRows straight off the cached plan — Dataset.rdd would
+      // bolt a deserialize-to-external-Row pass onto every partition
+      // just to discard the rows, doubling the insert's read work;
+      // partition layout is identical (Dataset.rdd IS toRdd plus that
+      // conversion), so the offsets line up with the serial projection
+      // below.
+      val notNullable = desc.columns.filter(c => !c.nullable && provided.contains(c.name))
+      val checkIdx: Array[Int] = notNullable.map(c => pre.columns.indexOf(c.name)).toArray
+      val stats: Array[(Long, Array[Long])] = pre.queryExecution.toRdd.mapPartitions({ it =>
+        var c = 0L
+        val nulls = new Array[Long](checkIdx.length)
+        while (it.hasNext) {
+          val row = it.next()
+          var j = 0
+          while (j < checkIdx.length) {
+            if (row.isNullAt(checkIdx(j))) nulls(j) += 1L
+            j += 1
+          }
+          c += 1L
+        }
+        Iterator.single((c, nulls))
+      }, preservesPartitioning = true).collect()
+      val partCounts = stats.map(_._1)
+      val nullCounts = checkIdx.indices.map(j => stats.iterator.map(_._2(j)).sum)
+
       // serial assignment: contiguous ids from the table counter in input
       // order (reference increments per row; we reserve the whole range —
-      // same observable ids, one counter write). Row indexes come from
-      // per-partition offsets computed in ONE counting pass (zipWithIndex
-      // would run the same pass internally and a separate count() would
-      // add a third); the counter may advance before a later validation
-      // failure — id gaps on failed inserts, same as the reference.
-      val (cand: DataFrame, n: Long) = if (missingSerials.isEmpty) (pre, pre.count()) else {
-        // one counting pass yields both the reservation size and each
-        // partition's global row offset; id values are then produced by a
-        // codegen'd stateful expression INSIDE a projection — the insert
-        // never leaves Tungsten (no RDD round-trip, no external Rows)
-        // queryExecution.toRdd counts InternalRows straight off the cached
-        // plan — Dataset.rdd would bolt a deserialize-to-external-Row pass
-        // onto every partition just to discard the rows, doubling the
-        // insert's read work; partition layout is identical (Dataset.rdd IS
-        // toRdd plus that conversion), so the offsets line up with the
-        // serial projection below
-        val partCounts = pre.queryExecution.toRdd.mapPartitions(
-          it => Iterator.single(it.foldLeft(0L)((a, _) => a + 1)),
-          preservesPartitioning = true).collect()
+      // same observable ids, one counter write); the counter advances
+      // BEFORE the NOT NULL validation below can fail — id gaps on
+      // failed inserts, same as the reference.
+      val (cand: DataFrame, n: Long) = if (missingSerials.isEmpty) (pre, partCounts.sum) else {
+        // id values are produced by a codegen'd stateful expression
+        // INSIDE a projection — the insert never leaves Tungsten (no RDD
+        // round-trip, no external Rows)
         val total = partCounts.sum
         val offsets = partCounts.scanLeft(0L)(_ + _)
         val starts: Map[Int, Long] = missingSerials
@@ -576,14 +593,10 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         (out, total)
       }
 
-      // NOT NULL validation on the provided data
-      val notNullable = desc.columns.filter(c => !c.nullable && provided.contains(c.name))
-      if (notNullable.nonEmpty && n > 0) {
-        val counts = pre.select(notNullable.map(c =>
-          sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(c.name)): _*).head()
-        notNullable.zipWithIndex.foreach { case (c, i) =>
-          if (counts.getLong(i) > 0) throw SqlError.notNullableColumn(table, c.name)
-        }
+      // NOT NULL validation on the provided data (counted in the fused
+      // pass above)
+      notNullable.zipWithIndex.foreach { case (c, j) =>
+        if (nullCounts(j) > 0) throw SqlError.notNullableColumn(table, c.name)
       }
 
       // unique enforcement + staged append under the table write lock:
