@@ -120,16 +120,17 @@ object TextAnalysis {
     * chance of ONE affected pair per 1e9 docs), acceptable for quality
     * metrics; exact dedup (d01) stays on sha2-256.
     *
-    * The explicit-N repartition comes BEFORE the digest groupBy: the agg
-    * reuses that exchange (HashPartitioning(dig) satisfies its
-    * distribution), so the text is shuffled exactly once, and because an
-    * explicit-N repartition is exempt from AQE coalescing the per-token
-    * work in `f` fuses into the post-agg stage at full parallelism. The
-    * earlier shape (groupBy then repartition(col)) shuffled the text
-    * TWICE — AQE coalesces the digest exchange by its (few) bytes, not
-    * its (per-token) downstream cost, so the second shuffle was needed
-    * just to spread the stage — and benched ~2x slower on a unique
-    * corpus. */
+    * Shuffle shape in the clone-heavy branch: groupBy FIRST (partial agg
+    * collapses clones map-side, so the digest exchange carries roughly
+    * the per-partition-distinct texts), THEN an explicit-N repartition of
+    * the distinct texts. The head-sample estimator measures LOCAL
+    * duplication by construction — it sees clones only when they
+    * co-reside in the sampled head partitions — so whenever this branch
+    * is taken, map-side combine is known to collapse, and the two
+    * exchanges together carry ~2·ratio·|corpus| bytes vs a single full
+    * text shuffle. The second repartition must be explicit-N: AQE
+    * coalesces the collapsed digest exchange by its (few) bytes and
+    * would otherwise run the whole per-token stage in `f` in one task. */
   private def perDistinctText(corpus: DataFrame, distinctRatio: Option[Double])(
       f: DataFrame => DataFrame): DataFrame = {
     val cloneHeavy =
@@ -140,8 +141,8 @@ object TextAnalysis {
       val keyed = corpus.select(col("doc_id"), xxhash64(col("text")).as("dig"))
       val n = corpus.sparkSession.sessionState.conf.numShufflePartitions
       val reps = corpus.select(xxhash64(col("text")).as("doc_id"), col("text"))
-        .repartition(n, col("doc_id"))
         .groupBy(col("doc_id")).agg(first(col("text")).as("text"))
+        .repartition(n, col("doc_id"))
       val scored = f(reps).withColumnRenamed("doc_id", "dig")
       keyed.join(scored, "dig").drop("dig")
     }
@@ -214,15 +215,14 @@ object TextAnalysis {
         .select(col("dig").as("doc_id"), col("nll"), col("n_bigrams"))
     else {
       val keyed = corpus.select(col("doc_id"), xxhash64(col("text")).as("dig"))
-      // explicit-N repartition BEFORE the digest agg (see
-      // perDistinctText): one text shuffle that the agg reuses, at a
-      // partition count AQE cannot coalesce away under the per-token
-      // explode stage
+      // groupBy first (map-side collapse), then explicit-N repartition of
+      // the distinct texts — see perDistinctText for the shuffle-byte
+      // rationale tied to the head-sample estimator
       val nPart = corpus.sparkSession.sessionState.conf.numShufflePartitions
       val groups = corpus.select(xxhash64(col("text")).as("dig"), col("text"))
-        .repartition(nPart, col("dig"))
         .groupBy(col("dig"))
         .agg(first(col("text")).as("text"), count(lit(1)).as("mult"))
+        .repartition(nPart, col("dig"))
       keyed.join(lmScoreCore(groups, inputPartitionedByDig = true), "dig")
         .select(col("doc_id"), col("nll"), col("n_bigrams"))
     }
