@@ -127,6 +127,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clonePairs.subsetOf(mh.toSet), "minhashPairs missed an exact-clone pair")
   }
 
+  test("CorpusStats head-sample ratio separates unique from clone-heavy corpora") {
+    import spark.implicits._
+    val unique = (0 until 400).map(i => (i.toLong, s"unique text number $i with words")).toDF("doc_id", "text")
+    val cloned = (0 until 400).map(i => (i.toLong, s"clone text number ${i % 20}")).toDF("doc_id", "text")
+    val ru = CorpusStats.headDistinctRatio(unique)
+    val rc = CorpusStats.headDistinctRatio(cloned)
+    assert(ru > CorpusStats.cloneHeavyBelow, s"unique corpus must rate per-doc, got $ru")
+    assert(rc < CorpusStats.cloneHeavyBelow, s"20/400 clone corpus must rate clone-heavy, got $rc")
+    // a sample smaller than the corpus stays within HLL error of the truth
+    val rs = CorpusStats.headDistinctRatio(cloned, sample = 100)
+    assert(rs < CorpusStats.cloneHeavyBelow, s"sampled estimate must still classify, got $rs")
+    assert(CorpusStats.headDistinctRatio(unique.limit(0)) == 1.0, "empty corpus defaults to 1.0")
+  }
+
   test("adaptive plan modes are result-equivalent (per-doc vs sketch/content-addressed)") {
     // every adaptive operator picks between two plan SHAPES by the
     // corpus's distinct ratio (CorpusStats); the choice must never change
