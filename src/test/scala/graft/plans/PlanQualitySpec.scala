@@ -80,6 +80,24 @@ class PlanQualitySpec extends AnyFunSuite {
       "both as-of columns should ride ONE Window node (one sort pass)")
   }
 
+  test("adaptive modes pick materially different plans (per-doc skips the collapse)") {
+    // result equivalence is pinned in OperatorsSpec; this guards the
+    // PLAN side — if a refactor quietly unified the two shapes, the
+    // per-doc mode would re-grow the collapse machinery (extra
+    // exchanges) that costs ~2x on mostly-unique corpora
+    import spark.implicits._
+    val corpus = (0 until 60).map(i => (i.toLong, s"text $i one two three four five"))
+      .toDF("doc_id", "text")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val lmPer = exchanges(graft.operators.TextAnalysis.lmScore(corpus, Some(1.0)))
+    val lmCa = exchanges(graft.operators.TextAnalysis.lmScore(corpus, Some(0.0)))
+    assert(lmPer < lmCa, s"per-doc lmScore must plan fewer exchanges ($lmPer vs $lmCa)")
+    val mhPer = exchanges(graft.operators.Dedup.minhashPairs(corpus, 0.35, Some(1.0)))
+    val mhCa = exchanges(graft.operators.Dedup.minhashPairs(corpus, 0.35, Some(0.0)))
+    assert(mhPer < mhCa, s"per-doc minhashPairs must plan fewer exchanges ($mhPer vs $mhCa)")
+  }
+
   test("q27 computes exact NDVs without an Expand blow-up") {
     val p = plan("q27_approx")
     assert(!p.contains("Expand"),
