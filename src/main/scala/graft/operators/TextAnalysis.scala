@@ -208,11 +208,32 @@ object TextAnalysis {
     val cloneHeavy =
       distinctRatio.getOrElse(CorpusStats.headDistinctRatio(corpus)) <
         CorpusStats.cloneHeavyBelow
-    if (!cloneHeavy)
-      lmScoreCore(
-        corpus.select(col("doc_id").as("dig"), col("text"), lit(1L).as("mult")),
-        inputPartitionedByDig = false)
-        .select(col("dig").as("doc_id"), col("nll"), col("n_bigrams"))
+    if (!cloneHeavy) {
+      // per-doc shape: score the RAW bigram instance stream. The three
+      // model consumers each get a column-pruned scan+explode (Catalyst
+      // pushes .bg/.w1 INTO the explode for the model branches), and the
+      // per-doc score is a plain instance average. Folding the stream
+      // onto a reduced (doc, bigram, k) relation first benched +70% here:
+      // mostly-unique corpora repeat few bigrams within a doc, so the
+      // reduction removes almost nothing and its aggregate + exchange are
+      // pure overhead.
+      val t = corpus
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .withColumn("n", size(col("toks")))
+      val bgS = t.filter(col("n") >= 2)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, concat(toks[i], ' ', toks[i + 1]) AS bg))"))
+            .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+      val c1 = bgS.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val cb = bgS.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      bgS.join(cb, "bg").join(c1, "w1")
+        .groupBy(col("doc_id"))
+        .agg(
+          stableRound(avg(-log(col("cb").cast("double") / col("c1"))), 4).as("nll"),
+          count(lit(1)).as("n_bigrams"))
+    }
     else {
       val keyed = corpus.select(col("doc_id"), xxhash64(col("text")).as("dig"))
       // groupBy first (map-side collapse), then explicit-N repartition of
@@ -223,25 +244,23 @@ object TextAnalysis {
         .groupBy(col("dig"))
         .agg(first(col("text")).as("text"), count(lit(1)).as("mult"))
         .repartition(nPart, col("dig"))
-      keyed.join(lmScoreCore(groups, inputPartitionedByDig = true), "dig")
+      keyed.join(lmScoreCore(groups), "dig")
         .select(col("doc_id"), col("nll"), col("n_bigrams"))
     }
   }
 
-  /** The bigram-model fold over `(dig, text, mult)` scoring units:
+  /** The CLONE-HEAVY bigram-model fold over `(dig, text, mult)` scoring
+    * units — one row per DISTINCT text, weighted by clone multiplicity;
     * returns (dig, nll, n_bigrams), one row per unit with ≥ 2 tokens.
-    * Units are documents (mult 1) or distinct texts weighted by clone
-    * multiplicity — the model counts and scores are identical.
+    * Counts and scores are identical to scoring the expanded documents.
     *
-    * `inputPartitionedByDig` tells the core whether the reduced-relation
-    * agg will inherit a hash partitioning on `dig` (the content-addressed
-    * caller pre-shuffles by digest): if so, the agg plans WITHOUT an
-    * exchange and an explicit repartition(bg) must be inserted as the
-    * shared materialization point — otherwise the tokenize/explode/agg
-    * subtree is recomputed once per downstream consumer (measured 1.6x).
-    * If not, the agg's own exchange is that reuse point and a second
-    * shuffle of the reduced relation would only double its cost. */
-  private def lmScoreCore(groups: DataFrame, inputPartitionedByDig: Boolean): DataFrame = {
+    * The input is pre-partitioned by dig (the caller's content-address
+    * shuffle), so the reduced-relation agg plans WITHOUT its own
+    * exchange; the explicit repartition(bg) after it is the plan's
+    * shared materialization point — without an exchange between the agg
+    * and its three consumers the whole tokenize/explode/agg subtree is
+    * recomputed per consumer (measured 1.6x). */
+  private def lmScoreCore(groups: DataFrame): DataFrame = {
     val nPart = groups.sparkSession.sessionState.conf.numShufflePartitions
     val t = groups
       .withColumn("toks", split(lower(col("text")), "\\s+"))
@@ -256,13 +275,18 @@ object TextAnalysis {
     // unigram/bigram models fold from the reduced relation (weighted by
     // the clone multiplicity), and the model joins carry distinct
     // (text, bigram) rows instead of the raw instance stream — per-doc
-    // instance averages become k-weighted sums, same numbers.
-    //
-    val dbgAgg = bg.groupBy(col("dig"), col("mult"), col("w1"), col("bg"))
-      .agg(count(lit(1)).as("k"))
-    val dbg = if (inputPartitionedByDig) dbgAgg.repartition(nPart, col("bg")) else dbgAgg
-    val c1 = dbg.groupBy(col("w1")).agg(sum(col("k") * col("mult")).as("c1"))
-    val cb = dbg.groupBy(col("bg")).agg(sum(col("k") * col("mult")).as("cb"))
+    // instance averages become k-weighted sums, same numbers. (This
+    // reduction pays ONLY here, where scoring units are distinct texts
+    // of a clone-heavy corpus; on the per-doc path it benched +70% and
+    // is not used.) mult rides as an AGGREGATE (functionally dependent
+    // on dig), not a grouping key, keeping the exchange keys pure
+    // attributes.
+    val dbg = bg.groupBy(col("dig"), col("w1"), col("bg"))
+      .agg(count(lit(1)).as("k"), max(col("mult")).as("mult"))
+      .repartition(nPart, col("bg"))
+    val weight = col("k") * col("mult")
+    val c1 = dbg.groupBy(col("w1")).agg(sum(weight).as("c1"))
+    val cb = dbg.groupBy(col("bg")).agg(sum(weight).as("cb"))
     dbg.join(cb, "bg").join(c1, "w1")
       .groupBy(col("dig"))
       .agg(
