@@ -114,29 +114,42 @@ object Dedup {
         CorpusStats.cloneHeavyBelow
     val (dk, grouped) =
       if (cloneHeavy)
+        // the distinct-signature relation is SMALL by construction here
+        // (shrunk by the clone factor) and has five consumers below
+        // (bands a/b, both sig fetches, the multi filter) — checkpoint it
+        // once instead of re-aggregating the signatures per consumer
         (d.select(col("doc_id"), xxhash64(col("sig")).as("sid")),
           d.groupBy(xxhash64(col("sig")).as("sid"))
-            .agg(first(col("sig")).as("sig"), count(lit(1)).as("cnt")))
+            .agg(first(col("sig")).as("sig"), count(lit(1)).as("cnt"))
+            .localCheckpoint())
       else
         (d.select(col("doc_id"), col("doc_id").as("sid")),
           d.select(col("doc_id").as("sid"), col("sig"), lit(1L).as("cnt")))
+    // bands carry ONLY (sid, band, bh) — 24 bytes/row — through the
+    // explode and self-join; the 512-byte signature arrays join back
+    // AFTER the pair distinct, against the (far smaller) candidate set.
+    // Carrying sig through the band join shuffles ~20x the bytes and
+    // measured ~+40% on the whole operator in per-doc mode.
     val bands = grouped.select(
-      col("sid"), col("sig"),
+      col("sid"),
       posexplode(expr("transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))"))
         .as(Seq("band", "bh")))
-    // the sig-level candidate set is small, so a plain distinct() on the
-    // (sid, sid) pair key is cheaper than carrying slice comparisons
-    // through the join filter
+    // the candidate set is small, so a plain distinct() on the (sid, sid)
+    // pair key is cheaper than carrying lowest-band comparisons through
+    // the join filter
     val sigPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.sid") < col("b.sid"))
-      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"),
+      .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"))
+      .distinct()
+      .join(grouped.select(col("sid").as("sid_a"), col("sig").as("sig_a")), "sid_a")
+      .join(grouped.select(col("sid").as("sid_b"), col("sig").as("sig_b")), "sid_b")
+      .select(col("sid_a"), col("sid_b"),
         stableRound(
-          expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
             .cast("double") / 64.0, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
     val cross = sigPairs
       .join(dk.select(col("doc_id").as("da"), col("sid").as("sid_a")), "sid_a")
       .join(dk.select(col("doc_id").as("db"), col("sid").as("sid_b")), "sid_b")
