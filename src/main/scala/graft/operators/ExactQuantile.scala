@@ -42,20 +42,24 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantile {
 
-  private val buckets = 8192
-  private val collectLimit = 131072
+  /** Histogram width and collect threshold: the defaults suit any real
+    * column (8192 buckets resolve most distributions at depth 1; 131072
+    * doubles ≈ 1 MB per collected bucket). Exposed as parameters so
+    * tests can force deep recursion and multi-state refinement. */
+  val defaultBuckets = 8192
+  val defaultCollectLimit = 131072
 
   /** Bucket index of `v` within [lo, hi]: shared by the histogram and
     * the refinement filters, so boundary float arithmetic is consistent
     * by construction. */
-  private def bucketOf(v: Column, lo: Double, hi: Double): Column =
+  private def bucketOf(v: Column, lo: Double, hi: Double, buckets: Int): Column =
     least(lit(buckets - 1),
       greatest(lit(0), floor((v - lo) / (hi - lo) * buckets))).cast("int")
 
   /** Column-range variant for the grouped path — the arithmetic shape is
     * identical to [[bucketOf]] so histogram and refinement filters agree
     * on every float boundary. */
-  private def bucketOfC(v: Column, lo: Column, hi: Column): Column =
+  private def bucketOfC(v: Column, lo: Column, hi: Column, buckets: Int): Column =
     least(lit(buckets - 1),
       greatest(lit(0), floor((v - lo) / (hi - lo) * buckets))).cast("int")
 
@@ -64,12 +68,12 @@ object ExactQuantile {
     * [lo, hi], where `offset` rows precede lo. */
   private def resolve(
       vDf: DataFrame, lo: Double, hi: Double, offset: Long,
-      ords: Seq[Long]): Map[Long, Double] = {
+      ords: Seq[Long], buckets: Int, collectLimit: Int): Map[Long, Double] = {
     if (ords.isEmpty) return Map.empty
     if (lo == hi) return ords.map(_ -> lo).toMap
     val ranged = vDf.where(col("v") >= lo && col("v") <= hi)
     val hist: Map[Int, Long] = ranged
-      .groupBy(bucketOf(col("v"), lo, hi).as("b"))
+      .groupBy(bucketOf(col("v"), lo, hi, buckets).as("b"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val prefix = new Array[Long](buckets + 1)
@@ -91,7 +95,7 @@ object ExactQuantile {
     byBucket.iterator.flatMap { case (b, bucketOrds) =>
       val cnt = hist(b)
       val before = offset + prefix(b)
-      val inBucket = ranged.where(bucketOf(col("v"), lo, hi) === b)
+      val inBucket = ranged.where(bucketOf(col("v"), lo, hi, buckets) === b)
       lazy val mm = inBucket.agg(min(col("v")), max(col("v"))).head()
       // the can't-shrink guard is unreachable for doubles (two distinct
       // values always split across buckets) but caps the recursion
@@ -100,7 +104,8 @@ object ExactQuantile {
         val values = inBucket.orderBy(col("v")).collect().map(_.getDouble(0))
         bucketOrds.map(ord => ord -> values((ord - before).toInt))
       } else {
-        resolve(vDf, mm.getDouble(0), mm.getDouble(1), before, bucketOrds)
+        resolve(vDf, mm.getDouble(0), mm.getDouble(1), before, bucketOrds,
+          buckets, collectLimit)
       }
     }.toMap
   }
@@ -108,7 +113,8 @@ object ExactQuantile {
   /** Exact interpolated quantiles of `df(valueCol)` at probabilities
     * `qs` (each in [0,1]). Nulls and NaNs are ignored (as `percentile`
     * ignores nulls); returns NaN per quantile when no rows remain. */
-  def quantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): Seq[Double] = {
+  def quantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+      buckets: Int = defaultBuckets, collectLimit: Int = defaultCollectLimit): Seq[Double] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantile probabilities must be in [0,1], got $qs")
     val v = df
@@ -122,7 +128,7 @@ object ExactQuantile {
     val wanted = positions
       .flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong))
       .distinct.sorted
-    val found = resolve(v, mn, mx, 0L, wanted)
+    val found = resolve(v, mn, mx, 0L, wanted, buckets, collectLimit)
     positions.map { p =>
       val lo = math.floor(p).toLong
       val hi = math.ceil(p).toLong
@@ -159,7 +165,9 @@ object ExactQuantile {
       df: DataFrame,
       keyCol: String,
       valueCol: String,
-      qs: Seq[Double]): Seq[(String, Seq[Double])] = {
+      qs: Seq[Double],
+      buckets: Int = defaultBuckets,
+      collectLimit: Int = defaultCollectLimit): Seq[(String, Seq[Double])] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantile probabilities must be in [0,1], got $qs")
     val spark = df.sparkSession
@@ -203,7 +211,7 @@ object ExactQuantile {
           .toDF("sid", "k", "slo", "shi")
         val ranged = kv.join(broadcast(states), "k")
           .where(col("v") >= col("slo") && col("v") <= col("shi"))
-          .withColumn("b", bucketOfC(col("v"), col("slo"), col("shi")))
+          .withColumn("b", bucketOfC(col("v"), col("slo"), col("shi"), buckets))
         val hist: Map[Int, Map[Int, (Long, Double, Double)]] = ranged
           .groupBy(col("sid"), col("b"))
           .agg(count(lit(1)).as("c"), min(col("v")).as("bmn"), max(col("v")).as("bmx"))
@@ -243,7 +251,7 @@ object ExactQuantile {
             .toDF("sid", "k", "slo", "shi", "tb")
           val got: Map[(Int, Int), Array[Double]] = kv.join(broadcast(ctDf), "k")
             .where(col("v") >= col("slo") && col("v") <= col("shi") &&
-              bucketOfC(col("v"), col("slo"), col("shi")) === col("tb"))
+              bucketOfC(col("v"), col("slo"), col("shi"), buckets) === col("tb"))
             .select(col("sid"), col("tb"), col("v"))
             .collect()
             .groupBy(r => (r.getInt(0), r.getInt(1)))

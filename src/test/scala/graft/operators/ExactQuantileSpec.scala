@@ -22,6 +22,37 @@ class ExactQuantileSpec extends AnyFunSuite {
     df.agg(expr(s"percentile($c, $arr)")).head().getSeq[Double](0)
   }
 
+  test("deep recursion and multi-state refinement match the aggregate") {
+    // tiny buckets + tiny collect limit force the refinement machinery
+    // through several levels, with p10/p50/p99 refining SIMULTANEOUS
+    // disjoint ranges (the multi-state-per-group case), on a skewed
+    // distribution with heavy duplicates
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vals = (0 until 4000).map { i =>
+      if (i % 5 == 0) 42.0 // heavy repeated value
+      else math.pow(rnd.nextDouble(), 6) * 1e9 // strong skew
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (i % 4, v) }.toDF("g", "v")
+    val qs = Seq(0.1, 0.5, 0.99)
+    val got = ExactQuantile.quantiles(df, "v", qs, buckets = 4, collectLimit = 16)
+    val want = viaAggregate(df, "v", qs)
+    got.zip(want).zip(qs).foreach { case ((g, w), q) =>
+      assert(g == w || math.abs(g - w) <= math.abs(w) * 1e-12, s"deep q=$q: got $g, want $w")
+    }
+    val gotG = ExactQuantile
+      .groupedQuantiles(df, "g", "v", qs, buckets = 4, collectLimit = 16)
+      .toMap
+    (0 until 4).foreach { g =>
+      val sub = df.filter(col("g") === g)
+      val wantG = viaAggregate(sub, "v", qs)
+      gotG(g.toString).zip(wantG).zip(qs).foreach { case ((a, w), q) =>
+        assert(a == w || math.abs(a - w) <= math.abs(w) * 1e-12,
+          s"deep grouped g=$g q=$q: got $a, want $w")
+      }
+    }
+  }
+
   private def check(df: org.apache.spark.sql.DataFrame, c: String, qs: Seq[Double]): Unit = {
     val got = ExactQuantile.quantiles(df, c, qs)
     val want = viaAggregate(df, c, qs)
