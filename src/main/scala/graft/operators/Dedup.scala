@@ -345,6 +345,42 @@ object Dedup {
       .limit(topN)
   }
 
+  /** PASSAGE-level duplication stats — sub-document dedup (the "repeated
+    * boilerplate paragraph" case document-level dedup cannot see): each
+    * doc splits into consecutive non-overlapping `width`-token passages;
+    * a passage is REPEATED when its content occurs in ≥2 distinct docs.
+    * Returns per doc (n_chunks, n_repeated), the signal a curation pass
+    * thresholds on (drop or trim docs that are mostly shared passages).
+    *
+    * Scale shape: passages leave the scan as 64-bit xxhash64 values (one
+    * codegen'd projection — passage STRINGS never materialize off-core),
+    * so the df-count shuffle and the shared-semi-join both carry 8-byte
+    * keys; per-doc counts re-aggregate by doc_id. Collision bound: a
+    * false "repeated" needs two distinct passages on one 64-bit value —
+    * p ≈ n²/2⁶⁵ corpus-wide, the family-wide convention (see
+    * [[minhashPairs]]); exact content dedup stays on sha2-256 (d01). */
+  def passageStats(corpus: DataFrame, width: Int = 8): DataFrame = {
+    val ch = corpus
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("n_chunks", expr(s"size(toks) div $width").cast("bigint"))
+      .withColumn("chunks",
+        expr(s"IF(n_chunks > 0, transform(sequence(0, CAST(n_chunks AS INT) - 1), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i*$width+1, $width)))), " +
+          "cast(array() as array<bigint>))"))
+      .select(col("doc_id"), col("n_chunks"), col("chunks"))
+    val occ = ch.select(col("doc_id"), explode(col("chunks")).as("ph"))
+    val shared = occ.groupBy(col("ph"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("ph"))
+    val rep = occ.join(shared, Seq("ph"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_repeated"))
+    ch.select(col("doc_id"), col("n_chunks"))
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+  }
+
   /** Connected components over an undirected `(id_a, id_b)` pair graph by
     * synchronous min-label propagation, iterated UNTIL CONVERGENCE (no
     * label changed) with a hard round bound — a fixed round count is
@@ -529,6 +565,26 @@ object Dedup {
       (s, dir) =>
         exactJaccardPairs(s, dir, 0.4)
           .orderBy(col("id_a"), col("id_b"))),
+
+    // passage-level (sub-document) dedup stats: consecutive 8-token
+    // windows, repeated ⟺ shared by ≥2 distinct docs. The DuckDB oracle
+    // rebuilds the passages as strings and replays the distinct-doc rule
+    // — a hash match proves the 64-bit passage keys collide nowhere on
+    // this corpus AND the whole count pipeline agrees.
+    NamedQuery(
+      "d07_passage_dedup",
+      Some(
+        "WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+          "ch AS (SELECT doc_id, len(tk) // 8 AS n_chunks, " +
+          "list_transform(range(0, len(tk) // 8), " +
+          "i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS chunks FROM tk), " +
+          "e AS (SELECT doc_id, unnest(chunks) AS chunk FROM ch), " +
+          "sh AS (SELECT chunk FROM e GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2), " +
+          "rep AS (SELECT doc_id, count(*) AS n_repeated FROM e JOIN sh USING (chunk) GROUP BY doc_id) " +
+          "SELECT ch.doc_id, CAST(ch.n_chunks AS BIGINT) AS n_chunks, " +
+          "CAST(coalesce(rep.n_repeated, 0) AS BIGINT) AS n_repeated " +
+          "FROM ch LEFT JOIN rep USING (doc_id) ORDER BY doc_id"),
+      (s, dir) => passageStats(corpus(s, dir)).orderBy(col("doc_id"))),
 
     // Embedding near-dup gate (driver-visible): plant 8 scaled clones
     // (vec_id+1e6, embedding × 2) into the corpus and require the LSH

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch ASSEMBLY operators — the step after curation/dedup where
+  * a corpus becomes model input: sequence packing, shard assignment, and
+  * temperature-balanced mixing. (The reference stops at SQL results; these
+  * extend the LLM-pipeline surface the same way Dedup/TextAnalysis do.)
+  *
+  * All three are deterministic functions of the data — no rand(), no
+  * runtime state — so a resumed or re-run 100 TB job reproduces the exact
+  * same batches, and the DuckDB oracle replays every rule bit-for-bit.
+  */
+object Packing {
+
+  import OracleRound.{stableRound, stableRoundSql}
+
+  /** Concat-and-chunk SEQUENCE PACKING (the GPT-style pretraining layout):
+    * documents are concatenated in doc_id order into one virtual token
+    * stream that is cut into fixed `budget`-token training sequences; each
+    * doc lands at `start_offset` and spans sequences `first_seq..last_seq`.
+    *
+    * The global running token total is a distributed TWO-LEVEL PREFIX SUM —
+    * the naive `Window.orderBy(doc_id)` is a single-partition sort of the
+    * whole corpus, the textbook driver-chokepoint at 100 TB:
+    *   1. docs bucket by doc_id range (deterministic value buckets from one
+    *      min/max stats row — with the insert pipeline's contiguous serial
+    *      ids the buckets are uniform by construction);
+    *   2. one scan-only partial aggregate computes per-bucket token totals
+    *      (`buckets` rows), whose exclusive running sum — the only global
+    *      ordered window — runs over that ≤`buckets`-row relation;
+    *   3. the per-doc running sum is a window PARTITIONED by bucket (fully
+    *      parallel) plus the broadcast bucket offset.
+    * Shuffled bytes: (doc_id, n_tokens, bucket) = 24 B/row once, plus the
+    * `buckets`-row side relation. Skew note: ids far sparser than the
+    * bucket width degrade bucket balance, never correctness.
+    */
+  def packSequences(corpus: DataFrame, budget: Int = 128,
+      buckets: Int = 1024): DataFrame = {
+    val toks = corpus.select(
+      col("doc_id"),
+      size(split(lower(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+    // one 1-row stats action sizes the value buckets (same discipline as
+    // CorpusStats: O(1) driver data, never the corpus)
+    val r = toks.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, width) =
+      if (r.isNullAt(0)) (0L, 1L)
+      else (r.getLong(0), math.max(1L, (r.getLong(1) - r.getLong(0)) / buckets + 1))
+    val b = toks.withColumn("bucket", ((col("doc_id") - lo) / width).cast("bigint"))
+    // per-bucket totals: scan-only partial aggregate, `buckets` rows out
+    val totals = b.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btotal"))
+    // the ONLY globally-ordered window — over ≤`buckets` rows
+    val exclusive = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("offset", coalesce(sum(col("btotal")).over(exclusive), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    // per-doc running sum: window partitioned by bucket — parallel
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("local_end", sum(col("n_tokens")).over(inBucket))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("start_offset", col("offset") + col("local_end") - col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div $budget").as("first_seq"),
+        expr(s"(start_offset + n_tokens - 1) div $budget").as("last_seq"))
+  }
+
+  /** Deterministic TRAINING-SHARD layout: shard by content-independent
+    * id hash, order within shard by the same hash — a reproducible global
+    * shuffle (every data-parallel trainer must see the same shard in the
+    * same order on every resume; rand() cannot provide that, md5 can).
+    * Window parallelism is per shard; `numShards` in a real run is the
+    * trainer world size (hundreds+), matching executor counts. */
+  def shardPack(corpus: DataFrame, numShards: Int = 8): DataFrame = {
+    val g = corpus.select(col("doc_id")).withColumn(
+      "h", conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    g.withColumn("shard", (col("h") % numShards).cast("bigint"))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** TEMPERATURE-BALANCED language mixing (the multilingual-pretraining
+    * standard): sampling weights ∝ count^alpha flatten the language
+    * distribution (alpha 1 = natural, 0 = uniform), realized as a
+    * deterministic per-language md5-bucket gate — same reproducibility
+    * contract as [[shardPack]]. The per-language rate table is a
+    * `#languages`-row aggregate that BROADCASTS back onto the corpus scan:
+    * the 100 TB side is one linear pass, no shuffle. */
+  def temperatureMix(corpus: DataFrame, alpha: Double = 0.5,
+      targetFrac: Double = 0.5): DataFrame = {
+    val counts = corpus.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("tot"), sum(pow(col("n"), lit(alpha))).as("wsum"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate",
+        least(lit(1.0),
+          lit(targetFrac) * col("tot") * pow(col("n"), lit(alpha)) /
+            (col("wsum") * col("n"))))
+      // decimal-stable before the integer threshold so Spark and DuckDB
+      // floor the same value (see OracleRound)
+      .withColumn("thr", floor(stableRound(col("rate"), 6) * 1000).cast("bigint"))
+      .select(col("lang"), col("thr"))
+    corpus
+      .withColumn("bucket",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("bigint") % 1000).cast("bigint"))
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
+  // ---------- testdata bindings (the driver contract) ----------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    NamedQuery(
+      "p04_sequence_packing",
+      Some(
+        "WITH tk AS (SELECT doc_id, CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) " +
+          "AS n_tokens FROM documents), " +
+          "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
+          "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens " +
+          "AS BIGINT) AS start_offset FROM tk) " +
+          "SELECT doc_id, n_tokens, start_offset, " +
+          "start_offset // 128 AS first_seq, " +
+          "(start_offset + n_tokens - 1) // 128 AS last_seq " +
+          "FROM c ORDER BY doc_id"),
+      (s, dir) =>
+        packSequences(docs(s, dir).select(col("doc_id"), col("text")))
+          .orderBy(col("doc_id"))),
+
+    NamedQuery(
+      "p05_temperature_mix",
+      Some(
+        "WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang), " +
+          "t AS (SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS wsum FROM c), " +
+          "r AS (SELECT lang, least(1.0, 0.5 * tot * pow(n, 0.5) / (wsum * n)) AS rate FROM c, t), " +
+          "th AS (SELECT lang, CAST(floor(" + stableRoundSql("rate", 6) + " * 1000) AS BIGINT) AS thr FROM r), " +
+          "g AS (SELECT doc_id, lang, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+          "AS BIGINT) % 1000 AS bucket FROM documents) " +
+          "SELECT g.doc_id, g.lang, CAST(g.bucket AS BIGINT) AS bucket " +
+          "FROM g JOIN th ON g.lang = th.lang WHERE g.bucket < th.thr ORDER BY doc_id"),
+      (s, dir) => temperatureMix(docs(s, dir)).orderBy(col("doc_id"))),
+
+    NamedQuery(
+      "p06_shard_pack",
+      Some(
+        "WITH g AS (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) " +
+          "AS BIGINT) AS h FROM documents) " +
+          "SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard, " +
+          "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos " +
+          "FROM g ORDER BY doc_id"),
+      (s, dir) => shardPack(docs(s, dir)).orderBy(col("doc_id")))
+  )
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the training-batch assembly operators (Packing) and
+  * passage-level dedup, on inline corpora with known structure — the
+  * oracle rows ride the driver's testdata; these pin behavior to data
+  * that never changes. */
+class PackingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, Seq.fill(3 + i % 7)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+
+  test("packSequences: offsets form one contiguous gap-free token stream") {
+    val packed = Packing.packSequences(corpus(500), budget = 16, buckets = 8)
+      .orderBy("doc_id").collect()
+    assert(packed.length == 500)
+    var expectedStart = 0L
+    packed.foreach { r =>
+      assert(r.getAs[Long]("start_offset") == expectedStart,
+        s"gap at doc ${r.getAs[Long]("doc_id")}")
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("first_seq") == expectedStart / 16)
+      assert(r.getAs[Long]("last_seq") == (expectedStart + n - 1) / 16)
+      expectedStart += n
+    }
+  }
+
+  test("packSequences: bucketed two-level prefix sum equals the single-window reference") {
+    val df = corpus(300)
+    val manyBuckets = Packing.packSequences(df, budget = 32, buckets = 64)
+    val oneBucket = Packing.packSequences(df, budget = 32, buckets = 1)
+    assert(manyBuckets.exceptAll(oneBucket).isEmpty && oneBucket.exceptAll(manyBuckets).isEmpty)
+    // and against the naive global window directly
+    val toks = df.select(col("doc_id"),
+      size(split(lower(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
+    val naive = toks.withColumn("start_offset",
+      coalesce(sum("n_tokens").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        expr("start_offset div 32").as("first_seq"),
+        expr("(start_offset + n_tokens - 1) div 32").as("last_seq"))
+    assert(manyBuckets.exceptAll(naive).isEmpty && naive.exceptAll(manyBuckets).isEmpty)
+  }
+
+  test("packSequences: sparse and non-zero-based ids stay correct") {
+    val df = (0 until 100).map(i => (1000000L + i * 997L, "a b c")).toDF("doc_id", "text")
+    val packed = Packing.packSequences(df, budget = 7, buckets = 16).orderBy("doc_id").collect()
+    packed.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("start_offset") == 3L * i)
+    }
+  }
+
+  test("packSequences: empty corpus packs to an empty result") {
+    assert(Packing.packSequences(corpus(0)).count() == 0)
+  }
+
+  test("shardPack: positions are dense per shard and deterministic across runs") {
+    val df = corpus(400)
+    val a = Packing.shardPack(df, numShards = 8)
+    val b = Packing.shardPack(df, numShards = 8)
+    assert(a.exceptAll(b).isEmpty, "shard layout must be reproducible")
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("d"))
+      .collect()
+    assert(perShard.map(_.getAs[Long]("n")).sum == 400)
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("lo") == 1L && r.getAs[Long]("hi") == r.getAs[Long]("n") &&
+        r.getAs[Long]("d") == r.getAs[Long]("n"),
+        s"positions not dense in shard ${r.getAs[Long]("shard")}")
+    }
+    // md5 spreads: no shard holds more than half the corpus
+    assert(perShard.map(_.getAs[Long]("n")).max < 200)
+  }
+
+  test("temperatureMix: low-resource languages sample at a higher rate") {
+    val df = ((0 until 800).map(i => (i.toLong, "x", "en")) ++
+      (800 until 900).map(i => (i.toLong, "x", "sw")))
+      .toDF("doc_id", "text", "lang")
+    val kept = Packing.temperatureMix(df, alpha = 0.5, targetFrac = 0.5)
+      .groupBy("lang").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateEn = kept.getOrElse("en", 0L).toDouble / 800
+    val rateSw = kept.getOrElse("sw", 0L).toDouble / 100
+    assert(rateSw > rateEn, s"temperature must upsample the tail: sw=$rateSw en=$rateEn")
+    // alpha=1 is natural sampling: rates equalize (within hash-gate noise)
+    val nat = Packing.temperatureMix(df, alpha = 1.0, targetFrac = 0.5)
+      .groupBy("lang").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nEn = nat.getOrElse("en", 0L).toDouble / 800
+    val nSw = nat.getOrElse("sw", 0L).toDouble / 100
+    assert(math.abs(nEn - nSw) < 0.15, s"alpha=1 should be ~uniform rates: en=$nEn sw=$nSw")
+  }
+
+  test("passageStats: planted shared passage is counted, unique docs stay zero") {
+    val shared = (1 to 8).map(i => s"p$i").mkString(" ") // exactly one 8-token passage
+    val docs = Seq(
+      (1L, shared + " " + (1 to 8).map(i => s"a$i").mkString(" ")), // shared + unique
+      (2L, shared + " tail words only"), // shared + partial chunk (ignored)
+      (3L, (1 to 16).map(i => s"u$i").mkString(" ")) // fully unique, 2 chunks
+    ).toDF("doc_id", "text")
+    val r = Dedup.passageStats(docs, width = 8).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 0L)))
+  }
+
+  test("passageStats: a doc repeating its own passage is not 'shared'") {
+    val p = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, p + " " + p)).toDF("doc_id", "text") // same passage twice, one doc
+    val r = Dedup.passageStats(docs, width = 8).collect()
+    assert(r.head.getLong(1) == 2L && r.head.getLong(2) == 0L)
+  }
+}
