@@ -49,7 +49,8 @@ object Packing {
     val (lo, width) =
       if (r.isNullAt(0)) (0L, 1L)
       else (r.getLong(0), math.max(1L, (r.getLong(1) - r.getLong(0)) / buckets + 1))
-    val b = toks.withColumn("bucket", ((col("doc_id") - lo) / width).cast("bigint"))
+    // integer division, not `/`: double division truncates ids past 2^53
+    val b = toks.withColumn("bucket", expr(s"(doc_id - $lo) div $width"))
     // per-bucket totals: scan-only partial aggregate, `buckets` rows out
     val totals = b.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btotal"))
     // the ONLY globally-ordered window — over ≤`buckets` rows

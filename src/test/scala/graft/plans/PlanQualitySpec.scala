@@ -142,6 +142,46 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join defeats the linear-scan design")
   }
 
+  test("p04 packing: two-level prefix sum — corpus window is bucket-partitioned") {
+    val p = plan("p04_sequence_packing")
+    // the per-doc running sum must ride a window PARTITIONED by bucket; a
+    // regression to the naive global cumsum shows an unpartitioned
+    // windowspecdefinition over doc_id and a SinglePartition exchange of
+    // the whole corpus
+    assert("windowspecdefinition\\(bucket#\\d+L, doc_id#\\d+L ASC".r.findFirstIn(p).isDefined,
+      "per-doc cumsum window lost its bucket partitioning")
+    assert(!"windowspecdefinition\\(doc_id#\\d+L ASC".r.findFirstIn(p).isDefined,
+      "global unpartitioned window over the corpus")
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast back")
+  }
+
+  test("p05 mixing: rate table broadcasts — the corpus never hash-shuffles") {
+    val p = plan("p05_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join defeats the linear-scan design")
+    // only the two lang-count aggregates may exchange on lang (a third
+    // means the join degraded to a shuffle join)
+    assert("hashpartitioning\\(lang#".r.findAllIn(p).size == 2,
+      "unexpected lang exchange beyond the count aggregates")
+  }
+
+  test("p06 sharding: scan reads only doc_id; window is shard-partitioned") {
+    val p = plan("p06_shard_pack")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      "shard layout needs only doc_id — scan reads more")
+    assert("windowspecdefinition\\(shard#\\d+L, h#\\d+L ASC".r.findFirstIn(p).isDefined,
+      "row_number window lost its shard partitioning")
+  }
+
+  test("d07 passage dedup: shuffles carry 8-byte hashes, shared set broadcasts") {
+    val p = plan("d07_passage_dedup")
+    assert(p.contains("xxhash64"), "passage hashing kernel missing")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      "shared-passage filter should broadcast into a semi join")
+    assert("hashpartitioning\\((toks|chunks)#".r.findFirstIn(p).isEmpty,
+      "an exchange carries token/passage arrays — only hashes may shuffle")
+  }
+
   test("salted join distributes a hot key and matches the plain join") {
     val events = Tables.load(spark, dir, "events")
     // manufacture skew: all rows collapsed onto user 0 for half the data
