@@ -37,6 +37,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the generated-class cache defaults to 100 entries; 80+ interleaved
+      // queries × several codegen units each cycle it every round, so every
+      // iteration pays full Janino recompilation (~+0.2-0.4 s PER QUERY,
+      // uniformly — measured when interleaving replaced back-to-back
+      // repeats). Size it to hold the whole board.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

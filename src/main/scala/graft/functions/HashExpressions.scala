@@ -81,6 +81,32 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Non-overlapping stride-`w` token windows (full windows only), hashed
+    * with the same separator-delimited scheme as [[shingles]]: hash
+    * equality ⇔ token-sequence equality (modulo 64-bit collisions). */
+  def chunks(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements() / w
+    val out = new Array[Long](n)
+    var c = 0
+    while (c < n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < w) {
+        val idx = c * w + j
+        if (!arr.isNullAt(idx)) {
+          val bytes = arr.getUTF8String(idx).getBytes
+          var b = 0
+          while (b < bytes.length) { h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+        }
+        h ^= 0x1fL; h *= 0x100000001b3L // token separator
+        j += 1
+      }
+      out(c) = Hashing.mix64(h)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def simhash(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
@@ -180,6 +206,22 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 }
 
+/** chunk_hashes(tokens array<string>, w) → array<long>: hashes of the
+  * consecutive NON-OVERLAPPING w-token windows (full windows only; the
+  * tail remainder is dropped) — the passage key for sub-document dedup.
+  * One pass, no string materialization; the built-in equivalent
+  * (transform(sequence)+slice+concat_ws) re-inlines the tokenizer per
+  * element after project collapse and evaluates interpreted. */
+case class ChunkHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.chunks(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.chunks($c, $w)")
+  override protected def withNewChildInternal(c: Expression): ChunkHashes = copy(child = c)
+  override def prettyName: String = "chunk_hashes"
+}
+
 /** simhash64(tokens array<string>) → long: 64-bit SimHash over the token
   * multiset (per-bit vote of each token's hash, sign → bit). */
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -239,6 +281,8 @@ object GraftFunctions {
       "minhash_sig", exprs => MinHashSig(exprs.head, intLit(exprs(1), "k")), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs.head, intLit(exprs(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "chunk_hashes", exprs => ChunkHashes(exprs.head, intLit(exprs(1), "w")), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

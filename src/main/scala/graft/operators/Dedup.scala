@@ -360,18 +360,21 @@ object Dedup {
     * p ≈ n²/2⁶⁵ corpus-wide, the family-wide convention (see
     * [[minhashPairs]]); exact content dedup stays on sha2-256 (d01). */
   def passageStats(corpus: DataFrame, width: Int = 8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    // one-pass codegen'd kernel (ChunkHashes): the built-in spelling
+    // (transform(sequence)+slice+concat_ws+hash) re-inlines the tokenizer
+    // per element after project collapse and evaluates interpreted —
+    // measured 5x the whole-operator wall clock
     val ch = corpus
-      .withColumn("toks", split(lower(col("text")), "\\s+"))
-      .withColumn("n_chunks", expr(s"size(toks) div $width").cast("bigint"))
-      .withColumn("chunks",
-        expr(s"IF(n_chunks > 0, transform(sequence(0, CAST(n_chunks AS INT) - 1), " +
-          s"i -> xxhash64(concat_ws(' ', slice(toks, i*$width+1, $width)))), " +
-          "cast(array() as array<bigint>))"))
-      .select(col("doc_id"), col("n_chunks"), col("chunks"))
+      .withColumn("chunks", expr(s"chunk_hashes(split(lower(text), '\\\\s+'), $width)"))
+      .select(col("doc_id"), size(col("chunks")).cast("bigint").as("n_chunks"), col("chunks"))
     val occ = ch.select(col("doc_id"), explode(col("chunks")).as("ph"))
+    // "≥2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id): one plain two-phase
+    // hash aggregate instead of the distinct-aggregate's extra
+    // (ph, doc_id) keyed exchange
     val shared = occ.groupBy(col("ph"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
       .select(col("ph"))
     val rep = occ.join(shared, Seq("ph"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_repeated"))

@@ -175,7 +175,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("d07 passage dedup: shuffles carry 8-byte hashes, shared set broadcasts") {
     val p = plan("d07_passage_dedup")
-    assert(p.contains("xxhash64"), "passage hashing kernel missing")
+    assert(p.contains("chunk_hashes"), "one-pass passage hashing kernel missing")
     assert(p.contains("BroadcastHashJoin LeftSemi"),
       "shared-passage filter should broadcast into a semi join")
     assert("hashpartitioning\\((toks|chunks)#".r.findFirstIn(p).isEmpty,
