@@ -28,8 +28,11 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over the events parquet (ts arrives as raw nanos —
-    * same normalization as the batch reader in [[graft.Tables]]). */
+  /** File-source stream over the events parquet. `ts` is normalized the
+    * same way as the batch reader in [[graft.Tables]]: generations of the
+    * testdata have stored it as TIMESTAMP(NANOS) (which surfaces as a raw
+    * long under `nanosAsLong`) or TIMESTAMP(MICROS) (a native timestamp),
+    * so the physical type is probed per file, not assumed. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source wants a directory: stage a symlinked dir
@@ -40,10 +43,19 @@ object EventStreams {
     val link = staged.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(staged.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val physical = spark.read.parquet(staged.toString).schema
+    if (physical("ts").dataType == LongType)
+      spark.readStream
+        .schema(rawSchema)
+        .parquet(staged.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      // cast pins the stream-side event-time type to TIMESTAMP regardless
+      // of the session's NTZ inference, matching the long-nanos branch
+      spark.readStream
+        .schema(physical)
+        .parquet(staged.toString)
+        .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Tumbling-window counts per event type with a 1-hour watermark for
