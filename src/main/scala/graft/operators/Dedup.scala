@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * them to the driver's testdata.
   *
   * Every algorithm is expressed as a shuffle-conscious DataFrame plan:
-  *   - exact dedup: one hash-shuffle on the content digest;
+  *   - exact dedup: one hash-shuffle on the content digest; incremental
+  *     admission (new batch vs a persisted digest index) anti-joins
+  *     digests so the historical corpus is never re-read;
   *   - MinHash-LSH: linear signature pass (custom one-pass Catalyst
   *     expression), then a self-join keyed on (band, band-hash) — shuffle
   *     volume is #docs × #bands rows of 24 bytes, never the text;
@@ -52,6 +54,35 @@ object Dedup {
       .groupBy(sha2(col("text"), 256))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+
+  /** Incremental exact dedup against a PERSISTED digest index — the
+    * admission pattern a growing corpus needs at 100 TB: each new
+    * increment is deduplicated WITHOUT re-reading the historical corpus.
+    * Stage 1 keeps the first occurrence (min doc_id) of each digest
+    * within the increment; stage 2 anti-joins the survivors against the
+    * index. Both stages shuffle (32-byte digest, 8-byte id) rows
+    * regardless of document size, and the history side ships only its
+    * digest column. Returns the admitted `(doc_id, digest)` rows. */
+  def incrementalAdmit(increment: DataFrame, index: DataFrame): DataFrame =
+    increment
+      .select(sha2(col("text"), 256).as("digest"), col("doc_id"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(index.select(col("digest")), Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("digest"))
+
+  /** Digest index of a corpus — what [[incrementalAdmit]] joins against.
+    * In production this is a persisted managed table, appended per
+    * increment via [[updatedIndex]]; rebuilding it here binds the
+    * operator to the driver's testdata. */
+  def digestIndex(corpus: DataFrame): DataFrame =
+    corpus.select(sha2(col("text"), 256).as("digest")).distinct()
+
+  /** Index after an increment: admitted digests are distinct within the
+    * increment AND absent from the index (the anti-join), so the append
+    * needs no re-distinct over the enormous historical index. */
+  def updatedIndex(index: DataFrame, admitted: DataFrame): DataFrame =
+    index.select(col("digest")).unionByName(admitted.select(col("digest")))
 
   /** SQL predicate keeping a banded self-join row only in the LOWEST
     * agreeing band of a long-typed signature split into `numBands` chunks
@@ -588,6 +619,40 @@ object Dedup {
           "CAST(coalesce(rep.n_repeated, 0) AS BIGINT) AS n_repeated " +
           "FROM ch LEFT JOIN rep USING (doc_id) ORDER BY doc_id"),
       (s, dir) => passageStats(corpus(s, dir)).orderBy(col("doc_id"))),
+
+    // Incremental admission against the persisted digest index. The
+    // corpus splits 80/20 into history and increment by doc_id, and the
+    // increment is salted with planted traps on top of the new docs:
+    // exact clones of history texts under fresh ids (+1e6 — the index
+    // must reject them) and in-increment clones of new docs (+2e6 — the
+    // first-occurrence rule must keep only the original id). The DuckDB
+    // oracle replays both rules over the raw texts, so a hash match
+    // proves the digest grouping, the min-id rule, and the index
+    // anti-join all fire.
+    NamedQuery(
+      "d08_incremental_dedup",
+      Some(
+        "WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), " +
+          "base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), " +
+          "inc AS (SELECT doc_id, text FROM base " +
+          "UNION ALL SELECT doc_id + 1000000, text FROM hist WHERE doc_id % 7 = 1 " +
+          "UNION ALL SELECT doc_id + 2000000, text FROM base WHERE doc_id % 10 = 0), " +
+          "firsts AS (SELECT min(doc_id) AS doc_id, text FROM inc GROUP BY text) " +
+          "SELECT f.doc_id FROM firsts f " +
+          "WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = f.text) " +
+          "ORDER BY f.doc_id"),
+      (s, dir) => {
+        val docs = corpus(s, dir)
+        val hist = docs.filter(col("doc_id") % 5 =!= 0)
+        val base = docs.filter(col("doc_id") % 5 === 0)
+        val inc = base
+          .unionByName(hist.filter(col("doc_id") % 7 === 1)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .unionByName(base.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        incrementalAdmit(inc, digestIndex(hist))
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      }),
 
     // Embedding near-dup gate (driver-visible): plant 8 scaled clones
     // (vec_id+1e6, embedding × 2) into the corpus and require the LSH

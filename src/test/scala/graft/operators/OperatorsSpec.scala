@@ -25,6 +25,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q("d01_dedup_exact").count() == docs.select("text").distinct().count())
   }
 
+  test("incremental dedup: index rejects history clones, increment keeps first occurrence") {
+    import spark.implicits._
+    val hist = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("doc_id", "text")
+    val inc = Seq((10L, "ddd"), (11L, "bbb"), (12L, "ddd"), (13L, "eee")).toDF("doc_id", "text")
+    val idx = Dedup.digestIndex(hist)
+    val admitted = Dedup.incrementalAdmit(inc, idx)
+    // 11 is a history clone (index reject); 12 repeats 10 within the
+    // increment (first-occurrence reject)
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L, 13L))
+    // replaying the same increment against the appended index admits
+    // nothing, and a later batch's clone of an ADMITTED doc is rejected
+    val idx2 = Dedup.updatedIndex(idx, admitted)
+    assert(Dedup.incrementalAdmit(inc, idx2).isEmpty)
+    val third = Seq((20L, "ddd"), (21L, "fff")).toDF("doc_id", "text")
+    assert(Dedup.incrementalAdmit(third, idx2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(21L))
+    // append keeps the index duplicate-free without a re-distinct
+    assert(idx2.count() == idx2.distinct().count())
+  }
+
   test("minhash candidates cover every high-jaccard pair found exactly") {
     val exact = q("d04_dedup_ngram").filter(col("jaccard") >= 0.6)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

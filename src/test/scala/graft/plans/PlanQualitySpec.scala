@@ -98,6 +98,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(mhPer < mhCa, s"per-doc minhashPairs must plan fewer exchanges ($mhPer vs $mhCa)")
   }
 
+  test("d08 incremental admit: exchanges carry digests, never document text") {
+    // the whole design is that shuffles move (digest, doc_id) rows — if a
+    // refactor hashes AFTER an exchange, text rides the wire and the
+    // operator stops scaling with document size
+    val p = plan("d08_incremental_dedup")
+    val exchangeSections = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(exchangeSections.nonEmpty, "expected at least one exchange in the admit plan")
+    exchangeSections.foreach(s =>
+      assert(!s.contains("text#"), s"document text crossed an exchange:\n$s"))
+    assert(p.contains("LeftAnti"), "index check must plan as an anti-join")
+  }
+
   test("q27 computes exact NDVs without an Expand blow-up") {
     val p = plan("q27_approx")
     assert(!p.contains("Expand"),
