@@ -136,7 +136,20 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
   private def planRelational(sql: String, rewrite: String => String): DataFrame = {
     def register(probeKeywords: Boolean): (String, Seq[TableRef]) = {
       val (rewritten, refs, infoSchema) = resolveTables(sql, probeKeywords)
-      refs.foreach(r => readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view))
+      // on a PARTIAL registration failure, keyword views registered before
+      // the failing one must not linger: a later statement's first pass
+      // would resolve against their pinned-at-registration snapshot (the
+      // same staleness the post-run drop in `run` prevents)
+      val registered = Seq.newBuilder[TableRef]
+      try refs.foreach { r =>
+        readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view)
+        registered += r
+      } catch {
+        case e: Throwable =>
+          registered.result().filter(r => SqlEngine.sqlKeywords(r.view))
+            .foreach(r => try spark.catalog.dropTempView(r.view) catch { case _: Throwable => })
+          throw e
+      }
       if (infoSchema) registerInformationSchema()
       (rewritten, refs)
     }

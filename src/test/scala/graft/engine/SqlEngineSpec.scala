@@ -576,6 +576,34 @@ class SqlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("partial registration failure drops already-registered keyword views") {
+    val wh = Files.createTempDirectory("graft-wh-").toString
+    val e = new SqlEngine(spark, new Catalog(wh), SqlContext("test1", "u"))
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE first (id int PRIMARY KEY)")
+    e.execute("CREATE TABLE last (id int PRIMARY KEY)")
+    e.execute("INSERT INTO first VALUES (1)")
+    e.execute("INSERT INTO last VALUES (7)")
+    // corrupt `last`'s descriptor: resolution (an existence check) still
+    // sees the table, but registration (a descriptor parse) throws AFTER
+    // `first`'s view is already registered — the mid-statement failure
+    // path that used to leak the keyword view for the whole session
+    val p = java.nio.file.Paths.get(wh, "test1", "public", "last", "descriptor.json")
+    val orig = Files.readString(p)
+    Files.writeString(p, "{corrupt")
+    intercept[Exception] {
+      e.execute("SELECT * FROM first JOIN last ON first.id = last.id")
+    }
+    assert(!spark.catalog.tableExists("first"),
+      "keyword view leaked by a mid-statement registration failure")
+    // restore the descriptor; both tables read fresh, with later writes
+    // visible (a leaked view would have pinned the pre-failure file list)
+    Files.writeString(p, orig)
+    e.execute("INSERT INTO first VALUES (2)")
+    assert(e.execute("SELECT count(*) AS n FROM first").collect()(0).getLong(0) == 2L)
+    assert(e.execute("SELECT sum(id) AS s FROM last").collect()(0).getLong(0) == 7L)
+  }
+
   test("catalog resolution is O(statement), not O(catalog): 300 tables, 2 descriptor reads") {
     val wh = Files.createTempDirectory("graft-wh-").toString
     val reads = scala.collection.mutable.Map.empty[String, Int]
