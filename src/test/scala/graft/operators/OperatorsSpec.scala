@@ -45,6 +45,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(idx2.count() == idx2.distinct().count())
   }
 
+  test("incremental dedup index persists through the engine's managed tables") {
+    import spark.implicits._
+    import graft.engine.{Catalog, SqlContext, SqlEngine}
+    // the production shape: the digest index is a managed table the
+    // engine appends per increment; PRIMARY KEY on digest makes the
+    // engine itself enforce that an admission bug (re-admitting a known
+    // digest) cannot corrupt the index
+    val wh = java.nio.file.Files.createTempDirectory("graft-dix-").toString
+    val e = new SqlEngine(spark, new Catalog(wh), SqlContext("dix", "u"))
+    e.execute("CREATE DATABASE dix")
+    e.execute("CREATE TABLE digest_index (digest text PRIMARY KEY)")
+    val hist = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    Dedup.digestIndex(hist).createOrReplaceGlobalTempView("dix_seed")
+    e.execute("INSERT INTO digest_index SELECT digest FROM global_temp.dix_seed")
+    def index = e.execute("SELECT digest FROM digest_index")
+    val inc = Seq((10L, "bbb"), (11L, "ccc"), (12L, "ccc")).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalAdmit(inc, index)
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L))
+    admitted.createOrReplaceGlobalTempView("dix_adm")
+    e.execute("INSERT INTO digest_index SELECT digest FROM global_temp.dix_adm")
+    // replaying the increment against the PERSISTED index admits nothing
+    assert(Dedup.incrementalAdmit(inc, index).isEmpty)
+    assert(index.count() == 3)
+  }
+
   test("minhash candidates cover every high-jaccard pair found exactly") {
     val exact = q("d04_dedup_ngram").filter(col("jaccard") >= 0.6)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -109,6 +109,13 @@ class PlanQualitySpec extends AnyFunSuite {
     exchangeSections.foreach(s =>
       assert(!s.contains("text#"), s"document text crossed an exchange:\n$s"))
     assert(p.contains("LeftAnti"), "index check must plan as an anti-join")
+    // the digest index joins as a MATERIALIZED artifact (the persisted-
+    // index stand-in): history digests are computed once, not re-derived
+    // inside each planted-trap union branch (the optimizer clones the
+    // index subtree per branch when it's live lineage)
+    assert(p.contains("Scan ExistingRDD"), "index must join as a materialized artifact")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 3,
+      "expected exactly the 3 increment branches to scan documents")
   }
 
   test("q27 computes exact NDVs without an Expand blow-up") {
