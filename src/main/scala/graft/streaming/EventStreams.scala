@@ -291,6 +291,43 @@ object EventStreams {
       ()
     }
 
+  /** Streaming ingestion with RESTART-DURABLE exact dedup: every
+    * micro-batch is admitted against the ENGINE-MANAGED digest-index
+    * table via [[graft.operators.Dedup.incrementalAdmit]], then the
+    * admitted documents and their digests land through the INSERT
+    * pipeline. Contrast with [[dedupDocuments]], whose dropDuplicates
+    * state is bound to the streaming checkpoint: here the dedup state IS
+    * a table — it survives checkpoint loss/query restarts and is shared
+    * with batch increments (the d08 operator) pointed at the same index.
+    *
+    * `indexTable` should declare `digest text PRIMARY KEY`: if a crash
+    * between the two INSERTs makes a retried batch re-admit a digest,
+    * the engine's unique enforcement fails the batch loudly instead of
+    * letting the index corrupt (the two statements are atomic per table,
+    * not jointly — the standard foreachBatch caveat). */
+  def ingestDeduped(docs: DataFrame, engine: graft.engine.SqlEngine,
+      docsTable: String, indexTable: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val index = engine.execute(s"SELECT digest FROM $indexTable")
+      // materialized: the two INSERTs below evaluate this plan twice, and
+      // the second runs AFTER the index insert — localCheckpoint pins the
+      // admission decision instead of leaning on the engine's
+      // planning-time manifest snapshot to keep the evaluations equal
+      val admitted = graft.operators.Dedup.incrementalAdmit(batch, index).localCheckpoint()
+      val rows = batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val docsView = s"graft_ingest_dd_${docsTable}"
+      val idxView = s"graft_ingest_dd_${indexTable}"
+      rows.createOrReplaceGlobalTempView(docsView)
+      admitted.select(col("digest")).createOrReplaceGlobalTempView(idxView)
+      // digests first: a crash between the statements then REJECTS the
+      // docs on retry rather than double-landing them — the index is the
+      // dedup authority, so favoring rejection keeps the corpus clean
+      engine.execute(s"INSERT INTO $indexTable (digest) SELECT * FROM global_temp.$idxView")
+      engine.execute(s"INSERT INTO $docsTable (${batch.columns.mkString(", ")}) " +
+        s"SELECT * FROM global_temp.$docsView")
+      ()
+    }
+
   /** Stream-static join: enrich the event stream with a static per-user
     * dimension (here the customer table keyed by custkey = user_id). The
     * static side is re-resolved per micro-batch, so a dimension refresh is

@@ -187,6 +187,45 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(landed.getLong(1) == expected, "serial ids assigned per-batch stay unique")
   }
 
+  test("deduped ingest: dedup state is the index TABLE, surviving a query restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.engine.{Catalog, SqlContext, SqlEngine}
+    val wh = java.nio.file.Files.createTempDirectory("graft-ddix-wh-").toString
+    val e = new SqlEngine(spark, new Catalog(wh), SqlContext("ddx", "u"))
+    e.execute("CREATE DATABASE ddx")
+    e.execute("CREATE TABLE docs (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("CREATE TABLE dix (digest text PRIMARY KEY)")
+
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = EventStreams.ingestDeduped(
+      in1.toDF().toDF("doc_id", "text"), e, "docs", "dix").start()
+    try {
+      in1.addData((1L, "aaa"), (2L, "bbb"))
+      q1.processAllAvailable()
+      // cross-batch duplicate within the SAME query
+      in1.addData((3L, "bbb"), (4L, "ccc"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(e.execute("SELECT doc_id FROM docs ORDER BY doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+
+    // a brand-new query (fresh MemoryStream = fresh checkpoint state)
+    // still rejects duplicates of PREVIOUSLY ingested docs — the dedup
+    // authority is the table, not streaming state
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.ingestDeduped(
+      in2.toDF().toDF("doc_id", "text"), e, "docs", "dix").start()
+    try {
+      in2.addData((5L, "aaa"), (6L, "ddd"), (7L, "ddd"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(e.execute("SELECT doc_id FROM docs ORDER BY doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 6L))
+    assert(e.execute("SELECT count(*) AS n FROM dix").collect()(0).getLong(0) == 4L)
+  }
+
   test("stream-stream purchase attribution matches the batch interval join") {
     val q = EventStreams.purchaseAttribution(EventStreams.readEvents(spark, dir))
       .writeStream.format("memory").queryName("attribution").outputMode("append").start()
