@@ -415,6 +415,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!cc.contains(1L) && !cc.contains(100L)) // reps are not members
   }
 
+  test("connected components: 1000-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    // the adversarial shape for label propagation: one maximal-diameter
+    // chain. Plain propagation moves the min label one hop per round
+    // (999 rounds > maxRounds → silent partial clusters); pointer
+    // jumping must close it in ~log2(999) ≈ 10 rounds plus slack.
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.ccWithRounds(pairs, maxRounds = 50)
+    val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 999 && (1L to 999L).forall(cc(_) == 0L),
+      "every chain node must label to the representative 0")
+    assert(rounds <= 12, s"path-halving lost its O(log n) convergence: $rounds rounds")
+  }
+
   test("minhash estimates stay within [threshold, 1]") {
     val est = Dedup.minhashPairs(spark, dir, 0.35).collect()
     assert(est.nonEmpty)
