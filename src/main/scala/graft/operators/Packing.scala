@@ -75,14 +75,43 @@ object Packing {
     * id hash, order within shard by the same hash — a reproducible global
     * shuffle (every data-parallel trainer must see the same shard in the
     * same order on every resume; rand() cannot provide that, md5 can).
-    * Window parallelism is per shard; `numShards` in a real run is the
-    * trainer world size (hundreds+), matching executor counts. */
-  def shardPack(corpus: DataFrame, numShards: Int = 8): DataFrame = {
+    *
+    * Position assignment is the same TWO-LEVEL PREFIX SUM as
+    * [[packSequences]] — a `Window.partitionBy(shard)` row_number puts a
+    * shard's ENTIRE slice of the corpus into one task (12.5 TB of
+    * spill-sort per task at 100 TB / 8 shards):
+    *   1. rows sub-bucket by fixed `h`-range (h is a uniform 32-bit hash,
+    *      so equal ranges are equal buckets by construction — no stats
+    *      pass needed, unlike packSequences' arbitrary doc_id space);
+    *   2. a scan-only aggregate counts each (shard, bucket); the
+    *      exclusive running count per shard windows over that
+    *      ≤`numShards`×`buckets`-row relation only;
+    *   3. ranks come from a window PARTITIONED by (shard, bucket) — fully
+    *      parallel — plus the broadcast bucket offset.
+    * Bucket ranges tile the hash space in order, so bucket-major +
+    * in-bucket (h, doc_id) rank IS the global within-shard (h, doc_id)
+    * rank. Shuffled bytes: (doc_id, h, shard, bucket) = 32 B/row once,
+    * plus the counts side relation (≲ world_size×1024 rows — a few MB
+    * broadcast even at trainer world sizes in the hundreds). */
+  def shardPack(corpus: DataFrame, numShards: Int = 8, buckets: Int = 1024): DataFrame = {
+    val width = math.max(1L, (1L << 32) / buckets)
     val g = corpus.select(col("doc_id")).withColumn(
       "h", conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    g.withColumn("shard", (col("h") % numShards).cast("bigint"))
-      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .withColumn("shard", (col("h") % numShards).cast("bigint"))
+      .withColumn("bucket", expr(s"h div $width"))
+    // per-(shard,bucket) counts: scan-only partial aggregate
+    val counts = g.groupBy(col("shard"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    // exclusive running count — the only per-shard ordered window, over
+    // the tiny counts relation
+    val exclusive = Window.partitionBy(col("shard")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("cnt")).over(exclusive), lit(0L)))
+      .select(col("shard"), col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    g.join(broadcast(offsets), Seq("shard", "bucket"))
+      .withColumn("pos", (col("offset") + row_number().over(inBucket)).cast("bigint"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 

@@ -86,6 +86,16 @@ class PackingSpec extends AnyFunSuite {
     assert(perShard.map(_.getAs[Long]("n")).max < 200)
   }
 
+  test("shardPack: bucketed two-level prefix sum equals the single-window reference") {
+    val df = corpus(400)
+    val bucketed = Packing.shardPack(df, numShards = 8, buckets = 64)
+    // buckets=1 degenerates to one bucket per shard — the naive
+    // single-window-per-shard shape, as the semantic reference
+    val naive = Packing.shardPack(df, numShards = 8, buckets = 1)
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty,
+      "bucketed rank must equal the per-shard global rank")
+  }
+
   test("temperatureMix: low-resource languages sample at a higher rate") {
     val df = ((0 until 800).map(i => (i.toLong, "x", "en")) ++
       (800 until 900).map(i => (i.toLong, "x", "sw")))

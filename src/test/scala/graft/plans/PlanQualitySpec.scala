@@ -106,8 +106,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val exchangeSections = p.split("\n\n").filter(s =>
       "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
     assert(exchangeSections.nonEmpty, "expected at least one exchange in the admit plan")
-    exchangeSections.foreach(s =>
-      assert(!s.contains("text#"), s"document text crossed an exchange:\n$s"))
+    exchangeSections.foreach { s =>
+      assert(!s.contains("text#"), s"document text crossed an exchange:\n$s")
+      // digests cross as unhexed 32-byte binary (`dg`), never 64-char hex
+      assert(!s.contains("digest#"), s"hex-string digest crossed an exchange:\n$s")
+    }
     assert(p.contains("LeftAnti"), "index check must plan as an anti-join")
     // the digest index joins as a MATERIALIZED artifact (the persisted-
     // index stand-in): history digests are computed once, not re-derived
@@ -116,6 +119,45 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), "index must join as a materialized artifact")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 3,
       "expected exactly the 3 increment branches to scan documents")
+  }
+
+  test("q26 grouped quantiles: histogram passes only — never the percentile buffer") {
+    // groupedQuantiles orchestrates its passes eagerly, so the q26
+    // DataFrame's own plan shows only the final local relation; the
+    // contract lives in the plans it EXECUTES. Capture them all and lock:
+    // no `percentile` aggregate anywhere (its per-group value buffer is
+    // the 100 TB OOM this operator replaces), histogram aggregates keyed
+    // by state id (level-synchronized across groups, not serialized
+    // per group), and range states broadcast onto the kv projection.
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("q26_percentile")(spark, dir).collect()
+      // listener delivery is async: wait until the capture set settles
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(150)
+        val n = plans.synchronized(plans.length)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val all = plans.synchronized(plans.toVector)
+    assert(all.nonEmpty, "no executed plans captured")
+    assert(!all.exists(_.contains("percentile(")),
+      "grouped path regressed to the buffering percentile aggregate")
+    assert(all.exists(p => "HashAggregate\\(keys=\\[sid#".r.findFirstIn(p).isDefined),
+      "level-synchronized histogram (keyed by state id) missing")
+    assert(all.exists(p => p.contains("slo") && p.contains("BroadcastHashJoin")),
+      "per-group range states must broadcast onto the kv projection")
   }
 
   test("q27 computes exact NDVs without an Expand blow-up") {
@@ -185,12 +227,18 @@ class PlanQualitySpec extends AnyFunSuite {
       "unexpected lang exchange beyond the count aggregates")
   }
 
-  test("p06 sharding: scan reads only doc_id; window is shard-partitioned") {
+  test("p06 sharding: two-level prefix sum — no corpus window partitioned by shard alone") {
     val p = plan("p06_shard_pack")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
       "shard layout needs only doc_id — scan reads more")
-    assert("windowspecdefinition\\(shard#\\d+L, h#\\d+L ASC".r.findFirstIn(p).isDefined,
-      "row_number window lost its shard partitioning")
+    // rank window must be (shard, bucket)-partitioned: a shard-only
+    // partition spec over (h, doc_id) is the single-task-per-shard
+    // spill-sort this operator exists to avoid
+    assert("windowspecdefinition\\(shard#\\d+L, bucket#\\d+L, h#\\d+L ASC".r.findFirstIn(p).isDefined,
+      "rank window lost its (shard, bucket) partitioning")
+    assert("windowspecdefinition\\(shard#\\d+L, h#\\d+L ASC".r.findFirstIn(p).isEmpty,
+      "corpus window partitioned by shard alone — one task per shard at scale")
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast back")
   }
 
   test("d07 passage dedup: shuffles carry 8-byte hashes, shared set broadcasts") {
