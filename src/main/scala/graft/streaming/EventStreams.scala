@@ -278,16 +278,35 @@ object EventStreams {
     * a store with its own transactional append. Compose with
     * [[dedupDocuments]] / [[nearDedupDocuments]] upstream for
     * dedup-before-storage. */
+  /** Non-identifier characters mapped away so any legal table name (or a
+    * qualified `db.schema.t`) yields a legal temp-view identifier. */
+  private def viewIdent(s: String): String = s.replaceAll("[^a-zA-Z0-9_]", "_")
+
+  /** The streaming QUERY id (stable across restarts from the same
+    * checkpoint — unlike the run id), read from the execution thread's
+    * local property; micro-batch provenance keys on it. */
+  private def activeQueryId(batch: DataFrame): String =
+    Option(batch.sparkSession.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("adhoc")
+
   def ingestInto(stream: DataFrame, engine: graft.engine.SqlEngine,
       table: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       // foreachBatch runs on a cloned session; a GLOBAL temp view is the
-      // cross-session handoff the engine's own session can resolve
-      val view = s"graft_ingest_${table}"
+      // cross-session handoff the engine's own session can resolve. The
+      // name carries query+batch identity so concurrent queries (or
+      // concurrent batches of distinct queries) into the same table never
+      // race on createOrReplaceGlobalTempView.
+      val view = s"graft_ingest_${viewIdent(table)}_${viewIdent(activeQueryId(batch))}_$batchId"
       batch.createOrReplaceGlobalTempView(view)
-      // target columns by name, so serial/defaulted columns prefill
-      val cols = batch.columns.mkString(", ")
-      engine.execute(s"INSERT INTO $table ($cols) SELECT * FROM global_temp.$view")
+      try {
+        // target columns by name, so serial/defaulted columns prefill
+        val cols = batch.columns.mkString(", ")
+        engine.execute(s"INSERT INTO $table ($cols) SELECT * FROM global_temp.$view")
+      } finally {
+        try { batch.sparkSession.catalog.dropGlobalTempView(view); () }
+        catch { case _: Throwable => () }
+      }
       ()
     }
 
@@ -300,33 +319,82 @@ object EventStreams {
     * a table — it survives checkpoint loss/query restarts and is shared
     * with batch increments (the d08 operator) pointed at the same index.
     *
-    * `indexTable` should declare `digest text PRIMARY KEY`: if a crash
-    * between the two INSERTs makes a retried batch re-admit a digest,
-    * the engine's unique enforcement fails the batch loudly instead of
-    * letting the index corrupt (the two statements are atomic per table,
-    * not jointly — the standard foreachBatch caveat). */
+    * `indexTable` must declare
+    * `(digest text PRIMARY KEY, query_id text, batch_id bigint)` — the
+    * provenance columns make a crash-retried micro-batch EXACTLY-ONCE
+    * (see [[ingestBatchDeduped]]); batch d08 increments appended to the
+    * same index leave them NULL and participate as plain history. */
   def ingestDeduped(docs: DataFrame, engine: graft.engine.SqlEngine,
       docsTable: String, indexTable: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val index = engine.execute(s"SELECT digest FROM $indexTable")
-      // materialized: the two INSERTs below evaluate this plan twice, and
-      // the second runs AFTER the index insert — localCheckpoint pins the
-      // admission decision instead of leaning on the engine's
-      // planning-time manifest snapshot to keep the evaluations equal
-      val admitted = graft.operators.Dedup.incrementalAdmit(batch, index).localCheckpoint()
-      val rows = batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      val docsView = s"graft_ingest_dd_${docsTable}"
-      val idxView = s"graft_ingest_dd_${indexTable}"
-      rows.createOrReplaceGlobalTempView(docsView)
-      admitted.select(col("digest")).createOrReplaceGlobalTempView(idxView)
-      // digests first: a crash between the statements then REJECTS the
-      // docs on retry rather than double-landing them — the index is the
-      // dedup authority, so favoring rejection keeps the corpus clean
-      engine.execute(s"INSERT INTO $indexTable (digest) SELECT * FROM global_temp.$idxView")
-      engine.execute(s"INSERT INTO $docsTable (${batch.columns.mkString(", ")}) " +
-        s"SELECT * FROM global_temp.$docsView")
-      ()
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestBatchDeduped(batch, engine, docsTable, indexTable,
+        activeQueryId(batch), batchId)
     }
+
+  /** One micro-batch of [[ingestDeduped]], IDEMPOTENT under replay.
+    *
+    * Structured Streaming re-runs a batch (same id, same data) whenever a
+    * crash precedes the checkpoint commit; the two INSERTs here are each
+    * atomic but not jointly, so the replay may arrive with neither, only
+    * the index, or both statements applied. The protocol makes every case
+    * converge to exactly-once:
+    *
+    *   1. ADMISSION is computed against the index MINUS this batch's own
+    *      rows (keyed `(query_id, batch_id)`), so a replay reproduces its
+    *      original decision instead of seeing its own crashed-attempt
+    *      digests and silently rejecting the docs — the loss window this
+    *      protocol exists to close.
+    *   2. The INDEX insert is skipped when any `(query_id, batch_id)` row
+    *      exists: the statement is atomic, so one marker row means all of
+    *      them landed.
+    *   3. The DOCS insert is skipped when any admitted doc_id is already
+    *      present — same atomicity argument; the probe is one PK-prunable
+    *      point lookup and only ever runs on the replay path (the marker
+    *      check gates it).
+    *
+    * Probes are `LIMIT 1` point lookups, not scans of the corpus. */
+  private[streaming] def ingestBatchDeduped(batch: DataFrame, engine: graft.engine.SqlEngine,
+      docsTable: String, indexTable: String, queryId: String, batchId: Long): Unit = {
+    val qid = queryId.replace("'", "''")
+    // history = everything this batch did NOT write (NULL-provenance rows
+    // from batch d08 increments included)
+    val index = engine.execute(
+      s"SELECT digest FROM $indexTable " +
+        s"WHERE query_id IS DISTINCT FROM '$qid' OR batch_id IS DISTINCT FROM $batchId")
+    // materialized: both INSERTs below evaluate this plan, and the second
+    // runs AFTER the index insert — localCheckpoint pins the admission
+    // decision instead of leaning on the engine's planning-time manifest
+    // snapshot to keep the evaluations equal
+    val admitted = graft.operators.Dedup.incrementalAdmit(batch, index).localCheckpoint()
+    val rows = batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val suffix = s"${viewIdent(qid)}_$batchId"
+    val docsView = s"graft_ingest_dd_${viewIdent(docsTable)}_$suffix"
+    val idxView = s"graft_ingest_dd_${viewIdent(indexTable)}_$suffix"
+    rows.createOrReplaceGlobalTempView(docsView)
+    admitted.select(col("digest"),
+      lit(queryId).as("query_id"), lit(batchId).as("batch_id"))
+      .createOrReplaceGlobalTempView(idxView)
+    try {
+      val indexDone = !engine.execute(
+        s"SELECT 1 AS x FROM $indexTable " +
+          s"WHERE query_id = '$qid' AND batch_id = $batchId LIMIT 1").isEmpty
+      val docsDone = indexDone && admitted.select(col("doc_id")).head(1).headOption.exists { r =>
+        !engine.execute(
+          s"SELECT 1 AS x FROM $docsTable WHERE doc_id = ${r.getLong(0)} LIMIT 1").isEmpty
+      }
+      if (!indexDone)
+        engine.execute(s"INSERT INTO $indexTable (digest, query_id, batch_id) " +
+          s"SELECT * FROM global_temp.$idxView")
+      if (!docsDone)
+        engine.execute(s"INSERT INTO $docsTable (${batch.columns.mkString(", ")}) " +
+          s"SELECT * FROM global_temp.$docsView")
+      ()
+    } finally {
+      val cat = batch.sparkSession.catalog
+      try { cat.dropGlobalTempView(docsView); () } catch { case _: Throwable => () }
+      try { cat.dropGlobalTempView(idxView); () } catch { case _: Throwable => () }
+    }
+  }
 
   /** Stream-static join: enrich the event stream with a static per-user
     * dimension (here the customer table keyed by custkey = user_id). The

@@ -196,7 +196,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val e = new SqlEngine(spark, new Catalog(wh), SqlContext("ddx", "u"))
     e.execute("CREATE DATABASE ddx")
     e.execute("CREATE TABLE docs (doc_id bigint PRIMARY KEY, text text)")
-    e.execute("CREATE TABLE dix (digest text PRIMARY KEY)")
+    e.execute("CREATE TABLE dix (digest text PRIMARY KEY, query_id text, batch_id bigint)")
 
     val in1 = MemoryStream[(Long, String)]
     val q1 = EventStreams.ingestDeduped(
@@ -224,6 +224,52 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(e.execute("SELECT doc_id FROM docs ORDER BY doc_id").collect()
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 6L))
     assert(e.execute("SELECT count(*) AS n FROM dix").collect()(0).getLong(0) == 4L)
+  }
+
+  test("deduped ingest replays are exactly-once across every crash window") {
+    import spark.implicits._
+    import graft.engine.{Catalog, SqlContext, SqlEngine}
+    val wh = java.nio.file.Files.createTempDirectory("graft-ddcrash-wh-").toString
+    val e = new SqlEngine(spark, new Catalog(wh), SqlContext("ddc", "u"))
+    e.execute("CREATE DATABASE ddc")
+    e.execute("CREATE TABLE docs (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("CREATE TABLE dix (digest text PRIMARY KEY, query_id text, batch_id bigint)")
+
+    def docIds = e.execute("SELECT doc_id FROM docs ORDER BY doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    def idxCount = e.execute("SELECT count(*) AS n FROM dix").collect()(0).getLong(0)
+
+    // batch 0 lands normally ("bbb" enters history)
+    val b0 = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    EventStreams.ingestBatchDeduped(b0, e, "docs", "dix", "q", 0L)
+    assert(docIds == Seq(1L, 2L) && idxCount == 2L)
+
+    // CRASH WINDOW 1 — between the two INSERTs: emulate by applying only
+    // the index half of batch 1, exactly as the protocol writes it
+    val b1 = Seq((3L, "bbb"), (4L, "ccc"), (5L, "ddd")).toDF("doc_id", "text")
+    graft.operators.Dedup
+      .incrementalAdmit(b1, e.execute("SELECT digest FROM dix"))
+      .select(col("digest"), lit("q").as("query_id"), lit(1L).as("batch_id"))
+      .createOrReplaceGlobalTempView("crash_idx_half")
+    e.execute("INSERT INTO dix (digest, query_id, batch_id) SELECT * FROM global_temp.crash_idx_half")
+    assert(idxCount == 4L && docIds == Seq(1L, 2L), "crashed: index landed, docs did not")
+
+    // the replay must land the admitted docs (4, 5), skip the index
+    // insert, and still reject the historical duplicate (3 = "bbb")
+    EventStreams.ingestBatchDeduped(b1, e, "docs", "dix", "q", 1L)
+    assert(docIds == Seq(1L, 2L, 4L, 5L), "replay after index-only crash lost or duplicated docs")
+    assert(idxCount == 4L, "replay re-inserted index rows")
+
+    // CRASH WINDOW 2 — after both INSERTs, before the checkpoint commit:
+    // a second identical replay must be a complete no-op, not a failure
+    EventStreams.ingestBatchDeduped(b1, e, "docs", "dix", "q", 1L)
+    assert(docIds == Seq(1L, 2L, 4L, 5L) && idxCount == 4L,
+      "fully-applied replay must be a no-op")
+
+    // and the next batch proceeds normally against the repaired state
+    val b2 = Seq((6L, "ddd"), (7L, "eee")).toDF("doc_id", "text")
+    EventStreams.ingestBatchDeduped(b2, e, "docs", "dix", "q", 2L)
+    assert(docIds == Seq(1L, 2L, 4L, 5L, 7L) && idxCount == 5L)
   }
 
   test("stream-stream purchase attribution matches the batch interval join") {
