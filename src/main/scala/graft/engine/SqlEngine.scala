@@ -27,6 +27,13 @@ object SqlEngine {
   /** Default [[SqlEngine.vacuumTable]] grace window — the catalog's
     * snapshot-safe default ([[Catalog.defaultVacuumRetentionMs]]). */
   val defaultVacuumRetentionMs: Long = Catalog.defaultVacuumRetentionMs
+
+  /** INSERT-commit auto-compaction threshold: once a table accumulates
+    * this many live parquet parts, the committing INSERT compacts it in
+    * place (the reference compacts once accumulated log messages pass a
+    * threshold — /root/reference/src/tablet/service.rs:393-399 — rather
+    * than waiting for an operator). ≤0 disables. */
+  val defaultAutoCompactAfterParts: Int = 64
 }
 
 /** The PG-semantics statement engine: `execute(sql)` returns a DataFrame.
@@ -41,7 +48,8 @@ object SqlEngine {
   * planning time to the parquet files then present, which is the observable
   * equivalent of the reference's snapshot reads (SURVEY §1.5).
   */
-final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: SqlContext) {
+final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: SqlContext,
+    val autoCompactAfterParts: Int = SqlEngine.defaultAutoCompactAfterParts) {
   import SqlParser._
 
   registerSessionFunctions()
@@ -141,16 +149,20 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // would resolve against their pinned-at-registration snapshot (the
       // same staleness the post-run drop in `run` prevents)
       val registered = Seq.newBuilder[TableRef]
-      try refs.foreach { r =>
-        readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view)
-        registered += r
+      try {
+        refs.foreach { r =>
+          readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view)
+          registered += r
+        }
+        // inside the guard: an information_schema failure after keyword
+        // views registered must not leak them either
+        if (infoSchema) registerInformationSchema()
       } catch {
         case e: Throwable =>
           registered.result().filter(r => SqlEngine.sqlKeywords(r.view))
             .foreach(r => try spark.catalog.dropTempView(r.view) catch { case _: Throwable => })
           throw e
       }
-      if (infoSchema) registerInformationSchema()
       (rewritten, refs)
     }
     // keyword-named temp views must NOT outlive the statement: a LATER
@@ -231,6 +243,41 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       .createOrReplaceTempView("graft_information_schema_columns")
   }
 
+  /** SQL-TEXT entry to the LLM-data operator suite: `SELECT * FROM
+    * graft_dedup_exact(docs)` runs [[graft.operators.Dedup.exactDedup]]
+    * over the managed table `docs` — composable with every relational
+    * construct (joins, CTEs, aliases) since the call site resolves to a
+    * plain relation. The reference's only user surface is SQL text
+    * (/root/reference/src/sql/mod.rs:48-156); without these the d/s/t/p
+    * operators would be unreachable from a SQL prompt. Trailing NUMERIC
+    * literal arguments map positionally onto the operator's tuning
+    * parameters; omitted ones take the operator's own defaults. */
+  private val tableFunctions: Map[String, (DataFrame, Seq[Double]) => DataFrame] = {
+    import graft.operators.{Dedup, Packing, TextAnalysis}
+    Map(
+      "graft_dedup_exact" -> ((t, _) => Dedup.exactDedup(t)),
+      "graft_minhash_pairs" -> ((t, a) =>
+        Dedup.minhashPairs(t, a.headOption.getOrElse(0.35))),
+      "graft_simhash_pairs" -> ((t, a) =>
+        Dedup.simhashPairs(t, a.headOption.map(_.toInt).getOrElse(3))),
+      "graft_jaccard_pairs" -> ((t, a) =>
+        Dedup.exactJaccardPairs(Dedup.postingIndex(t), a.headOption.getOrElse(0.5))),
+      "graft_passage_stats" -> ((t, a) =>
+        Dedup.passageStats(t, a.headOption.map(_.toInt).getOrElse(8))),
+      "graft_lang_id" -> ((t, _) => TextAnalysis.langId(t)),
+      "graft_quality" -> ((t, _) => TextAnalysis.qualityFeatures(t)),
+      "graft_token_counts" -> ((t, _) => TextAnalysis.tokenCounts(t)),
+      "graft_fingerprints" -> ((t, a) =>
+        TextAnalysis.fingerprints(t, a.headOption.map(_.toInt).getOrElse(16))),
+      "graft_pack_sequences" -> ((t, a) =>
+        Packing.packSequences(t, a.headOption.map(_.toInt).getOrElse(128))),
+      "graft_shard_pack" -> ((t, a) =>
+        Packing.shardPack(t, a.headOption.map(_.toInt).getOrElse(8))),
+      "graft_temperature_mix" -> ((t, a) =>
+        Packing.temperatureMix(t, a.headOption.getOrElse(0.5),
+          a.lift(1).getOrElse(0.5))))
+  }
+
   /** One referenced table resolved to the temp view that hosts it. */
   private[engine] final case class TableRef(db: String, schema: String, table: String, view: String)
 
@@ -274,6 +321,39 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         val hosting = schemas.filter(s => catalog.tableExists(ctx.database, s, name))
         if (hosting.isEmpty) None else Some(hosting.max)
       })
+    // `fn(table[, num ...])` at position i (spans(i)=fn, spans(i+1)="(")
+    // becomes a temp view holding the operator plan over the table's
+    // snapshot; returns (view, splice end, next token index). A shape
+    // mismatch returns None and the call passes through to Spark, which
+    // reports the unresolved function — never a silent rewrite.
+    def spliceTableFunction(i: Int, fn: String): Option[(String, Int, Int)] = {
+      var j = i + 2
+      val parts = Vector.newBuilder[String]
+      word(j) match {
+        case Some(w) => parts += w; j += 1
+        case None => return None
+      }
+      while (dot(j) && word(j + 1).isDefined) { parts += word(j + 1).get; j += 2 }
+      val args = Vector.newBuilder[Double]
+      var bad = false
+      while (!bad && spans.lift(j).exists(_.tok == Sym(","))) {
+        spans.lift(j + 1).map(_.tok) match {
+          case Some(Num(v)) => args += v.toDouble; j += 2
+          case _ => bad = true
+        }
+      }
+      if (bad || !spans.lift(j).exists(_.tok == Sym(")"))) return None
+      val (db, schema, table) = parts.result() match {
+        case Seq(t) => (ctx.database, hostOf(t).getOrElse("public"), t)
+        case p => resolve(p)
+      }
+      val as = args.result()
+      // injective name (part lengths + arg hash), same scheme as xdbView
+      val view = s"graft_tvf_${fn}_${db.length}_${schema.length}_${db}_${schema}_${table}_" +
+        java.lang.Integer.toHexString(as.hashCode)
+      tableFunctions(fn)(readTable(db, schema, table), as).createOrReplaceTempView(view)
+      Some((view, spans(j).end, j + 1))
+    }
     val out = new StringBuilder
     var copied = 0
     var i = 0
@@ -312,11 +392,23 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         case (Some(a), _, _) =>
           // bare identifier: a table reference candidate unless it sits in
           // a qualified position (x.a — skipped via prevIsDot), is a
-          // function call, or is a plain SQL keyword
+          // function call, or is a plain SQL keyword. A call whose name is
+          // an LLM-operator table function rewrites to its result view.
           val nextParen = spans.lift(i + 1).exists(_.tok == Sym("("))
-          if (!prevIsDot && !nextParen && (probeKeywords || !SqlEngine.sqlKeywords(a)))
-            hostOf(a).foreach(schema => addRef(ctx.database, schema, a, a))
-          i += 1
+          val tvf =
+            if (!prevIsDot && nextParen && tableFunctions.contains(a))
+              spliceTableFunction(i, a)
+            else None
+          tvf match {
+            case Some((view, endPos, nextI)) =>
+              out.append(sql.substring(copied, spans(i).start)).append(view)
+              copied = endPos
+              i = nextI
+            case None =>
+              if (!prevIsDot && !nextParen && (probeKeywords || !SqlEngine.sqlKeywords(a)))
+                hostOf(a).foreach(schema => addRef(ctx.database, schema, a, a))
+              i += 1
+          }
         case _ => i += 1
       }
     }
@@ -633,6 +725,20 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
             try catalog.discardStaged(staging) catch { case _: Throwable => }
             throw e
         }
+
+        // opportunistic compaction at commit (reference: the tablet
+        // compacts once accumulated log messages pass a threshold,
+        // src/tablet/service.rs:393-399): a many-small-INSERT workload
+        // self-heals instead of accumulating one part per statement
+        // until someone calls compactTable. Runs on the committing
+        // thread inside the SAME write window (the table monitor is
+        // reentrant), so it serializes with concurrent inserts exactly
+        // like the insert itself; readers keep their planned snapshots
+        // (compaction republishes the manifest, old parts stay until
+        // vacuum). Amortized cost: every ~Nth INSERT pays one rewrite.
+        if (autoCompactAfterParts > 0 &&
+            catalog.dataFileStats(db, schema, table)._1 >= autoCompactAfterParts)
+          compactTable(db, schema, table)
       }
 
       toDf(Seq(Row(n)), StructType(Seq(StructField("count", LongType, false))))

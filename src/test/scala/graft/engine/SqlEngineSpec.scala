@@ -724,4 +724,78 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(onDisk -- live == deadRecorded,
       s"graveyard lost entries: on-disk dead ${(onDisk -- live).size}, recorded ${deadRecorded.size}")
   }
+
+  test("auto-compaction: many small INSERTs self-heal to a bounded file count") {
+    val e = new SqlEngine(spark, new Catalog(Files.createTempDirectory("graft-wh-").toString),
+      SqlContext("test1", "u"), autoCompactAfterParts = 8)
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id bigserial PRIMARY KEY, v bigint)")
+    (1 to 100).foreach(i => e.execute(s"INSERT INTO t (v) VALUES ($i)"))
+    val files = e.catalog.dataFileStats("test1", "public", "t")._1
+    assert(files <= 8, s"auto-compaction must bound live parts, got $files")
+    // content, serial continuity, and ordering all survive the rewrites
+    val rows = e.execute("SELECT id, v FROM t ORDER BY id").collect()
+    assert(rows.length == 100)
+    assert(rows.zipWithIndex.forall { case (r, i) => r.getLong(0) == i + 1 && r.getLong(1) == i + 1 })
+
+    // threshold 0 disables: one part per insert accumulates
+    val e2 = new SqlEngine(spark, new Catalog(Files.createTempDirectory("graft-wh-").toString),
+      SqlContext("test1", "u"), autoCompactAfterParts = 0)
+    e2.execute("CREATE DATABASE test1")
+    e2.execute("CREATE TABLE t (id bigserial PRIMARY KEY, v bigint)")
+    (1 to 10).foreach(i => e2.execute(s"INSERT INTO t (v) VALUES ($i)"))
+    assert(e2.catalog.dataFileStats("test1", "public", "t")._1 == 10)
+  }
+
+  test("table functions: pure-SQL entry to the LLM operators matches the DataFrame API") {
+    val e = freshEngine("tvf1")
+    e.execute("CREATE DATABASE tvf1")
+    e.execute("CREATE TABLE corpus (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO corpus (doc_id, text) VALUES " +
+      "(1, 'the quick brown fox jumps over the lazy dog'), " +
+      "(2, 'the quick brown fox jumps over the lazy dog'), " + // exact clone of 1
+      "(3, 'an entirely different document body right here'), " +
+      "(4, 'the quick brown fox jumps over the lazy dog today'), " + // near-dup of 1
+      "(5, 'short')")
+
+    // pure-SQL exact dedup == the DataFrame operator over the same table
+    val viaSql = e.execute("SELECT doc_id FROM graft_dedup_exact(corpus) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = graft.operators.Dedup
+      .exactDedup(e.execute("SELECT doc_id, text FROM corpus"))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaApi && viaSql == Seq(1L, 3L, 4L, 5L))
+
+    // numeric args bind positionally; the call site composes relationally
+    // (aliased, joined back to the base table)
+    val pairs = e.execute(
+      "SELECT p.id_a, p.id_b FROM graft_minhash_pairs(corpus, 0.35) p " +
+        "JOIN corpus c ON c.doc_id = p.id_a ORDER BY p.id_a, p.id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact-clone pair must surface: $pairs")
+
+    // passage stats with an explicit width; clones share every passage
+    val ps = e.execute(
+      "SELECT doc_id, n_chunks, n_repeated FROM graft_passage_stats(corpus, 4) ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ps.length == 5)
+    assert(ps(0)._3 == ps(0)._2 && ps(1)._3 == ps(1)._2,
+      s"clone docs must have all passages repeated: ${ps.mkString(",")}")
+    assert(ps(2)._3 == 0L, "the unique doc has no repeated passages")
+
+    // the TVF re-resolves the table's snapshot per statement
+    e.execute("INSERT INTO corpus (doc_id, text) VALUES (6, 'short')")
+    val after = e.execute("SELECT doc_id FROM graft_dedup_exact(corpus) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == Seq(1L, 3L, 4L, 5L), "doc 6 duplicates doc 5 — 5 stays the representative")
+
+    // a missing inner table keeps the engine's error shape
+    val err = intercept[SqlError](e.execute("SELECT * FROM graft_dedup_exact(nope)"))
+    assert(err.kind == SqlError.TableNotExists)
+
+    // packing surface reachable from SQL too
+    assert(e.execute("SELECT doc_id, shard, pos FROM graft_shard_pack(corpus, 2)").count() == 6L)
+    assert(e.execute(
+      "SELECT doc_id FROM graft_pack_sequences(corpus, 16) WHERE first_seq = 0").count() >= 1L)
+  }
 }
