@@ -123,6 +123,86 @@ class ExactQuantileSpec extends AnyFunSuite {
     assert(got("b") == Seq(10.0))
   }
 
+  test("NaN and null mixes: both ignored, matching the aggregate over filtered input") {
+    import spark.implicits._
+    val df = Seq[Option[Double]](Some(1.0), None, Some(Double.NaN), Some(3.0), None,
+      Some(2.0), Some(Double.NaN)).toDF("v")
+    val qs = Seq(0.0, 0.5, 1.0)
+    val got = ExactQuantile.quantiles(df, "v", qs)
+    // the defined semantics: NaN is ignored like null (Spark's aggregate
+    // instead sorts NaN greatest) — so the oracle is the filtered frame
+    val want = viaAggregate(df.where(!isnan(col("v"))), "v", qs)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+    assert(ExactQuantile.quantiles(
+      Seq(Double.NaN, Double.NaN).toDF("v"), "v", Seq(0.5)).head.isNaN)
+  }
+
+  test("property sweep: adversarial distributions match the aggregate") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val extreme = Seq(0.0, -0.0, 1.0, -1.0, Double.MinPositiveValue,
+      -Double.MinPositiveValue, 1e-310, -1e-310, 1e300, -1e300,
+      Double.MaxValue, -Double.MaxValue, 42.0)
+    val genValues: Gen[List[Double]] = Gen.oneOf(
+      // constant columns, incl. signed zero / denormals / extremes
+      for { v <- Gen.oneOf(extreme); n <- Gen.choose(1, 40) } yield List.fill(n)(v),
+      // two-value columns at every mix ratio (range may overflow to Inf:
+      // MaxValue − (−MaxValue) — the bucket arithmetic must still
+      // terminate via the can't-shrink collect guard)
+      for {
+        a <- Gen.oneOf(extreme); b <- Gen.oneOf(extreme)
+        n <- Gen.choose(2, 40); k <- Gen.choose(0, n)
+      } yield List.fill(k)(a) ++ List.fill(n - k)(b),
+      // heavy ties plus a wide tail
+      for {
+        n <- Gen.choose(5, 60)
+        vs <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0, 4).map(_.toDouble),
+          Gen.choose(-1e9, 1e9)))
+      } yield vs,
+      // denormal/extreme soup
+      for { n <- Gen.choose(1, 30); vs <- Gen.listOfN(n, Gen.oneOf(extreme)) } yield vs)
+    val genQs: Gen[List[Double]] =
+      Gen.nonEmptyListOf(Gen.oneOf(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+        .map(_.distinct)
+    // tiny knobs force deep recursion and multi-state refinement
+    val genKnobs: Gen[(Int, Int)] = Gen.oneOf((4, 4), (16, 8), (8192, 131072))
+    val prop = Prop.forAll(genValues, genQs, genKnobs) { case (vs, qs, (b, cl)) =>
+      val df = vs.toDF("v")
+      val got = ExactQuantile.quantiles(df, "v", qs, buckets = b, collectLimit = cl)
+      val want = viaAggregate(df, "v", qs)
+      got.zip(want).forall { case (g, w) =>
+        g == w || math.abs(g - w) <= math.abs(w) * 1e-9 }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, s"ungrouped sweep: $res")
+  }
+
+  test("property sweep: grouped path across group counts and knobs") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val prop = Prop.forAll(
+      Gen.oneOf(1, 2, 3, 7, 40, 1000), Gen.choose(1, 1500),
+      Gen.oneOf((4, 4), (8192, 131072))) { case (groups, n, (b, cl)) =>
+      val rnd = new scala.util.Random(n * 31 + groups)
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(groups).toString,
+          if (i % 7 == 0) 42.0 else rnd.nextDouble() * 1e6)
+      }
+      val df = rows.toDF("k", "v")
+      val got = ExactQuantile
+        .groupedQuantiles(df, "k", "v", Seq(0.5, 0.9), buckets = b, collectLimit = cl)
+        .toMap
+      val want = df.groupBy("k")
+        .agg(expr("percentile(v, array(0.5D, 0.9D))").as("ps"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      got.keySet == want.keySet && want.keys.forall(k =>
+        got(k).zip(want(k)).forall { case (g, w) =>
+          g == w || math.abs(g - w) <= math.abs(w) * 1e-9 })
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"grouped sweep: $res")
+  }
+
   test("selection pass leaves no pinned blocks behind (ContextCleaner-reclaimable)") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toDouble).toDF("v")
