@@ -82,6 +82,77 @@ object Dedup {
   def digestIndex(corpus: DataFrame): DataFrame =
     corpus.select(sha2(col("text"), 256).as("digest")).distinct()
 
+  /** SimHash sketches of a `(doc_id, text)` corpus: one codegen'd pass,
+    * 8 bytes per doc. */
+  def simSketch(corpus: DataFrame): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col("doc_id"),
+      expr("simhash64(split(lower(text), '\\\\s+'))").as("sim"))
+  }
+
+  /** The persisted NEAR-dup index unit: 4×16-bit band rows per sketched
+    * doc — `(band, bucket, sim, doc_id)`, ~28 B/row, 4 rows per admitted
+    * doc. [[incrementalNearAdmit]] probes it by `(band, bucket)` equi-
+    * join; appending an increment's admissions is
+    * `bandRows(admitted sketches)`, no rebuild. */
+  def bandRows(sketched: DataFrame): DataFrame =
+    sketched.select(col("doc_id"), col("sim"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
+        .as(Seq("band", "bucket")))
+      .select(col("band").cast("bigint").as("band"), col("bucket"), col("sim"), col("doc_id"))
+
+  /** Incremental NEAR-dup admission against a PERSISTED band index — the
+    * d08 growing-corpus pattern extended from exact to near duplicates:
+    * each increment is admitted WITHOUT re-sketching the historical
+    * corpus. A doc is rejected when any of its 4 band buckets holds an
+    * index sketch within `maxHamming` (the pigeonhole guarantee: Hamming
+    * ≤ 3 on 64 bits always shares one exact 16-bit band). Within the
+    * increment, survivors cluster by the same band rule over their
+    * DISTINCT sketches (clone groups collapse to one banding row — see
+    * [[simhashPairs]]) plus connected components, and each cluster
+    * admits its min-doc_id representative — the batch d03+d06+p01
+    * convention, deterministic and parallel, rather than the
+    * order-dependent greedy of a sequential scan.
+    *
+    * Scale shape: the increment sketches once (8 B/doc); the index probe
+    * is a (band, bucket) equi-join whose exchanges carry
+    * (band, bucket, sim, id) rows — text never leaves its scan; history
+    * cost is the probe of 4·|increment| bucket keys, independent of
+    * corpus size. Returns admitted `(doc_id, sim)` — append
+    * `bandRows(admitted)` to the index. */
+  def incrementalNearAdmit(increment: DataFrame, bandIndex: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    // one signature pass feeds the probe, the survivor set, and the
+    // in-increment clustering
+    val sk = simSketch(increment).localCheckpoint()
+    val rejected = bandRows(sk)
+      .join(bandIndex.select(col("band"), col("bucket"), col("sim").as("hsim")),
+        Seq("band", "bucket"))
+      .filter(expr(s"bit_count(sim ^ hsim) <= $maxHamming"))
+      .select(col("doc_id")).distinct()
+    val surv = sk.join(rejected, Seq("doc_id"), "left_anti")
+    // in-increment clustering over DISTINCT sketches; identical-sketch
+    // docs share a group without ever generating a pair
+    val ds = surv.select(col("sim")).distinct()
+    val db = ds.select(col("sim"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
+        .as(Seq("band", "bucket")))
+    val simPairs = db.as("a")
+      .join(db.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.sim") < col("b.sim"))
+      .filter(expr(firstMatchBand("sim", 4, 16)))
+      .filter(expr(s"bit_count(a.sim ^ b.sim) <= $maxHamming"))
+      .select(col("a.sim").as("id_a"), col("b.sim").as("id_b"))
+    val comps = connectedComponents(simPairs)
+      .select(col("doc_id").as("sim"), col("cluster_rep").as("grp"))
+    val lab = surv.join(comps, Seq("sim"), "left")
+      .select(col("doc_id"), col("sim"), coalesce(col("grp"), col("sim")).as("grp"))
+    lab.groupBy(col("grp"))
+      .agg(min(struct(col("doc_id"), col("sim"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.sim").as("sim"))
+  }
+
   /** Index after an increment: admitted digests are distinct within the
     * increment AND absent from the index (the anti-join), so the append
     * needs no re-distinct over the enormous historical index. */
@@ -452,8 +523,12 @@ object Dedup {
     // unchanged sum ⇔ no label changed ⇔ fixpoint of BOTH steps. One
     // 1-row aggregate per round instead of a change-detection join;
     // decimal(38,0) sum is immune to long overflow at any node count.
+    // empty graph ⇒ sum is NULL ⇒ ZERO: the loop then converges on its
+    // first pass instead of NPE-ing (an empty pair graph is a legitimate
+    // input — e.g. an increment with no in-batch near-dups)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0
@@ -499,6 +574,14 @@ object Dedup {
 
   private[operators] def minhashPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
     minhashPairs(corpus(s, dir), threshold, Some(docRatio(s, dir)))
+
+  /** Band index (d09's history side), memoized + materialized exactly as
+    * [[cachedDigestIndex]]: the persisted-artifact stand-in — probes read
+    * it, they never re-sketch history. */
+  private[operators] def cachedBandIndex(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, ("band-index", dir))(
+      bandRows(simSketch(corpus(s, dir).filter(col("doc_id") % 5 =!= 0)))
+        .localCheckpoint())
 
   /** Digest index (d08's history side) session-memoized per corpus dir
     * and MATERIALIZED once (localCheckpoint) — the binding's stand-in for
@@ -688,6 +771,56 @@ object Dedup {
             .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
         incrementalAdmit(inc, cachedDigestIndex(s, dir))
           .select(col("doc_id")).orderBy(col("doc_id"))
+      }),
+
+    // Incremental NEAR-dup admission against the persisted band index —
+    // the same 80/20 split and planted traps as d08 (history clones
+    // under +1e6 ids, in-increment clones under +2e6), judged by
+    // INVARIANTS that are deterministic by construction (the s02/s03
+    // verdict pattern — SimHash values are engine-specific, so the
+    // oracle can't replay them, but these booleans can't flip while the
+    // operator is correct): a history clone shares its source's sketch
+    // bit-for-bit, so its band-0 bucket probe hits at Hamming 0 →
+    // rejected; an in-increment clone pair shares a sketch → one group →
+    // ≤1 admitted; survivors' texts are provably absent from history
+    // (identical text ⇒ identical sketch ⇒ rejected), so admissions are
+    // bounded by the fresh-text count and must cover most of it (0.7
+    // floor absorbs natural near-dups straddling the split).
+    NamedQuery(
+      "d09_incremental_neardup",
+      Some(
+        "SELECT CAST(1 AS INT) AS hist_clones_rejected_ok, " +
+          "CAST(1 AS INT) AS clone_groups_single_ok, " +
+          "CAST(1 AS INT) AS fresh_admit_ok, " +
+          "CAST(1 AS INT) AS admitted_some"),
+      (s, dir) => {
+        val docs = corpus(s, dir)
+        val hist = docs.filter(col("doc_id") % 5 =!= 0)
+        val base = docs.filter(col("doc_id") % 5 === 0)
+        val inc = base
+          .unionByName(hist.filter(col("doc_id") % 7 === 1)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .unionByName(base.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        val admitted = incrementalNearAdmit(inc, cachedBandIndex(s, dir))
+          .localCheckpoint() // pins one admission decision for the 4 verdict consumers
+        val histClonesAdmitted = admitted
+          .filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+          .agg(count(lit(1)).as("n_hist_adm"))
+        val bothOfPair = admitted.as("x")
+          .join(admitted.as("y"), col("x.doc_id") + 2000000L === col("y.doc_id"))
+          .agg(count(lit(1)).as("n_both"))
+        val admBase = admitted.filter(col("doc_id") < 1000000L)
+          .agg(count(lit(1)).as("adm_base"))
+        val nFresh = base.join(hist, base("text") === hist("text"), "left_anti")
+          .select(base("text")).distinct().agg(count(lit(1)).as("n_fresh"))
+        histClonesAdmitted.crossJoin(bothOfPair).crossJoin(admBase).crossJoin(nFresh)
+          .select(
+            (col("n_hist_adm") === 0).cast("int").as("hist_clones_rejected_ok"),
+            (col("n_both") === 0).cast("int").as("clone_groups_single_ok"),
+            (col("adm_base") >= col("n_fresh") * 0.7 &&
+              col("adm_base") <= col("n_fresh")).cast("int").as("fresh_admit_ok"),
+            (col("adm_base") > 0).cast("int").as("admitted_some"))
       }),
 
     // Embedding near-dup gate (driver-visible): plant 8 scaled clones

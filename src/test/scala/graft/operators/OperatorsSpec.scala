@@ -415,6 +415,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!cc.contains(1L) && !cc.contains(100L)) // reps are not members
   }
 
+  test("incrementalNearAdmit matches a local reference model on the real corpus split") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val base = docs.filter(col("doc_id") % 5 === 0)
+    val inc = base
+      .unionByName(hist.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val admitted = Dedup
+      .incrementalNearAdmit(inc, Dedup.bandRows(Dedup.simSketch(hist)))
+      .collect().map(_.getLong(0)).toSet
+
+    // reference model over the OPERATOR's own sketches (SimHash values
+    // are engine-specific; the semantics under test are the band probe,
+    // the Hamming gate, and the cluster-rep rule)
+    def bands(s: Long) = (0 until 4).map(b => (b, (s >>> (b * 16)) & 0xffffL))
+    val hsk = Dedup.simSketch(hist).collect().map(_.getLong(1))
+    val isk = Dedup.simSketch(inc).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val histBuckets: Map[(Int, Long), Seq[Long]] =
+      hsk.flatMap(s => bands(s).map(_ -> s)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSeq).toMap
+    val rejected = isk.filter { case (_, s) =>
+      bands(s).exists(bb => histBuckets.getOrElse(bb, Nil)
+        .exists(h => java.lang.Long.bitCount(h ^ s) <= 3))
+    }.map(_._1).toSet
+    val surv = isk.filterNot(d => rejected(d._1))
+    // union-find over distinct surviving sketches sharing a band bucket
+    // within Hamming 3
+    val sketches = surv.map(_._2).distinct
+    val parent = scala.collection.mutable.Map(sketches.map(s => s -> s): _*)
+    def find(s: Long): Long = if (parent(s) == s) s else { val r = find(parent(s)); parent(s) = r; r }
+    for {
+      i <- sketches.indices; j <- (i + 1) until sketches.length
+      a = sketches(i); b = sketches(j)
+      if bands(a).map(_._2).zip(bands(b).map(_._2)).exists { case (x, y) => x == y } &&
+        java.lang.Long.bitCount(a ^ b) <= 3
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val expected = surv.groupBy(d => find(d._2)).values.map(_.map(_._1).min).toSet
+    assert(admitted == expected,
+      s"admitted=${admitted.size} expected=${expected.size}; " +
+        s"extra=${(admitted -- expected).take(5)} missing=${(expected -- admitted).take(5)}")
+    assert(admitted.nonEmpty && rejected.nonEmpty, "split must exercise both outcomes")
+  }
+
   test("connected components: 1000-node path converges in O(log n) rounds") {
     import spark.implicits._
     // the adversarial shape for label propagation: one maximal-diameter

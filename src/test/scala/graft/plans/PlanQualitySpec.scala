@@ -160,6 +160,26 @@ class PlanQualitySpec extends AnyFunSuite {
       "per-group range states must broadcast onto the kv projection")
   }
 
+  test("d09 near-dup admit: exchanges carry sketches and band keys, never text") {
+    // same contract as the d08 lock, for the near-dup index: text stays
+    // inside its scan stage; every exchange moves (band, bucket, sim,
+    // id) rows, so the probe cost is independent of document size
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val admitted = graft.operators.Dedup.incrementalNearAdmit(
+      inc, graft.operators.Dedup.bandRows(graft.operators.Dedup.simSketch(hist)))
+    val p = admitted.queryExecution.explainString(FormattedMode)
+    val exchangeSections = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(exchangeSections.nonEmpty, "expected exchanges in the admit plan")
+    exchangeSections.foreach(s =>
+      assert(!s.contains("text#"), s"document text crossed an exchange:\n$s"))
+    assert(p.contains("LeftAnti"), "history rejection must plan as an anti-join")
+    assert(p.contains("Scan ExistingRDD"),
+      "the increment must sketch once (checkpointed), not per consumer")
+  }
+
   test("q27 computes exact NDVs without an Expand blow-up") {
     val p = plan("q27_approx")
     assert(!p.contains("Expand"),
