@@ -396,6 +396,71 @@ object EventStreams {
     }
   }
 
+  /** Streaming ingestion with RESTART-DURABLE NEAR-dup admission: the
+    * [[ingestDeduped]] pattern with the exact digest index replaced by
+    * the SimHash BAND index ([[graft.operators.Dedup.incrementalNearAdmit]]) —
+    * an arriving doc within Hamming 3 of ANY previously admitted doc is
+    * dropped, across restarts and checkpoint loss, with full 4-band
+    * recall (the in-memory [[nearDedupDocuments]] trades recall for
+    * bounded state by probing one band; here the state is the table, so
+    * nothing is evicted and every band probes).
+    *
+    * `bandTable` must declare `(id bigserial PRIMARY KEY, band bigint,
+    * bucket bigint, sim bigint, doc_id bigint, query_id text,
+    * batch_id bigint)` (every managed table carries a primary index —
+    * reference parity — and band rows have no natural single-column
+    * key); batch-side index appends (`Dedup.bandRows`) leave the
+    * provenance NULL. Exactly-once under crash replay by the same
+    * three-step protocol as [[ingestBatchDeduped]]. */
+  def ingestNearDeduped(docs: DataFrame, engine: graft.engine.SqlEngine,
+      docsTable: String, bandTable: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestBatchNearDeduped(batch, engine, docsTable, bandTable,
+        activeQueryId(batch), batchId)
+    }
+
+  /** One micro-batch of [[ingestNearDeduped]], idempotent under replay —
+    * see [[ingestBatchDeduped]] for the protocol argument; the only
+    * differences are the index unit (4 band rows per admitted doc) and
+    * the admission operator. */
+  private[streaming] def ingestBatchNearDeduped(batch: DataFrame, engine: graft.engine.SqlEngine,
+      docsTable: String, bandTable: String, queryId: String, batchId: Long): Unit = {
+    val qid = queryId.replace("'", "''")
+    val index = engine.execute(
+      s"SELECT band, bucket, sim FROM $bandTable " +
+        s"WHERE query_id IS DISTINCT FROM '$qid' OR batch_id IS DISTINCT FROM $batchId")
+    val admitted = graft.operators.Dedup.incrementalNearAdmit(batch, index).localCheckpoint()
+    val rows = batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val suffix = s"${viewIdent(qid)}_$batchId"
+    val docsView = s"graft_ingest_nd_${viewIdent(docsTable)}_$suffix"
+    val idxView = s"graft_ingest_nd_${viewIdent(bandTable)}_$suffix"
+    rows.createOrReplaceGlobalTempView(docsView)
+    graft.operators.Dedup.bandRows(admitted)
+      .select(col("band"), col("bucket"), col("sim"), col("doc_id"),
+        lit(queryId).as("query_id"), lit(batchId).as("batch_id"))
+      .createOrReplaceGlobalTempView(idxView)
+    try {
+      val indexDone = !engine.execute(
+        s"SELECT 1 AS x FROM $bandTable " +
+          s"WHERE query_id = '$qid' AND batch_id = $batchId LIMIT 1").isEmpty
+      val docsDone = indexDone && admitted.select(col("doc_id")).head(1).headOption.exists { r =>
+        !engine.execute(
+          s"SELECT 1 AS x FROM $docsTable WHERE doc_id = ${r.getLong(0)} LIMIT 1").isEmpty
+      }
+      if (!indexDone)
+        engine.execute(s"INSERT INTO $bandTable (band, bucket, sim, doc_id, query_id, batch_id) " +
+          s"SELECT * FROM global_temp.$idxView")
+      if (!docsDone)
+        engine.execute(s"INSERT INTO $docsTable (${batch.columns.mkString(", ")}) " +
+          s"SELECT * FROM global_temp.$docsView")
+      ()
+    } finally {
+      val cat = batch.sparkSession.catalog
+      try { cat.dropGlobalTempView(docsView); () } catch { case _: Throwable => () }
+      try { cat.dropGlobalTempView(idxView); () } catch { case _: Throwable => () }
+    }
+  }
+
   /** Stream-static join: enrich the event stream with a static per-user
     * dimension (here the customer table keyed by custkey = user_id). The
     * static side is re-resolved per micro-batch, so a dimension refresh is

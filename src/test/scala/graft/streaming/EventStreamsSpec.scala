@@ -272,6 +272,60 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(docIds == Seq(1L, 2L, 4L, 5L, 7L) && idxCount == 5L)
   }
 
+  test("near-dedup ingest: band index is the durable state, exactly-once under replay") {
+    import spark.implicits._
+    import graft.engine.{Catalog, SqlContext, SqlEngine}
+    val wh = java.nio.file.Files.createTempDirectory("graft-ndcrash-wh-").toString
+    val e = new SqlEngine(spark, new Catalog(wh), SqlContext("ndc", "u"))
+    e.execute("CREATE DATABASE ndc")
+    e.execute("CREATE TABLE docs (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("CREATE TABLE bix (id bigserial PRIMARY KEY, band bigint, bucket bigint, " +
+      "sim bigint, doc_id bigint, query_id text, batch_id bigint)")
+
+    def docIds = e.execute("SELECT doc_id FROM docs ORDER BY doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    def idxCount = e.execute("SELECT count(*) AS n FROM bix").collect()(0).getLong(0)
+
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "one two three four five six seven"
+    val tC = "entirely different tokens over here now"
+    // batch 0: A admitted, its exact clone rejected IN-batch (same
+    // sketch → one group → min id keeps 1)
+    EventStreams.ingestBatchNearDeduped(
+      Seq((1L, tA), (2L, tA)).toDF("doc_id", "text"), e, "docs", "bix", "q", 0L)
+    assert(docIds == Seq(1L) && idxCount == 4L, "one admitted doc = 4 band rows")
+
+    // batch 1: clone of A rejected AGAINST THE TABLE (durable state), B admitted
+    EventStreams.ingestBatchNearDeduped(
+      Seq((3L, tA), (4L, tB)).toDF("doc_id", "text"), e, "docs", "bix", "q", 1L)
+    assert(docIds == Seq(1L, 4L) && idxCount == 8L)
+
+    // crash window: apply only the index half of batch 2, then replay —
+    // docs must land, index must not double, the historical clone stays out
+    val b2 = Seq((5L, tB), (6L, tC)).toDF("doc_id", "text")
+    graft.operators.Dedup.bandRows(
+      graft.operators.Dedup.incrementalNearAdmit(
+        b2, e.execute("SELECT band, bucket, sim FROM bix")))
+      .select(col("band"), col("bucket"), col("sim"), col("doc_id"),
+        lit("q").as("query_id"), lit(2L).as("batch_id"))
+      .createOrReplaceGlobalTempView("nd_crash_half")
+    e.execute("INSERT INTO bix (band, bucket, sim, doc_id, query_id, batch_id) " +
+      "SELECT * FROM global_temp.nd_crash_half")
+    assert(idxCount == 12L && docIds == Seq(1L, 4L))
+    EventStreams.ingestBatchNearDeduped(b2, e, "docs", "bix", "q", 2L)
+    assert(docIds == Seq(1L, 4L, 6L), "replay must land only the fresh doc")
+    assert(idxCount == 12L, "replay re-inserted band rows")
+    // full replay: complete no-op
+    EventStreams.ingestBatchNearDeduped(b2, e, "docs", "bix", "q", 2L)
+    assert(docIds == Seq(1L, 4L, 6L) && idxCount == 12L)
+
+    // a NEW query (fresh checkpoint, different query id) still rejects
+    // against the same table — the state is the table, not the checkpoint
+    EventStreams.ingestBatchNearDeduped(
+      Seq((7L, tC), (8L, tA)).toDF("doc_id", "text"), e, "docs", "bix", "q2", 0L)
+    assert(docIds == Seq(1L, 4L, 6L), "cross-query near-dups must stay out")
+  }
+
   test("stream-stream purchase attribution matches the batch interval join") {
     val q = EventStreams.purchaseAttribution(EventStreams.readEvents(spark, dir))
       .writeStream.format("memory").queryName("attribution").outputMode("append").start()
