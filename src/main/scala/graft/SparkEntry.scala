@@ -1,14 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, Multimodal, Packing, Parity, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Packing, Parity, Relational, Selection, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   private def allQueries =
     Relational.queries ++ Parity.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Curation.queries ++ Packing.queries
+      Curation.queries ++ Packing.queries ++ Selection.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus SELECTION / ORDERING operators — the curation decisions between
+  * dedup (what's a copy) and assembly (Packing — how batches are laid
+  * out): which documents make the training set at all, in what global
+  * order, and with which per-origin caps.
+  *
+  *   - [[selectTokenBudget]] — data-constrained selection: keep the
+  *     highest-quality documents until a global token budget is exhausted
+  *     (the "train on the best N tokens" step of every budgeted run).
+  *   - [[curriculumOrder]]   — deterministic curriculum schedule: a global
+  *     training position that walks quality stages easy→hard, shuffled
+  *     within each stage.
+  *   - [[capPerSource]]      — per-origin document caps (the C4-style
+  *     domain cap): at most `cap` docs from any one source, chosen by a
+  *     stable hash so the cut is reproducible.
+  *
+  * All three are deterministic functions of the data (md5 gates, never
+  * rand()) — a resumed 100 TB job reproduces the same selection, and the
+  * DuckDB oracle replays every rule bit-for-bit. Global ordinals and
+  * running totals use the same TWO-LEVEL PREFIX SUM as
+  * [[Packing.packSequences]]: the only globally-ordered windows run over
+  * per-bucket count/total relations (≤ a few thousand rows), never the
+  * corpus; per-row ranks come from windows PARTITIONED by bucket — fully
+  * parallel. Shuffled bytes are fixed-width (id, hash, bucket, count)
+  * rows; document text never leaves its scan stage.
+  */
+object Selection {
+
+  /** The dedup/packing family's stable 32-bit id hash (same spelling as
+    * [[Packing.shardPack]] so layouts agree across operators). */
+  private def idHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+  /** Keeps the top-quality prefix of the corpus whose running token total
+    * stays within `budget` — ordering by (quality DESC, doc_id), a doc is
+    * kept iff its cumulative end offset ≤ budget (whole documents only).
+    * Input columns: `doc_id`, `quality: double`, `n_tokens: bigint`.
+    * Returns (doc_id, quality, n_tokens, cum_end).
+    *
+    * Scale shape: quality-range buckets from one O(1) min/max stats row
+    * (monotone in quality, so bucket-major order IS quality order; ties
+    * share a bucket — they degrade balance, never correctness). Per-bucket
+    * token totals are a scan-only aggregate; the exclusive running total —
+    * the only globally-ordered window — runs over that ≤`buckets`-row
+    * relation. Buckets whose exclusive offset already exceeds the budget
+    * are dropped BEFORE the per-row window, so only ~budget's worth of
+    * corpus is ever ranked: selecting 1% of 100 TB windows 1 TB, not
+    * 100 TB.
+    */
+  def selectTokenBudget(scored: DataFrame, budget: Long, buckets: Int = 1024): DataFrame = {
+    // one 1-row stats action sizes the quality buckets (same O(1)-driver
+    // discipline as packSequences)
+    val r = scored.agg(min(col("quality")), max(col("quality"))).head()
+    val (hi, width) =
+      if (r.isNullAt(1)) (0.0, 1.0)
+      else {
+        val lo = r.getDouble(0)
+        (r.getDouble(1), math.max((r.getDouble(1) - lo) / buckets, java.lang.Double.MIN_NORMAL))
+      }
+    val b = scored.withColumn("qb",
+      least(lit(buckets - 1L),
+        greatest(lit(0L), floor((lit(hi) - col("quality")) / lit(width)).cast("bigint"))))
+    val totals = b.groupBy(col("qb")).agg(sum(col("n_tokens")).as("btotal"))
+    // the ONLY globally-ordered window — over ≤`buckets` rows
+    val exclusive = Window.orderBy(col("qb")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("offset", coalesce(sum(col("btotal")).over(exclusive), lit(0L)))
+      // early exit: a bucket starting past the budget cannot contribute
+      // (cum_end ≥ offset for every row in it) — the inner join below then
+      // prunes those corpus rows before the per-row window
+      .filter(col("offset") <= budget)
+      .select(col("qb"), col("offset"))
+    val inBucket = Window.partitionBy(col("qb"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offsets), "qb")
+      .withColumn("cum_end", col("offset") + sum(col("n_tokens")).over(inBucket))
+      .filter(col("cum_end") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_end"))
+  }
+
+  /** Deterministic CURRICULUM schedule: a dense global training position
+    * 1..N that visits quality stages in order (stage 0 = highest quality
+    * first) and walks a reproducible md5 shuffle within each stage.
+    * Input columns: `doc_id`, `quality: double` in [0,1] (clamped).
+    * Returns (doc_id, stage, pos).
+    *
+    * Stages are fixed value thresholds (`stage = floor((1-quality) *
+    * stages)`, clamped) — not quantiles, so assignment is a pure per-row
+    * function with no global pass. The global position is stage-major +
+    * hash-bucket-major: per-(stage, bucket) counts aggregate scan-side,
+    * their exclusive running count (the only ordered window, ≤
+    * stages×`buckets` rows) broadcasts back, and in-bucket ranks ride a
+    * window partitioned by (stage, bucket).
+    */
+  def curriculumOrder(scored: DataFrame, stages: Int = 4, buckets: Int = 1024): DataFrame = {
+    val width = math.max(1L, (1L << 32) / buckets)
+    val g = scored.select(
+      col("doc_id"),
+      least(lit(stages - 1L),
+        greatest(lit(0L), floor((lit(1.0) - col("quality")) * stages).cast("bigint"))).as("stage"))
+      .withColumn("h", idHash(col("doc_id")))
+      .withColumn("bucket", expr(s"h div $width"))
+    val counts = g.groupBy(col("stage"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val exclusive = Window.orderBy(col("stage"), col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("cnt")).over(exclusive), lit(0L)))
+      .select(col("stage"), col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy(col("stage"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    g.join(broadcast(offsets), Seq("stage", "bucket"))
+      .withColumn("pos", (col("offset") + row_number().over(inBucket)).cast("bigint"))
+      .select(col("doc_id"), col("stage"), col("pos"))
+  }
+
+  /** Per-origin document cap (the C4/RefinedWeb-style domain cap): keeps
+    * at most `cap` documents from each `source`, selected by the stable
+    * (md5(doc_id), doc_id) order so the cut is content-independent and
+    * reproducible. Input columns: `doc_id`, `source`. Returns
+    * (doc_id, source, rk) with rk ∈ 1..cap.
+    *
+    * Scale shape: a plain `Window.partitionBy(source)` row_number puts a
+    * mega-source's entire slice into one task (a single viral domain can
+    * be TBs); instead ranks ride the two-level prefix sum within each
+    * source. The offsets relation is pre-filtered to buckets whose
+    * exclusive count is still below `cap` — ≤ #sources × O(cap/bucket
+    * width) rows regardless of corpus size — and the inner join prunes
+    * every corpus row of the already-over-cap buckets before the ranking
+    * window runs. No broadcast hint: source cardinality at web scale can
+    * make even the filtered side large, so Spark/AQE picks broadcast vs
+    * shuffle join from actual sizes.
+    */
+  def capPerSource(corpus: DataFrame, cap: Int, buckets: Int = 64): DataFrame = {
+    val width = math.max(1L, (1L << 32) / buckets)
+    val g = corpus.select(col("doc_id"), col("source"))
+      .withColumn("h", idHash(col("doc_id")))
+      .withColumn("bucket", expr(s"h div $width"))
+    val counts = g.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    // per-source exclusive running count — ordered window over the counts
+    // relation only (≤ #sources × `buckets` rows, never corpus rows)
+    val exclusive = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("cnt")).over(exclusive), lit(0L)))
+      // rank = offset + in-bucket row_number > cap for every row when
+      // offset ≥ cap — drop those buckets before ranking
+      .filter(col("offset") < cap)
+      .select(col("source"), col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    g.join(offsets, Seq("source", "bucket"))
+      .withColumn("rk", (col("offset") + row_number().over(inBucket)).cast("bigint"))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  // ---------- testdata bindings (the driver contract) ----------
+
+  /** Deterministic quality proxy over the documents table: 13 distinct
+    * values — deliberately tie-heavy to exercise the tie ordering and
+    * shared-bucket paths (both engines compute the identical double from
+    * the same integer inputs). */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      ((col("n_chars") % 13).cast("double") / lit(13.0)).as("quality"),
+      (lit(1L) + expr("n_chars div 6")).cast("bigint").as("n_tokens"))
+
+  private val scoredSql =
+    "SELECT doc_id, CAST(n_chars % 13 AS DOUBLE)/13 AS quality, " +
+      "CAST(1 + n_chars // 6 AS BIGINT) AS n_tokens FROM documents"
+
+  val queries: Seq[NamedQuery] = Seq(
+
+    NamedQuery(
+      "p07_token_budget",
+      Some(
+        s"WITH s AS ($scoredSql), " +
+          "c AS (SELECT doc_id, quality, n_tokens, CAST(sum(n_tokens) OVER " +
+          "(ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+          "AS BIGINT) AS cum_end FROM s) " +
+          "SELECT doc_id, " + OracleRound.stableRoundSql("quality", 4) + " AS quality, " +
+          "n_tokens, cum_end FROM c WHERE cum_end <= 12000 ORDER BY doc_id"),
+      (s, dir) =>
+        selectTokenBudget(scoredDocs(s, dir), budget = 12000L)
+          .select(col("doc_id"), OracleRound.stableRound(col("quality"), 4).as("quality"),
+            col("n_tokens"), col("cum_end"))
+          .orderBy(col("doc_id"))),
+
+    NamedQuery(
+      "p08_curriculum",
+      Some(
+        s"WITH s AS ($scoredSql), " +
+          "g AS (SELECT doc_id, CAST(greatest(0, least(3, floor((1.0 - quality) * 4))) AS BIGINT) AS stage, " +
+          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM s) " +
+          "SELECT doc_id, stage, CAST(row_number() OVER (ORDER BY stage, h, doc_id) AS BIGINT) AS pos " +
+          "FROM g ORDER BY doc_id"),
+      (s, dir) =>
+        curriculumOrder(scoredDocs(s, dir), stages = 4)
+          .orderBy(col("doc_id"))),
+
+    NamedQuery(
+      "p09_source_cap",
+      Some(
+        "WITH g AS (SELECT doc_id, source, " +
+          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM documents), " +
+          "r AS (SELECT doc_id, source, CAST(row_number() OVER " +
+          "(PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk FROM g) " +
+          "SELECT doc_id, source, rk FROM r WHERE rk <= 15 ORDER BY doc_id"),
+      (s, dir) =>
+        capPerSource(Tables.load(s, dir, "documents"), cap = 15)
+          .orderBy(col("doc_id")))
+  )
+}

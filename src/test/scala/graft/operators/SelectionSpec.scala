@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the corpus-selection operators (Selection): budget
+  * maximality, curriculum permutation/monotonicity, per-source caps —
+  * each bucketed two-level shape pinned against its naive single-window
+  * reference on inline corpora. */
+class SelectionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // tie-heavy: 7 distinct qualities, token counts 1..13
+  private def scored(n: Int) =
+    (0 until n).map(i => (i.toLong, (i % 7).toDouble / 7.0, 1L + i % 13))
+      .toDF("doc_id", "quality", "n_tokens")
+
+  test("selectTokenBudget: kept set is within budget and maximal") {
+    val df = scored(400)
+    val budget = 900L
+    val kept = Selection.selectTokenBudget(df, budget).collect()
+    assert(kept.map(_.getAs[Long]("n_tokens")).sum <= budget)
+    assert(kept.nonEmpty && kept.length < 400, "budget should select a strict subset")
+    // maximality: the next doc in (quality desc, doc_id) order cannot fit
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    val next = df.orderBy(col("quality").desc, col("doc_id")).collect()
+      .find(r => !keptIds(r.getAs[Long]("doc_id")))
+    next.foreach { r =>
+      assert(kept.map(_.getAs[Long]("n_tokens")).sum + r.getAs[Long]("n_tokens") > budget,
+        "a fitting doc was left out — selection not maximal")
+    }
+    // every kept doc has quality ≥ every dropped doc's, up to the boundary
+    // bucket where the budget cut lands (ties share a cum order by doc_id)
+    val maxCum = kept.map(_.getAs[Long]("cum_end")).max
+    assert(maxCum <= budget)
+  }
+
+  test("selectTokenBudget: bucketed prefix sum equals the naive global window") {
+    val df = scored(300)
+    val bucketed = Selection.selectTokenBudget(df, 700L, buckets = 64)
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("cum_end", sum("n_tokens").over(w))
+      .filter(col("cum_end") <= 700L)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_end"))
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+    // and the degenerate single-bucket spelling
+    val one = Selection.selectTokenBudget(df, 700L, buckets = 1)
+    assert(bucketed.exceptAll(one).isEmpty && one.exceptAll(bucketed).isEmpty)
+  }
+
+  test("selectTokenBudget: constant quality (every row one bucket) stays correct") {
+    val df = (0 until 200).map(i => (i.toLong, 0.5, 3L)).toDF("doc_id", "quality", "n_tokens")
+    val kept = Selection.selectTokenBudget(df, 60L).collect()
+    // ties order by doc_id: exactly docs 0..19 fit (20 × 3 = 60)
+    assert(kept.map(_.getAs[Long]("doc_id")).sorted.toSeq == (0L until 20L))
+  }
+
+  test("selectTokenBudget: budget beyond the corpus keeps everything; empty corpus is empty") {
+    val df = scored(50)
+    assert(Selection.selectTokenBudget(df, 1000000L).count() == 50)
+    assert(Selection.selectTokenBudget(scored(0), 100L).count() == 0)
+  }
+
+  test("curriculumOrder: pos is a dense global permutation, stage-monotone") {
+    val df = scored(350)
+    val r = Selection.curriculumOrder(df, stages = 4).orderBy("pos").collect()
+    assert(r.length == 350)
+    assert(r.map(_.getAs[Long]("pos")).toSeq == (1L to 350L))
+    val stagesInPosOrder = r.map(_.getAs[Long]("stage"))
+    assert(stagesInPosOrder.zip(stagesInPosOrder.tail).forall { case (a, b) => a <= b },
+      "curriculum must never step back to an earlier stage")
+    // high quality = early stage: stage 0 holds the top-quality docs
+    val q = df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val byStage = r.groupBy(_.getAs[Long]("stage"))
+      .map { case (st, rows) => st -> rows.map(x => q(x.getAs[Long]("doc_id"))).min }
+    assert(byStage.toSeq.sortBy(_._1).map(_._2).reverse.sorted.sameElements(
+      byStage.toSeq.sortBy(_._1).map(_._2).reverse),
+      "later stages must hold lower-quality docs")
+  }
+
+  test("curriculumOrder: bucketed equals the naive global row_number") {
+    val df = scored(300)
+    val bucketed = Selection.curriculumOrder(df, stages = 4, buckets = 32)
+    val naive = Selection.curriculumOrder(df, stages = 4, buckets = 1)
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+  }
+
+  test("capPerSource: every source at most cap, small sources intact, deterministic") {
+    val df = ((0 until 300).map(i => (i.toLong, s"src${i % 3}")) ++ // 100 docs each
+      (300 until 305).map(i => (i.toLong, "tiny")))                 // 5 docs
+      .toDF("doc_id", "source")
+    val a = Selection.capPerSource(df, cap = 40)
+    val b = Selection.capPerSource(df, cap = 40)
+    assert(a.exceptAll(b).isEmpty, "cap selection must be reproducible")
+    val per = a.groupBy("source").agg(count(lit(1)).as("n"), max("rk").as("m")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("m"))).toMap
+    assert(per("src0")._1 == 40 && per("src1")._1 == 40 && per("src2")._1 == 40)
+    assert(per("tiny") == ((5L, 5L)), "sources under the cap keep every doc")
+  }
+
+  test("capPerSource: bucketed equals the naive per-source window") {
+    val df = (0 until 400).map(i => (i.toLong, s"s${i % 5}")).toDF("doc_id", "source")
+    val bucketed = Selection.capPerSource(df, cap = 30, buckets = 16)
+    val naive = Selection.capPerSource(df, cap = 30, buckets = 1)
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+  }
+}

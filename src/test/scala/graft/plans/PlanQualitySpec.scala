@@ -261,6 +261,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast back")
   }
 
+  test("p07 token budget: corpus window is bucket-partitioned, over-budget buckets pre-pruned") {
+    val p = plan("p07_token_budget")
+    // the per-row running sum must ride a window PARTITIONED by the
+    // quality bucket; a regression to the naive global cumsum shows an
+    // unpartitioned windowspecdefinition ordered by quality over the corpus
+    assert("windowspecdefinition\\(qb#\\d+L, quality#\\d+ DESC".r.findFirstIn(p).isDefined,
+      "running-total window lost its quality-bucket partitioning")
+    assert("windowspecdefinition\\(quality#\\d+ DESC".r.findFirstIn(p).isEmpty,
+      "global unpartitioned window over the corpus")
+    // the early-exit offset filter must prune buckets BEFORE the window
+    // (Catalyst collapses the offset alias onto the window expression)
+    assert("(offset#\\d+L|coalesce\\(_we0#\\d+L, 0\\)) <= 12000".r.findFirstIn(p).isDefined,
+      "over-budget buckets are not pruned before ranking")
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast back")
+  }
+
+  test("p08 curriculum: rank window is (stage, bucket)-partitioned") {
+    val p = plan("p08_curriculum")
+    assert("windowspecdefinition\\(stage#\\d+L, bucket#\\d+L, h#\\d+L ASC".r.findFirstIn(p).isDefined,
+      "rank window lost its (stage, bucket) partitioning")
+    assert("windowspecdefinition\\(stage#\\d+L, h#\\d+L ASC".r.findFirstIn(p).isEmpty,
+      "corpus window partitioned by stage alone — one task per stage at scale")
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast back")
+  }
+
+  test("p09 source cap: rank window is (source, bucket)-partitioned, over-cap buckets pre-pruned") {
+    val p = plan("p09_source_cap")
+    assert("windowspecdefinition\\(source#\\d+, bucket#\\d+L, h#\\d+L ASC".r.findFirstIn(p).isDefined,
+      "rank window lost its (source, bucket) partitioning")
+    assert("windowspecdefinition\\(source#\\d+, h#\\d+L ASC".r.findFirstIn(p).isEmpty,
+      "corpus window partitioned by source alone — a mega-source becomes one task")
+    assert("(offset#\\d+L|coalesce\\(_we0#\\d+L, 0\\)) < 15".r.findFirstIn(p).isDefined,
+      "over-cap buckets are not pruned before ranking")
+  }
+
   test("d07 passage dedup: shuffles carry 8-byte hashes, shared set broadcasts") {
     val p = plan("d07_passage_dedup")
     assert(p.contains("chunk_hashes"), "one-pass passage hashing kernel missing")
