@@ -23,9 +23,17 @@ object Catalog {
     * a direct caller of the catalog API gets the snapshot-safe behavior by
     * default — immediate reclamation (0) must be an explicit opt-in. */
   val defaultVacuumRetentionMs: Long = 10L * 60 * 1000
+
+  /** Cap on retained `_versions` entries per table: bounds the metadata
+    * rewrite cost of high-frequency INSERT workloads (the entries are a
+    * few hundred bytes each; 4096 outlives any vacuum retention window by
+    * orders of magnitude). Versions older than the cap fail loudly as
+    * expired when time-traveled to. */
+  val maxVersionHistory: Int = 4096
 }
 
-class Catalog(val warehouse: String) {
+class Catalog(val warehouse: String,
+    maxVersionHistory: Int = Catalog.maxVersionHistory) {
   private val root: Path = Paths.get(warehouse)
   Files.createDirectories(root)
 
@@ -174,6 +182,149 @@ class Catalog(val warehouse: String) {
     val tmp = f.resolveSibling(s".manifest-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, parts.mkString("\n"))
     Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // every manifest publish is a retained SNAPSHOT VERSION (time travel)
+    appendVersion(db, schema, table, parts)
+  }
+
+  // ---------- version history (time travel) ----------
+  // Every manifest publish (INSERT commit, compaction swap) appends one
+  // line "<version>\t<millis>\t<comma-joined parts>" to `_versions`;
+  // version 0 is the empty table at creation. This is the observable
+  // analogue of the reference's MVCC version chains: a read "as of"
+  // resolves the newest version ≤ the requested point (reference: reads
+  // return the newest version ≤ ts, src/tablet/memory.rs:73-81; planning
+  // reads run at Snapshot semantics, src/sql/mod.rs:65). Old versions
+  // stay readable until [[vacuum]] reclaims their superseded files — the
+  // same retention contract as a table format's snapshot expiry. Ordinals
+  // are EXPLICIT in the file so the history can be capped
+  // ([[Catalog.maxVersionHistory]]) without renumbering: a trimmed or
+  // vacuumed version fails loudly, never silently serves the wrong rows.
+
+  private final case class VersionEntry(version: Long, millis: Long, parts: Seq[String])
+
+  private def versionsFile(db: String, schema: String, table: String): Path =
+    tablePath(db, schema, table).resolve("_versions")
+
+  private def readVersions(db: String, schema: String, table: String): Seq[VersionEntry] = {
+    val f = versionsFile(db, schema, table)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readString(f).split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", 3) match {
+        case Array(v, ts, parts) =>
+          for (vn <- v.toLongOption; t <- ts.toLongOption)
+            yield VersionEntry(vn, t, parts.split(",").toSeq.filter(_.nonEmpty))
+        case _ => None
+      }
+    }
+  }
+
+  private def writeVersions(db: String, schema: String, table: String,
+      entries: Seq[VersionEntry]): Unit = {
+    val f = versionsFile(db, schema, table)
+    val tmp = f.resolveSibling(s".versions-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp,
+      entries.map(e => s"${e.version}\t${e.millis}\t${e.parts.mkString(",")}").mkString("\n"))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def appendVersion(db: String, schema: String, table: String, parts: Seq[String]): Unit = {
+    val entries = readVersions(db, schema, table)
+    val next = entries.lastOption.map(_.version).getOrElse(0L) + 1L
+    writeVersions(db, schema, table,
+      (entries :+ VersionEntry(next, System.currentTimeMillis(), parts))
+        .takeRight(maxVersionHistory))
+  }
+
+  /** Latest snapshot version (0 = empty table, no publishes yet). */
+  def currentVersion(db: String, schema: String, table: String): Long = synchronized {
+    readVersions(db, schema, table).lastOption.map(_.version).getOrElse(0L)
+  }
+
+  /** Part filenames of snapshot `version` (0 = the empty creation
+    * snapshot). Throws if the version never existed, aged out of the
+    * capped history, or its files were reclaimed by [[vacuum]]. */
+  def partsAt(db: String, schema: String, table: String, version: Long): Seq[String] = synchronized {
+    if (version == 0L) return Seq.empty
+    val versions = readVersions(db, schema, table)
+    val head = versions.lastOption.map(_.version).getOrElse(0L)
+    if (version < 0L || version > head)
+      throw SqlError.unexpected(
+        s"table $table has no version $version (current: $head)")
+    val entry = versions.find(_.version == version).getOrElse(
+      throw SqlError.unexpected(
+        s"version $version of table $table has expired from the version history"))
+    val dir = tablePath(db, schema, table).resolve("data")
+    val gone = entry.parts.filterNot(p => Files.exists(dir.resolve(p)))
+    if (gone.nonEmpty)
+      throw SqlError.unexpected(
+        s"version $version of table $table has been vacuumed (missing: ${gone.head})")
+    entry.parts
+  }
+
+  /** Absolute paths of snapshot `version`'s parts. */
+  def partPathsAt(db: String, schema: String, table: String, version: Long): Seq[String] =
+    synchronized {
+      val dir = tablePath(db, schema, table).resolve("data")
+      partsAt(db, schema, table, version).map(p => dir.resolve(p).toString)
+    }
+
+  /** Newest version whose publish time ≤ `millis` (the reference's
+    * "newest version ≤ ts" MVCC read rule, src/tablet/memory.rs:73-81);
+    * 0 when `millis` predates every publish. */
+  def versionAsOf(db: String, schema: String, table: String, millis: Long): Long = synchronized {
+    readVersions(db, schema, table).filter(_.millis <= millis)
+      .lastOption.map(_.version).getOrElse(0L)
+  }
+
+  /** Version history as (version, publishMillis, partCount) — the
+    * metadata listing behind the `graft_versions` SQL surface. */
+  def versionHistory(db: String, schema: String, table: String): Seq[(Long, Long, Int)] =
+    synchronized {
+      readVersions(db, schema, table).map(e => (e.version, e.millis, e.parts.size))
+    }
+
+  /** Part filenames ADDED in the version interval (`fromV`, `toV`] — the
+    * CHANGE FEED of an append-only interval: INSERT commits strictly
+    * append to the manifest, so the interval's row delta IS the file
+    * delta. A compaction publish rewrites the file set instead; row-level
+    * changes across it are not derivable from files, so that interval
+    * raises (the consumer restarts from a full snapshot — the same
+    * contract as a table format's incremental read across a rewrite). */
+  def partsAddedBetween(db: String, schema: String, table: String,
+      fromV: Long, toV: Long): Seq[String] = synchronized {
+    val versions = readVersions(db, schema, table)
+    val head = versions.lastOption.map(_.version).getOrElse(0L)
+    if (fromV < 0L || toV > head || fromV > toV)
+      throw SqlError.unexpected(
+        s"invalid version interval ($fromV, $toV] for table $table (current: $head)")
+    def entryAt(v: Long): VersionEntry = versions.find(_.version == v).getOrElse(
+      throw SqlError.unexpected(
+        s"version $v of table $table has expired from the version history"))
+    var prev = if (fromV == 0L) Seq.empty[String] else entryAt(fromV).parts
+    val added = Seq.newBuilder[String]
+    ((fromV + 1) to toV).foreach { v =>
+      val cur = entryAt(v).parts
+      if (!cur.startsWith(prev))
+        throw SqlError.unexpected(
+          s"version interval ($fromV, $toV] of table $table contains a compaction publish; " +
+            "row changes are not a file delta across a rewrite — restart from a full snapshot")
+      added ++= cur.drop(prev.size)
+      prev = cur
+    }
+    val dir = tablePath(db, schema, table).resolve("data")
+    val parts = added.result()
+    parts.find(p => !Files.exists(dir.resolve(p))).foreach { gone =>
+      throw SqlError.unexpected(
+        s"changes ($fromV, $toV] of table $table have been vacuumed (missing: $gone)")
+    }
+    parts
+  }
+
+  /** Absolute paths of [[partsAddedBetween]]. */
+  def partPathsAddedBetween(db: String, schema: String, table: String,
+      fromV: Long, toV: Long): Seq[String] = synchronized {
+    val dir = tablePath(db, schema, table).resolve("data")
+    partsAddedBetween(db, schema, table, fromV, toV).map(p => dir.resolve(p).toString)
   }
 
   /** O(1) metadata check: does the table hold any data files? */
@@ -334,6 +485,9 @@ class Catalog(val warehouse: String) {
     val (expired, retained) = deadAt.partition { case (_, t) => now - t >= retentionMs }
     expired.foreach { case (n, _) => Files.deleteIfExists(dir.resolve(n)) }
     writeGraveyard(db, schema, table, retained)
+    // time-travel history entries are NOT pruned here: [[partsAt]] detects
+    // a reclaimed part by its absence and reports "vacuumed" — rewriting
+    // the entry would turn a reclaimed snapshot into a silently-empty one
     expired.size
   }
 

@@ -110,6 +110,36 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     else spark.read.schema(d.toStructType).parquet(paths: _*)
   }
 
+  /** TIME TRAVEL: the table as of snapshot `version` (0 = empty at
+    * creation; each INSERT commit / compaction publish is one version).
+    * The observable analogue of the reference's MVCC snapshot reads at a
+    * fixed timestamp (src/kv.rs:331-431; version chains read newest ≤ ts,
+    * src/tablet/memory.rs:73-81). Readable until [[vacuumTable]] reclaims
+    * the snapshot's superseded files. */
+  def readTableAt(db: String, schema: String, table: String, version: Long): DataFrame = {
+    val d = catalog.getTable(db, schema, table)
+    val paths = catalog.partPathsAt(db, schema, table, version)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], d.toStructType)
+    else spark.read.schema(d.toStructType).parquet(paths: _*)
+  }
+
+  /** CHANGE FEED: the rows INSERTed in the version interval (`fromV`,
+    * `toV`] — an incremental consumer (e.g. [[graft.operators.Dedup]]'s
+    * incremental admit, or a downstream sync) reads exactly the delta,
+    * never re-scanning history. Append-only intervals only: an interval
+    * crossing a compaction publish raises, and the consumer restarts from
+    * a full snapshot (same contract as a table format's incremental
+    * read across a rewrite). */
+  def readTableChanges(db: String, schema: String, table: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val d = catalog.getTable(db, schema, table)
+    val paths = catalog.partPathsAddedBetween(db, schema, table, fromV, toV)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], d.toStructType)
+    else spark.read.schema(d.toStructType).parquet(paths: _*)
+  }
+
   // ---------- query path ----------
 
   /** Registers ONLY the statement's referenced tables as temp views (the
@@ -253,7 +283,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     * literal arguments map positionally onto the operator's tuning
     * parameters; omitted ones take the operator's own defaults. */
   private val tableFunctions: Map[String, (DataFrame, Seq[Double]) => DataFrame] = {
-    import graft.operators.{Dedup, Packing, TextAnalysis}
+    import graft.operators.{Dedup, Packing, Selection, TextAnalysis}
     Map(
       "graft_dedup_exact" -> ((t, _) => Dedup.exactDedup(t)),
       "graft_minhash_pairs" -> ((t, a) =>
@@ -275,8 +305,41 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         Packing.shardPack(t, a.headOption.map(_.toInt).getOrElse(8))),
       "graft_temperature_mix" -> ((t, a) =>
         Packing.temperatureMix(t, a.headOption.getOrElse(0.5),
-          a.lift(1).getOrElse(0.5))))
+          a.lift(1).getOrElse(0.5))),
+      "graft_token_budget" -> ((t, a) =>
+        Selection.selectTokenBudget(t, a.headOption.map(_.toLong).getOrElse(1000000L))),
+      "graft_curriculum" -> ((t, a) =>
+        Selection.curriculumOrder(t, a.headOption.map(_.toInt).getOrElse(4))),
+      "graft_cap_per_source" -> ((t, a) =>
+        Selection.capPerSource(t, a.headOption.map(_.toInt).getOrElse(1000))))
   }
+
+  /** Table functions over the table IDENTITY rather than its current
+    * snapshot — the time-travel reads: `graft_at_version(t, v)` is the
+    * table as of snapshot v; `graft_at_time(t, millis)` resolves the
+    * newest version published ≤ millis (the reference's MVCC read rule,
+    * src/tablet/memory.rs:73-81). */
+  private val snapshotFunctions: Map[String, ((String, String, String), Seq[Double]) => DataFrame] =
+    Map(
+      "graft_at_version" -> { case ((db, schema, table), a) =>
+        readTableAt(db, schema, table,
+          a.headOption.map(_.toLong).getOrElse(catalog.currentVersion(db, schema, table)))
+      },
+      "graft_at_time" -> { case ((db, schema, table), a) =>
+        val millis = a.headOption.map(_.toLong).getOrElse(System.currentTimeMillis())
+        readTableAt(db, schema, table, catalog.versionAsOf(db, schema, table, millis))
+      },
+      "graft_changes" -> { case ((db, schema, table), a) =>
+        val from = a.headOption.map(_.toLong).getOrElse(0L)
+        val to = a.lift(1).map(_.toLong)
+          .getOrElse(catalog.currentVersion(db, schema, table))
+        readTableChanges(db, schema, table, from, to)
+      },
+      "graft_versions" -> { case ((db, schema, table), _) =>
+        import spark.implicits._
+        catalog.versionHistory(db, schema, table)
+          .toDF("version", "publish_millis", "n_parts")
+      })
 
   /** One referenced table resolved to the temp view that hosts it. */
   private[engine] final case class TableRef(db: String, schema: String, table: String, view: String)
@@ -351,7 +414,10 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // injective name (part lengths + arg hash), same scheme as xdbView
       val view = s"graft_tvf_${fn}_${db.length}_${schema.length}_${db}_${schema}_${table}_" +
         java.lang.Integer.toHexString(as.hashCode)
-      tableFunctions(fn)(readTable(db, schema, table), as).createOrReplaceTempView(view)
+      val result =
+        if (snapshotFunctions.contains(fn)) snapshotFunctions(fn)((db, schema, table), as)
+        else tableFunctions(fn)(readTable(db, schema, table), as)
+      result.createOrReplaceTempView(view)
       Some((view, spans(j).end, j + 1))
     }
     val out = new StringBuilder
@@ -396,7 +462,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           // an LLM-operator table function rewrites to its result view.
           val nextParen = spans.lift(i + 1).exists(_.tok == Sym("("))
           val tvf =
-            if (!prevIsDot && nextParen && tableFunctions.contains(a))
+            if (!prevIsDot && nextParen &&
+              (tableFunctions.contains(a) || snapshotFunctions.contains(a)))
               spliceTableFunction(i, a)
             else None
           tvf match {

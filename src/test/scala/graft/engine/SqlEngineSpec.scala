@@ -797,5 +797,123 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.execute("SELECT doc_id, shard, pos FROM graft_shard_pack(corpus, 2)").count() == 6L)
     assert(e.execute(
       "SELECT doc_id FROM graft_pack_sequences(corpus, 16) WHERE first_seq = 0").count() >= 1L)
+
+    // selection surface: per-source caps from pure SQL
+    e.execute("CREATE TABLE sourced (doc_id bigint PRIMARY KEY, source text)")
+    e.execute("INSERT INTO sourced VALUES " +
+      (1 to 10).map(i => s"($i, 'a')").mkString(", ") + ", (11, 'b')")
+    val capped = e.execute(
+      "SELECT source, count(*) AS n FROM graft_cap_per_source(sourced, 3) GROUP BY source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("version history cap: trimmed versions fail loudly as expired, head stays stable") {
+    val wh = Files.createTempDirectory("graft-wh-").toString
+    val e = new SqlEngine(spark, new Catalog(wh, maxVersionHistory = 3), SqlContext("test1", "u"))
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id bigint PRIMARY KEY)")
+    (1 to 5).foreach(i => e.execute(s"INSERT INTO t VALUES ($i)"))
+    assert(e.catalog.currentVersion("test1", "public", "t") == 5L,
+      "trimming must never renumber the head")
+    assert(e.readTableAt("test1", "public", "t", 5L).count() == 5L)
+    assert(e.readTableAt("test1", "public", "t", 3L).count() == 3L)
+    val err = intercept[SqlError](e.readTableAt("test1", "public", "t", 2L))
+    assert(err.getMessage.contains("expired"))
+    // the change feed across a trimmed base fails the same way
+    val err2 = intercept[SqlError](e.readTableChanges("test1", "public", "t", 1L, 5L))
+    assert(err2.getMessage.contains("expired"))
+  }
+
+  test("change feed: graft_changes reads exactly the inserted delta; compaction interval raises") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id bigint PRIMARY KEY, v text)")
+    e.execute("INSERT INTO t VALUES (1, 'a')")
+    e.execute("INSERT INTO t VALUES (2, 'b'), (3, 'c')")
+    // delta (1, 2]: exactly the second insert's rows
+    val delta = e.execute("SELECT id FROM graft_changes(t, 1, 2) ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(delta == Seq(2L, 3L))
+    // from 0 = everything; single-arg default toV = current head
+    assert(e.execute("SELECT count(*) AS n FROM graft_changes(t, 0)")
+      .collect()(0).getLong(0) == 3L)
+    // incremental consumer loop: the cursor advances with the head
+    e.execute("INSERT INTO t VALUES (4, 'd')")
+    assert(e.execute("SELECT id FROM graft_changes(t, 2)")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // version-history listing surface
+    val hist = e.execute("SELECT version, n_parts FROM graft_versions(t) ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // an INSERT may stage several parquet parts (one per write task), so
+    // part counts only grow monotonically with each publish
+    assert(hist.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(hist.map(_._2).toSeq == hist.map(_._2).toSeq.sorted && hist.last._2 >= 3)
+    // an interval crossing a compaction publish raises — the consumer
+    // restarts from a full snapshot, never a wrong delta
+    e.compactTable("test1", "public", "t")
+    val err = intercept[SqlError](
+      e.execute("SELECT * FROM graft_changes(t, 2, 4)").collect())
+    assert(err.getMessage.contains("compaction"))
+    // and the feed resumes cleanly from the post-compaction version
+    e.execute("INSERT INTO t VALUES (5, 'e')")
+    assert(e.execute("SELECT id FROM graft_changes(t, 4)")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("time travel: each INSERT/compaction publish is a readable snapshot version") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id bigint PRIMARY KEY, v text)")
+    val cat = e.catalog
+    assert(cat.currentVersion("test1", "public", "t") == 0L)
+    // version 0 = empty table at creation
+    assert(e.readTableAt("test1", "public", "t", 0L).count() == 0L)
+
+    e.execute("INSERT INTO t VALUES (1, 'a')")
+    e.execute("INSERT INTO t VALUES (2, 'b'), (3, 'c')")
+    e.execute("INSERT INTO t VALUES (4, 'd')")
+    assert(cat.currentVersion("test1", "public", "t") == 3L)
+    assert(e.readTableAt("test1", "public", "t", 1L).count() == 1L)
+    assert(e.readTableAt("test1", "public", "t", 2L).count() == 3L)
+    assert(e.readTableAt("test1", "public", "t", 3L).count() == 4L)
+
+    // SQL surface: graft_at_version composes like any relation
+    val atV2 = e.execute(
+      "SELECT count(*) AS n FROM graft_at_version(t, 2)").collect()(0).getLong(0)
+    assert(atV2 == 3L)
+    // joins across versions: rows added AFTER v1
+    val added = e.execute(
+      "SELECT cur.id FROM t cur LEFT ANTI JOIN graft_at_version(t, 1) old ON cur.id = old.id " +
+        "ORDER BY cur.id").collect().map(_.getLong(0)).toSeq
+    assert(added == Seq(2L, 3L, 4L))
+
+    // graft_at_time resolves the newest version published ≤ millis (the
+    // reference's MVCC read rule): future time = head, epoch 0 = empty
+    assert(e.execute(
+      s"SELECT count(*) AS n FROM graft_at_time(t, ${System.currentTimeMillis() + 60000})")
+      .collect()(0).getLong(0) == 4L)
+    assert(e.execute("SELECT count(*) AS n FROM graft_at_time(t, 1)")
+      .collect()(0).getLong(0) == 0L)
+
+    // a compaction publish is one more version with the same rows; the
+    // pre-compaction snapshot stays readable from its superseded files
+    e.compactTable("test1", "public", "t")
+    assert(cat.currentVersion("test1", "public", "t") == 4L)
+    assert(e.readTableAt("test1", "public", "t", 4L).count() == 4L)
+    assert(e.readTableAt("test1", "public", "t", 2L).count() == 3L)
+
+    // out-of-range version: the engine's error shape, with the current head
+    val err = intercept[SqlError](e.readTableAt("test1", "public", "t", 9L))
+    assert(err.getMessage.contains("no version 9"))
+
+    // vacuum with retention 0 reclaims the superseded files — old
+    // versions now fail LOUDLY as vacuumed, never silently empty
+    assert(e.vacuumTable("test1", "public", "t", retentionMs = 0L) >= 1)
+    val gone = intercept[SqlError](e.readTableAt("test1", "public", "t", 2L).count())
+    assert(gone.getMessage.contains("vacuumed"))
+    // the live head is untouched
+    assert(e.execute("SELECT count(*) AS n FROM t").collect()(0).getLong(0) == 4L)
+    assert(e.readTableAt("test1", "public", "t", 4L).count() == 4L)
   }
 }
