@@ -37,8 +37,14 @@ import org.apache.spark.sql.functions._
   * copied to executor storage; driver state is B counts per level plus
   * one small collected bucket. Scales by adding partitions to the scan.
   *
-  * Interpolation matches Spark's `Percentile` and DuckDB's
-  * `quantile_cont`: v_lo + (v_hi − v_lo) · (p − ⌊p⌋) at p = q·(n−1).
+  * Interpolation matches Spark's `Percentile` bit-for-bit: the WEIGHTED
+  * form (⌈p⌉ − p)·v_lo + (p − ⌊p⌋)·v_hi at p = q·(n−1) — not the
+  * algebraically-equal delta form v_lo + (v_hi − v_lo)·frac, which
+  * rounds differently at denormal/ulp ties (e.g. the midpoint of
+  * −MIN_VALUE and −0.0: delta form yields −MIN_VALUE, Spark −0.0 —
+  * found by the adversarial property sweep). DuckDB's `quantile_cont`
+  * uses the delta form; the driver oracle rounds at the measure grid, so
+  * the ulp-level difference is invisible there.
   */
 object ExactQuantile {
 
@@ -133,7 +139,11 @@ object ExactQuantile {
       val lo = math.floor(p).toLong
       val hi = math.ceil(p).toLong
       val vLo = found(lo)
-      if (lo == hi) vLo else vLo + (found(hi) - vLo) * (p - lo)
+      val vHi = if (lo == hi) vLo else found(hi)
+      // Spark Percentile's exact branch structure: equal boundary values
+      // short-circuit (0.5·d + 0.5·d of a denormal would round to 0),
+      // else the weighted form in Spark's operand order — see scaladoc
+      if (lo == hi || vLo == vHi) vLo else (hi - p) * vLo + (p - lo) * vHi
     }
   }
 
@@ -274,7 +284,9 @@ object ExactQuantile {
         val lo = math.floor(p).toLong
         val hi = math.ceil(p).toLong
         val vLo = found((k, lo))
-        if (lo == hi) vLo else vLo + (found((k, hi)) - vLo) * (p - lo)
+        val vHi = if (lo == hi) vLo else found((k, hi))
+        // same branch structure as the ungrouped path (Spark parity)
+        if (lo == hi || vLo == vHi) vLo else (hi - p) * vLo + (p - lo) * vHi
       }
     }.toSeq
   }
