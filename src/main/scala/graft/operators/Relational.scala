@@ -1059,6 +1059,24 @@ object Relational {
         "ORDER BY o.o_orderkey, price DESC, l.l_linenumber, l.l_partkey, l.l_quantity")
       .named("q51_lateral"),
 
+    // --- RECURSIVE CTE: calendar gap-fill — generate the full year
+    //     series spanning the data and LEFT JOIN the facts onto it, so
+    //     empty periods surface as zero rows (the standard time-series
+    //     reporting pattern a bare GROUP BY cannot produce). DataFusion 47
+    //     ships recursive CTEs in the surface the reference delegates to
+    //     (src/sql/mod.rs:84); Spark 4 matches with WITH RECURSIVE — same
+    //     text through both engines. Depth = year span (bounded by the
+    //     data, far under Spark's recursion limit); the recursion produces
+    //     only the tiny series relation, never touches fact rows ---
+    viaSql(
+      "WITH RECURSIVE years AS (" +
+        "SELECT year(min(o_orderdate)) AS y, year(max(o_orderdate)) AS ymax FROM orders " +
+        "UNION ALL SELECT y + 1, ymax FROM years WHERE y < ymax) " +
+        "SELECT y.y AS yr, count(o.o_orderkey) AS n_orders " +
+        "FROM years y LEFT JOIN orders o ON year(o.o_orderdate) = y.y " +
+        "GROUP BY y.y ORDER BY yr")
+      .named("q52_recursive_series"),
+
     // --- PIVOT: long→wide reshape with an EXPLICIT value list (the
     //     deterministic form — inferred pivot values would depend on a
     //     distinct scan). The oracle replays it as conditional
