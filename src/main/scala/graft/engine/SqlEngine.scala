@@ -285,6 +285,17 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
   private val tableFunctions: Map[String, (DataFrame, Seq[Double]) => DataFrame] = {
     import graft.operators.{Dedup, Packing, Selection, TextAnalysis}
     Map(
+      // NOTE: no graft_semdedup here — managed tables carry only the
+      // reference's 8 scalar types (no arrays), so an embedding-typed
+      // relation can never arrive via this seam; SemDeDup stays
+      // DataFrame-API-only (operators.Dedup.semDedup).
+      "graft_classifier_score" -> ((t, a) => {
+        val dim = a.headOption.map(_.toInt).getOrElse(4096)
+        TextAnalysis.classifierScore(t,
+          TextAnalysis.seedWeights(t.sparkSession, dim), dim)
+      }),
+      "graft_pack_spans" -> ((t, a) =>
+        Packing.packedSpans(t, a.headOption.map(_.toInt).getOrElse(128))),
       "graft_dedup_exact" -> ((t, _) => Dedup.exactDedup(t)),
       "graft_minhash_pairs" -> ((t, a) =>
         Dedup.minhashPairs(t, a.headOption.getOrElse(0.35))),

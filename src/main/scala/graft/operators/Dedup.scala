@@ -451,6 +451,38 @@ object Dedup {
       .limit(topN)
   }
 
+  /** SemDeDup — SEMANTIC dedup over `(vec_id, embedding, cell)` rows
+    * (published method: cluster-then-prune; SemDeDup, arXiv:2303.09540):
+    * a coarse k-means quantizer partitions the corpus into cells
+    * ([[Similarity.assignCells]]); within each cell, every vector whose
+    * exact cosine to a LOWER-id cell-mate exceeds `tau` is pruned.
+    * Complements [[embeddingPairs]]: LSH banding finds near-IDENTICAL
+    * vectors (collision needs agreeing sign bits), while cluster-scoped
+    * pruning removes the merely semantically redundant at a much lower
+    * tau — without ever going all-pairs, because candidates are scoped to
+    * a cell.
+    *
+    * Scale shape: the pairwise stage is a self-join ON THE CELL KEY, so
+    * each vector crosses the wire once per join side — never once per
+    * candidate pair (the generate-id-pairs-then-fetch-vectors spelling
+    * re-ships one embedding PER PAIR through the fetch join, quadratically
+    * more bytes for the all-pairs-in-cell access pattern; contrast
+    * [[embeddingPairs]], where candidates are few and the fetch join
+    * wins). Cell population is bounded by the quantizer's k, which scales
+    * with the corpus (SemDeDup's published runs keep cells ~1e4 rows at
+    * billions of docs); stored cell-partitioned (plans.IvfCellLayout) the
+    * join co-locates and the exchange disappears. The drop list is ids
+    * only, and the final anti-join carries 8-byte keys. */
+  def semDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    VectorFunctions.register(assigned.sparkSession)
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("a_emb"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("b_emb"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b") && expr("cosine_sim(a_emb, b_emb)") > tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+  }
+
   /** PASSAGE-level duplication stats — sub-document dedup (the "repeated
     * boilerplate paragraph" case document-level dedup cannot see): each
     * doc splits into consecutive non-overlapping `width`-token passages;
@@ -845,6 +877,28 @@ object Dedup {
         embeddingPairs(emb.unionByName(clones), 8,
           Some(CorpusStats.cachedHeadDistinctRatio(s, dir, "embeddings", "embedding")))
           .orderBy(col("id_a"))
+      }),
+
+    // SemDeDup gate (driver-visible): plant an IDENTICAL clone
+    // (vec_id+1e6) of EVERY base vector and require the cluster-scoped
+    // prune to remove exactly the clones. Deterministic end-to-end: an
+    // identical vector maps to the identical nearest centroid (same
+    // distances, same argmin), its in-cell cosine to the original is 1.0
+    // > tau, and its id is the pair's larger — so it prunes; the best
+    // RANDOM pair sits at ~0.51 < 0.8, so no original ever pairs above
+    // tau. Kept set == the original ids, which IS the DuckDB oracle —
+    // quantizer assignment, cell-scoped candidate generation, exact
+    // cosine, and the keep-lowest-id rule are all on the verified path.
+    NamedQuery(
+      "d10_semdedup",
+      Some("SELECT vec_id FROM embeddings ORDER BY vec_id"),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val clones = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        semDedup(
+          Similarity.assignCells(emb.unionByName(clones), Similarity.cachedModel(s, dir)),
+          0.8)
+          .select(col("vec_id")).orderBy(col("vec_id"))
       })
   )
 }

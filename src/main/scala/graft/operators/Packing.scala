@@ -71,6 +71,25 @@ object Packing {
         expr(s"(start_offset + n_tokens - 1) div $budget").as("last_seq"))
   }
 
+  /** Per-sequence DOCUMENT SPAN MAP for packed batches — the
+    * attention-mask sidecar cross-doc masking and per-doc loss weighting
+    * need: for every training sequence, which docs occupy it and at what
+    * `[begin_tok, end_tok)` in-sequence offsets. Derived from
+    * [[packSequences]] by exploding each doc over its covered sequence
+    * range; output rows = Σ sequences-per-doc ≈ corpus_tokens/budget +
+    * n_docs — LINEAR, and the explode is a Generate inside the same
+    * stage (no new shuffle beyond packSequences' own). */
+  def packedSpans(corpus: DataFrame, budget: Int = 128,
+      buckets: Int = 1024): DataFrame =
+    packSequences(corpus, budget, buckets)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
+      .select(
+        col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("start_offset") - col("seq_id") * budget).as("begin_tok"),
+        (least(lit(budget.toLong) * (col("seq_id") + 1),
+          col("start_offset") + col("n_tokens")) - col("seq_id") * budget).as("end_tok"))
+
   /** Deterministic TRAINING-SHARD layout: shard by content-independent
     * id hash, order within shard by the same hash — a reproducible global
     * shuffle (every data-parallel trainer must see the same shard in the
@@ -190,6 +209,28 @@ object Packing {
           "SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard, " +
           "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos " +
           "FROM g ORDER BY doc_id"),
-      (s, dir) => shardPack(docs(s, dir)).orderBy(col("doc_id")))
+      (s, dir) => shardPack(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // span map over the p04 packing: the oracle replays the running-sum
+    // layout, then unrolls each doc's sequence range with range() and
+    // recomputes both clip bounds — every (seq, doc, begin, end) row
+    // hash-checks.
+    NamedQuery(
+      "p10_pack_spans",
+      Some(
+        "WITH tk AS (SELECT doc_id, CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) " +
+          "AS n_tokens FROM documents), " +
+          "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
+          "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens " +
+          "AS BIGINT) AS start_offset FROM tk), " +
+          "x AS (SELECT doc_id, n_tokens, start_offset, " +
+          "unnest(range(start_offset // 128, (start_offset + n_tokens - 1) // 128 + 1)) AS seq_id FROM c) " +
+          "SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id, " +
+          "CAST(greatest(0, start_offset - seq_id * 128) AS BIGINT) AS begin_tok, " +
+          "CAST(least(128 * (seq_id + 1), start_offset + n_tokens) - seq_id * 128 AS BIGINT) AS end_tok " +
+          "FROM x ORDER BY seq_id, doc_id"),
+      (s, dir) =>
+        packedSpans(docs(s, dir).select(col("doc_id"), col("text")))
+          .orderBy(col("seq_id"), col("doc_id")))
   )
 }

@@ -106,18 +106,25 @@ object Similarity {
       .setFeaturesCol("features").fit(sample)
   }
 
+  /** Nearest-centroid CELL assignment over `(vec_id, embedding)` — the
+    * coarse-quantization step IVF probing and SemDeDup pruning share:
+    * adds a `cell` column (a per-row map, no shuffle). */
+  def assignCells(base: DataFrame, model: KMeansModel): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    model.transform(
+      base.withColumn("features",
+        array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))))
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+  }
+
   /** IVF top-k: assign base vectors to their nearest centroid (the
     * "inverted file"), probe the nprobe nearest cells per query, exact
     * re-rank of those cells only — the canonical billion-vector plan
     * shape (equi-join on a coarse key, then re-rank). */
   def ivfTopK(base: DataFrame, queries: DataFrame, model: KMeansModel,
       k: Int, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     VectorFunctions.register(base.sparkSession)
-    val assigned = model.transform(
-      base.withColumn("features",
-        array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))))
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val assigned = assignCells(base, model)
     // centroid table is model metadata (16 rows) — broadcast by size
     val centroids = base.sparkSession.createDataFrame(
       model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
@@ -154,8 +161,8 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
   /** The trained quantizer IS the IVF index — session-memoized per corpus
-    * and shared by every probe (s02–s05). */
-  private def cachedModel(s: SparkSession, dir: String): KMeansModel =
+    * and shared by every probe (s02–s05) and by SemDeDup (d10). */
+  private[operators] def cachedModel(s: SparkSession, dir: String): KMeansModel =
     graft.SessionCache.getOrBuild[KMeansModel](s, ("ivf-model", dir))(
       trainQuantizer(base(s, dir)))
 

@@ -304,6 +304,53 @@ object TextAnalysis {
     corpus.select(col("doc_id"), expr(s"rolling_fingerprint(text, $window)").as("fingerprint"))
   }
 
+  /** MODEL-BASED quality scoring — the hashed-linear-classifier stage
+    * (fastText-style) web-scale pipelines run after the heuristic gates
+    * (the GPT-3 / CCNet quality-filter pattern): tokens FEATURE-HASH into
+    * `dim` buckets, the model IS a `(bucket, w)` table, and a document's
+    * logit is the mean bucket weight over its tokens. The weights input
+    * is the pluggable-model seam — any trained linear model lowered to
+    * (bucket, weight) rows scores through the identical plan;
+    * [[seedWeights]] supplies a lexicon-derived default.
+    *
+    * Scale shape: the model broadcasts (a real fastText bucket table is
+    * ~2M rows ≈ 30 MB — broadcast-sized by construction) onto the
+    * exploded token stream, so the corpus side is one linear scan;
+    * map-side partial aggregation collapses the per-token rows back to
+    * one (doc_id, sum, count) row per doc per partition BEFORE the
+    * exchange — tokens never shuffle. Oracle-parity note: with INTEGRAL
+    * weights the dot product is exact integer arithmetic in double
+    * (summation-order-proof); the single division happens once per doc. */
+  def classifierScore(corpus: DataFrame, weights: DataFrame, dim: Int = 4096): DataFrame =
+    corpus
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("bigint") % dim)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        stableRound(sum(coalesce(col("w"), lit(0.0))) / count(lit(1)), 4).as("logit"),
+        count(lit(1)).cast("bigint").as("n_tokens"))
+
+  /** Natural-language-indicator lexicon: stopwords of every supported
+    * language score +1, boilerplate/spam markers score −1. Integral on
+    * purpose — see [[classifierScore]]'s parity note. */
+  private[operators] val seedLexicon: Seq[(String, Double)] =
+    stopwords.values.flatten.toSeq.distinct.sorted.map(_ -> 1.0) ++
+      Seq("click", "subscribe", "buy", "free", "winner", "http", "www",
+        "===", "___", "null").map(_ -> -1.0)
+
+  /** [[seedLexicon]] lowered to the `(bucket, w)` model shape: terms
+    * hash into the same `dim` buckets as the scorer's tokens; colliding
+    * terms SUM (it is a linear model). */
+  def seedWeights(s: SparkSession, dim: Int = 4096): DataFrame = {
+    import s.implicits._
+    seedLexicon.toDF("term", "w")
+      .withColumn("bucket",
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("bigint") % dim)
+      .groupBy(col("bucket")).agg(sum(col("w")).as("w"))
+  }
+
   // ---------- testdata bindings (the driver contract) ----------
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -484,6 +531,30 @@ object TextAnalysis {
           "count(*) AS n_bigrams " +
           "FROM pre JOIN cb USING (bg) JOIN c1 USING (w1) " +
           "GROUP BY doc_id ORDER BY doc_id"),
-      (s, dir) => lmScore(docs(s, dir), Some(Dedup.docRatio(s, dir))).orderBy(col("doc_id")))
+      (s, dir) => lmScore(docs(s, dir), Some(Dedup.docRatio(s, dir))).orderBy(col("doc_id"))),
+
+    // hashed-linear-classifier scoring: the oracle rebuilds the SAME
+    // bucket model from the shared lexicon (one Scala value emits both
+    // sides) and replays feature hashing + mean-weight logit per doc.
+    // Integral weights make the per-doc sum exact in both engines
+    // regardless of summation order; the one division is rounded
+    // stabilized (q31/t05 precedent).
+    NamedQuery(
+      "t09_classifier_score",
+      Some {
+        val lex = seedLexicon.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+        def bkt(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT) % 4096"
+        s"WITH lex(term, w) AS (VALUES $lex), " +
+          s"wt AS (SELECT ${bkt("term")} AS bucket, CAST(sum(w) AS DOUBLE) AS w " +
+          "FROM lex GROUP BY 1), " +
+          s"tk AS (SELECT doc_id, ${bkt("tok")} AS bucket FROM " +
+          "(SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents)) " +
+          "SELECT doc_id, " +
+          stableRoundSql("sum(coalesce(w, 0.0)) / count(*)", 4) + " AS logit, " +
+          "count(*) AS n_tokens " +
+          "FROM tk LEFT JOIN wt USING (bucket) GROUP BY doc_id ORDER BY doc_id"
+      },
+      (s, dir) =>
+        classifierScore(docs(s, dir), seedWeights(s), 4096).orderBy(col("doc_id")))
   )
 }

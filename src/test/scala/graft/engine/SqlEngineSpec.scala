@@ -798,6 +798,21 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.execute(
       "SELECT doc_id FROM graft_pack_sequences(corpus, 16) WHERE first_seq = 0").count() >= 1L)
 
+    // model-based quality scoring from SQL: stopword-rich doc 1 must
+    // outscore the short opaque doc 5, and n_tokens matches the split
+    val scores = e.execute(
+      "SELECT doc_id, logit, n_tokens FROM graft_classifier_score(corpus) ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(scores(1L)._2 == 9L && scores(5L)._2 == 1L)
+    assert(scores(1L)._1 > scores(5L)._1,
+      s"stopword-rich doc must outscore the opaque one: $scores")
+
+    // packed span map from SQL: spans of doc 1 sum to its 9 tokens
+    val spanSum = e.execute(
+      "SELECT sum(end_tok - begin_tok) AS s FROM graft_pack_spans(corpus, 4) WHERE doc_id = 1")
+      .collect().head.getLong(0)
+    assert(spanSum == 9L)
+
     // selection surface: per-source caps from pure SQL
     e.execute("CREATE TABLE sourced (doc_id bigint PRIMARY KEY, source text)")
     e.execute("INSERT INTO sourced VALUES " +

@@ -535,6 +535,61 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup prunes higher-id near-dups within a cell only") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // cell 0: v2 is near v1 (cos .9987), v3 orthogonal, v4 a clone of v1;
+    // v5 clones v1 too but sits in ANOTHER cell — pruning is cell-scoped
+    val assigned = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.05f), 0),
+      (3L, Array(0.0f, 1.0f), 0),
+      (4L, Array(1.0f, 0.0f), 0),
+      (5L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "cell")
+    val kept = Dedup.semDedup(assigned, 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // at a tau above the planted similarity, only exact clones prune
+    val keptHi = Dedup.semDedup(assigned, 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptHi == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("d10 semdedup gate: kept set is exactly the original ids") {
+    val ids = q("d10_semdedup").collect().map(_.getLong(0)).toSeq
+    val want = Tables.load(spark, dir, "embeddings")
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == want)
+  }
+
+  test("classifier score matches an independent md5 reference model") {
+    import spark.implicits._
+    def bucket(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => "%02x".format(b & 0xff)).mkString, 16) % 4096
+    }
+    val wts: Map[Long, Double] = TextAnalysis.seedLexicon
+      .groupBy { case (t, _) => bucket(t) }
+      .map { case (b, ts) => b -> ts.map(_._2).sum }
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog"),
+      (2L, "click here to buy free stuff http www click"),
+      (3L, "Some Mixed CASE text with der und die")).toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScore(docs, TextAnalysis.seedWeights(spark), 4096)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    docs.collect().foreach { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+")
+      val exp = toks.map(t => wts.getOrElse(bucket(t), 0.0)).sum / toks.length
+      val (logit, n) = got(r.getLong(0))
+      assert(n == toks.length)
+      assert(math.abs(logit - exp) < 5.01e-5, s"doc ${r.getLong(0)}: $logit vs $exp")
+    }
+    // the lexicon separates: a stopword-rich doc outscores a spam doc
+    assert(got(1L)._1 > got(2L)._1)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

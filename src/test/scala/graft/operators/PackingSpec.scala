@@ -127,6 +127,32 @@ class PackingSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 0L)))
   }
 
+  test("packedSpans: spans tile every sequence contiguously and sum to each doc's tokens") {
+    val budget = 16
+    val docs = corpus(300)
+    val spans = Packing.packedSpans(docs, budget = budget, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per doc: span lengths sum to the doc's token count
+    val byDoc = spans.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val toks = Packing.packSequences(docs, budget = budget, buckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == toks, "per-doc span lengths must sum to n_tokens")
+    // per sequence: spans are non-overlapping, start at 0, chain begin==prev end,
+    // and every sequence but the last fills the full budget
+    val maxSeq = spans.map(_._1).max
+    spans.groupBy(_._1).foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"seq $seq does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"gap/overlap in seq $seq")
+        case _ =>
+      }
+      if (seq != maxSeq)
+        assert(sorted.last._4 == budget, s"interior seq $seq not fully packed")
+      assert(sorted.last._4 <= budget)
+    }
+  }
+
   test("passageStats: a doc repeating its own passage is not 'shared'") {
     val p = (1 to 8).map(i => s"s$i").mkString(" ")
     val docs = Seq((1L, p + " " + p)).toDF("doc_id", "text") // same passage twice, one doc

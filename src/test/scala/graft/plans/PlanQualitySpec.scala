@@ -305,6 +305,46 @@ class PlanQualitySpec extends AnyFunSuite {
       "an exchange carries token/passage arrays — only hashes may shuffle")
   }
 
+  test("d10 semdedup: pair stage joins on the cell key; drop list anti-joins on ids") {
+    val p = plan("d10_semdedup")
+    // the within-cell pairwise stage must be an EQUI-join on cell (each
+    // vector crosses the wire once per side) — an all-pairs regression
+    // shows up as a cartesian, a per-pair vector fetch as extra
+    // embedding-carrying exchanges after the pair filter
+    assert(!p.contains("CartesianProduct"), "semdedup pair stage went all-pairs")
+    assert("keys \\[1\\]: \\[cell#\\d+\\]".r.findFirstIn(p).isDefined,
+      "pair join is not keyed on cell alone")
+    assert(p.contains("LeftAnti"), "prune must plan as an anti-join")
+    assert("hashpartitioning\\(vec_id#\\d+L".r.findFirstIn(p).isDefined,
+      "drop-list dedup must exchange ids only")
+  }
+
+  test("t09 classifier: weights broadcast; tokens partial-aggregate before the doc exchange") {
+    val p = plan("t09_classifier_score")
+    assert(p.contains("BroadcastHashJoin"), "weight table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "token-side shuffle join defeats the linear-scan design")
+    // exactly one corpus scan (ReadSchema appears once per scan's detail)
+    assert(p.split("ReadSchema: struct<doc_id:bigint,text:string>").length == 2,
+      "corpus must scan exactly once")
+    // the only corpus exchange is the per-doc aggregate: partial_sum
+    // before Exchange means tokens never cross the wire
+    assert("partial_sum".r.findFirstIn(p).isDefined || p.contains("HashAggregate"),
+      "per-doc aggregation missing")
+    assert("hashpartitioning\\(doc_id#\\d+L".r.findFirstIn(p).isDefined,
+      "doc-keyed exchange missing — aggregation not distributed by doc")
+  }
+
+  test("p10 spans: explode is a Generate riding p04's bucket-partitioned packing") {
+    val p = plan("p10_pack_spans")
+    assert(p.contains("Generate") && p.contains("explode(sequence(first_seq"),
+      "span unroll must be a Generate over the sequence range")
+    assert("windowspecdefinition\\(bucket#\\d+L, doc_id#\\d+L ASC".r.findFirstIn(p).isDefined,
+      "per-doc cumsum window lost its bucket partitioning")
+    assert("windowspecdefinition\\(doc_id#\\d+L ASC".r.findFirstIn(p).isEmpty,
+      "global unpartitioned window over the corpus")
+  }
+
   test("salted join distributes a hot key and matches the plain join") {
     val events = Tables.load(spark, dir, "events")
     // manufacture skew: all rows collapsed onto user 0 for half the data
