@@ -161,6 +161,53 @@ object Selection {
       .select(col("doc_id"), col("source"), col("rk"))
   }
 
+  /** Deterministic STRATIFIED train/val/test split: every `source` is cut
+    * into the same `fractions` (so no origin is over-represented in any
+    * split), with EXACT per-source counts — split k takes ranks in
+    * (floor(cum_{k-1}·n), floor(cum_k·n)] of the stable (md5(doc_id),
+    * doc_id) order within the source. Input columns: `doc_id`, `source`.
+    * Returns (doc_id, source, rk, split) with split ∈ 0..fractions.size-1.
+    *
+    * Deterministic by construction (hash order, never rand()): re-running
+    * on the same corpus reproduces the identical split, and adding a
+    * document moves only ranks at/after its hash position within its own
+    * source. Scale shape: same two-level prefix sum as [[capPerSource]] —
+    * per-(source, bucket) counts aggregate scan-side, the per-source
+    * exclusive running count and total ride windows over the counts
+    * relation (≤ #sources × `buckets` rows), and per-row ranks come from
+    * windows partitioned by (source, bucket), so a mega-source never
+    * serializes into one task. No broadcast hint on the offsets join:
+    * source cardinality at web scale can make it large — AQE decides.
+    */
+  def stratifiedSplit(corpus: DataFrame, fractions: Seq[Double], buckets: Int = 64): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_ > 0.0) &&
+      math.abs(fractions.sum - 1.0) < 1e-9, "fractions must be positive and sum to 1")
+    val cum = fractions.scanLeft(0.0)(_ + _).tail // cumulative; last == 1.0
+    val width = math.max(1L, (1L << 32) / buckets)
+    val g = corpus.select(col("doc_id"), col("source"))
+      .withColumn("h", idHash(col("doc_id")))
+      .withColumn("bucket", expr(s"h div $width"))
+    val counts = g.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val exclusive = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("cnt")).over(exclusive), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("bucket"), col("offset"), col("n"))
+    val inBucket = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    // split = first k whose boundary floor(cum_k·n) the rank fits under;
+    // the last boundary is exactly n (cum == 1.0), so every rank lands.
+    // Both engines compute the identical double product before floor.
+    val ranked = g.join(offsets, Seq("source", "bucket"))
+      .withColumn("rk", (col("offset") + row_number().over(inBucket)).cast("bigint"))
+    val split = cum.init.zipWithIndex.foldRight(lit(cum.length - 1): Column) {
+      case ((c, i), rest) =>
+        when(col("rk") <= floor(lit(c) * col("n")).cast("bigint"), lit(i)).otherwise(rest)
+    }
+    ranked.select(col("doc_id"), col("source"), col("rk"), split.cast("int").as("split"))
+  }
+
   // ---------- testdata bindings (the driver contract) ----------
 
   /** Deterministic quality proxy over the documents table: 13 distinct
@@ -216,6 +263,21 @@ object Selection {
           "SELECT doc_id, source, rk FROM r WHERE rk <= 15 ORDER BY doc_id"),
       (s, dir) =>
         capPerSource(Tables.load(s, dir, "documents"), cap = 15)
+          .orderBy(col("doc_id"))),
+
+    NamedQuery(
+      "p11_stratified_split",
+      Some(
+        "WITH g AS (SELECT doc_id, source, " +
+          "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM documents), " +
+          "r AS (SELECT doc_id, source, CAST(row_number() OVER " +
+          "(PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk, " +
+          "count(*) OVER (PARTITION BY source) AS n FROM g) " +
+          "SELECT doc_id, source, rk, CAST(CASE WHEN rk <= floor(0.8 * n) THEN 0 " +
+          "WHEN rk <= floor(0.9 * n) THEN 1 ELSE 2 END AS INT) AS split " +
+          "FROM r ORDER BY doc_id"),
+      (s, dir) =>
+        stratifiedSplit(Tables.load(s, dir, "documents"), Seq(0.8, 0.1, 0.1))
           .orderBy(col("doc_id")))
   )
 }

@@ -114,4 +114,45 @@ class SelectionSpec extends AnyFunSuite {
     val naive = Selection.capPerSource(df, cap = 30, buckets = 1)
     assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
   }
+
+  test("stratifiedSplit: exact per-source counts, deterministic, partitioning") {
+    // uneven sources: 100 / 37 / 3 docs
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 137).map(i => (i.toLong, "mid")) ++
+      (137 until 140).map(i => (i.toLong, "tiny"))).toDF("doc_id", "source")
+    val r = Selection.stratifiedSplit(df, Seq(0.8, 0.1, 0.1))
+    assert(r.count() == 140, "split must be a partition — every doc exactly once")
+    val per = r.groupBy("source", "split").agg(count(lit(1)).as("n")).collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> x.getAs[Long]("n")).toMap
+    // exact boundaries: floor(0.8n), floor(0.9n)-floor(0.8n), n-floor(0.9n)
+    assert(per(("big", 0)) == 80 && per(("big", 1)) == 10 && per(("big", 2)) == 10)
+    assert(per(("mid", 0)) == 29 && per(("mid", 1)) == 4 && per(("mid", 2)) == 4)
+    // tiny source: floor(.8*3)=2 train, floor(.9*3)=2 → 0 val, 1 test
+    assert(per(("tiny", 0)) == 2 && per.get(("tiny", 1)).isEmpty && per(("tiny", 2)) == 1)
+    // reproducible
+    val again = Selection.stratifiedSplit(df, Seq(0.8, 0.1, 0.1))
+    assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
+  }
+
+  test("stratifiedSplit: bucketed equals the naive per-source window; stability under growth") {
+    val df = (0 until 300).map(i => (i.toLong, s"s${i % 4}")).toDF("doc_id", "source")
+    val bucketed = Selection.stratifiedSplit(df, Seq(0.9, 0.1), buckets = 16)
+    val naive = Selection.stratifiedSplit(df, Seq(0.9, 0.1), buckets = 1)
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+    // hash-order stability: a doc's RANK within its source never depends on
+    // docs of other sources — adding a new source leaves old splits intact
+    val grown = df.union(Seq((1000L, "s9"), (1001L, "s9")).toDF("doc_id", "source"))
+    val before = Selection.stratifiedSplit(df, Seq(0.9, 0.1))
+      .select("doc_id", "source", "rk", "split")
+    val after = Selection.stratifiedSplit(grown, Seq(0.9, 0.1))
+      .filter(col("source") =!= "s9").select("doc_id", "source", "rk", "split")
+    assert(before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty)
+  }
+
+  test("stratifiedSplit: rejects bad fractions") {
+    val df = Seq((1L, "a")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException](Selection.stratifiedSplit(df, Seq(0.5, 0.4)))
+    intercept[IllegalArgumentException](Selection.stratifiedSplit(df, Seq.empty))
+    intercept[IllegalArgumentException](Selection.stratifiedSplit(df, Seq(1.5, -0.5)))
+  }
 }

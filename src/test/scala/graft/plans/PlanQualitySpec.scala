@@ -296,6 +296,16 @@ class PlanQualitySpec extends AnyFunSuite {
       "over-cap buckets are not pruned before ranking")
   }
 
+  test("p11 stratified split: rank window is (source, bucket)-partitioned") {
+    val p = plan("p11_stratified_split")
+    assert("windowspecdefinition\\(source#\\d+, bucket#\\d+L, h#\\d+L ASC".r.findFirstIn(p).isDefined,
+      "rank window lost its (source, bucket) partitioning")
+    assert("windowspecdefinition\\(source#\\d+, h#\\d+L ASC".r.findFirstIn(p).isEmpty,
+      "corpus window partitioned by source alone — a mega-source becomes one task")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "split layout needs only (doc_id, source) — scan reads more")
+  }
+
   test("d07 passage dedup: shuffles carry 8-byte hashes, shared set broadcasts") {
     val p = plan("d07_passage_dedup")
     assert(p.contains("chunk_hashes"), "one-pass passage hashing kernel missing")
