@@ -100,6 +100,59 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tfidf"))
   }
 
+  /** BM25 ranked retrieval — top-k documents per query over the corpus,
+    * scored with the Okapi BM25 (Lucene's +1 idf variant, always ≥ 0):
+    *
+    *   w(t, D) = ln(1 + (N − df + ½)/(df + ½)) · tf·(k1+1) /
+    *             (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * `queryTerms` is `(query_id, term)` — multi-term queries sum their
+    * per-term weights. Returns (query_id, doc_id, score, rk), rk ∈ 1..k
+    * by (score DESC, doc_id).
+    *
+    * Scale shape: the corpus token stream is filtered by a BROADCAST semi
+    * join on the (tiny) query-term set BEFORE any aggregation, so the tf
+    * shuffle carries only query-term hits — the 100 TB corpus itself never
+    * shuffles, and df/avgdl/N stats are scan-side aggregates (df of the
+    * matched terms equals corpus-wide df because the filter is on term).
+    * Per-term weights are cast to DECIMAL(18,6) before the per-doc sum:
+    * decimal addition is exact, so the score — and the tie order under it
+    * — is independent of Spark's partial-aggregation order (and replays
+    * bit-for-bit in the DuckDB oracle). The rank filter is rank-only, so
+    * WindowGroupLimit prunes each query's candidates map-side before the
+    * final per-query sort. */
+  def bm25TopK(corpus: DataFrame, queryTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toked = corpus.select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("bigint"))
+    val stats = toked.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val toks = toked.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    val hits = toks.join(broadcast(queryTerms.select(col("term")).distinct()), "term")
+    // dl is constant per doc — grouping by it adds no groups and saves a
+    // dl-lookup join back to the corpus
+    val tf = hits.groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weighted = tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sdl").cast("double") / col("n").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w",
+        (col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+          .cast("decimal(18,6)"))
+    val perQuery = weighted.join(broadcast(queryTerms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score_d"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score_d").desc, col("doc_id"))
+    perQuery
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("score_d").cast("double").as("score"), col("rk"))
+  }
+
   /** Pattern redaction — the scrubbing/normalization step of a training
     * pipeline: replaces every match of `pattern` with `replacement` and
     * reports the match count per doc. Single-pass projection. */
@@ -555,6 +608,46 @@ object TextAnalysis {
           "FROM tk LEFT JOIN wt USING (bucket) GROUP BY doc_id ORDER BY doc_id"
       },
       (s, dir) =>
-        classifierScore(docs(s, dir), seedWeights(s), 4096).orderBy(col("doc_id")))
+        classifierScore(docs(s, dir), seedWeights(s), 4096).orderBy(col("doc_id"))),
+
+    // BM25 retrieval: two 2-term queries built from the sample corpus's 4
+    // most frequent tokens (docs 0..19 — a deterministic, regeneration-
+    // proof derivation both engines replay), top-10 docs each. The DuckDB
+    // oracle recomputes the full scoring chain — df, avgdl, idf, the
+    // decimal-exact per-doc sum — bit-for-bit.
+    NamedQuery(
+      "t10_bm25",
+      Some(
+        "WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+          "tt AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tk), " +
+          "qt AS (SELECT term, CAST(rk % 2 AS INT) AS query_id FROM (" +
+          "SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rk " +
+          "FROM tt WHERE doc_id < 20 GROUP BY term) WHERE rk <= 4), " +
+          "tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM tt " +
+          "JOIN (SELECT DISTINCT term FROM qt) USING (term) GROUP BY doc_id, term, dl), " +
+          "dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+          "st AS (SELECT count(*) AS n, sum(len(tk)) AS sdl FROM tk), " +
+          "wt AS (SELECT doc_id, term, CAST(" +
+          "ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * (CAST(tf AS DOUBLE) * 2.2) / " +
+          "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / " +
+          "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))) AS DECIMAL(18,6)) AS w " +
+          "FROM tf JOIN dfr USING (term) CROSS JOIN st), " +
+          "sc AS (SELECT query_id, doc_id, sum(w) AS score_d FROM wt " +
+          "JOIN qt USING (term) GROUP BY query_id, doc_id), " +
+          "rk AS (SELECT query_id, doc_id, score_d, CAST(row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY score_d DESC, doc_id) AS INT) AS rk FROM sc) " +
+          "SELECT query_id, doc_id, CAST(score_d AS DOUBLE) AS score, rk " +
+          "FROM rk WHERE rk <= 10 ORDER BY query_id, rk"),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sample = d.filter(col("doc_id") < 20)
+          .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val qt = sample
+          .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("term"))))
+          .filter(col("rk") <= 4)
+          .select(col("term"), (col("rk") % 2).cast("int").as("query_id"))
+        bm25TopK(d, qt, 10).orderBy(col("query_id"), col("rk"))
+      })
   )
 }

@@ -590,6 +590,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L)._1 > got(2L)._1)
   }
 
+  test("bm25TopK matches the hand-computed formula, sums multi-term queries, cuts at k") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"),   // dl 3, tf(apple)=2
+      (2L, "apple cherry"),         // dl 2, tf(apple)=1
+      (3L, "banana banana banana"), // dl 3
+      (4L, "cherry date elder")     // dl 3
+    ).toDF("doc_id", "text")
+    val qt = Seq((0, "apple"), (0, "banana"), (1, "cherry")).toDF("query_id", "term")
+    val got = TextAnalysis.bm25TopK(corpus, qt, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    // reference scorer: N=4, avgdl=11/4, Lucene idf, k1=1.2, b=0.75,
+    // per-term weight rounded to the decimal(18,6) grid before summing
+    def w(tf: Long, df: Long, dl: Long): BigDecimal = {
+      val idf = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+      val raw = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / (11.0 / 4.0))))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val d1 = (w(2, 2, 3) + w(1, 2, 3)).toDouble // doc 1: apple + banana
+    assert(got((0, 1L))._1 == d1, s"${got((0, 1L))._1} vs $d1")
+    assert(got((0, 2L))._1 == w(1, 2, 2).toDouble)
+    assert(got((0, 3L))._1 == w(3, 2, 3).toDouble)
+    assert(got((1, 4L))._1 == w(1, 2, 3).toDouble)
+    // doc 4 has no query-0 terms, doc 3 none of query 1
+    assert(!got.contains((0, 4L)) && !got.contains((1, 3L)))
+    // ranks: query 0 ordered by score desc
+    val q0 = got.collect { case ((0, d), (s, rk)) => (rk, d, s) }.toSeq.sortBy(_._1)
+    assert(q0.map(_._3).reverse.sorted.sameElements(q0.map(_._3).reverse))
+    // k cutoff
+    assert(TextAnalysis.bm25TopK(corpus, qt, 1).groupBy("query_id").count()
+      .collect().forall(_.getLong(1) == 1L))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

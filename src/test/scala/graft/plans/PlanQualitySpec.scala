@@ -306,6 +306,18 @@ class PlanQualitySpec extends AnyFunSuite {
       "split layout needs only (doc_id, source) — scan reads more")
   }
 
+  test("t10 bm25: corpus tokens broadcast-filtered before aggregation; rank pushes WindowGroupLimit") {
+    val p = plan("t10_bm25")
+    // the query-term filter must be a broadcast join BELOW the tf
+    // aggregation — a regression here shuffles the whole corpus token
+    // stream instead of just the query-term hits
+    assert(p.contains("BroadcastHashJoin"), "query-term filter lost its broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k no longer prunes per-partition before the per-query sort")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan reads columns BM25 never uses")
+  }
+
   test("d07 passage dedup: shuffles carry 8-byte hashes, shared set broadcasts") {
     val p = plan("d07_passage_dedup")
     assert(p.contains("chunk_hashes"), "one-pass passage hashing kernel missing")
