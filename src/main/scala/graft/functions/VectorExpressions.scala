@@ -12,6 +12,32 @@ import org.apache.spark.sql.types._
   * `list_cosine_similarity`, so oracle hashes are unchanged; only the
   * per-element lambda interpretation cost is gone. */
 object VectorOps {
+  /** Argmin of squared euclidean distance from `v` to each row of the
+    * `cents` matrix (array<array<double>>); ties take the SMALLEST index.
+    * Squared distance orders identically to DuckDB's `list_distance`
+    * (sqrt is monotone), so the argmin replays in the oracle. */
+  def nearestCentroid(v: ArrayData, cents: ArrayData, floats: Boolean): Int = {
+    val k = cents.numElements()
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < k) {
+      val c = cents.getArray(j)
+      val n = math.min(v.numElements(), c.numElements())
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (floats) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = x - c.getDouble(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
   def cosine(a: ArrayData, b: ArrayData, floatsA: Boolean, floatsB: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -49,6 +75,23 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "cosine_sim"
 }
 
+/** nearest_centroid(v array<float|double>, cents array<array<double>>) →
+  * int: argmin of squared euclidean distance, ties to the smallest index.
+  * One static call inside whole-stage codegen — the k-means assignment
+  * step runs as a pure projection over the scan, no join, no shuffle. */
+case class NearestCentroid(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  private lazy val floats =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any, c: Any): Any =
+    VectorOps.nearestCentroid(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], floats)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) => s"graft.functions.VectorOps.nearestCentroid($v, $c, $floats)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_centroid"
+}
+
 object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -56,5 +99,8 @@ object VectorFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
       reg.createOrReplaceTempFunction(
         "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("nearest_centroid")))
+      reg.createOrReplaceTempFunction(
+        "nearest_centroid", exprs => NearestCentroid(exprs.head, exprs(1)), "built-in")
   }
 }

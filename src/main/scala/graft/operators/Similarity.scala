@@ -145,6 +145,56 @@ object Similarity {
         .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding").as("b_emb")), k)
   }
 
+  /** Distributed LLOYD k-means over `(vec_id, embedding)` with explicit
+    * seed centroids and a fixed iteration count — the user-facing
+    * clustering operator (the trained-quantizer path above serves IVF;
+    * this one is fully deterministic and oracle-replayable).
+    *
+    * Each iteration: (1) ASSIGN — a pure projection through the
+    * codegen'd [[graft.functions.NearestCentroid]] kernel (argmin squared
+    * euclidean, ties to the smallest cluster id; no join, no shuffle of
+    * the base table); (2) UPDATE — per-(cluster, dim) component means via
+    * a scan-side aggregate whose shuffle carries k·dim rows of
+    * (cluster, pos, decimal sum, count). Sums accumulate in
+    * DECIMAL(27,12), so they are EXACT and independent of partition
+    * order; the component mean is one double division of the decimal sum
+    * — the DuckDB oracle reproduces every centroid bit-for-bit, so the
+    * round-2 assignment hashes identically. The only driver-side action
+    * is the bounded k·dim centroid collect per iteration (8×64 = 512
+    * rows here — same O(1)-collect discipline as ExactQuantile).
+    * Clusters that lose every member keep their previous centroid.
+    * Returns (vec_id, cluster) after `iters` assignment passes. */
+  def lloydAssign(base: DataFrame, seeds: Array[Array[Double]], iters: Int): DataFrame = {
+    require(seeds.nonEmpty && iters >= 1, "need seeds and at least one iteration")
+    VectorFunctions.register(base.sparkSession)
+    def assign(cents: Array[Array[Double]]): DataFrame =
+      base.withColumn("cluster",
+        call_function("nearest_centroid",
+          col("embedding"), typedLit(cents.map(_.toSeq).toSeq)))
+    var centroids = seeds
+    var assigned = assign(centroids)
+    var it = 1
+    while (it < iters) {
+      val comps = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v").cast("double").cast("decimal(27,12)")).as("sd"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = centroids.map(_.clone())
+      comps.foreach { r =>
+        // BigDecimal→double then double division: the same two operations
+        // DuckDB's CAST(sum AS DOUBLE)/CAST(count AS DOUBLE) performs
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(2).doubleValue() / r.getLong(3).toDouble
+      }
+      centroids = next
+      assigned = assign(centroids)
+      it += 1
+    }
+    assigned.select(col("vec_id"), col("cluster"))
+  }
+
   /** Per-query overlap with the exact top-k: (query_id, hits). */
   def recallHits(exact: DataFrame, approx: DataFrame): DataFrame =
     approx.select(col("query_id"), col("vec_id"))
@@ -300,6 +350,41 @@ object Similarity {
         top1Ok(lshTopK(aug, q, 1), "lsh_top1_ok")
           .join(top1Ok(ivfTopK(aug, q, cachedModel(s, dir), 1), "ivf_top1_ok"), Seq("query_id"))
           .orderBy(col("query_id"))
+      }),
+
+    // deterministic Lloyd k-means (k=8 seeds = the 8 lowest vec_ids, 2
+    // iterations) — a FULL-oracle clustering query: DuckDB replays seed
+    // assignment, the decimal-exact centroid update, and the round-2
+    // argmin bit-for-bit, so (vec_id, cluster) hash-matches.
+    NamedQuery(
+      "s06_kmeans",
+      Some(
+        "WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e " +
+          "FROM embeddings), " +
+          "seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, " +
+          "e AS c FROM ed WHERE vec_id < 8), " +
+          "a1 AS (SELECT ed.vec_id, s.cluster, list_distance(ed.e, s.c) AS d " +
+          "FROM ed CROSS JOIN seeds s), " +
+          "r1 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
+          "row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM a1) WHERE rn = 1), " +
+          "px AS (SELECT unnest(range(0, (SELECT max(len(e)) FROM ed))) AS pos), " +
+          "comps AS (SELECT r1.cluster, pos, " +
+          "CAST(sum(CAST(ed.e[pos + 1] AS DECIMAL(27,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS comp " +
+          "FROM r1 JOIN ed USING (vec_id) CROSS JOIN px GROUP BY r1.cluster, pos), " +
+          "cents AS (SELECT cluster, list(comp ORDER BY pos) AS c FROM comps GROUP BY cluster), " +
+          "a2 AS (SELECT ed.vec_id, cents.cluster, list_distance(ed.e, cents.c) AS d " +
+          "FROM ed CROSS JOIN cents) " +
+          "SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
+          "row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM a2) " +
+          "WHERE rn = 1 ORDER BY vec_id"),
+      (s, dir) => {
+        val b = base(s, dir)
+        // seed collection is operator SETUP (like cachedModel): k vectors,
+        // ordered by vec_id so seed index is reproducible
+        val seeds = b.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        lloydAssign(b, seeds, iters = 2).orderBy(col("vec_id"))
       })
   )
 }

@@ -623,6 +623,36 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().forall(_.getLong(1) == 1L))
   }
 
+  test("lloydAssign: hand-checked 2D Lloyd, ties to smallest cluster, empty-cluster fallback") {
+    import spark.implicits._
+    // two obvious groups around (0,0) and (10,10); seeds start badly
+    // inside ONE group — after the update both centroids separate
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(11.0f, 10.0f)), (5L, Array(10.0f, 11.0f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Array(Array(0.0, 0.0), Array(2.0, 2.0))
+    // iteration 1: cluster 0 = {0,1,2} (near origin), cluster 1 = {3,4,5}
+    // (2,2 is nearer the far group? no — dist((10,10),(0,0))=200 vs
+    // (10,10),(2,2)=128 → far group to cluster 1; (1,0): d0=1 < d1=5)
+    val it1 = Similarity.lloydAssign(pts, seeds, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(it1 == Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1))
+    // after the update, centroids are the group means — assignment stable
+    val it2 = Similarity.lloydAssign(pts, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(it2 == it1)
+    // exact tie → smallest cluster index
+    val tie = Seq((9L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val t = Similarity.lloydAssign(tie, Array(Array(0.0, 0.0), Array(2.0, 2.0)), 1).collect()
+    assert(t.head.getInt(1) == 0)
+    // a cluster that loses every member keeps its previous centroid (no
+    // NaN/neg index): seed 1 so remote nobody joins it
+    val far = Similarity.lloydAssign(pts, Array(Array(5.0, 5.0), Array(1e9, 1e9)), 2)
+      .collect().map(_.getInt(1)).toSet
+    assert(far == Set(0))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

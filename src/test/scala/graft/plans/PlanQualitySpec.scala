@@ -318,6 +318,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "scan reads columns BM25 never uses")
   }
 
+  test("s06 kmeans: assignment is a join-free codegen'd projection over the scan") {
+    val p = plan("s06_kmeans")
+    assert(p.contains("nearest_centroid"), "codegen'd assignment kernel missing")
+    assert(!p.contains("Join"), "k-means assignment must not join — centroids ride as a literal")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
+      || p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<double>>"),
+      "scan reads columns the assignment never uses")
+  }
+
   test("d07 passage dedup: shuffles carry 8-byte hashes, shared set broadcasts") {
     val p = plan("d07_passage_dedup")
     assert(p.contains("chunk_hashes"), "one-pass passage hashing kernel missing")
