@@ -58,6 +58,32 @@ object Multimodal {
       .toDF()
   }
 
+  /** FRAME sampling over the binary payload — the video/audio analogue of
+    * image resize: cut the payload into fixed-size frames and keep every
+    * `stride`-th one, each with its byte slice. This is the materialized
+    * per-frame layout a frame-level feature extractor (or the codec seam
+    * above) consumes; with a real container codec, frame boundaries come
+    * from the demuxer instead of a fixed grid — same schema either way.
+    *
+    * Pure codegen plumbing: `sequence` + `explode` + binary `substring` —
+    * no UDF, no shuffle; a doc's frames are emitted where its payload row
+    * lives. Empty payloads emit no frames (explode of an empty sequence).
+    * Returns (doc_id, frame_idx, n_bytes, frame: binary). */
+  def sampleFrames(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0, "frameSize and stride must be positive")
+    media
+      .withColumn("n_frames",
+        ceil(octet_length(col("payload")) / lit(frameSize.toDouble)).cast("bigint"))
+      .withColumn("frame_idx",
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $frameSize + 1, $frameSize)"))
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).cast("bigint").as("n_bytes"), col("frame"))
+  }
+
   /** documents → media rows: payload is the UTF-8 bytes standing in for an
     * encoded asset; format assigned deterministically. */
   private def media(s: SparkSession, dir: String): DataFrame =
@@ -143,6 +169,24 @@ object Multimodal {
             col("n_frames"), col("n_sampled"),
             expr("n_frames div n_sampled").as("frame_stride"))
           .orderBy(col("doc_id"))
-      })
+      }),
+
+    // materialized frame sampling: 32-byte frames, every 4th kept. The
+    // driver-visible columns are the frame GRID (index + exact byte count
+    // per sampled frame, tail truncation included) — DuckDB replays the
+    // grid from octet_length alone; frame CONTENT (the binary slices,
+    // byte-exact reassembly) is pinned by OperatorsSpec, since this
+    // DuckDB build has no blob slicing/hashing to replay it.
+    NamedQuery(
+      "m04_mm_frames",
+      Some(
+        "WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents), " +
+          "f AS (SELECT doc_id, nb, unnest(range(0, CAST(ceil(nb / 32.0) AS BIGINT))) AS j FROM m) " +
+          "SELECT doc_id, j AS frame_idx, CAST(least(32, nb - 32 * j) AS BIGINT) AS n_bytes " +
+          "FROM f WHERE j % 4 = 0 ORDER BY doc_id, frame_idx"),
+      (s, dir) =>
+        sampleFrames(media(s, dir), frameSize = 32, stride = 4)
+          .select(col("doc_id"), col("frame_idx"), col("n_bytes"))
+          .orderBy(col("doc_id"), col("frame_idx")))
   )
 }

@@ -653,6 +653,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(far == Set(0))
   }
 
+  test("sampleFrames: byte-exact slices, reassembly round-trip, stride sampling, empty payload") {
+    import spark.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val media = Seq((1L, "wav", payload), (2L, "wav", Array.empty[Byte]))
+      .toDF("doc_id", "format", "payload")
+    // stride 1: frames partition the payload; concatenation reproduces it
+    val all = Multimodal.sampleFrames(media, frameSize = 32, stride = 1)
+      .filter(col("doc_id") === 1L).orderBy("frame_idx").collect()
+    assert(all.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(all.map(_.getLong(2)).toSeq == Seq(32L, 32L, 32L, 4L), "tail frame must truncate")
+    assert(all.flatMap(_.getAs[Array[Byte]]("frame")).toSeq == payload.toSeq,
+      "stride-1 frames must reassemble the payload byte-for-byte")
+    // stride 4 keeps exactly the j % 4 == 0 frames with identical content
+    val sampled = Multimodal.sampleFrames(media, 8, 4)
+      .filter(col("doc_id") === 1L).orderBy("frame_idx").collect()
+    assert(sampled.map(_.getLong(1)).toSeq == Seq(0L, 4L, 8L, 12L))
+    assert(sampled.forall(r =>
+      r.getAs[Array[Byte]]("frame").toSeq ==
+        payload.slice(r.getLong(1).toInt * 8, r.getLong(1).toInt * 8 + 8).toSeq))
+    // empty payload emits no frames
+    assert(Multimodal.sampleFrames(media, 32, 1).filter(col("doc_id") === 2L).count() == 0)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -327,6 +327,16 @@ class PlanQualitySpec extends AnyFunSuite {
       "scan reads columns the assignment never uses")
   }
 
+  test("m04 frame sampling: generate-only plan — no shuffle, no UDF object row") {
+    val p = plan("m04_mm_frames")
+    assert(p.contains("Generate") && p.contains("sequence(0"),
+      "frame grid must come from sequence+explode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "frame sampling must stay where the payload row lives — no shuffle")
+    assert(!p.contains("DeserializeToObject"),
+      "frame slicing regressed to a typed/UDF path — substring is codegen'd")
+  }
+
   test("d07 passage dedup: shuffles carry 8-byte hashes, shared set broadcasts") {
     val p = plan("d07_passage_dedup")
     assert(p.contains("chunk_hashes"), "one-pass passage hashing kernel missing")
