@@ -322,7 +322,25 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_curriculum" -> ((t, a) =>
         Selection.curriculumOrder(t, a.headOption.map(_.toInt).getOrElse(4))),
       "graft_cap_per_source" -> ((t, a) =>
-        Selection.capPerSource(t, a.headOption.map(_.toInt).getOrElse(1000))))
+        Selection.capPerSource(t, a.headOption.map(_.toInt).getOrElse(1000))),
+      "graft_stratified_split" -> ((t, a) =>
+        Selection.stratifiedSplit(t, if (a.nonEmpty) a else Seq(0.8, 0.1, 0.1))))
+  }
+
+  /** Two-relation operator entry points: `fn(left_table, right_table[,
+    * num ...])`. These are the operators whose semantics NEED a second
+    * relation — a query/benchmark/index side — and were previously
+    * DataFrame-API-only: BM25 retrieval (corpus, query terms),
+    * decontamination (corpus, benchmark), incremental dedup admission
+    * (increment, persisted digest index). */
+  private val twoTableFunctions: Map[String, (DataFrame, DataFrame, Seq[Double]) => DataFrame] = {
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+    Map(
+      "graft_bm25" -> ((corpus, terms, a) =>
+        TextAnalysis.bm25TopK(corpus, terms, a.headOption.map(_.toInt).getOrElse(10))),
+      "graft_decontaminate" -> ((corpus, bench, a) =>
+        Curation.contamination(corpus, bench, a.headOption.map(_.toInt).getOrElse(3))),
+      "graft_admit" -> ((inc, idx, _) => Dedup.incrementalAdmit(inc, idx)))
   }
 
   /** Table functions over the table IDENTITY rather than its current
@@ -408,6 +426,20 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         case None => return None
       }
       while (dot(j) && word(j + 1).isDefined) { parts += word(j + 1).get; j += 2 }
+      // two-relation functions take a second dotted table chain before any
+      // numeric args; a missing one falls through to Spark's error path
+      var parts2: Option[Vector[String]] = None
+      if (twoTableFunctions.contains(fn)) {
+        if (spans.lift(j).exists(_.tok == Sym(",")) && word(j + 1).isDefined) {
+          var jj = j + 1
+          val p2 = Vector.newBuilder[String]
+          p2 += word(jj).get
+          jj += 1
+          while (dot(jj) && word(jj + 1).isDefined) { p2 += word(jj + 1).get; jj += 2 }
+          parts2 = Some(p2.result())
+          j = jj
+        } else return None
+      }
       val args = Vector.newBuilder[Double]
       var bad = false
       while (!bad && spans.lift(j).exists(_.tok == Sym(","))) {
@@ -417,17 +449,26 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         }
       }
       if (bad || !spans.lift(j).exists(_.tok == Sym(")"))) return None
-      val (db, schema, table) = parts.result() match {
+      def locate(p: Vector[String]): (String, String, String) = p match {
         case Seq(t) => (ctx.database, hostOf(t).getOrElse("public"), t)
         case p => resolve(p)
       }
+      val (db, schema, table) = locate(parts.result())
       val as = args.result()
+      val second = parts2.map(locate)
       // injective name (part lengths + arg hash), same scheme as xdbView
       val view = s"graft_tvf_${fn}_${db.length}_${schema.length}_${db}_${schema}_${table}_" +
+        second.map { case (d2, s2, t2) => s"${d2.length}_${s2.length}_${d2}_${s2}_${t2}_" }
+          .getOrElse("") +
         java.lang.Integer.toHexString(as.hashCode)
-      val result =
-        if (snapshotFunctions.contains(fn)) snapshotFunctions(fn)((db, schema, table), as)
-        else tableFunctions(fn)(readTable(db, schema, table), as)
+      val result = second match {
+        case Some((db2, schema2, table2)) =>
+          twoTableFunctions(fn)(readTable(db, schema, table),
+            readTable(db2, schema2, table2), as)
+        case None =>
+          if (snapshotFunctions.contains(fn)) snapshotFunctions(fn)((db, schema, table), as)
+          else tableFunctions(fn)(readTable(db, schema, table), as)
+      }
       result.createOrReplaceTempView(view)
       Some((view, spans(j).end, j + 1))
     }
@@ -474,7 +515,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           val nextParen = spans.lift(i + 1).exists(_.tok == Sym("("))
           val tvf =
             if (!prevIsDot && nextParen &&
-              (tableFunctions.contains(a) || snapshotFunctions.contains(a)))
+              (tableFunctions.contains(a) || snapshotFunctions.contains(a) ||
+                twoTableFunctions.contains(a)))
               spliceTableFunction(i, a)
             else None
           tvf match {

@@ -823,6 +823,68 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(capped == Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("two-table functions: bm25/decontaminate/admit and stratified split from pure SQL") {
+    val e = freshEngine("tvf2")
+    e.execute("CREATE DATABASE tvf2")
+    e.execute("CREATE TABLE corpus (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO corpus (doc_id, text) VALUES " +
+      "(1, 'apple banana apple'), (2, 'apple cherry'), " +
+      "(3, 'banana banana banana'), (4, 'cherry date elder')")
+    e.execute("CREATE TABLE terms (term_id bigint PRIMARY KEY, query_id int, term text)")
+    e.execute("INSERT INTO terms (term_id, query_id, term) VALUES " +
+      "(1, 0, 'apple'), (2, 0, 'banana'), (3, 1, 'cherry')")
+
+    // SQL bm25 == the DataFrame operator on the same relations
+    val viaSql = e.execute(
+      "SELECT query_id, doc_id, score, rk FROM graft_bm25(corpus, terms, 10) ORDER BY query_id, rk")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val viaApi = graft.operators.TextAnalysis.bm25TopK(
+      e.execute("SELECT doc_id, text FROM corpus"),
+      e.execute("SELECT query_id, term FROM terms"), 10)
+      .orderBy("query_id", "rk")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+
+    // decontamination: corpus docs sharing >= 1 3-gram shingle with the
+    // benchmark side surface with their overlap counts
+    e.execute("CREATE TABLE bench (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO bench (doc_id, text) VALUES (100, 'apple banana apple')")
+    val contam = e.execute(
+      "SELECT doc_id, bench_id, overlap FROM graft_decontaminate(corpus, bench, 1)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contam == Set((1L, 100L)), s"only the clone doc shares a 3-gram: $contam")
+
+    // incremental admission against a persisted digest index built by SQL
+    // over the history table: history clones rejected, new text admitted
+    e.execute("CREATE TABLE increment (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO increment (doc_id, text) VALUES " +
+      "(10, 'apple cherry'), (11, 'genuinely new content here')")
+    e.execute("CREATE TABLE digest_index (digest text PRIMARY KEY)")
+    graft.operators.Dedup.digestIndex(e.execute("SELECT doc_id, text FROM corpus"))
+      .collect().foreach { r =>
+        e.execute(s"INSERT INTO digest_index (digest) VALUES ('${r.getString(0)}')")
+      }
+    val admitted = e.execute(
+      "SELECT doc_id FROM graft_admit(increment, digest_index) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(admitted == Seq(11L), s"history clone 10 must be rejected: $admitted")
+
+    // stratified split from SQL: fractions bind positionally and sum to 1
+    e.execute("CREATE TABLE sourced (doc_id bigint PRIMARY KEY, source text)")
+    e.execute("INSERT INTO sourced VALUES " + (1 to 10).map(i => s"($i, 'a')").mkString(", "))
+    val splits = e.execute(
+      "SELECT split, count(*) AS n FROM graft_stratified_split(sourced, 0.8, 0.2) GROUP BY split")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(splits == Map(0 -> 8L, 1 -> 2L))
+
+    // a two-table function missing its second relation is NOT silently
+    // rewritten — it falls through and fails as an unresolved function
+    assertThrows[Exception](e.execute("SELECT * FROM graft_bm25(corpus)"))
+    // and a missing right table keeps the engine error shape
+    val err = intercept[SqlError](e.execute("SELECT * FROM graft_bm25(corpus, nope)"))
+    assert(err.kind == SqlError.TableNotExists)
+  }
+
   test("version history cap: trimmed versions fail loudly as expired, head stays stable") {
     val wh = Files.createTempDirectory("graft-wh-").toString
     val e = new SqlEngine(spark, new Catalog(wh, maxVersionHistory = 3), SqlContext("test1", "u"))
