@@ -324,7 +324,10 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_cap_per_source" -> ((t, a) =>
         Selection.capPerSource(t, a.headOption.map(_.toInt).getOrElse(1000))),
       "graft_stratified_split" -> ((t, a) =>
-        Selection.stratifiedSplit(t, if (a.nonEmpty) a else Seq(0.8, 0.1, 0.1))))
+        Selection.stratifiedSplit(t, if (a.nonEmpty) a else Seq(0.8, 0.1, 0.1))),
+      "graft_boilerplate" -> ((t, a) =>
+        TextAnalysis.boilerplatePhrases(t, a.headOption.map(_.toInt).getOrElse(3),
+          a.lift(1).getOrElse(0.05))))
   }
 
   /** Two-relation operator entry points: `fn(left_table, right_table[,

@@ -107,6 +107,56 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** DISTINCT word n-grams as (hash, \u001f-joined string) pairs — the
+    * recovery-capable sibling of [[shingles]]: same window scheme, same
+    * hash, plus the \u001f-joined shingle TEXT so a winner set selected on
+    * hashes can be mapped back to human-readable phrases. Emitting both
+    * from one kernel guarantees the pairing is consistent (a hash always
+    * rides with the exact string it was computed from). */
+  def shinglePairs(arr: ArrayData, n: Int): ArrayData = {
+    val total = arr.numElements()
+    def windowHash(start: Int, len: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < len) {
+        if (!arr.isNullAt(start + j)) {
+          val bytes = arr.getUTF8String(start + j).getBytes
+          var b = 0
+          while (b < bytes.length) { h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+        }
+        h ^= 0x1fL; h *= 0x100000001b3L // token separator
+        j += 1
+      }
+      Hashing.mix64(h)
+    }
+    val sep = UTF8String.fromString("\u001f")
+    val empty = UTF8String.fromString("")
+    def windowStr(start: Int, len: Int): UTF8String = {
+      if (len <= 0) return empty
+      val parts = new Array[UTF8String](2 * len - 1)
+      var j = 0
+      while (j < len) {
+        parts(2 * j) = if (arr.isNullAt(start + j)) empty else arr.getUTF8String(start + j)
+        if (j < len - 1) parts(2 * j + 1) = sep
+        j += 1
+      }
+      UTF8String.concat(parts: _*)
+    }
+    def pair(start: Int, len: Int): GenericInternalRow =
+      new GenericInternalRow(Array[Any](windowHash(start, len), windowStr(start, len)))
+    if (total < n)
+      return new GenericArrayData(Array[Any](pair(0, total)))
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](total - n + 1)
+    var i = 0
+    while (i <= total - n) {
+      val h = windowHash(i, n)
+      if (seen.add(h)) out += pair(i, n)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def simhash(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
@@ -206,6 +256,27 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 }
 
+/** shingle_pairs(tokens array<string>, n) → array<struct<h: long,
+  * t: string>>: DISTINCT word n-grams as (hash, \u001f-joined text)
+  * pairs — [[ShingleHashes]] plus string recovery from the SAME kernel,
+  * so a winner set selected on hashes maps back to the exact phrases it
+  * was computed from. Used where a small frequent subset must be
+  * human-readable (boilerplate phrase mining); the hash-only sibling
+  * stays the dedup-path default since strings triple shuffle volume. */
+case class ShinglePairs(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("t", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.shinglePairs(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.shinglePairs($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShinglePairs = copy(child = c)
+  override def prettyName: String = "shingle_pairs"
+}
+
 /** chunk_hashes(tokens array<string>, w) → array<long>: hashes of the
   * consecutive NON-OVERLAPPING w-token windows (full windows only; the
   * tail remainder is dropped) — the passage key for sub-document dedup.
@@ -281,6 +352,8 @@ object GraftFunctions {
       "minhash_sig", exprs => MinHashSig(exprs.head, intLit(exprs(1), "k")), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs.head, intLit(exprs(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_pairs", exprs => ShinglePairs(exprs.head, intLit(exprs(1), "n")), "built-in")
     reg.createOrReplaceTempFunction(
       "chunk_hashes", exprs => ChunkHashes(exprs.head, intLit(exprs(1), "w")), "built-in")
     reg.createOrReplaceTempFunction(

@@ -153,6 +153,42 @@ object TextAnalysis {
         col("score_d").cast("double").as("score"), col("rk"))
   }
 
+  /** BOILERPLATE phrase mining — the corpus-level analysis behind
+    * RefinedWeb/C4-style boilerplate filters: find every word `n`-gram
+    * that appears in at least `minDfRatio` of all documents (cookie
+    * banners, "subscribe" footers, license headers), with its document
+    * frequency. Returns (phrase, df), phrase space-joined.
+    *
+    * Scale shape — two passes over one `shingle_pairs` kernel:
+    *   1. df per 64-bit shingle hash: the exchange carries (hash, count)
+    *      rows only, never phrase text; map-side partial aggregation
+    *      collapses each partition to its distinct hashes.
+    *   2. winner-text recovery: winners are BOUNDED by construction —
+    *      Σ df ≤ total shingle occurrences S, so |winners| ≤ S/(ratio·N)
+    *      = avg shingles-per-doc / ratio, corpus-size-independent — and
+    *      broadcast; the join prunes map-side, so phrase strings shuffle
+    *      only for winner hashes (≤ |winners| rows per map task after
+    *      partial min aggregation).
+    * Computing both hash and text in ONE kernel guarantees the recovery
+    * pairing is exact; df on hashes equals df on phrases modulo 64-bit
+    * collisions. */
+  def boilerplatePhrases(corpus: DataFrame, n: Int = 3, minDfRatio: Double = 0.05): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val pairs = corpus.select(col("doc_id"),
+      explode(expr(s"shingle_pairs(split(lower(text), '\\\\s+'), $n)")).as("p"))
+    val dfh = pairs.select(col("p.h").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ndocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val winners = dfh.crossJoin(broadcast(ndocs))
+      .filter(col("df") >= ceil(lit(minDfRatio) * col("n_docs")))
+      .select(col("h"), col("df"))
+    pairs.select(col("p.h").as("h"), col("p.t").as("t"))
+      .join(broadcast(winners), "h")
+      .groupBy(col("h"), col("df"))
+      .agg(min(col("t")).as("t"))
+      .select(translate(col("t"), "\u001f", " ").as("phrase"), col("df"))
+  }
+
   /** Pattern redaction — the scrubbing/normalization step of a training
     * pipeline: replaces every match of `pattern` with `replacement` and
     * reports the match count per doc. Single-pass projection. */
@@ -648,6 +684,32 @@ object TextAnalysis {
           .filter(col("rk") <= 4)
           .select(col("term"), (col("rk") % 2).cast("int").as("query_id"))
         bm25TopK(d, qt, 10).orderBy(col("query_id"), col("rk"))
+      }),
+
+    // boilerplate mining with a PLANTED footer: every 5th doc gets a fixed
+    // 5-word boilerplate suffix, so the ratio gate must surface exactly
+    // that phrase's interior 3-grams (df = the planted count) and nothing
+    // else — boundary 3-grams crossing into each doc's own text have df
+    // ≈ 1 and near-dup clusters sit far below the 10% threshold at every
+    // SF. The oracle rebuilds df from string 3-grams directly.
+    NamedQuery(
+      "t11_boilerplate",
+      Some(
+        "WITH d AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 " +
+          "THEN ' subscribe to our newsletter today' ELSE '' END AS text FROM documents), " +
+          "tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM d), " +
+          "sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+          "ELSE list_distinct(list_transform(range(1, len(tk)-1), " +
+          "i -> array_to_string(tk[i:i+2], ' '))) END) AS phrase FROM tk), " +
+          "dfr AS (SELECT phrase, count(*) AS df FROM sh GROUP BY phrase), " +
+          "nd AS (SELECT count(*) AS n_docs FROM d) " +
+          "SELECT phrase, df FROM dfr, nd WHERE df >= ceil(0.1 * n_docs) ORDER BY phrase"),
+      (s, dir) => {
+        val aug = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0, lit(" subscribe to our newsletter today"))
+              .otherwise(lit(""))).as("text"))
+        boilerplatePhrases(aug, n = 3, minDfRatio = 0.1).orderBy(col("phrase"))
       })
   )
 }

@@ -877,6 +877,14 @@ class SqlEngineSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(splits == Map(0 -> 8L, 1 -> 2L))
 
+    // boilerplate mining from SQL: the repeated phrase's interior 3-gram
+    // clears a 50% df gate
+    val boiler = e.execute(
+      "SELECT phrase, df FROM graft_boilerplate(corpus, 2, 0.5) ORDER BY phrase")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(boiler.isEmpty || boiler.values.forall(_ >= 2),
+      s"sub-threshold phrases leaked through the df gate: $boiler")
+
     // a two-table function missing its second relation is NOT silently
     // rewritten — it falls through and fails as an unresolved function
     assertThrows[Exception](e.execute("SELECT * FROM graft_bm25(corpus)"))

@@ -676,6 +676,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(media, 32, 1).filter(col("doc_id") === 2L).count() == 0)
   }
 
+  test("boilerplatePhrases: planted footer mined exactly; hash/string pairing consistent") {
+    import spark.implicits._
+    // 20 distinct bodies; half carry the same 4-word footer
+    val corpus = (0 until 20).map { i =>
+      val body = s"alpha$i beta$i gamma$i delta$i epsilon$i"
+      (i.toLong, if (i % 2 == 0) s"$body click here to subscribe" else body)
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplatePhrases(corpus, n = 3, minDfRatio = 0.3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // interior 3-grams of the footer appear in all 10 footer docs; the
+    // boundary 3-grams (epsilonX click here) differ per doc (df = 1)
+    assert(got == Map("click here to" -> 10L, "here to subscribe" -> 10L), s"got $got")
+    // shingle_pairs hashes agree with shingle_hashes on the same input
+    graft.functions.GraftFunctions.register(spark)
+    val both = corpus.select(
+      expr("shingle_pairs(split(lower(text), '\\\\s+'), 3)").as("p"),
+      expr("shingle_hashes(split(lower(text), '\\\\s+'), 3)").as("h"))
+      .collect()
+    both.foreach { r =>
+      val ph = r.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
+      val hh = r.getSeq[Long](1)
+      assert(ph == hh, "shingle_pairs must emit the same distinct hash stream as shingle_hashes")
+    }
+    // short doc: one whole-text shingle
+    val short = Seq((1L, "tiny doc")).toDF("doc_id", "text")
+    val sp = TextAnalysis.boilerplatePhrases(short, n = 5, minDfRatio = 0.5).collect()
+    assert(sp.map(_.getString(0)).toSeq == Seq("tiny doc"))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -337,6 +337,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "frame slicing regressed to a typed/UDF path — substring is codegen'd")
   }
 
+  test("t11 boilerplate: df exchange carries hashes only; winner recovery broadcasts") {
+    val p = plan("t11_boilerplate")
+    assert(p.contains("shingle_pairs"), "one-pass hash+text kernel missing")
+    // the df aggregation exchange must be keyed on the 64-bit hash, never
+    // the phrase string
+    assert("hashpartitioning\\(h#\\d+L".r.findFirstIn(p).isDefined,
+      "df aggregation no longer keyed on the shingle hash")
+    assert("hashpartitioning\\(t#\\d+,".r.findFirstIn(p).isEmpty &&
+      "hashpartitioning\\(phrase#\\d+".r.findFirstIn(p).isEmpty,
+      "an exchange carries phrase text — only hashes may key the df shuffle")
+    assert(p.contains("BroadcastHashJoin"), "winner set must broadcast into the recovery join")
+  }
+
   test("d07 passage dedup: shuffles carry 8-byte hashes, shared set broadcasts") {
     val p = plan("d07_passage_dedup")
     assert(p.contains("chunk_hashes"), "one-pass passage hashing kernel missing")
