@@ -38,6 +38,20 @@ object VectorOps {
     best
   }
 
+  /** Euclidean norm, sequential double accumulation in index order —
+    * bit-identical to DuckDB's sqrt(list_sum(list_transform(v, x->x*x))). */
+  def l2norm(a: ArrayData, floats: Boolean): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (floats) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
   def cosine(a: ArrayData, b: ArrayData, floatsA: Boolean, floatsB: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -92,6 +106,19 @@ case class NearestCentroid(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "nearest_centroid"
 }
 
+/** l2_norm(v array<float|double>) → double: codegen'd euclidean norm. */
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  private lazy val floats =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.l2norm(v.asInstanceOf[ArrayData], floats)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorOps.l2norm($v, $floats)")
+  override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+  override def prettyName: String = "l2_norm"
+}
+
 object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -102,5 +129,8 @@ object VectorFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("nearest_centroid")))
       reg.createOrReplaceTempFunction(
         "nearest_centroid", exprs => NearestCentroid(exprs.head, exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("l2_norm")))
+      reg.createOrReplaceTempFunction(
+        "l2_norm", exprs => L2Norm(exprs.head), "built-in")
   }
 }

@@ -195,6 +195,36 @@ object Similarity {
     assigned.select(col("vec_id"), col("cluster"))
   }
 
+  /** Embedding HYGIENE — the vector-column QA gate an embedding pipeline
+    * runs before indexing/training: per-vector L2 norm (codegen'd
+    * kernel), a DEGENERATE flag (zero or NaN norm — untrainable,
+    * unindexable vectors), and an OUTLIER flag for norms more than
+    * `sigmas` standard deviations from the corpus mean (broken encoders
+    * emit systematically over/under-scaled vectors). Returns (vec_id,
+    * norm, is_outlier, degenerate).
+    *
+    * Scale shape: norms are one projection over the scan; the corpus
+    * mean/std come from ONE aggregate whose sums accumulate in decimal
+    * (exact, partition-order-independent — the 1-row stats then broadcast
+    * back), so the whole operator is two linear passes with no shuffle of
+    * vectors and a bit-exact DuckDB replay. */
+  def embeddingHygiene(base: DataFrame, sigmas: Double = 3.0): DataFrame = {
+    VectorFunctions.register(base.sparkSession)
+    val nv = base.select(col("vec_id"), expr("l2_norm(embedding)").as("norm"))
+    val stats = nv.agg(
+      count(lit(1)).as("n"),
+      sum(col("norm").cast("decimal(27,12)")).as("s1"),
+      sum((col("norm") * col("norm")).cast("decimal(38,12)")).as("s2"))
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val variance = col("s2").cast("double") / col("n").cast("double") - mean * mean
+    nv.crossJoin(broadcast(stats))
+      .withColumn("mean", mean)
+      .withColumn("std", sqrt(greatest(variance, lit(0.0))))
+      .select(col("vec_id"), col("norm"),
+        (abs(col("norm") - col("mean")) > lit(sigmas) * col("std")).cast("int").as("is_outlier"),
+        (col("norm") === 0.0 || isnan(col("norm"))).cast("int").as("degenerate"))
+  }
+
   /** Per-query overlap with the exact top-k: (query_id, hits). */
   def recallHits(exact: DataFrame, approx: DataFrame): DataFrame =
     approx.select(col("query_id"), col("vec_id"))
@@ -385,6 +415,45 @@ object Similarity {
           .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
           .collect().map(_.getSeq[Double](0).toArray)
         lloydAssign(b, seeds, iters = 2).orderBy(col("vec_id"))
+      }),
+
+    // vector-column QA: per-vector norms plus corpus-stat outlier flags,
+    // with two PLANTED defects — a zero vector and a 100x-scaled clone —
+    // that must come back flagged. Full oracle: DuckDB replays the norm,
+    // the decimal-exact mean/std, and both flags bit-for-bit.
+    NamedQuery(
+      "s07_embedding_hygiene",
+      Some(
+        "WITH base AS (SELECT vec_id, embedding FROM embeddings " +
+          "UNION ALL SELECT 1000000 + vec_id, " +
+          "list_transform(embedding, x -> x * CAST(100 AS FLOAT)) " +
+          "FROM embeddings WHERE vec_id = 0 " +
+          "UNION ALL SELECT 1000001 + vec_id, " +
+          "list_transform(embedding, x -> x * CAST(0 AS FLOAT)) " +
+          "FROM embeddings WHERE vec_id = 1), " +
+          "nv AS (SELECT vec_id, sqrt(list_sum(list_transform(embedding, " +
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm FROM base), " +
+          "st AS (SELECT count(*) AS n, " +
+          "CAST(sum(CAST(norm AS DECIMAL(27,12))) AS DOUBLE) AS s1, " +
+          "CAST(sum(CAST(norm * norm AS DECIMAL(38,12))) AS DOUBLE) AS s2 FROM nv), " +
+          "m AS (SELECT s1 / n AS mean, " +
+          "sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS std FROM st) " +
+          "SELECT vec_id, " + OracleRound.stableRoundSql("norm", 4) + " AS norm, " +
+          "CAST(abs(norm - mean) > 3 * std AS INT) AS is_outlier, " +
+          "CAST(norm = 0 OR isnan(norm) AS INT) AS degenerate " +
+          "FROM nv, m ORDER BY vec_id"),
+      (s, dir) => {
+        val b = base(s, dir)
+        val scaled = b.filter(col("vec_id") === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            expr("transform(embedding, x -> x * CAST(100 AS FLOAT))").as("embedding"))
+        val zeroed = b.filter(col("vec_id") === 1)
+          .select((col("vec_id") + 1000001L).as("vec_id"),
+            expr("transform(embedding, x -> x * CAST(0 AS FLOAT))").as("embedding"))
+        embeddingHygiene(b.unionByName(scaled).unionByName(zeroed))
+          .select(col("vec_id"), OracleRound.stableRound(col("norm"), 4).as("norm"),
+            col("is_outlier"), col("degenerate"))
+          .orderBy(col("vec_id"))
       })
   )
 }

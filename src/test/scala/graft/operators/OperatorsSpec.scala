@@ -705,6 +705,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sp.map(_.getString(0)).toSeq == Seq("tiny doc"))
   }
 
+  test("embeddingHygiene: norms exact, planted outlier and zero vector flagged") {
+    import spark.implicits._
+    // 10 unit-ish vectors + one 100x outlier + one zero vector
+    val base = (0 until 10).map(i => (i.toLong, Array(3.0f, 4.0f))) :+
+      (100L, Array(300.0f, 400.0f)) :+ (101L, Array(0.0f, 0.0f))
+    val df = base.toDF("vec_id", "embedding")
+    val got = Similarity.embeddingHygiene(df)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(0L)._1 == 5.0 && got(100L)._1 == 500.0 && got(101L)._1 == 0.0)
+    assert(got(100L)._2 == 1, "100x-scaled vector must flag as outlier")
+    assert(got(101L)._3 == 1, "zero vector must flag as degenerate")
+    assert((0 until 10).forall(i => got(i.toLong)._3 == 0), "healthy vectors unflagged")
+    // s07's driver binding carries the planted defects end-to-end
+    val s07 = q("s07_embedding_hygiene").collect()
+    val flags = s07.map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(flags(1000000L)._1 == 1, "planted 100x clone must be an outlier")
+    assert(flags(1000002L)._2 == 1, "planted zero vector must be degenerate")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

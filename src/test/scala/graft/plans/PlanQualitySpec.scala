@@ -350,6 +350,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "winner set must broadcast into the recovery join")
   }
 
+  test("s07 hygiene: stats broadcast back; vectors never shuffle") {
+    val p = plan("s07_embedding_hygiene")
+    assert(p.contains("l2_norm"), "codegen'd norm kernel missing")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row stats must broadcast back over the norms")
+    assert("hashpartitioning\\(embedding#".r.findFirstIn(p).isEmpty,
+      "an exchange carries embedding vectors")
+  }
+
   test("d07 passage dedup: shuffles carry 8-byte hashes, shared set broadcasts") {
     val p = plan("d07_passage_dedup")
     assert(p.contains("chunk_hashes"), "one-pass passage hashing kernel missing")
