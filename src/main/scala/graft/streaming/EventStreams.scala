@@ -473,6 +473,82 @@ object EventStreams {
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
 
+  final case class PhraseCount(
+      window_start_us: Long, phrase: String, count: Long, max_error: Long)
+  /** Space-saving counter table for one window: phrase → (count, error).
+    * Bounded at `capacity` entries regardless of stream volume. */
+  final case class PhraseSketch(entries: Map[String, (Long, Long)])
+
+  /** STREAMING heavy hitters — trending phrase detection over a document
+    * stream, the incremental sibling of `TextAnalysis.boilerplatePhrases`:
+    * per tumbling event-time window, the top-k word `n`-grams by
+    * occurrence count. Input columns: `ts: timestamp`, `text: string`.
+    *
+    * Exact per-window counting needs state proportional to DISTINCT
+    * n-grams per window — unbounded on a real stream. This keeps ONE
+    * bounded SPACE-SAVING sketch per open window instead
+    * (flatMapGroupsWithState keyed by window start): `capacity` counters;
+    * an unseen phrase arriving at a full sketch evicts the minimum
+    * counter and inherits its count as `max_error` (Metwally et al.'s
+    * guarantees: reported count overestimates by ≤ max_error, and any
+    * phrase with true count > N/capacity is IN the sketch). Results emit
+    * once per window, when the event-time watermark passes window end +
+    * `latenessUs` and the timeout fires; the sketch is then dropped, so
+    * state is (open windows) × capacity — bounded forever. Shingle
+    * hashing rides the same codegen'd `shingle_pairs` kernel as the batch
+    * miner; counts are arrival-order-dependent once eviction starts (the
+    * documented approximation), exact below capacity. */
+  def trendingPhrases(docs: DataFrame, n: Int, windowUs: Long, capacity: Int,
+      k: Int, latenessUs: Long = 10L * 60 * 1000 * 1000): Dataset[PhraseCount] = {
+    require(n > 0 && windowUs > 0 && capacity > 0 && k > 0)
+    import docs.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // the WATERMARKED ts column must survive into the stateful op (see
+    // sessionizeClosing) — event-time timeout requires it
+    val hits = docs
+      .withWatermark("ts", s"$latenessUs microseconds")
+      .select(
+        col("ts"),
+        expr(s"unix_micros(window(ts, '$windowUs microseconds').start)").as("window_start_us"),
+        explode(expr(s"shingle_pairs(split(lower(text), '\\\\s+'), $n)")).as("p"))
+      .select(col("ts"), col("window_start_us"),
+        translate(col("p.t"), "\u001f", " ").as("phrase"))
+      .as[(java.sql.Timestamp, Long, String)]
+    hits
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PhraseSketch, PhraseCount](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (windowStart: Long, incoming: Iterator[(java.sql.Timestamp, Long, String)],
+            state: GroupState[PhraseSketch]) =>
+          if (state.hasTimedOut) {
+            // window closed: emit its top-k and drop the sketch
+            val entries = state.get.entries.toSeq
+            state.remove()
+            entries.sortBy { case (p, (c, _)) => (-c, p) }.take(k).iterator
+              .map { case (p, (c, e)) => PhraseCount(windowStart, p, c, e) }
+          } else {
+            val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+            state.getOption.foreach(s => m ++= s.entries)
+            incoming.foreach { case (_, _, phrase) =>
+              m.get(phrase) match {
+                case Some((c, e)) => m.update(phrase, (c + 1, e))
+                case None if m.size < capacity => m.update(phrase, (1L, 0L))
+                case None =>
+                  // evict the min counter; the newcomer inherits its count
+                  // as the overestimate bound
+                  val (minP, (minC, _)) = m.minBy { case (p, (c, _)) => (c, p) }
+                  m.remove(minP)
+                  m.update(phrase, (minC + 1, minC))
+              }
+            }
+            state.update(PhraseSketch(m.toMap))
+            // fire once the watermark passes window end + lateness
+            state.setTimeoutTimestamp((windowStart + windowUs + latenessUs) / 1000)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Adapter: typed event stream from the raw frame. */
   def typedEvents(events: DataFrame): Dataset[Event] = {
     import events.sparkSession.implicits._

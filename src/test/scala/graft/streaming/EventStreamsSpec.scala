@@ -414,4 +414,49 @@ class EventStreamsSpec extends AnyFunSuite {
     val emittedEvents = spark.table("sessions").agg(sum(col("n_events"))).head().getLong(0)
     assert(emittedEvents > 0 && emittedEvents < Tables.load(spark, dir, "events").count())
   }
+
+  test("trending phrases: per-window top-k, bounded sketch with eviction error, window closure") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val winUs = 60L * 1000 * 1000 // 1-minute windows
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().select(
+      expr("timestamp_micros(_1)").as("ts"), col("_2").as("text"))
+    val q = EventStreams
+      .trendingPhrases(docs, n = 2, windowUs = winUs, capacity = 2, k = 5, latenessUs = 0L)
+      .writeStream.format("memory").queryName("trending").outputMode("append").start()
+    try {
+      // window 1 (ts < 60s): fill the 2-slot sketch exactly
+      input.addData((1000L, "alpha beta"), (2000L, "alpha beta"), (3000L, "alpha beta"),
+        (4000L, "gamma delta"), (5000L, "gamma delta"))
+      q.processAllAvailable()
+      // a third distinct phrase must evict the min counter (gamma delta, 2)
+      // and inherit its count as max_error
+      input.addData((6000L, "epsilon zeta"))
+      q.processAllAvailable()
+      // nothing emits while the window is open
+      assert(spark.table("trending").isEmpty)
+      // window 2 data advances the watermark past window 1's end…
+      input.addData((winUs + 1000L, "hot phrase"))
+      q.processAllAvailable()
+      // …and the NEXT batch fires window 1's timeout
+      input.addData((winUs + 2000L, "hot phrase"))
+      q.processAllAvailable()
+      val w1 = spark.table("trending").filter(col("window_start_us") === 0L)
+        .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(w1 == Map("alpha beta" -> ((3L, 0L)), "epsilon zeta" -> ((3L, 2L))),
+        s"window-1 sketch wrong: $w1")
+      // heavy-hitter superset guarantee held: the true top phrase is present
+      // with an exact count; the evicted slot reports its overestimate bound
+      // close window 2 the same way
+      input.addData((10 * winUs, "x y"))
+      q.processAllAvailable()
+      input.addData((10 * winUs + 1000L, "x y"))
+      q.processAllAvailable()
+      val w2 = spark.table("trending").filter(col("window_start_us") === winUs)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(w2 == Map("hot phrase" -> 2L), s"window-2 counts wrong: $w2")
+    } finally q.stop()
+  }
 }
