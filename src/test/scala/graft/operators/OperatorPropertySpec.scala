@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial property sweeps for the round-8 operators: each case
+  * checks the distributed plan against an independent in-test reference
+  * implementation (not the plan's own code path), on randomized inputs
+  * that include the shapes most likely to break — skewed sources, tie-
+  * heavy scores, degenerate clusters, fractional boundaries. Case counts
+  * are kept minutes-fast by default; GRAFT_FULL_SWEEP=1 widens the draw
+  * (see ExactQuantileSpec.sweepCases). */
+class OperatorPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def cases(n: Int, full: Int): Int = ExactQuantileSpec.sweepCases(n, full)
+
+  test("stratifiedSplit sweep: partition property + exact floor boundaries vs naive") {
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      nSources <- Gen.choose(1, 6)
+      sizes <- Gen.listOfN(nSources, Gen.oneOf(1, 2, 3, 9, 10, 40, 120))
+    } yield sizes.zipWithIndex.flatMap { case (sz, s) =>
+      // doc ids deliberately interleave across sources and leave gaps
+      (0 until sz).map(i => ((i * nSources + s) * 7L, s"src$s"))
+    }
+    val genFracs: Gen[List[Double]] = for {
+      k <- Gen.choose(2, 4)
+      cuts <- Gen.listOfN(k - 1, Gen.choose(1, 99).map(_ / 100.0))
+      if cuts.distinct.size == cuts.size
+    } yield {
+      val sorted = (0.0 +: cuts.sorted :+ 1.0)
+      sorted.zip(sorted.tail).map { case (a, b) => b - a }
+    }
+    val prop = Prop.forAll(genCorpus, genFracs, Gen.oneOf(1, 4, 16)) { (rows, fracs, buckets) =>
+      val df = rows.toDF("doc_id", "source")
+      val got = Selection.stratifiedSplit(df, fracs, buckets).collect()
+      // partition: every doc exactly once
+      val ids = got.map(_.getLong(0)).toSeq
+      val okPartition = ids.sorted == rows.map(_._1).sorted && ids.distinct.size == ids.size
+      // exact per-(source, split) counts from the floor boundaries
+      val cum = fracs.scanLeft(0.0)(_ + _).tail
+      val bySource = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val want = bySource.flatMap { case (src, n) =>
+        val bounds = cum.init.map(c => math.floor(c * n).toLong) :+ n
+        val startEnd = (0L +: bounds).zip(bounds)
+        startEnd.zipWithIndex.collect {
+          case ((a, b), k) if b > a => (src, k) -> (b - a)
+        }
+      }
+      val gotCounts = got.groupBy(r => (r.getString(1), r.getInt(3)))
+        .view.mapValues(_.length.toLong).toMap
+      // naive single-bucket spelling agrees row-for-row
+      val naive = Selection.stratifiedSplit(df, fracs, buckets = 1)
+      val sameAsNaive = got.map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1)
+        .sameElements(naive.collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1))
+      okPartition && gotCounts == want && sameAsNaive
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(10, 30)), prop)
+    assert(res.passed, s"stratifiedSplit sweep: $res")
+  }
+
+  test("bm25 sweep: scores and ranks match an independent scorer") {
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox")
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      nDocs <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(nDocs,
+        Gen.choose(1, 8).flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab))))
+    } yield docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val genQueries: Gen[List[(Int, String)]] = for {
+      nq <- Gen.choose(1, 3)
+      qs <- Gen.listOfN(nq, Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    } yield qs.zipWithIndex.flatMap { case (terms, q) => terms.distinct.map(t => (q, t)) }
+    val prop = Prop.forAll(genCorpus, genQueries, Gen.choose(1, 5)) { (docsRows, qtRows, k) =>
+      val got = TextAnalysis
+        .bm25TopK(docsRows.toDF("doc_id", "text"), qtRows.toDF("query_id", "term"), k)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> ((r.getDouble(2), r.getInt(3)))).toMap
+      // independent reference scorer (BigDecimal per-term rounding like the
+      // decimal(18,6) cast, sum exact, tie order (score desc, doc_id))
+      val toks = docsRows.map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }.toMap
+      val nDocs = docsRows.size.toDouble
+      val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+      def weight(tf: Int, df: Int, dl: Int): BigDecimal = {
+        val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+        val raw = idf * (tf.toDouble * 2.2) /
+          (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl)))
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val df = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+      val want = qtRows.groupBy(_._1).flatMap { case (q, terms) =>
+        val scored = toks.toSeq.flatMap { case (id, tk) =>
+          val s = terms.map(_._2).distinct.flatMap { t =>
+            val tf = tk.count(_ == t)
+            if (tf == 0) None else Some(weight(tf, df(t), tk.size))
+          }
+          if (s.isEmpty) None else Some(id -> s.sum)
+        }
+        scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((id, s), rk) => (q, id) -> ((s.toDouble, rk + 1)) }
+      }
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(10, 30)), prop)
+    assert(res.passed, s"bm25 sweep: $res")
+  }
+
+  test("lloydAssign sweep: matches a reference Lloyd with decimal-exact means") {
+    val genPoints: Gen[List[Array[Float]]] = for {
+      dim <- Gen.choose(2, 4)
+      n <- Gen.choose(3, 25)
+      pts <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-8, 8).map(_.toFloat)))
+    } yield pts.map(_.toArray)
+    val prop = Prop.forAll(genPoints, Gen.choose(1, 4), Gen.choose(1, 3)) { (pts, k0, iters) =>
+      val k = math.min(k0, pts.size)
+      val df = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("vec_id", "embedding")
+      val seeds = pts.take(k).map(_.map(_.toDouble)).toArray
+      val got = Similarity.lloydAssign(df, seeds, iters)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // reference: same argmin/tie/empty-cluster/mean rules, plain Scala
+      def assign(cents: Array[Array[Double]]): Map[Long, Int] =
+        pts.zipWithIndex.map { case (p, i) =>
+          val dists = cents.map(c =>
+            p.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+          i.toLong -> dists.zipWithIndex.minBy { case (d, j) => (d, j) }._2
+        }.toMap
+      var cents = seeds
+      var a = assign(cents)
+      for (_ <- 2 to iters) {
+        val next = cents.map(_.clone())
+        a.groupBy(_._2).foreach { case (c, members) =>
+          val ms = members.keys.toSeq.map(id => pts(id.toInt))
+          next(c) = next(c).indices.map { d =>
+            val sum = ms.map(p => BigDecimal(p(d).toDouble).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+              .foldLeft(BigDecimal(0))(_ + _)
+            sum.toDouble / ms.size.toDouble
+          }.toArray
+        }
+        cents = next
+        a = assign(cents)
+      }
+      got == a
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(8, 25)), prop)
+    assert(res.passed, s"lloyd sweep: $res")
+  }
+
+  test("boilerplatePhrases sweep: matches naive distinct-ngram df counting") {
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      nDocs <- Gen.choose(2, 15)
+      docs <- Gen.listOfN(nDocs,
+        Gen.choose(1, 7).flatMap(len => Gen.listOfN(len, Gen.oneOf(vocab))))
+    } yield docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val prop = Prop.forAll(genCorpus, Gen.choose(2, 3), Gen.oneOf(0.2, 0.4, 0.6)) { (rows, n, ratio) =>
+      val got = TextAnalysis.boilerplatePhrases(rows.toDF("doc_id", "text"), n, ratio)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = rows
+        .flatMap { case (_, t) =>
+          val tk = t.toLowerCase.split("\\s+").toSeq
+          val grams = if (tk.size < n) Seq(tk) else tk.sliding(n).toSeq
+          grams.map(_.mkString(" ")).distinct
+        }
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= math.ceil(ratio * rows.size)).toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(10, 30)), prop)
+    assert(res.passed, s"boilerplate sweep: $res")
+  }
+}
