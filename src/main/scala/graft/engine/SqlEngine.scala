@@ -459,10 +459,14 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       val (db, schema, table) = locate(parts.result())
       val as = args.result()
       val second = parts2.map(locate)
-      // injective name (part lengths + arg hash), same scheme as xdbView
-      val view = s"graft_tvf_${fn}_${db.length}_${schema.length}_${db}_${schema}_${table}_" +
-        second.map { case (d2, s2, t2) => s"${d2.length}_${s2.length}_${d2}_${s2}_${t2}_" }
-          .getOrElse("") +
+      // injective name: EVERY variable-length part is length-prefixed
+      // (identifiers may contain '_' and digits, so un-prefixed parts make
+      // distinct (table1, table2) pairs collide on one view name — and the
+      // second createOrReplaceTempView would silently serve the wrong rows)
+      def enc(p: (String, String, String)): String =
+        s"${p._1.length}_${p._2.length}_${p._3.length}_${p._1}_${p._2}_${p._3}"
+      val view = s"graft_tvf_${fn}_${enc((db, schema, table))}_" +
+        second.map(p => s"${enc(p)}_").getOrElse("") +
         java.lang.Integer.toHexString(as.hashCode)
       val result = second match {
         case Some((db2, schema2, table2)) =>

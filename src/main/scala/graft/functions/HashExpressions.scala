@@ -33,6 +33,25 @@ object Hashing {
   * interpreted evaluation. */
 object HashOps {
 
+  /** Separator-delimited FNV-1a over tokens [start, start+len) + splitmix
+    * finalizer — THE window hash every token-window sketch shares
+    * (shingles, shinglePairs, chunks). One definition: hash equality
+    * across those kernels ⇔ token-sequence equality by construction. */
+  private def tokenWindowHash(arr: ArrayData, start: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = 0
+    while (j < len) {
+      if (!arr.isNullAt(start + j)) {
+        val bytes = arr.getUTF8String(start + j).getBytes
+        var b = 0
+        while (b < bytes.length) { h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+      }
+      h ^= 0x1fL; h *= 0x100000001b3L // token separator
+      j += 1
+    }
+    Hashing.mix64(h)
+  }
+
   def minhash(arr: ArrayData, k: Int, elementsAreLongs: Boolean): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -55,20 +74,7 @@ object HashOps {
 
   def shingles(arr: ArrayData, n: Int): ArrayData = {
     val total = arr.numElements()
-    def windowHash(start: Int, len: Int): Long = {
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < len) {
-        if (!arr.isNullAt(start + j)) {
-          val bytes = arr.getUTF8String(start + j).getBytes
-          var b = 0
-          while (b < bytes.length) { h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
-        }
-        h ^= 0x1fL; h *= 0x100000001b3L // token separator
-        j += 1
-      }
-      Hashing.mix64(h)
-    }
+    def windowHash(start: Int, len: Int): Long = tokenWindowHash(arr, start, len)
     if (total < n) return new GenericArrayData(Array(windowHash(0, total)))
     val seen = new java.util.HashSet[java.lang.Long]()
     val out = new scala.collection.mutable.ArrayBuffer[Long](total - n + 1)
@@ -89,19 +95,7 @@ object HashOps {
     val out = new Array[Long](n)
     var c = 0
     while (c < n) {
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < w) {
-        val idx = c * w + j
-        if (!arr.isNullAt(idx)) {
-          val bytes = arr.getUTF8String(idx).getBytes
-          var b = 0
-          while (b < bytes.length) { h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
-        }
-        h ^= 0x1fL; h *= 0x100000001b3L // token separator
-        j += 1
-      }
-      out(c) = Hashing.mix64(h)
+      out(c) = tokenWindowHash(arr, c * w, w)
       c += 1
     }
     new GenericArrayData(out)
@@ -115,20 +109,7 @@ object HashOps {
     * rides with the exact string it was computed from). */
   def shinglePairs(arr: ArrayData, n: Int): ArrayData = {
     val total = arr.numElements()
-    def windowHash(start: Int, len: Int): Long = {
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < len) {
-        if (!arr.isNullAt(start + j)) {
-          val bytes = arr.getUTF8String(start + j).getBytes
-          var b = 0
-          while (b < bytes.length) { h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
-        }
-        h ^= 0x1fL; h *= 0x100000001b3L // token separator
-        j += 1
-      }
-      Hashing.mix64(h)
-    }
+    def windowHash(start: Int, len: Int): Long = tokenWindowHash(arr, start, len)
     val sep = UTF8String.fromString("\u001f")
     val empty = UTF8String.fromString("")
     def windowStr(start: Int, len: Int): UTF8String = {

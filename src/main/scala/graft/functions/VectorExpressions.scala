@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * `list_cosine_similarity`, so oracle hashes are unchanged; only the
   * per-element lambda interpretation cost is gone. */
 object VectorOps {
-  /** Argmin of squared euclidean distance from `v` to each row of the
-    * `cents` matrix (array<array<double>>); ties take the SMALLEST index.
-    * Squared distance orders identically to DuckDB's `list_distance`
-    * (sqrt is monotone), so the argmin replays in the oracle. */
+  /** Argmin of euclidean distance from `v` to each row of the `cents`
+    * matrix (array<array<double>>); ties take the SMALLEST index. The
+    * comparison value is sqrt(sequential squared sum) — bit-identical to
+    * DuckDB's `list_distance`, NOT the raw squared sum: sqrt is monotone
+    * but not injective after double rounding, so comparing pre-sqrt values
+    * could break a near-tie differently than the oracle. */
   def nearestCentroid(v: ArrayData, cents: ArrayData, floats: Boolean): Int = {
     val k = cents.numElements()
     var best = -1
@@ -32,7 +34,8 @@ object VectorOps {
         d += diff * diff
         i += 1
       }
-      if (d < bestD) { bestD = d; best = j }
+      val dist = math.sqrt(d)
+      if (dist < bestD) { bestD = dist; best = j }
       j += 1
     }
     best
@@ -90,7 +93,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 /** nearest_centroid(v array<float|double>, cents array<array<double>>) →
-  * int: argmin of squared euclidean distance, ties to the smallest index.
+  * int: argmin of euclidean distance, ties to the smallest index.
   * One static call inside whole-stage codegen — the k-means assignment
   * step runs as a pure projection over the scan, no join, no shuffle. */
 case class NearestCentroid(left: Expression, right: Expression) extends BinaryExpression {

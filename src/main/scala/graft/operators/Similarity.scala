@@ -211,7 +211,12 @@ object Similarity {
   def embeddingHygiene(base: DataFrame, sigmas: Double = 3.0): DataFrame = {
     VectorFunctions.register(base.sparkSession)
     val nv = base.select(col("vec_id"), expr("l2_norm(embedding)").as("norm"))
-    val stats = nv.agg(
+    // corpus stats over FINITE norms only: a NaN norm would cast to NULL
+    // decimal (silently biasing the mean low while still counted in n)
+    // and an infinite one breaks the decimal cast outright — degenerate
+    // vectors are flagged, not averaged
+    val finite = !isnan(col("norm")) && col("norm") =!= Double.PositiveInfinity
+    val stats = nv.filter(finite).agg(
       count(lit(1)).as("n"),
       sum(col("norm").cast("decimal(27,12)")).as("s1"),
       sum((col("norm") * col("norm")).cast("decimal(38,12)")).as("s2"))
@@ -222,7 +227,8 @@ object Similarity {
       .withColumn("std", sqrt(greatest(variance, lit(0.0))))
       .select(col("vec_id"), col("norm"),
         (abs(col("norm") - col("mean")) > lit(sigmas) * col("std")).cast("int").as("is_outlier"),
-        (col("norm") === 0.0 || isnan(col("norm"))).cast("int").as("degenerate"))
+        (col("norm") === 0.0 || isnan(col("norm")) ||
+          col("norm") === Double.PositiveInfinity).cast("int").as("degenerate"))
   }
 
   /** Per-query overlap with the exact top-k: (query_id, hits). */
@@ -401,7 +407,12 @@ object Similarity {
           "comps AS (SELECT r1.cluster, pos, " +
           "CAST(sum(CAST(ed.e[pos + 1] AS DECIMAL(27,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS comp " +
           "FROM r1 JOIN ed USING (vec_id) CROSS JOIN px GROUP BY r1.cluster, pos), " +
-          "cents AS (SELECT cluster, list(comp ORDER BY pos) AS c FROM comps GROUP BY cluster), " +
+          // a cluster that loses every member keeps its SEED centroid —
+          // mirrors lloydAssign's keep-previous rule, which with iters=2
+          // means the seed vector
+          "up AS (SELECT cluster, list(comp ORDER BY pos) AS c FROM comps GROUP BY cluster), " +
+          "cents AS (SELECT s.cluster, coalesce(up.c, s.c) AS c " +
+          "FROM seeds s LEFT JOIN up USING (cluster)), " +
           "a2 AS (SELECT ed.vec_id, cents.cluster, list_distance(ed.e, cents.c) AS d " +
           "FROM ed CROSS JOIN cents) " +
           "SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
@@ -435,12 +446,13 @@ object Similarity {
           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm FROM base), " +
           "st AS (SELECT count(*) AS n, " +
           "CAST(sum(CAST(norm AS DECIMAL(27,12))) AS DOUBLE) AS s1, " +
-          "CAST(sum(CAST(norm * norm AS DECIMAL(38,12))) AS DOUBLE) AS s2 FROM nv), " +
+          "CAST(sum(CAST(norm * norm AS DECIMAL(38,12))) AS DOUBLE) AS s2 " +
+          "FROM nv WHERE isfinite(norm)), " +
           "m AS (SELECT s1 / n AS mean, " +
           "sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS std FROM st) " +
           "SELECT vec_id, " + OracleRound.stableRoundSql("norm", 4) + " AS norm, " +
           "CAST(abs(norm - mean) > 3 * std AS INT) AS is_outlier, " +
-          "CAST(norm = 0 OR isnan(norm) AS INT) AS degenerate " +
+          "CAST(norm = 0 OR NOT isfinite(norm) AS INT) AS degenerate " +
           "FROM nv, m ORDER BY vec_id"),
       (s, dir) => {
         val b = base(s, dir)

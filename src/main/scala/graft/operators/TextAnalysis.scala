@@ -123,11 +123,15 @@ object TextAnalysis {
     * final per-query sort. */
   def bm25TopK(corpus: DataFrame, queryTerms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // dedup ONCE up front: a repeated (query_id, term) input row (easy via
+    // the SQL surface, where terms is any user table) must not count the
+    // term's weight twice in that query's scores
+    val qt = queryTerms.select(col("query_id"), col("term")).distinct()
     val toked = corpus.select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .withColumn("dl", size(col("toks")).cast("bigint"))
     val stats = toked.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     val toks = toked.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-    val hits = toks.join(broadcast(queryTerms.select(col("term")).distinct()), "term")
+    val hits = toks.join(broadcast(qt.select(col("term")).distinct()), "term")
     // dl is constant per doc — grouping by it adds no groups and saves a
     // dl-lookup join back to the corpus
     val tf = hits.groupBy(col("doc_id"), col("term"), col("dl"))
@@ -142,7 +146,7 @@ object TextAnalysis {
           (col("tf").cast("double") +
             lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
           .cast("decimal(18,6)"))
-    val perQuery = weighted.join(broadcast(queryTerms), "term")
+    val perQuery = weighted.join(broadcast(qt), "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w")).as("score_d"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score_d").desc, col("doc_id"))
@@ -175,7 +179,11 @@ object TextAnalysis {
   def boilerplatePhrases(corpus: DataFrame, n: Int = 3, minDfRatio: Double = 0.05): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val pairs = corpus.select(col("doc_id"),
-      explode(expr(s"shingle_pairs(split(lower(text), '\\\\s+'), $n)")).as("p"))
+      // U+001F is the kernel's token separator: normalize it to a token
+      // boundary up front so no token can contain it — phrase recovery and
+      // the hash stream stay unambiguous
+      explode(expr(
+        s"shingle_pairs(split(lower(translate(text, '\u001f', ' ')), '\\\\s+'), $n)")).as("p"))
     val dfh = pairs.select(col("p.h").as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val ndocs = corpus.agg(count(lit(1)).as("n_docs"))
@@ -697,7 +705,7 @@ object TextAnalysis {
       Some(
         "WITH d AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 " +
           "THEN ' subscribe to our newsletter today' ELSE '' END AS text FROM documents), " +
-          "tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM d), " +
+          "tk AS (SELECT doc_id, string_split_regex(lower(replace(text, chr(31), ' ')), '\\s+') AS tk FROM d), " +
           "sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
           "ELSE list_distinct(list_transform(range(1, len(tk)-1), " +
           "i -> array_to_string(tk[i:i+2], ' '))) END) AS phrase FROM tk), " +

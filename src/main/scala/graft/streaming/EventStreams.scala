@@ -481,8 +481,10 @@ object EventStreams {
 
   /** STREAMING heavy hitters — trending phrase detection over a document
     * stream, the incremental sibling of `TextAnalysis.boilerplatePhrases`:
-    * per tumbling event-time window, the top-k word `n`-grams by
-    * occurrence count. Input columns: `ts: timestamp`, `text: string`.
+    * per tumbling event-time window, the top-k word `n`-grams by DOCUMENT
+    * frequency (the shingle kernel dedups n-grams per doc, same as the
+    * batch miner — a phrase repeated inside one doc counts once). Input
+    * columns: `ts: timestamp`, `text: string`.
     *
     * Exact per-window counting needs state proportional to DISTINCT
     * n-grams per window — unbounded on a real stream. This keeps ONE
@@ -491,7 +493,7 @@ object EventStreams {
     * an unseen phrase arriving at a full sketch evicts the minimum
     * counter and inherits its count as `max_error` (Metwally et al.'s
     * guarantees: reported count overestimates by ≤ max_error, and any
-    * phrase with true count > N/capacity is IN the sketch). Results emit
+    * phrase with true doc-frequency > N/capacity (N = window hit count) is IN the sketch). Results emit
     * once per window, when the event-time watermark passes window end +
     * `latenessUs` and the timeout fires; the sketch is then dropped, so
     * state is (open windows) × capacity — bounded forever. Shingle
@@ -510,7 +512,8 @@ object EventStreams {
       .select(
         col("ts"),
         expr(s"unix_micros(window(ts, '$windowUs microseconds').start)").as("window_start_us"),
-        explode(expr(s"shingle_pairs(split(lower(text), '\\\\s+'), $n)")).as("p"))
+        explode(expr(
+          s"shingle_pairs(split(lower(translate(text, '\u001f', ' ')), '\\\\s+'), $n)")).as("p"))
       .select(col("ts"), col("window_start_us"),
         translate(col("p.t"), "\u001f", " ").as("phrase"))
       .as[(java.sql.Timestamp, Long, String)]
@@ -542,8 +545,14 @@ object EventStreams {
               }
             }
             state.update(PhraseSketch(m.toMap))
-            // fire once the watermark passes window end + lateness
-            state.setTimeoutTimestamp((windowStart + windowUs + latenessUs) / 1000)
+            // fire once the watermark passes window END: the watermark
+            // already lags max event time by latenessUs, so adding the
+            // lateness here again would double result latency and hold
+            // each sketch an extra lateness period. The max() guards the
+            // engine's timeout>watermark requirement when the watermark
+            // lands exactly on the window end mid-batch.
+            state.setTimeoutTimestamp(
+              math.max((windowStart + windowUs) / 1000, state.getCurrentWatermarkMs + 1))
             Iterator.empty
           }
       }
