@@ -270,10 +270,20 @@ class Catalog(val warehouse: String,
 
   /** Newest version whose publish time ≤ `millis` (the reference's
     * "newest version ≤ ts" MVCC read rule, src/tablet/memory.rs:73-81);
-    * 0 when `millis` predates every publish. */
+    * 0 when `millis` predates every publish of a COMPLETE history. When
+    * the capped history has been trimmed, a `millis` older than the
+    * oldest RETAINED publish must fail loudly like any expired-version
+    * read — the true as-of snapshot existed but was dropped; silently
+    * resolving it to the empty version-0 table would serve wrong rows. */
   def versionAsOf(db: String, schema: String, table: String, millis: Long): Long = synchronized {
-    readVersions(db, schema, table).filter(_.millis <= millis)
-      .lastOption.map(_.version).getOrElse(0L)
+    val versions = readVersions(db, schema, table)
+    versions.filter(_.millis <= millis).lastOption.map(_.version).getOrElse {
+      if (versions.headOption.exists(_.version > 1L))
+        throw SqlError.unexpected(
+          s"as-of time $millis predates table $table's retained version history " +
+            s"(oldest retained: version ${versions.head.version})")
+      0L
+    }
   }
 
   /** Version history as (version, publishMillis, partCount) — the

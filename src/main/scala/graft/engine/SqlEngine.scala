@@ -49,7 +49,8 @@ object SqlEngine {
   * equivalent of the reference's snapshot reads (SURVEY §1.5).
   */
 final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: SqlContext,
-    val autoCompactAfterParts: Int = SqlEngine.defaultAutoCompactAfterParts) {
+    val autoCompactAfterParts: Int = SqlEngine.defaultAutoCompactAfterParts,
+    val autoCompactTargetFileBytes: Long = 128L << 20) {
   import SqlParser._
 
   registerSessionFunctions()
@@ -180,7 +181,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // same staleness the post-run drop in `run` prevents)
       val registered = Seq.newBuilder[TableRef]
       try {
-        refs.foreach { r =>
+        refs.filterNot(_.tvf).foreach { r =>
           readTable(r.db, r.schema, r.table).createOrReplaceTempView(r.view)
           registered += r
         }
@@ -189,7 +190,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         if (infoSchema) registerInformationSchema()
       } catch {
         case e: Throwable =>
-          registered.result().filter(r => SqlEngine.sqlKeywords(r.view))
+          (registered.result().filter(r => SqlEngine.sqlKeywords(r.view)) ++ refs.filter(_.tvf))
             .foreach(r => try spark.catalog.dropTempView(r.view) catch { case _: Throwable => })
           throw e
       }
@@ -210,7 +211,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     // safe even if the caller executes later.
     def run(rewritten: String, refs: Seq[TableRef]): DataFrame =
       try spark.sql(rewrite(rewritten))
-      finally refs.filter(r => SqlEngine.sqlKeywords(r.view))
+      finally refs.filter(r => SqlEngine.sqlKeywords(r.view) || r.tvf)
         .foreach(r => spark.catalog.dropTempView(r.view))
     try {
       val (rewritten, refs) = register(probeKeywords = false)
@@ -374,7 +375,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       })
 
   /** One referenced table resolved to the temp view that hosts it. */
-  private[engine] final case class TableRef(db: String, schema: String, table: String, view: String)
+  private[engine] final case class TableRef(db: String, schema: String, table: String,
+      view: String, tvf: Boolean = false)
 
   /** View name hosting a cross-database reference (`db.schema.t` with
     * `db != ctx.database`). Part LENGTHS are encoded so the name is
@@ -465,9 +467,14 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // second createOrReplaceTempView would silently serve the wrong rows)
       def enc(p: (String, String, String)): String =
         s"${p._1.length}_${p._2.length}_${p._3.length}_${p._1}_${p._2}_${p._3}"
+      // args encode by VALUE (IEEE-754 bit pattern in hex, count-prefixed):
+      // a 32-bit hashCode over an unbounded arg space has collisions, and a
+      // collision here silently serves one call's rows to the other
       val view = s"graft_tvf_${fn}_${enc((db, schema, table))}_" +
         second.map(p => s"${enc(p)}_").getOrElse("") +
-        java.lang.Integer.toHexString(as.hashCode)
+        s"a${as.length}_" +
+        as.map(v => java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(v)))
+          .mkString("_")
       val result = second match {
         case Some((db2, schema2, table2)) =>
           twoTableFunctions(fn)(readTable(db, schema, table),
@@ -477,6 +484,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           else tableFunctions(fn)(readTable(db, schema, table), as)
       }
       result.createOrReplaceTempView(view)
+      refs.getOrElseUpdate(view, TableRef(db, schema, table, view, tvf = true))
       Some((view, spans(j).end, j + 1))
     }
     val out = new StringBuilder
@@ -863,9 +871,19 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         // like the insert itself; readers keep their planned snapshots
         // (compaction republishes the manifest, old parts stay until
         // vacuum). Amortized cost: every ~Nth INSERT pays one rewrite.
-        if (autoCompactAfterParts > 0 &&
-            catalog.dataFileStats(db, schema, table)._1 >= autoCompactAfterParts)
-          compactTable(db, schema, table)
+        //
+        // The trigger counts parts ABOVE the table's compacted target
+        // (ceil(bytes / 128MB)), not absolute parts: a table whose
+        // compacted form already holds >= threshold files would otherwise
+        // re-trigger on EVERY insert once it passes ~threshold*128MB —
+        // each one a full-table rewrite, O(n^2) write amplification.
+        if (autoCompactAfterParts > 0) {
+          val (nFiles, bytes) = catalog.dataFileStats(db, schema, table)
+          val compactedTarget =
+            math.max(1, math.ceil(bytes.toDouble / autoCompactTargetFileBytes).toInt)
+          if (nFiles - compactedTarget >= autoCompactAfterParts)
+            compactTable(db, schema, table, autoCompactTargetFileBytes)
+        }
       }
 
       toDf(Seq(Row(n)), StructType(Seq(StructField("count", LongType, false))))

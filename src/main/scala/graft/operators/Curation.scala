@@ -141,8 +141,7 @@ object Curation {
       (s, dir) =>
         Tables.load(s, dir, "documents")
           .withColumn("bucket",
-            (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-              .cast("bigint") % 1000).as("bucket"))
+            (StableHash.id32(col("doc_id")) % 1000).as("bucket"))
           .filter(col("bucket") <
             when(col("lang") === "en", 500)
               .when(col("lang") === "de", 300)

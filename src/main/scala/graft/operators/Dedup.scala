@@ -474,6 +474,14 @@ object Dedup {
     * join co-locates and the exchange disappears. The drop list is ids
     * only, and the final anti-join carries 8-byte keys. */
   def semDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    // EXPLICIT exemption from the "shuffles never carry vectors" rule: the
+    // within-cell pairwise stage must co-locate embeddings somewhere, and
+    // hashing both sides by cell ONCE (2× embedding volume) strictly beats
+    // the id-pair alternative (shuffle pairs, then fetch-join BOTH
+    // endpoints' vectors back — ≥2× volume again, plus two more joins).
+    // On a stored corpus the exchange disappears entirely when the base is
+    // partitioned by cell on disk (plans.IvfCellLayout) — that layout, not
+    // this operator, is the 100 TB deployment shape.
     VectorFunctions.register(assigned.sparkSession)
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("a_emb"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("b_emb"))

@@ -115,7 +115,7 @@ object Packing {
   def shardPack(corpus: DataFrame, numShards: Int = 8, buckets: Int = 1024): DataFrame = {
     val width = math.max(1L, (1L << 32) / buckets)
     val g = corpus.select(col("doc_id")).withColumn(
-      "h", conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"))
+      "h", StableHash.id32(col("doc_id")))
       .withColumn("shard", (col("h") % numShards).cast("bigint"))
       .withColumn("bucket", expr(s"h div $width"))
     // per-(shard,bucket) counts: scan-only partial aggregate
@@ -158,8 +158,7 @@ object Packing {
       .select(col("lang"), col("thr"))
     corpus
       .withColumn("bucket",
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("bigint") % 1000).cast("bigint"))
+        (StableHash.id32(col("doc_id")) % 1000).cast("bigint"))
       .join(broadcast(rates), "lang")
       .filter(col("bucket") < col("thr"))
       .select(col("doc_id"), col("lang"), col("bucket"))

@@ -32,10 +32,9 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
-  /** The dedup/packing family's stable 32-bit id hash (same spelling as
-    * [[Packing.shardPack]] so layouts agree across operators). */
-  private def idHash(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint")
+  /** The operator family's stable 32-bit id hash — shared definition so
+    * selection and packing layouts agree by construction. */
+  private def idHash(id: Column): Column = StableHash.id32(id)
 
   /** Keeps the top-quality prefix of the corpus whose running token total
     * stays within `budget` — ordering by (quality DESC, doc_id), a doc is

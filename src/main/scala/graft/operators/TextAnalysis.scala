@@ -422,7 +422,7 @@ object TextAnalysis {
     corpus
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .withColumn("bucket",
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("bigint") % dim)
+        StableHash.str32(col("tok")) % dim)
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
       .agg(
@@ -444,7 +444,7 @@ object TextAnalysis {
     import s.implicits._
     seedLexicon.toDF("term", "w")
       .withColumn("bucket",
-        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("bigint") % dim)
+        StableHash.str32(col("term")) % dim)
       .groupBy(col("bucket")).agg(sum(col("w")).as("w"))
   }
 

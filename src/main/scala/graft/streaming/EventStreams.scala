@@ -284,10 +284,16 @@ object EventStreams {
 
   /** The streaming QUERY id (stable across restarts from the same
     * checkpoint — unlike the run id), read from the execution thread's
-    * local property; micro-batch provenance keys on it. */
+    * local property; micro-batch provenance keys on it. A missing
+    * property fails LOUDLY: falling back to a shared constant would
+    * collapse distinct callers onto one provenance key, so caller B's
+    * marker probe could see caller A's batch-0 rows and silently skip
+    * indexing its own digests — admitting B's future duplicates forever. */
   private def activeQueryId(batch: DataFrame): String =
     Option(batch.sparkSession.sparkContext.getLocalProperty("sql.streaming.queryId"))
-      .getOrElse("adhoc")
+      .getOrElse(throw new IllegalStateException(
+        "sql.streaming.queryId is not set on this thread — ingest provenance " +
+          "requires a streaming query context (or pass an explicit queryId)"))
 
   def ingestInto(stream: DataFrame, engine: graft.engine.SqlEngine,
       table: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -354,36 +360,64 @@ object EventStreams {
     *
     * Probes are `LIMIT 1` point lookups, not scans of the corpus. */
   private[streaming] def ingestBatchDeduped(batch: DataFrame, engine: graft.engine.SqlEngine,
-      docsTable: String, indexTable: String, queryId: String, batchId: Long): Unit = {
+      docsTable: String, indexTable: String, queryId: String, batchId: Long): Unit =
+    ingestBatchWithIndex(batch, engine, docsTable, indexTable, queryId, batchId,
+      viewTag = "dd", historyCols = Seq("digest"),
+      admit = graft.operators.Dedup.incrementalAdmit,
+      indexRows = _.select(col("digest")),
+      // digest is the index PK: key-clustered compaction makes this a
+      // row-group-prunable point probe, not an index scan
+      probeLead = r => s"digest = '${r.getString(0)}'")
+
+  /** ONE exactly-once micro-batch protocol shared by the exact-dedup and
+    * near-dup ingest paths (they differ only in the admission operator,
+    * the index row shape, and the marker-probe leading predicate — the
+    * crash-window reasoning must live in exactly one place).
+    *
+    * The marker probe anchors on THIS batch's first index row (plus the
+    * provenance columns), so the replay check reads one selective lookup,
+    * not a provenance scan of a multi-billion-row index: the index INSERT
+    * is atomic, so that one row's presence-with-provenance decides for the
+    * whole batch. A batch that admits nothing writes nothing and returns —
+    * replay-stable by construction. */
+  private def ingestBatchWithIndex(batch: DataFrame, engine: graft.engine.SqlEngine,
+      docsTable: String, indexTable: String, queryId: String, batchId: Long,
+      viewTag: String, historyCols: Seq[String],
+      admit: (DataFrame, DataFrame) => DataFrame,
+      indexRows: DataFrame => DataFrame,
+      probeLead: org.apache.spark.sql.Row => String): Unit = {
     val qid = queryId.replace("'", "''")
     // history = everything this batch did NOT write (NULL-provenance rows
-    // from batch d08 increments included)
+    // from batch increments included)
     val index = engine.execute(
-      s"SELECT digest FROM $indexTable " +
+      s"SELECT ${historyCols.mkString(", ")} FROM $indexTable " +
         s"WHERE query_id IS DISTINCT FROM '$qid' OR batch_id IS DISTINCT FROM $batchId")
     // materialized: both INSERTs below evaluate this plan, and the second
     // runs AFTER the index insert — localCheckpoint pins the admission
     // decision instead of leaning on the engine's planning-time manifest
     // snapshot to keep the evaluations equal
-    val admitted = graft.operators.Dedup.incrementalAdmit(batch, index).localCheckpoint()
+    val admitted = admit(batch, index).localCheckpoint()
+    val idx = indexRows(admitted)
+    val firstIdx = idx.head(1).headOption
+    if (firstIdx.isEmpty) return // nothing admitted: nothing to write or probe
     val rows = batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val suffix = s"${viewIdent(qid)}_$batchId"
-    val docsView = s"graft_ingest_dd_${viewIdent(docsTable)}_$suffix"
-    val idxView = s"graft_ingest_dd_${viewIdent(indexTable)}_$suffix"
+    val docsView = s"graft_ingest_${viewTag}_${viewIdent(docsTable)}_$suffix"
+    val idxView = s"graft_ingest_${viewTag}_${viewIdent(indexTable)}_$suffix"
     rows.createOrReplaceGlobalTempView(docsView)
-    admitted.select(col("digest"),
-      lit(queryId).as("query_id"), lit(batchId).as("batch_id"))
+    idx.withColumn("query_id", lit(queryId)).withColumn("batch_id", lit(batchId))
       .createOrReplaceGlobalTempView(idxView)
     try {
       val indexDone = !engine.execute(
-        s"SELECT 1 AS x FROM $indexTable " +
-          s"WHERE query_id = '$qid' AND batch_id = $batchId LIMIT 1").isEmpty
+        s"SELECT 1 AS x FROM $indexTable WHERE ${probeLead(firstIdx.get)} " +
+          s"AND query_id = '$qid' AND batch_id = $batchId LIMIT 1").isEmpty
       val docsDone = indexDone && admitted.select(col("doc_id")).head(1).headOption.exists { r =>
         !engine.execute(
           s"SELECT 1 AS x FROM $docsTable WHERE doc_id = ${r.getLong(0)} LIMIT 1").isEmpty
       }
+      val idxCols = idx.columns ++ Seq("query_id", "batch_id")
       if (!indexDone)
-        engine.execute(s"INSERT INTO $indexTable (digest, query_id, batch_id) " +
+        engine.execute(s"INSERT INTO $indexTable (${idxCols.mkString(", ")}) " +
           s"SELECT * FROM global_temp.$idxView")
       if (!docsDone)
         engine.execute(s"INSERT INTO $docsTable (${batch.columns.mkString(", ")}) " +
@@ -424,42 +458,15 @@ object EventStreams {
     * differences are the index unit (4 band rows per admitted doc) and
     * the admission operator. */
   private[streaming] def ingestBatchNearDeduped(batch: DataFrame, engine: graft.engine.SqlEngine,
-      docsTable: String, bandTable: String, queryId: String, batchId: Long): Unit = {
-    val qid = queryId.replace("'", "''")
-    val index = engine.execute(
-      s"SELECT band, bucket, sim FROM $bandTable " +
-        s"WHERE query_id IS DISTINCT FROM '$qid' OR batch_id IS DISTINCT FROM $batchId")
-    val admitted = graft.operators.Dedup.incrementalNearAdmit(batch, index).localCheckpoint()
-    val rows = batch.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val suffix = s"${viewIdent(qid)}_$batchId"
-    val docsView = s"graft_ingest_nd_${viewIdent(docsTable)}_$suffix"
-    val idxView = s"graft_ingest_nd_${viewIdent(bandTable)}_$suffix"
-    rows.createOrReplaceGlobalTempView(docsView)
-    graft.operators.Dedup.bandRows(admitted)
-      .select(col("band"), col("bucket"), col("sim"), col("doc_id"),
-        lit(queryId).as("query_id"), lit(batchId).as("batch_id"))
-      .createOrReplaceGlobalTempView(idxView)
-    try {
-      val indexDone = !engine.execute(
-        s"SELECT 1 AS x FROM $bandTable " +
-          s"WHERE query_id = '$qid' AND batch_id = $batchId LIMIT 1").isEmpty
-      val docsDone = indexDone && admitted.select(col("doc_id")).head(1).headOption.exists { r =>
-        !engine.execute(
-          s"SELECT 1 AS x FROM $docsTable WHERE doc_id = ${r.getLong(0)} LIMIT 1").isEmpty
-      }
-      if (!indexDone)
-        engine.execute(s"INSERT INTO $bandTable (band, bucket, sim, doc_id, query_id, batch_id) " +
-          s"SELECT * FROM global_temp.$idxView")
-      if (!docsDone)
-        engine.execute(s"INSERT INTO $docsTable (${batch.columns.mkString(", ")}) " +
-          s"SELECT * FROM global_temp.$docsView")
-      ()
-    } finally {
-      val cat = batch.sparkSession.catalog
-      try { cat.dropGlobalTempView(docsView); () } catch { case _: Throwable => () }
-      try { cat.dropGlobalTempView(idxView); () } catch { case _: Throwable => () }
-    }
-  }
+      docsTable: String, bandTable: String, queryId: String, batchId: Long): Unit =
+    ingestBatchWithIndex(batch, engine, docsTable, bandTable, queryId, batchId,
+      viewTag = "nd", historyCols = Seq("band", "bucket", "sim"),
+      admit = (inc, idx) => graft.operators.Dedup.incrementalNearAdmit(inc, idx),
+      indexRows = a => graft.operators.Dedup.bandRows(a)
+        .select(col("band"), col("bucket"), col("sim"), col("doc_id")),
+      // the band table's PK is a synthetic serial, so the probe leads on
+      // (band, bucket) — selective, though not PK-prunable like the digest
+      probeLead = r => s"band = ${r.getLong(0)} AND bucket = ${r.getLong(1)}")
 
   /** Stream-static join: enrich the event stream with a static per-user
     * dimension (here the customer table keyed by custkey = user_id). The

@@ -745,6 +745,19 @@ class SqlEngineSpec extends AnyFunSuite {
     e2.execute("CREATE TABLE t (id bigserial PRIMARY KEY, v bigint)")
     (1 to 10).foreach(i => e2.execute(s"INSERT INTO t (v) VALUES ($i)"))
     assert(e2.catalog.dataFileStats("test1", "public", "t")._1 == 10)
+
+    // a table ALREADY at its compacted target must not rewrite per insert:
+    // with a 1-byte target size, the compacted form needs more files than
+    // exist, so parts-above-target never reaches the threshold — the old
+    // absolute-count trigger would have rewritten the whole table on every
+    // insert past the 4th (O(n^2) write amplification at scale)
+    val e3 = new SqlEngine(spark, new Catalog(Files.createTempDirectory("graft-wh-").toString),
+      SqlContext("test1", "u"), autoCompactAfterParts = 4, autoCompactTargetFileBytes = 1L)
+    e3.execute("CREATE DATABASE test1")
+    e3.execute("CREATE TABLE t (id bigserial PRIMARY KEY, v bigint)")
+    (1 to 10).foreach(i => e3.execute(s"INSERT INTO t (v) VALUES ($i)"))
+    assert(e3.catalog.dataFileStats("test1", "public", "t")._1 == 10,
+      "at-target table must accumulate parts, never rewrite itself per insert")
   }
 
   test("table functions: pure-SQL entry to the LLM operators matches the DataFrame API") {
@@ -891,6 +904,18 @@ class SqlEngineSpec extends AnyFunSuite {
     // and a missing right table keeps the engine error shape
     val err = intercept[SqlError](e.execute("SELECT * FROM graft_bm25(corpus, nope)"))
     assert(err.kind == SqlError.TableNotExists)
+
+    // two calls of one function with DIFFERENT args in one statement
+    // resolve to distinct result views (args encode by value, not hash)
+    val two = e.execute(
+      "SELECT (SELECT count(*) FROM graft_stratified_split(sourced, 0.8, 0.2) WHERE split = 1) AS a, " +
+        "(SELECT count(*) FROM graft_stratified_split(sourced, 0.5, 0.5) WHERE split = 1) AS b")
+      .collect().head
+    assert(two.getLong(0) == 2L && two.getLong(1) == 5L)
+    // TVF result views are statement-scoped: none survive execution
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_tvf_"))
+    assert(leaked.isEmpty, s"leaked TVF views: ${leaked.mkString(",")}")
   }
 
   test("version history cap: trimmed versions fail loudly as expired, head stays stable") {
@@ -908,6 +933,19 @@ class SqlEngineSpec extends AnyFunSuite {
     // the change feed across a trimmed base fails the same way
     val err2 = intercept[SqlError](e.readTableChanges("test1", "public", "t", 1L, 5L))
     assert(err2.getMessage.contains("expired"))
+    // as-of a time BEFORE the retained history must fail loudly too — the
+    // true snapshot existed but was trimmed; silently resolving to the
+    // empty version-0 table would serve wrong rows
+    val oldest = e.catalog.versionHistory("test1", "public", "t").head._2
+    val err3 = intercept[SqlError](
+      e.catalog.versionAsOf("test1", "public", "t", oldest - 1))
+    assert(err3.getMessage.contains("retained version history"))
+    // …while a FULL history resolves pre-creation times to the empty table
+    val full = freshEngine("tvh2")
+    full.execute("CREATE DATABASE tvh2")
+    full.execute("CREATE TABLE u (id bigint PRIMARY KEY)")
+    full.execute("INSERT INTO u VALUES (1)")
+    assert(full.catalog.versionAsOf("tvh2", "public", "u", 0L) == 0L)
   }
 
   test("change feed: graft_changes reads exactly the inserted delta; compaction interval raises") {
