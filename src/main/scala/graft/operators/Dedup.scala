@@ -662,6 +662,30 @@ object Dedup {
     * mirror the separator-delimited windows of `shingle_hashes`
     * (HashExpressions.scala), including the distinct-per-doc and
     * whole-list-when-short semantics. */
+  /** Quality-aware near-dup RESOLUTION: for every multi-member near-dup
+    * cluster, the member to KEEP — the highest-quality one (ties to the
+    * smallest doc_id), not the smallest-id one [[connectedComponents]]
+    * alone would pick. This is the "keep the best duplicate" step real
+    * curation pipelines run between near-dup detection and the final
+    * corpus cut. Inputs: the pair graph `(id_a, id_b)` and a
+    * `(doc_id, quality)` relation. Returns (cluster, keep_id, quality).
+    *
+    * Scale shape: components come from the CC loop; the argmax rides ONE
+    * aggregation over (cluster, quality, id) scalar rows — max of a
+    * (quality, -id) struct is the lexicographic argmax, so there is no
+    * per-cluster window or sort, and partial aggregation collapses each
+    * partition to one candidate per cluster before the exchange. */
+  def bestRepresentatives(pairs: DataFrame, scored: DataFrame): DataFrame = {
+    val members = connectedComponents(pairs) // (doc_id, cluster_rep): non-reps
+    val all = members.unionByName(
+      members.select(col("cluster_rep").as("doc_id"), col("cluster_rep")).distinct())
+    all.join(scored.select(col("doc_id"), col("quality")), "doc_id")
+      .groupBy(col("cluster_rep").as("cluster"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster"), (-col("best.neg_id")).cast("bigint").as("keep_id"),
+        col("best.quality").as("quality"))
+  }
+
   private[operators] def ngramPairsSql(threshold: Double): String =
     "toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
       "sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, chr(31))] " +
@@ -719,6 +743,36 @@ object Dedup {
       (s, dir) =>
         connectedComponents(exactJaccardPairs(s, dir, 0.4).select(col("id_a"), col("id_b")))
           .orderBy(col("cluster_rep"), col("doc_id"))),
+
+    // quality-aware resolution over the same clusters: the kept member is
+    // the argmax of a deliberately tie-heavy quality proxy (13 distinct
+    // values), so the (quality DESC, doc_id) tie order is exercised. The
+    // oracle replays components via the recursive CTE and the argmax via
+    // a per-cluster window.
+    NamedQuery(
+      "d11_best_rep",
+      Some(
+        s"WITH RECURSIVE ${ngramPairsSql(0.4)}, " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+          "UNION ALL SELECT id_b, id_a FROM pairs), " +
+          "reach(id, lab) AS (SELECT DISTINCT src, src FROM edges " +
+          "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst), " +
+          "comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id), " +
+          "q AS (SELECT doc_id, CAST(n_chars % 13 AS DOUBLE)/13 AS quality FROM documents), " +
+          "r AS (SELECT cluster, id, quality, row_number() OVER " +
+          "(PARTITION BY cluster ORDER BY quality DESC, id) AS rk " +
+          "FROM comp JOIN q ON q.doc_id = comp.id) " +
+          "SELECT cluster, id AS keep_id, " + OracleRound.stableRoundSql("quality", 4) +
+          " AS quality FROM r WHERE rk = 1 ORDER BY cluster"),
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
+          ((col("n_chars") % 13).cast("double") / lit(13.0)).as("quality"))
+        bestRepresentatives(
+          exactJaccardPairs(s, dir, 0.4).select(col("id_a"), col("id_b")), scored)
+          .select(col("cluster"), col("keep_id"),
+            OracleRound.stableRound(col("quality"), 4).as("quality"))
+          .orderBy(col("cluster"))
+      }),
 
     // SimHash gate (driver-visible): for every EXACT ≥0.4-Jaccard pair
     // (the oracle-computable truth set), assert two properties as INT

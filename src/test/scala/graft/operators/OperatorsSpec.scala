@@ -724,6 +724,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(flags(1000002L)._2 == 1, "planted zero vector must be degenerate")
   }
 
+  test("bestRepresentatives: per-cluster quality argmax, ties to smallest id, reps compete") {
+    import spark.implicits._
+    // two components: {1,2,3} chained, {10,11}; singleton 99 (no pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // argmax quality tie -> min id 2
+      (10L, 0.1), (11L, 0.8),          // plain argmax
+      (99L, 1.0)
+    ).toDF("doc_id", "quality")
+    val got = Dedup.bestRepresentatives(pairs, scored)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ((2L, 0.9)), 10L -> ((11L, 0.8))), s"got $got")
+    // the cluster REP itself must compete: rep 1 wins when it scores best
+    val scored2 = Seq((1L, 0.99), (2L, 0.5), (3L, 0.5), (10L, 0.1), (11L, 0.8))
+      .toDF("doc_id", "quality")
+    val got2 = Dedup.bestRepresentatives(pairs, scored2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(1L) == 1L)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
