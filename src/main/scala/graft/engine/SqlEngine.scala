@@ -328,7 +328,12 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         Selection.stratifiedSplit(t, if (a.nonEmpty) a else Seq(0.8, 0.1, 0.1))),
       "graft_boilerplate" -> ((t, a) =>
         TextAnalysis.boilerplatePhrases(t, a.headOption.map(_.toInt).getOrElse(3),
-          a.lift(1).getOrElse(0.05))))
+          a.lift(1).getOrElse(0.05))),
+      // media tables carry payloads as bytea — the one reference type the
+      // multimodal family needs (frame content returns as bytea too)
+      "graft_sample_frames" -> ((t, a) =>
+        graft.operators.Multimodal.sampleFrames(t,
+          a.headOption.map(_.toInt).getOrElse(4096), a.lift(1).map(_.toInt).getOrElse(1))))
   }
 
   /** Two-relation operator entry points: `fn(left_table, right_table[,

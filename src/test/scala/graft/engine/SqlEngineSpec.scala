@@ -905,6 +905,15 @@ class SqlEngineSpec extends AnyFunSuite {
     val err = intercept[SqlError](e.execute("SELECT * FROM graft_bm25(corpus, nope)"))
     assert(err.kind == SqlError.TableNotExists)
 
+    // frame sampling over a bytea payload column from pure SQL: the frame
+    // grid (index + exact byte counts, tail truncation) comes back typed
+    e.execute("CREATE TABLE media (doc_id bigint PRIMARY KEY, payload bytea)")
+    e.execute("INSERT INTO media (doc_id, payload) VALUES (1, CAST('abcdefghij' AS BINARY))")
+    val frames = e.execute(
+      "SELECT frame_idx, n_bytes FROM graft_sample_frames(media, 4, 2) ORDER BY frame_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(frames == Seq((0L, 4L), (2L, 2L)), s"frame grid wrong: $frames")
+
     // two calls of one function with DIFFERENT args in one statement
     // resolve to distinct result views (args encode by value, not hash)
     val two = e.execute(
