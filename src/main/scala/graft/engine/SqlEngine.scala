@@ -329,6 +329,16 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_boilerplate" -> ((t, a) =>
         TextAnalysis.boilerplatePhrases(t, a.headOption.map(_.toInt).getOrElse(3),
           a.lift(1).getOrElse(0.05))),
+      "graft_heuristic_filter" -> ((t, a) =>
+        TextAnalysis.heuristicFilter(t,
+          minWords = a.headOption.map(_.toLong).getOrElse(50L),
+          maxWords = a.lift(1).map(_.toLong).getOrElse(100000L),
+          minStopHits = a.lift(2).map(_.toInt).getOrElse(2))),
+      "graft_weighted_sample" -> ((t, a) =>
+        Selection.weightedSample(t, a.headOption.map(_.toInt).getOrElse(1000))),
+      "graft_epoch_shuffle" -> ((t, a) =>
+        Selection.epochShuffle(t, a.headOption.map(_.toInt).getOrElse(0),
+          a.lift(1).map(_.toInt).getOrElse(8))),
       // media tables carry payloads as bytea — the one reference type the
       // multimodal family needs (frame content returns as bytea too)
       "graft_sample_frames" -> ((t, a) =>

@@ -207,6 +207,63 @@ object Selection {
     ranked.select(col("doc_id"), col("source"), col("rk"), split.cast("int").as("split"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006): the
+    * top-k documents by key `ln(u)/w`, where `u ∈ (0,1]` derives from the
+    * stable md5 hash — so the "random" draw is a pure function of doc_id
+    * and the sample is reproducible run-over-run (and replayable by the
+    * DuckDB oracle). A document's inclusion probability is proportional to
+    * its weight, exactly the E-S guarantee. Input columns: `doc_id`,
+    * `weight: bigint/double` (> 0). Returns (doc_id, weight, rk), rk 1..k.
+    *
+    * Scale shape: the key is a scan-side projection and the top-k plans as
+    * TakeOrderedAndProject — per-partition heaps of k rows, one k-row
+    * merge; no global sort, no corpus shuffle. Keys are continuous doubles,
+    * so cross-engine rank agreement holds unless two keys collide within
+    * ~1 ulp (probability ~0; ties still break by doc_id on both sides). */
+  def weightedSample(weighted: DataFrame, k: Int): DataFrame = {
+    val u = (idHash(col("doc_id")) + lit(1L)).cast("double") / lit(4294967296.0)
+    val keyed = weighted.select(col("doc_id"), col("weight"),
+      (log(u) / col("weight")).as("es_key"))
+    val top = keyed.orderBy(col("es_key").desc, col("doc_id")).limit(k)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("es_key").desc, col("doc_id"))).cast("bigint"))
+      .select(col("doc_id"), col("weight"), col("rk"))
+  }
+
+  /** Deterministic per-EPOCH reshuffle + shard assignment — the "new
+    * permutation every epoch" a trainer consumes: global position = rank
+    * of md5(epoch:doc_id), shards striped round-robin off that position so
+    * every shard gets |N/shards| ± 1 documents in shuffled order. Distinct
+    * epochs produce independent permutations from the same corpus; the
+    * same epoch always reproduces its own. Input column: `doc_id`.
+    * Returns (doc_id, pos, shard, shard_pos), all 1-based except shard.
+    *
+    * Scale shape: the same two-level prefix sum as [[curriculumOrder]] —
+    * per-hash-bucket counts aggregate scan-side, the exclusive running
+    * count (the only globally-ordered window) runs over the ≤`buckets`-row
+    * counts relation, per-row ranks ride a window PARTITIONED by bucket,
+    * and shard/shard_pos are integer arithmetic off the rank. Pure
+    * fixed-width rows on every exchange. */
+  def epochShuffle(corpus: DataFrame, epoch: Int, shards: Int, buckets: Int = 1024): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val width = math.max(1L, (1L << 32) / buckets)
+    val g = corpus.select(col("doc_id"))
+      .withColumn("h", StableHash.str32(
+        concat(lit("e"), lit(epoch), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("bucket", expr(s"h div $width"))
+    val counts = g.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val exclusive = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("cnt")).over(exclusive), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    g.join(broadcast(offsets), "bucket")
+      .withColumn("pos", (col("offset") + row_number().over(inBucket)).cast("bigint"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"(pos - 1) % $shards").cast("int").as("shard"),
+        (expr(s"(pos - 1) div $shards") + lit(1L)).cast("bigint").as("shard_pos"))
+  }
+
   // ---------- testdata bindings (the driver contract) ----------
 
   /** Deterministic quality proxy over the documents table: 13 distinct
@@ -277,6 +334,32 @@ object Selection {
           "FROM r ORDER BY doc_id"),
       (s, dir) =>
         stratifiedSplit(Tables.load(s, dir, "documents"), Seq(0.8, 0.1, 0.1))
+          .orderBy(col("doc_id")))
+  ,
+
+    NamedQuery(
+      "p12_weighted_sample",
+      Some(
+        s"WITH s AS ($scoredSql), " +
+          "keyed AS (SELECT doc_id, n_tokens AS weight, " +
+          "ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1) / 4294967296.0) / n_tokens AS es_key FROM s), " +
+          "r AS (SELECT doc_id, weight, CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rk FROM keyed) " +
+          "SELECT doc_id, weight, rk FROM r WHERE rk <= 40 ORDER BY doc_id"),
+      (s, dir) =>
+        weightedSample(
+          scoredDocs(s, dir).select(col("doc_id"), col("n_tokens").as("weight")), k = 40)
+          .orderBy(col("doc_id"))),
+
+    NamedQuery(
+      "p13_epoch_shuffle",
+      Some(
+        "WITH g AS (SELECT doc_id, " +
+          "CAST(('0x' || substr(md5('e2:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM documents), " +
+          "r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos FROM g) " +
+          "SELECT doc_id, pos, CAST((pos - 1) % 8 AS INT) AS shard, " +
+          "CAST((pos - 1) // 8 + 1 AS BIGINT) AS shard_pos FROM r ORDER BY doc_id"),
+      (s, dir) =>
+        epochShuffle(Tables.load(s, dir, "documents"), epoch = 2, shards = 8)
           .orderBy(col("doc_id")))
   )
 }

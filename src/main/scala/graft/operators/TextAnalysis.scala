@@ -82,6 +82,60 @@ object TextAnalysis {
       expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("bigint").as("n_bpe"),
       length(col("text")).cast("bigint").as("n_chars"))
 
+  /** Gopher-style heuristic quality rule battery (Rae et al. 2021 §A1.1,
+    * the published web-corpus filter set): per-document metrics, one named
+    * boolean flag per rule, and the composite `keep` decision. Rules:
+    *
+    *   - `f_words`    — word count within [minWords, maxWords]
+    *   - `f_mean_len` — mean word length within [minMeanLen, maxMeanLen]
+    *   - `f_symbol`   — symbol-to-word ratio ('#' chars + '...' runs)
+    *                    below maxSymbolRatio
+    *   - `f_alpha`    — ≥ minAlphaRatio of words contain a letter
+    *   - `f_stop`     — at least minStopHits DISTINCT stop words present
+    *
+    * Thresholds default to the published Gopher values; the stop list is a
+    * parameter because it is corpus/language-specific. Single shuffle-free
+    * projection pass — every metric derives from one `split` plus
+    * length/replace arithmetic, so the 100 TB shape is a pure map over the
+    * scan with no exchange, and the DuckDB oracle replays each rule
+    * bit-for-bit (integer counts and exact IEEE divisions only; no
+    * transcendentals). */
+  def heuristicFilter(corpus: DataFrame,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      stopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopHits: Int = 2): DataFrame = {
+    val stops = stopWords.map(w => s"'$w'").mkString(", ")
+    corpus
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")).cast("bigint"))
+      .withColumn("mean_len_raw",
+        (length(col("text")) - (col("n_words") - lit(1L))).cast("double") / col("n_words"))
+      .withColumn("n_symbols",
+        (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast("bigint") +
+          expr("CAST((length(text) - length(replace(text, '...', ''))) AS BIGINT) div 3"))
+      .withColumn("n_alpha",
+        expr("size(filter(toks, t -> t rlike '[a-zA-Z]'))").cast("bigint"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(array($stops), w -> array_contains(toks, w)))").cast("bigint"))
+      .withColumn("f_words", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("f_mean_len",
+        col("mean_len_raw") >= minMeanLen && col("mean_len_raw") <= maxMeanLen)
+      .withColumn("f_symbol",
+        col("n_symbols").cast("double") / col("n_words") < maxSymbolRatio)
+      .withColumn("f_alpha",
+        col("n_alpha").cast("double") / col("n_words") >= minAlphaRatio)
+      .withColumn("f_stop", col("stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("f_words") && col("f_mean_len") && col("f_symbol") && col("f_alpha") && col("f_stop"))
+      .select(col("doc_id"), col("n_words"),
+        stableRound(col("mean_len_raw"), 4).as("mean_word_len"),
+        col("n_symbols"), col("n_alpha"), col("stop_hits"),
+        col("f_words"), col("f_mean_len"), col("f_symbol"), col("f_alpha"), col("f_stop"),
+        col("keep"))
+  }
+
   /** Top-k terms per document by tf · ln(N/df): two partial-aggregated
     * groupBys + a df join + a per-doc window — the classic sparse
     * feature-extraction op. */
@@ -718,6 +772,38 @@ object TextAnalysis {
             when(col("doc_id") % 5 === 0, lit(" subscribe to our newsletter today"))
               .otherwise(lit(""))).as("text"))
         boilerplatePhrases(aug, n = 3, minDfRatio = 0.1).orderBy(col("phrase"))
-      })
+      }),
+
+    // Gopher rule battery over the documents table. Thresholds/stop list
+    // are tuned to the synthetic corpus vocabulary so every flag actually
+    // discriminates (word counts span ~10..110; the en stop list would
+    // make f_stop constant-false); the published defaults stay on the
+    // operator. Every rule is integer counting + one exact IEEE division,
+    // so the oracle replays bit-for-bit including the boolean flags.
+    NamedQuery(
+      "t12_heuristic_filters",
+      Some {
+        val stops = "'the', 'a', 'value', 'table', 'key'"
+        "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+          "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, " +
+          "CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mlr, " +
+          "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + " +
+          "(length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols, " +
+          "CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha, " +
+          s"CAST(len(list_filter([$stops], w -> list_contains(toks, w))) AS BIGINT) AS stop_hits FROM t), " +
+          "f AS (SELECT *, n_words >= 30 AND n_words <= 100000 AS f_words, " +
+          "mlr >= 3.0 AND mlr <= 10.0 AS f_mean_len, " +
+          "CAST(n_symbols AS DOUBLE) / n_words < 0.1 AS f_symbol, " +
+          "CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS f_alpha, " +
+          "stop_hits >= 2 AS f_stop FROM m) " +
+          "SELECT doc_id, n_words, " + stableRoundSql("mlr", 4) + " AS mean_word_len, " +
+          "n_symbols, n_alpha, stop_hits, f_words, f_mean_len, f_symbol, f_alpha, f_stop, " +
+          "(f_words AND f_mean_len AND f_symbol AND f_alpha AND f_stop) AS keep " +
+          "FROM f ORDER BY doc_id"
+      },
+      (s, dir) =>
+        heuristicFilter(docs(s, dir), minWords = 30L,
+          stopWords = Seq("the", "a", "value", "table", "key"))
+          .orderBy(col("doc_id")))
   )
 }

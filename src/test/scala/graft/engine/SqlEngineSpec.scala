@@ -834,6 +834,31 @@ class SqlEngineSpec extends AnyFunSuite {
       "SELECT source, count(*) AS n FROM graft_cap_per_source(sourced, 3) GROUP BY source")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(capped == Map("a" -> 3L, "b" -> 1L))
+
+    // Gopher rule battery from SQL: the 9-word docs clear a minWords=5
+    // floor, 'short' does not; result matches the DataFrame API
+    val kept = e.execute(
+      "SELECT doc_id FROM graft_heuristic_filter(corpus, 5) WHERE f_words ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val keptApi = graft.operators.TextAnalysis
+      .heuristicFilter(e.execute("SELECT doc_id, text FROM corpus"), minWords = 5L)
+      .filter("f_words").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == keptApi && kept == Seq(1L, 2L, 3L, 4L))
+
+    // deterministic E-S sampling + epoch reshuffle from SQL
+    e.execute("CREATE TABLE weights (doc_id bigint PRIMARY KEY, weight bigint)")
+    e.execute("INSERT INTO weights VALUES (1, 1), (2, 10), (3, 100), (4, 1000), (5, 1)")
+    val viaTvf = e.execute(
+      "SELECT doc_id FROM graft_weighted_sample(weights, 3) ORDER BY rk")
+      .collect().map(_.getLong(0)).toSeq
+    val viaSel = graft.operators.Selection
+      .weightedSample(e.execute("SELECT doc_id, weight FROM weights"), 3)
+      .orderBy("rk").collect().map(_.getLong(0)).toSeq
+    assert(viaTvf == viaSel && viaTvf.size == 3)
+    val shuffled = e.execute(
+      "SELECT count(DISTINCT pos) AS n, count(DISTINCT shard) AS s FROM graft_epoch_shuffle(sourced, 1, 4)")
+      .collect().head
+    assert(shuffled.getLong(0) == 11L && shuffled.getLong(1) == 4L)
   }
 
   test("two-table functions: bm25/decontaminate/admit and stratified split from pure SQL") {

@@ -744,6 +744,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2(1L) == 1L)
   }
 
+  test("heuristicFilter: each Gopher rule fires on its planted violation, defaults pass clean prose") {
+    import spark.implicits._
+    val clean = ("the quick brown fox jumps over and over to the riverbank " * 6).trim // 66 words, stopwords the/and/to/of? the,and,to present
+    val docs = Seq(
+      (1L, clean),                                        // passes every rule
+      (2L, "too short to keep"),                          // f_words (4 < 50)
+      (3L, ("## ### #### " * 30).trim + " " + clean),     // symbol-heavy → f_symbol + f_alpha
+      (4L, ("zz " * 80).trim),                            // mean len 2 < 3 → f_mean_len; no stopwords → f_stop
+      (5L, ("internationalization " * 60).trim))          // mean len 21 > 10 → f_mean_len
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.heuristicFilter(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"), "clean doc must pass all rules")
+    assert(!r(2L).getAs[Boolean]("f_words") && !r(2L).getAs[Boolean]("keep"))
+    assert(!r(3L).getAs[Boolean]("f_symbol"), "hash-mark symbols must trip the symbol ratio")
+    assert(!r(3L).getAs[Boolean]("f_alpha"), "letterless words must trip the alpha ratio")
+    assert(!r(4L).getAs[Boolean]("f_mean_len") && !r(4L).getAs[Boolean]("f_stop"))
+    assert(!r(5L).getAs[Boolean]("f_mean_len"))
+    // ellipsis runs count 1 symbol per '...' (length-delta div 3)
+    val dots = TextAnalysis.heuristicFilter(
+      Seq((9L, "a b c... d... e f g h")).toDF("doc_id", "text")).head()
+    assert(dots.getAs[Long]("n_symbols") == 2L)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -155,4 +155,65 @@ class SelectionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Selection.stratifiedSplit(df, Seq.empty))
     intercept[IllegalArgumentException](Selection.stratifiedSplit(df, Seq(1.5, -0.5)))
   }
+
+  test("weightedSample: E-S top-k equals the naive global ranking, reproducible") {
+    val df = (0 until 400).map(i => (i.toLong, 1L + i % 13)).toDF("doc_id", "weight")
+    val a = Selection.weightedSample(df, 50)
+    assert(a.exceptAll(Selection.weightedSample(df, 50)).isEmpty, "must be reproducible")
+    assert(a.count() == 50)
+    val got = a.orderBy("rk").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // naive reference: same key formula, global sort on the driver
+    val naive = df.collect().map { r =>
+      val id = r.getLong(0); val w = r.getLong(1)
+      val u = (java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8), 16) + 1L) / 4294967296.0
+      (id, math.log(u) / w)
+    }.sortBy { case (id, k) => (-k, id) }.take(50).zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1L) }
+    assert(got.toSeq == naive.toSeq)
+    assert(got.map(_._1).sorted.toSeq == got.map(_._1).distinct.sorted.toSeq,
+      "sampling is WITHOUT replacement")
+  }
+
+  test("weightedSample: heavier documents are sampled preferentially; k >= n keeps all") {
+    // two weight classes, 200 docs each: weight 1 vs weight 50
+    val df = (0 until 400).map(i => (i.toLong, if (i < 200) 1L else 50L))
+      .toDF("doc_id", "weight")
+    val picked = Selection.weightedSample(df, 60).collect().map(_.getLong(0))
+    val heavy = picked.count(_ >= 200)
+    assert(heavy > 45, s"weight-50 class should dominate the sample, got $heavy/60")
+    assert(Selection.weightedSample(df, 1000).count() == 400)
+    assert(Selection.weightedSample(df.limit(0), 10).count() == 0)
+  }
+
+  test("epochShuffle: dense permutation, balanced striped shards, epoch independence") {
+    val df = (0 until 333).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val r = Selection.epochShuffle(df, epoch = 1, shards = 8).collect()
+    assert(r.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to 333L), "pos must be a dense permutation")
+    val byShard = r.groupBy(_.getAs[Int]("shard")).view.mapValues(_.length).toMap
+    assert(byShard.keySet == (0 until 8).toSet)
+    assert(byShard.values.max - byShard.values.min <= 1, s"shards unbalanced: $byShard")
+    // shard_pos dense within each shard
+    r.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("shard_pos")).sorted.toSeq == (1L to rows.length.toLong))
+    }
+    // a different epoch is a genuinely different permutation of the same ids
+    val e2 = Selection.epochShuffle(df, epoch = 2, shards = 8)
+      .select("doc_id", "pos").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val e1 = r.map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("pos")).toMap
+    assert(e1.keySet == e2.keySet)
+    assert(e1.count { case (id, p) => e2(id) == p } < 10,
+      "epochs 1 and 2 produced near-identical permutations")
+    // same epoch reproduces itself
+    val again = Selection.epochShuffle(df, epoch = 1, shards = 8)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("pos")).toMap
+    assert(again == e1)
+  }
+
+  test("epochShuffle: bucketed equals the naive global row_number") {
+    val df = (0 until 250).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val bucketed = Selection.epochShuffle(df, epoch = 3, shards = 4, buckets = 32)
+    val naive = Selection.epochShuffle(df, epoch = 3, shards = 4, buckets = 1)
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+  }
 }

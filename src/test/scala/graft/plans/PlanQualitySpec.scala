@@ -408,6 +408,37 @@ class PlanQualitySpec extends AnyFunSuite {
       "global unpartitioned window over the corpus")
   }
 
+  test("p12 weighted sample: top-k lowers to TakeOrderedAndProject — no global sort") {
+    val p = plan("p12_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "E-S top-k must plan as per-partition heaps, not a full sort")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      "sample key derives from doc_id + weight only — scan reads more")
+    // the only Sort allowed is the k-row post-limit window / final ORDER BY
+    assert(!p.contains("SortMergeJoin"), "no join belongs in this plan")
+  }
+
+  test("p13 epoch shuffle: rank window is bucket-partitioned; offsets broadcast") {
+    val p = plan("p13_epoch_shuffle")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      "epoch shuffle needs only doc_id — scan reads more")
+    assert("windowspecdefinition\\(bucket#\\d+L, h#\\d+L ASC".r.findFirstIn(p).isDefined,
+      "rank window lost its bucket partitioning")
+    assert("windowspecdefinition\\(h#\\d+L ASC".r.findFirstIn(p).isEmpty,
+      "global unpartitioned window over the corpus")
+    assert(p.contains("BroadcastHashJoin"), "bucket offsets must broadcast back")
+  }
+
+  test("t12 heuristic filters: single-pass projection — no exchange at all") {
+    val p = graft.operators.TextAnalysis
+      .heuristicFilter(Tables.load(spark, dir, "documents"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"),
+      "rule battery must stay a shuffle-free map over the scan")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "rule battery needs only (doc_id, text) — scan reads more")
+  }
+
   test("salted join distributes a hot key and matches the plain join") {
     val events = Tables.load(spark, dir, "events")
     // manufacture skew: all rows collapsed onto user 0 for half the data
