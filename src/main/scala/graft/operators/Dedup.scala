@@ -90,16 +90,38 @@ object Dedup {
       expr("simhash64(split(lower(text), '\\\\s+'))").as("sim"))
   }
 
-  /** The persisted NEAR-dup index unit: 4×16-bit band rows per sketched
-    * doc — `(band, bucket, sim, doc_id)`, ~28 B/row, 4 rows per admitted
-    * doc. [[incrementalNearAdmit]] probes it by `(band, bucket)` equi-
-    * join; appending an increment's admissions is
-    * `bandRows(admitted sketches)`, no rebuild. */
+  /** The persisted NEAR-dup index unit: DISTINCT 4×16-bit band rows over
+    * the corpus's sketches — `(band, bucket, sim)`, ~20 B/row, ≤4 rows
+    * per DISTINCT sketch (clones contribute nothing — a clone-heavy
+    * 10¹¹-row history indexes only its distinct sketch set, and the
+    * [[incrementalNearAdmit]] probe's join output scales with distinct
+    * sketches per bucket, not rows). Appending an increment's admissions
+    * is `bandRows(admitted)` with NO re-distinct against history: an
+    * admitted sketch sits at Hamming > maxHamming ≥ 1 from every indexed
+    * sketch (else it would have been rejected), so equality with an
+    * existing index row is impossible, and admitted sketches are distinct
+    * among themselves (identical sketches share a cluster, which admits
+    * one representative). */
   def bandRows(sketched: DataFrame): DataFrame =
+    bandSims(sketched.select(col("sim")).distinct())
+
+  /** Per-DOC band rows `(band, bucket, sim, doc_id)` — the provenance-
+    * carrying variant for stores that track which doc contributed a row
+    * (the streaming band table). The probe side never needs it: admission
+    * is a property of the sketch alone. */
+  def docBandRows(sketched: DataFrame): DataFrame =
     sketched.select(col("doc_id"), col("sim"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
         .as(Seq("band", "bucket")))
       .select(col("band").cast("bigint").as("band"), col("bucket"), col("sim"), col("doc_id"))
+
+  /** Bands a relation of (distinct) `sim` sketches: `(band, bucket, sim)`
+    * with band 0..3 over 16-bit chunks. */
+  private def bandSims(sims: DataFrame): DataFrame =
+    sims.select(col("sim"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
+        .as(Seq("band", "bucket")))
+      .select(col("band").cast("bigint").as("band"), col("bucket"), col("sim"))
 
   /** Incremental NEAR-dup admission against a PERSISTED band index — the
     * d08 growing-corpus pattern extended from exact to near duplicates:
@@ -115,28 +137,43 @@ object Dedup {
     * order-dependent greedy of a sequential scan.
     *
     * Scale shape: the increment sketches once (8 B/doc); the index probe
-    * is a (band, bucket) equi-join whose exchanges carry
-    * (band, bucket, sim, id) rows — text never leaves its scan; history
-    * cost is the probe of 4·|increment| bucket keys, independent of
-    * corpus size. Returns admitted `(doc_id, sim)` — append
+    * is a (band, bucket) equi-join of DISTINCT sketch rows on BOTH sides
+    * — the index stores distinct `(band, bucket, sim)` by construction
+    * ([[bandRows]]) and the increment probes its distinct sketches, so
+    * the join output is (distinct increment sketches per bucket) ×
+    * (distinct history sketches per bucket): clone-heavy corpora (the
+    * common web-scale shape) collapse BEFORE the join, and every
+    * exchange carries (band, bucket, sim) rows — text never leaves its
+    * scan. Bucket-space verdict for the 10¹¹-DISTINCT-sketch tail: 4
+    * bands over 2¹⁶ buckets still average |distinct|/65k history
+    * sketches per bucket, so a corpus whose DISTINCT sketch count
+    * reaches 10¹¹ wants a 128-bit SimHash with 4×32-bit bands (same
+    * Hamming ≤ 3 pigeonhole, 2³² buckets → ~23 sketches/bucket). That
+    * variant needs only a wider sketch kernel (two longs) and this same
+    * probe; it is NOT wired here because the 64-bit sketch's distinct
+    * count saturates far below 10¹¹ on natural text (empirically ~5%
+    * distinct at 30× — SCALE_NOTES.md — and 2⁶⁴ sketch space bounds it),
+    * making the distinct-probe fix the binding constraint at realistic
+    * scale. Returns admitted `(doc_id, sim)` — append
     * `bandRows(admitted)` to the index. */
   def incrementalNearAdmit(increment: DataFrame, bandIndex: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     // one signature pass feeds the probe, the survivor set, and the
     // in-increment clustering
     val sk = simSketch(increment).localCheckpoint()
-    val rejected = bandRows(sk)
+    // rejection is a property of the SKETCH, not the doc: probe distinct
+    // increment sketches against the distinct index, then anti-join docs
+    // by sketch — increment clones never reach the probe join
+    val rejectedSims = bandSims(sk.select(col("sim")).distinct())
       .join(bandIndex.select(col("band"), col("bucket"), col("sim").as("hsim")),
         Seq("band", "bucket"))
       .filter(expr(s"bit_count(sim ^ hsim) <= $maxHamming"))
-      .select(col("doc_id")).distinct()
-    val surv = sk.join(rejected, Seq("doc_id"), "left_anti")
+      .select(col("sim")).distinct()
+    val surv = sk.join(rejectedSims, Seq("sim"), "left_anti")
     // in-increment clustering over DISTINCT sketches; identical-sketch
     // docs share a group without ever generating a pair
     val ds = surv.select(col("sim")).distinct()
-    val db = ds.select(col("sim"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
-        .as(Seq("band", "bucket")))
+    val db = bandSims(ds)
     val simPairs = db.as("a")
       .join(db.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

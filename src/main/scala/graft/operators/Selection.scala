@@ -211,9 +211,15 @@ object Selection {
     * top-k documents by key `ln(u)/w`, where `u ∈ (0,1]` derives from the
     * stable md5 hash — so the "random" draw is a pure function of doc_id
     * and the sample is reproducible run-over-run (and replayable by the
-    * DuckDB oracle). A document's inclusion probability is proportional to
-    * its weight, exactly the E-S guarantee. Input columns: `doc_id`,
-    * `weight: bigint/double` (> 0). Returns (doc_id, weight, rk), rk 1..k.
+    * DuckDB oracle). Sequential weighted sampling WITHOUT replacement per
+    * Efraimidis–Spirakis: the first draw is exactly probability-
+    * proportional-to-weight; later draws follow the E-S without-
+    * replacement scheme (not strict PPS inclusion). Input columns:
+    * `doc_id`, `weight: bigint/double`. Rows with `weight <= 0` (or NULL)
+    * are EXCLUDED before keying — `ln(u)/w` with w < 0 flips the key's
+    * sign and would silently rank a negative-weight doc first, so
+    * non-positive weights are treated as "never sample" rather than
+    * corrupting the order. Returns (doc_id, weight, rk), rk 1..k.
     *
     * Scale shape: the key is a scan-side projection and the top-k plans as
     * TakeOrderedAndProject — per-partition heaps of k rows, one k-row
@@ -222,8 +228,8 @@ object Selection {
     * ~1 ulp (probability ~0; ties still break by doc_id on both sides). */
   def weightedSample(weighted: DataFrame, k: Int): DataFrame = {
     val u = (idHash(col("doc_id")) + lit(1L)).cast("double") / lit(4294967296.0)
-    val keyed = weighted.select(col("doc_id"), col("weight"),
-      (log(u) / col("weight")).as("es_key"))
+    val keyed = weighted.filter(col("weight") > 0)
+      .select(col("doc_id"), col("weight"), (log(u) / col("weight")).as("es_key"))
     val top = keyed.orderBy(col("es_key").desc, col("doc_id")).limit(k)
     top.withColumn("rk",
         row_number().over(Window.orderBy(col("es_key").desc, col("doc_id"))).cast("bigint"))

@@ -167,8 +167,18 @@ object Similarity {
   def lloydAssign(base: DataFrame, seeds: Array[Array[Double]], iters: Int): DataFrame = {
     require(seeds.nonEmpty && iters >= 1, "need seeds and at least one iteration")
     VectorFunctions.register(base.sparkSession)
+    // iterated runs re-evaluate the base projection once per iteration
+    // (component aggregate + next assignment both consume it): pin
+    // (vec_id, embedding) ONCE so every pass scans a materialized
+    // columnar artifact instead of re-running the upstream lineage
+    // (casts, unions, transforms). Single-pass calls keep the lazy plan —
+    // there is nothing to re-evaluate, so a checkpoint would only add a
+    // materialization.
+    val pts =
+      if (iters > 1) base.select(col("vec_id"), col("embedding")).localCheckpoint()
+      else base.select(col("vec_id"), col("embedding"))
     def assign(cents: Array[Array[Double]]): DataFrame =
-      base.withColumn("cluster",
+      pts.withColumn("cluster",
         call_function("nearest_centroid",
           col("embedding"), typedLit(cents.map(_.toSeq).toSeq)))
     var centroids = seeds

@@ -94,31 +94,40 @@ object TextAnalysis {
     *   - `f_stop`     — at least minStopHits DISTINCT stop words present
     *
     * Thresholds default to the published Gopher values; the stop list is a
-    * parameter because it is corpus/language-specific. Single shuffle-free
-    * projection pass — every metric derives from one `split` plus
-    * length/replace arithmetic, so the 100 TB shape is a pure map over the
-    * scan with no exchange, and the DuckDB oracle replays each rule
-    * bit-for-bit (integer counts and exact IEEE divisions only; no
-    * transcendentals). */
+    * parameter because it is corpus/language-specific (built with the
+    * Column API, so stop words containing quotes — "don't" — are plain
+    * data, never SQL text). Whitespace runs (space/tab/CR/LF) are
+    * normalized to a single space and the text trimmed BEFORE
+    * tokenization, so newlines, tabs, and double spaces neither inflate
+    * n_words nor distort mean word length — the Gopher semantics hold on
+    * real corpora, not just single-space-separated text. Single
+    * shuffle-free projection pass — every metric derives from one `split`
+    * plus length/replace arithmetic, so the 100 TB shape is a pure map
+    * over the scan with no exchange, and the DuckDB oracle replays the
+    * same normalization and each rule bit-for-bit (integer counts and
+    * exact IEEE divisions only; no transcendentals). */
   def heuristicFilter(corpus: DataFrame,
       minWords: Long = 50L, maxWords: Long = 100000L,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
       stopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
       minStopHits: Int = 2): DataFrame = {
-    val stops = stopWords.map(w => s"'$w'").mkString(", ")
     corpus
-      .withColumn("toks", split(col("text"), " "))
+      // explicit class, not \s: Java \s includes \x0B where RE2 (the
+      // oracle's engine) does not — both engines agree on this set
+      .withColumn("nt", trim(regexp_replace(col("text"), "[ \\t\\r\\n]+", " ")))
+      .withColumn("toks", split(col("nt"), " "))
       .withColumn("n_words", size(col("toks")).cast("bigint"))
       .withColumn("mean_len_raw",
-        (length(col("text")) - (col("n_words") - lit(1L))).cast("double") / col("n_words"))
+        (length(col("nt")) - (col("n_words") - lit(1L))).cast("double") / col("n_words"))
       .withColumn("n_symbols",
-        (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast("bigint") +
-          expr("CAST((length(text) - length(replace(text, '...', ''))) AS BIGINT) div 3"))
+        (length(col("nt")) - length(replace(col("nt"), lit("#"), lit("")))).cast("bigint") +
+          expr("CAST((length(nt) - length(replace(nt, '...', ''))) AS BIGINT) div 3"))
       .withColumn("n_alpha",
         expr("size(filter(toks, t -> t rlike '[a-zA-Z]'))").cast("bigint"))
       .withColumn("stop_hits",
-        expr(s"size(filter(array($stops), w -> array_contains(toks, w)))").cast("bigint"))
+        size(filter(array(stopWords.map(lit): _*),
+          w => array_contains(col("toks"), w))).cast("bigint"))
       .withColumn("f_words", col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("f_mean_len",
         col("mean_len_raw") >= minMeanLen && col("mean_len_raw") <= maxMeanLen)
@@ -784,11 +793,13 @@ object TextAnalysis {
       "t12_heuristic_filters",
       Some {
         val stops = "'the', 'a', 'value', 'table', 'key'"
-        "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), " +
+        "WITH t0 AS (SELECT doc_id, trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS nt " +
+          "FROM documents), " +
+          "t AS (SELECT doc_id, nt, string_split(nt, ' ') AS toks FROM t0), " +
           "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, " +
-          "CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mlr, " +
-          "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) + " +
-          "(length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols, " +
+          "CAST(length(nt) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mlr, " +
+          "CAST(length(nt) - length(replace(nt, '#', '')) AS BIGINT) + " +
+          "(length(nt) - length(replace(nt, '...', ''))) // 3 AS n_symbols, " +
           "CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha, " +
           s"CAST(len(list_filter([$stops], w -> list_contains(toks, w))) AS BIGINT) AS stop_hits FROM t), " +
           "f AS (SELECT *, n_words >= 30 AND n_words <= 100000 AS f_words, " +

@@ -443,7 +443,7 @@ object EventStreams {
     * bucket bigint, sim bigint, doc_id bigint, query_id text,
     * batch_id bigint)` (every managed table carries a primary index —
     * reference parity — and band rows have no natural single-column
-    * key); batch-side index appends (`Dedup.bandRows`) leave the
+    * key); batch-side index appends (`Dedup.docBandRows`) leave the
     * provenance NULL. Exactly-once under crash replay by the same
     * three-step protocol as [[ingestBatchDeduped]]. */
   def ingestNearDeduped(docs: DataFrame, engine: graft.engine.SqlEngine,
@@ -462,7 +462,7 @@ object EventStreams {
     ingestBatchWithIndex(batch, engine, docsTable, bandTable, queryId, batchId,
       viewTag = "nd", historyCols = Seq("band", "bucket", "sim"),
       admit = (inc, idx) => graft.operators.Dedup.incrementalNearAdmit(inc, idx),
-      indexRows = a => graft.operators.Dedup.bandRows(a)
+      indexRows = a => graft.operators.Dedup.docBandRows(a)
         .select(col("band"), col("bucket"), col("sim"), col("doc_id")),
       // the band table's PK is a synthetic serial, so the probe leads on
       // (band, bucket) — selective, though not PK-prunable like the digest

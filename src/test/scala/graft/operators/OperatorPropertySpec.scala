@@ -152,6 +152,33 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(res.passed, s"lloyd sweep: $res")
   }
 
+  test("weightedSample sweep: non-positive weights are excluded, never promoted") {
+    // ln(u)/w with w < 0 flips the key's sign — before the guard, a single
+    // negative-weight row would rank FIRST in every sample. The property:
+    // sampling a corpus with mixed-sign weights is exactly sampling its
+    // positive-weight subset (same rows, same ranks), and no non-positive
+    // row ever appears.
+    val genRows: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L),
+        Gen.oneOf(Gen.choose(1L, 99L), Gen.oneOf(-50L, -1L, 0L))))
+    } yield rows.groupBy(_._1).map { case (id, ws) => (id, ws.head._2) }.toList
+    val prop = Prop.forAll(genRows, Gen.choose(1, 10)) { (rows, k) =>
+      val mixed = Selection.weightedSample(rows.toDF("doc_id", "weight"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+      val positive = Selection
+        .weightedSample(rows.filter(_._2 > 0).toDF("doc_id", "weight"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+      val nPos = rows.count(_._2 > 0)
+      mixed.sameElements(positive) &&
+        mixed.forall(_._2 > 0) &&
+        mixed.length == math.min(k, nPos) &&
+        mixed.map(_._3).toSeq == (1L to mixed.length.toLong)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(10, 30)), prop)
+    assert(res.passed, s"weightedSample sweep: $res")
+  }
+
   test("boilerplatePhrases sweep: matches naive distinct-ngram df counting") {
     val vocab = Vector("aa", "bb", "cc", "dd")
     val genCorpus: Gen[List[(Long, String)]] = for {

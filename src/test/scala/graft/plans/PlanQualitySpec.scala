@@ -175,6 +175,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchangeSections.nonEmpty, "expected exchanges in the admit plan")
     exchangeSections.foreach(s =>
       assert(!s.contains("text#"), s"document text crossed an exchange:\n$s"))
+    // the index probe must join DISTINCT sketch rows on both sides —
+    // history clones and increment clone groups collapse BEFORE the
+    // (band, bucket) join, so its output scales with distinct sketches
+    // per bucket, not corpus rows. Every (band, bucket) exchange
+    // therefore carries only (band, bucket, sim): a doc_id crossing one
+    // means a per-doc relation leaked back into the probe.
+    val probeExchanges = exchangeSections.filter(_.contains("band#"))
+    assert(probeExchanges.nonEmpty, "expected band-row-carrying probe exchanges")
+    probeExchanges.foreach(s =>
+      assert(!s.contains("doc_id#"), s"per-doc rows crossed the probe exchange:\n$s"))
+    assert("Keys \\[1\\]: \\[sim#\\d+L\\]".r.findFirstIn(p).isDefined,
+      "distinct-sketch aggregate missing below the probe join")
     assert(p.contains("LeftAnti"), "history rejection must plan as an anti-join")
     assert(p.contains("Scan ExistingRDD"),
       "the increment must sketch once (checkpointed), not per consumer")
@@ -318,13 +330,17 @@ class PlanQualitySpec extends AnyFunSuite {
       "scan reads columns BM25 never uses")
   }
 
-  test("s06 kmeans: assignment is a join-free codegen'd projection over the scan") {
+  test("s06 kmeans: assignment is a join-free codegen'd projection over the pinned base") {
     val p = plan("s06_kmeans")
     assert(p.contains("nearest_centroid"), "codegen'd assignment kernel missing")
     assert(!p.contains("Join"), "k-means assignment must not join — centroids ride as a literal")
-    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
-      || p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<double>>"),
-      "scan reads columns the assignment never uses")
+    // iterated Lloyd pins (vec_id, embedding) once: every pass (and the
+    // final assignment seen here) scans the checkpointed artifact, not
+    // the re-derived upstream lineage
+    assert(p.contains("Scan ExistingRDD"),
+      "iterated base must be a materialized artifact, not live lineage")
+    assert("Output \\[2\\]: \\[vec_id#\\d+L, embedding#\\d+\\]".r.findFirstIn(p).isDefined,
+      "pinned artifact must carry exactly (vec_id, embedding)")
   }
 
   test("m04 frame sampling: generate-only plan — no shuffle, no UDF object row") {

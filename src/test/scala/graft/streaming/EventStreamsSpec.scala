@@ -303,7 +303,7 @@ class EventStreamsSpec extends AnyFunSuite {
     // crash window: apply only the index half of batch 2, then replay —
     // docs must land, index must not double, the historical clone stays out
     val b2 = Seq((5L, tB), (6L, tC)).toDF("doc_id", "text")
-    graft.operators.Dedup.bandRows(
+    graft.operators.Dedup.docBandRows(
       graft.operators.Dedup.incrementalNearAdmit(
         b2, e.execute("SELECT band, bucket, sim FROM bix")))
       .select(col("band"), col("bucket"), col("sim"), col("doc_id"),
