@@ -141,6 +141,31 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     else spark.read.schema(d.toStructType).parquet(paths: _*)
   }
 
+  /** Change-feed consumption that SURVIVES compaction — the documented
+    * recovery path of [[readTableChanges]] as code. Fast path: the
+    * append-only file delta of (`fromV`, `toV`]. When that interval is
+    * not a file delta (a compaction publish crossed it, or its versions
+    * expired from the capped history / were vacuumed), falls back to the
+    * full snapshot at `toV` anti-joined on `keyCols` against `consumed`
+    * — the consumer's own record (digest index, PK log, ...) of rows
+    * already processed. Both paths deliver "rows at `toV` the consumer
+    * has not seen": no loss, no dupes, no bespoke restart logic. The
+    * fallback is correct for ANY incremental-read failure, which is why
+    * the catch is by error kind, not by failure cause: snapshot ⊖
+    * consumed is the unseen set by definition. Scale shape: the anti-
+    * join shuffles `keyCols` only (the d08 admit discipline — keep keys
+    * as digests/ids, never text). */
+  def readTableChangesResumable(db: String, schema: String, table: String,
+      fromV: Long, toV: Long, consumed: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    try readTableChanges(db, schema, table, fromV, toV)
+    catch {
+      case e: SqlError if e.kind == SqlError.Unexpected =>
+        readTableAt(db, schema, table, toV)
+          .join(consumed.select(keyCols.map(col): _*), keyCols, "left_anti")
+    }
+  }
+
   // ---------- query path ----------
 
   /** Registers ONLY the statement's referenced tables as temp views (the
@@ -286,10 +311,17 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
   private val tableFunctions: Map[String, (DataFrame, Seq[Double]) => DataFrame] = {
     import graft.operators.{Dedup, Packing, Selection, TextAnalysis}
     Map(
-      // NOTE: no graft_semdedup here — managed tables carry only the
-      // reference's 8 scalar types (no arrays), so an embedding-typed
-      // relation can never arrive via this seam; SemDeDup stays
-      // DataFrame-API-only (operators.Dedup.semDedup).
+      // NOTE: no graft_semdedup/graft_kmeans here — managed tables carry
+      // only the reference's 8 scalar types (no arrays), so an
+      // embedding-typed relation can never arrive via THIS seam; they
+      // enter through [[viewFunctions]] (a registered temp view named by
+      // a string argument) instead.
+      "graft_tfidf" -> ((t, a) =>
+        TextAnalysis.tfidfTerms(t, a.headOption.map(_.toInt).getOrElse(3))),
+      "graft_repetition" -> ((t, a) =>
+        TextAnalysis.repetitionStats(t, a.headOption.getOrElse(0.65),
+          a.lift(1).getOrElse(0.1))),
+      "graft_lm_score" -> ((t, _) => TextAnalysis.lmScore(t)),
       "graft_classifier_score" -> ((t, a) => {
         val dim = a.headOption.map(_.toInt).getOrElse(4096)
         TextAnalysis.classifierScore(t,
@@ -360,6 +392,42 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_decontaminate" -> ((corpus, bench, a) =>
         Curation.contamination(corpus, bench, a.headOption.map(_.toInt).getOrElse(3))),
       "graft_admit" -> ((inc, idx, _) => Dedup.incrementalAdmit(inc, idx)))
+  }
+
+  /** Operators whose tuning parameters are STRINGS, entered as trailing
+    * quoted literals: `fn(table, 'str'[, 'str' ...][, num ...])`. The
+    * tokenizer unescapes `''` per PG rules, so patterns containing
+    * quotes arrive as plain data. */
+  private val stringTableFunctions: Map[String, (DataFrame, Seq[String], Seq[Double]) => DataFrame] =
+    Map(
+      "graft_redact" -> ((t, ss, _) =>
+        graft.operators.TextAnalysis.redact(t, ss.head, ss.lift(1).getOrElse("[redacted]"))))
+
+  /** Registered-relation ESCAPE HATCH: operators whose input needs an
+    * embedding ARRAY column, which managed tables (restricted to the
+    * reference's 8 scalar types — descriptor parity) can never host.
+    * `fn('view_name'[, num ...])` resolves a SESSION TEMP VIEW by name,
+    * so a user registers an embedding-typed DataFrame once and reaches
+    * SemDeDup / k-means from pure SQL with the exact semantics of the
+    * DataFrame API. Seed/quantizer setup mirrors the s06/d10 bindings
+    * (deterministic, bounded k-row driver collect). */
+  private val viewFunctions: Map[String, (DataFrame, Seq[Double]) => DataFrame] = {
+    import graft.operators.{Dedup, Similarity}
+    Map(
+      "graft_semdedup" -> ((rel, a) => {
+        val tau = a.headOption.getOrElse(0.8)
+        val cells = a.lift(1).map(_.toInt).getOrElse(16)
+        Dedup.semDedup(
+          Similarity.assignCells(rel, Similarity.trainQuantizer(rel, cells)), tau)
+      }),
+      "graft_kmeans" -> ((rel, a) => {
+        val k = a.headOption.map(_.toInt).getOrElse(8)
+        val iters = a.lift(1).map(_.toInt).getOrElse(2)
+        val seeds = rel.orderBy(col("vec_id")).limit(k)
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        Similarity.lloydAssign(rel, seeds, iters)
+      }))
   }
 
   /** Table functions over the table IDENTITY rather than its current
@@ -433,73 +501,132 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         val hosting = schemas.filter(s => catalog.tableExists(ctx.database, s, name))
         if (hosting.isEmpty) None else Some(hosting.max)
       })
-    // `fn(table[, num ...])` at position i (spans(i)=fn, spans(i+1)="(")
-    // becomes a temp view holding the operator plan over the table's
-    // snapshot; returns (view, splice end, next token index). A shape
-    // mismatch returns None and the call passes through to Spark, which
-    // reports the unresolved function — never a silent rewrite.
+    // `fn(input[, input][, 'str' ...][, num ...])` at position i
+    // (spans(i)=fn, spans(i+1)="(") becomes a temp view holding the
+    // operator plan; returns (view, splice end, next token index). An
+    // INPUT is a dotted table chain resolved against the snapshot, or —
+    // one level of composition, recursing through this same splice — a
+    // nested TVF call (`graft_dedup_exact(graft_heuristic_filter(t))`),
+    // except for snapshot functions, whose semantics bind to the table
+    // IDENTITY and need a real table. View functions instead take a
+    // quoted SESSION TEMP VIEW name (the embedding-typed escape hatch).
+    // A shape mismatch returns None and the call passes through to
+    // Spark, which reports the unresolved function — never a silent
+    // rewrite.
     def spliceTableFunction(i: Int, fn: String): Option[(String, Int, Int)] = {
+      def strTok(ix: Int): Option[String] =
+        spans.lift(ix).map(_.tok).collect { case Str(s) => s }
+      def isTvf(w: String): Boolean =
+        tableFunctions.contains(w) || stringTableFunctions.contains(w) ||
+          snapshotFunctions.contains(w) || twoTableFunctions.contains(w) ||
+          viewFunctions.contains(w)
       var j = i + 2
-      val parts = Vector.newBuilder[String]
-      word(j) match {
-        case Some(w) => parts += w; j += 1
-        case None => return None
+      // Tbl = dotted chain; Nested = inner TVF's result view; ViewName =
+      // user temp view named by a string literal (viewFunctions only)
+      sealed trait In
+      final case class Tbl(parts: Vector[String]) extends In
+      final case class Nested(view: String) extends In
+      final case class ViewName(name: String) extends In
+      def parseInput(): Option[In] = word(j) match {
+        case Some(w) if isTvf(w) && spans.lift(j + 1).exists(_.tok == Sym("(")) =>
+          if (snapshotFunctions.contains(fn)) None
+          else spliceTableFunction(j, w).map { case (v, _, nextI) => j = nextI; Nested(v) }
+        case Some(w) =>
+          val parts = Vector.newBuilder[String]
+          parts += w; j += 1
+          while (dot(j) && word(j + 1).isDefined) { parts += word(j + 1).get; j += 2 }
+          Some(Tbl(parts.result()))
+        case None => None
       }
-      while (dot(j) && word(j + 1).isDefined) { parts += word(j + 1).get; j += 2 }
-      // two-relation functions take a second dotted table chain before any
-      // numeric args; a missing one falls through to Spark's error path
-      var parts2: Option[Vector[String]] = None
+      val first: In =
+        if (viewFunctions.contains(fn)) strTok(j) match {
+          case Some(v) => j += 1; ViewName(v)
+          case None => return None
+        } else parseInput() match {
+          case Some(in) => in
+          case None => return None
+        }
+      // two-relation functions take a second input before any literal args
+      var second: Option[In] = None
       if (twoTableFunctions.contains(fn)) {
-        if (spans.lift(j).exists(_.tok == Sym(",")) && word(j + 1).isDefined) {
-          var jj = j + 1
-          val p2 = Vector.newBuilder[String]
-          p2 += word(jj).get
-          jj += 1
-          while (dot(jj) && word(jj + 1).isDefined) { p2 += word(jj + 1).get; jj += 2 }
-          parts2 = Some(p2.result())
-          j = jj
+        if (spans.lift(j).exists(_.tok == Sym(","))) {
+          j += 1
+          second = parseInput()
+          if (second.isEmpty) return None
         } else return None
       }
       val args = Vector.newBuilder[Double]
+      val strArgs = Vector.newBuilder[String]
       var bad = false
       while (!bad && spans.lift(j).exists(_.tok == Sym(","))) {
         spans.lift(j + 1).map(_.tok) match {
           case Some(Num(v)) => args += v.toDouble; j += 2
+          case Some(Str(s)) => strArgs += s; j += 2
           case _ => bad = true
         }
       }
       if (bad || !spans.lift(j).exists(_.tok == Sym(")"))) return None
+      val as = args.result()
+      val ss = strArgs.result()
+      // string args belong ONLY to functions declared to take them — and
+      // those require at least one (there is no default redaction pattern)
+      if (stringTableFunctions.contains(fn)) { if (ss.isEmpty) return None }
+      else if (ss.nonEmpty) return None
       def locate(p: Vector[String]): (String, String, String) = p match {
         case Seq(t) => (ctx.database, hostOf(t).getOrElse("public"), t)
         case p => resolve(p)
       }
-      val (db, schema, table) = locate(parts.result())
-      val as = args.result()
-      val second = parts2.map(locate)
       // injective name: EVERY variable-length part is length-prefixed
       // (identifiers may contain '_' and digits, so un-prefixed parts make
       // distinct (table1, table2) pairs collide on one view name — and the
       // second createOrReplaceTempView would silently serve the wrong rows)
       def enc(p: (String, String, String)): String =
         s"${p._1.length}_${p._2.length}_${p._3.length}_${p._1}_${p._2}_${p._3}"
-      // args encode by VALUE (IEEE-754 bit pattern in hex, count-prefixed):
-      // a 32-bit hashCode over an unbounded arg space has collisions, and a
-      // collision here silently serves one call's rows to the other
-      val view = s"graft_tvf_${fn}_${enc((db, schema, table))}_" +
-        second.map(p => s"${enc(p)}_").getOrElse("") +
+      def encIn(in: In): String = in match {
+        case Tbl(p) => enc(locate(p))
+        case Nested(v) => s"n${v.length}_$v"
+        case ViewName(v) => s"v${v.length}_$v"
+      }
+      def relOf(in: In): DataFrame = in match {
+        case Tbl(p) => val (d, s2, t) = locate(p); readTable(d, s2, t)
+        // user view / inner TVF view: resolved eagerly here, while it is
+        // guaranteed registered (the statement-scoped drop runs later)
+        case Nested(v) => spark.table(v)
+        case ViewName(v) => spark.table(v)
+      }
+      // args encode by VALUE (IEEE-754 bit pattern in hex, count-prefixed;
+      // strings by SHA-256 of their UTF-8 bytes — fixed-length, identifier-
+      // safe, collisions negligible): a 32-bit hashCode over an unbounded
+      // arg space has collisions, and a collision here silently serves one
+      // call's rows to the other
+      def encStr(s: String): String =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+      val view = s"graft_tvf_${fn}_${encIn(first)}_" +
+        second.map(p => s"${encIn(p)}_").getOrElse("") +
         s"a${as.length}_" +
         as.map(v => java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(v)))
-          .mkString("_")
-      val result = second match {
-        case Some((db2, schema2, table2)) =>
-          twoTableFunctions(fn)(readTable(db, schema, table),
-            readTable(db2, schema2, table2), as)
-        case None =>
-          if (snapshotFunctions.contains(fn)) snapshotFunctions(fn)((db, schema, table), as)
-          else tableFunctions(fn)(readTable(db, schema, table), as)
+          .mkString("_") +
+        (if (ss.isEmpty) "" else s"_s${ss.length}_" + ss.map(encStr).mkString("_"))
+      val result = (first, second) match {
+        case (_, Some(s2)) => twoTableFunctions(fn)(relOf(first), relOf(s2), as)
+        case (Tbl(p), None) if snapshotFunctions.contains(fn) =>
+          snapshotFunctions(fn)(locate(p), as)
+        case (ViewName(_), None) => viewFunctions(fn)(relOf(first), as)
+        case (in, None) if stringTableFunctions.contains(fn) =>
+          stringTableFunctions(fn)(relOf(in), ss, as)
+        case (in, None) => tableFunctions(fn)(relOf(in), as)
       }
       result.createOrReplaceTempView(view)
-      refs.getOrElseUpdate(view, TableRef(db, schema, table, view, tvf = true))
+      refs.getOrElseUpdate(view, first match {
+        case Tbl(p) =>
+          val (d, s2, t) = locate(p)
+          TableRef(d, s2, t, view, tvf = true)
+        // nested/view inputs have no backing managed table; the ref only
+        // drives the statement-scoped view drop
+        case _ => TableRef(ctx.database, "public", view, view, tvf = true)
+      })
       Some((view, spans(j).end, j + 1))
     }
     val out = new StringBuilder
@@ -546,7 +673,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           val tvf =
             if (!prevIsDot && nextParen &&
               (tableFunctions.contains(a) || snapshotFunctions.contains(a) ||
-                twoTableFunctions.contains(a)))
+                twoTableFunctions.contains(a) || stringTableFunctions.contains(a) ||
+                viewFunctions.contains(a)))
               spliceTableFunction(i, a)
             else None
           tvf match {

@@ -262,11 +262,13 @@ object TextAnalysis {
 
   /** Pattern redaction — the scrubbing/normalization step of a training
     * pipeline: replaces every match of `pattern` with `replacement` and
-    * reports the match count per doc. Single-pass projection. */
+    * reports the match count per doc. Single-pass projection. The
+    * pattern rides as a Column literal, never interpolated SQL text, so
+    * patterns containing quotes are plain data. */
   def redact(corpus: DataFrame, pattern: String, replacement: String): DataFrame =
     corpus.select(
       col("doc_id"),
-      expr(s"regexp_count(text, '$pattern')").cast("bigint").as("n_matches"),
+      regexp_count(col("text"), lit(pattern)).cast("bigint").as("n_matches"),
       regexp_replace(col("text"), pattern, replacement).as("redacted"))
 
   /** ADAPTIVELY CONTENT-ADDRESSED per-document computation (see

@@ -1073,4 +1073,155 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.execute("SELECT count(*) AS n FROM t").collect()(0).getLong(0) == 4L)
     assert(e.readTableAt("test1", "public", "t", 4L).count() == 4L)
   }
+
+  test("TVF composition: nesting, string arguments, and the round-9 text operators") {
+    val e = freshEngine("tvf3")
+    e.execute("CREATE DATABASE tvf3")
+    e.execute("CREATE TABLE corpus (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO corpus (doc_id, text) VALUES " +
+      "(1, 'the quick brown fox and the lazy dog'), " +
+      "(2, 'the quick brown fox and the lazy dog'), " + // exact clone
+      "(3, 'der hund und die katze sind nicht da'), " +
+      "(4, 'we don''t want this don''t pattern here')")
+
+    // ONE level of nesting: lang-ID (which preserves doc_id/text) feeding
+    // exact dedup — the filter-then-enrich-then-dedup composition a SQL
+    // user writes first; equals the DataFrame-API composition
+    val nested = e.execute(
+      "SELECT doc_id FROM graft_dedup_exact(graft_lang_id(corpus)) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val api = graft.operators.Dedup.exactDedup(
+      graft.operators.TextAnalysis.langId(e.execute("SELECT doc_id, text FROM corpus")))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(nested == api && nested == Seq(1L, 3L, 4L))
+
+    // nesting composes with the enriched columns too: predicted language
+    // survives through an outer heuristic filter's input? (the outer
+    // operator sees the inner's SCHEMA exactly as the DataFrame API does)
+    val langs = e.execute(
+      "SELECT doc_id, pred FROM graft_lang_id(corpus) ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en" && langs(3L) == "de")
+
+    // a snapshot function nests as the INNER relation: dedup the table as
+    // of an earlier version (doc 2's clone is already present at v1)
+    val atV1 = e.execute(
+      "SELECT doc_id FROM graft_dedup_exact(graft_at_version(corpus, 1)) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(atV1 == Seq(1L, 3L, 4L))
+
+    // string arguments: redaction from pure SQL, PG ''-escape included —
+    // the pattern arrives as DATA (matches the DataFrame API exactly)
+    val red = e.execute(
+      "SELECT doc_id, n_matches, redacted FROM graft_redact(corpus, 'don''t', '[x]') " +
+        "WHERE doc_id = 4").collect()(0)
+    val redApi = graft.operators.TextAnalysis
+      .redact(e.execute("SELECT doc_id, text FROM corpus"), "don't", "[x]")
+      .filter("doc_id = 4").collect()(0)
+    assert(red.getLong(1) == 2L && red.getLong(1) == redApi.getLong(1))
+    assert(red.getString(2) == redApi.getString(2) && red.getString(2).contains("[x]"))
+
+    // string args on a function not declared to take them fall through to
+    // Spark's unresolved-function error — never a silent rewrite
+    assertThrows[Exception](e.execute("SELECT * FROM graft_dedup_exact(corpus, 'x')"))
+
+    // the round-8 gaps: tfidf / repetition / lm_score now have SQL entry
+    val tfidf = e.execute(
+      "SELECT doc_id, token, tfidf FROM graft_tfidf(corpus, 2) ORDER BY doc_id, token")
+      .collect()
+    val tfidfApi = graft.operators.TextAnalysis
+      .tfidfTerms(e.execute("SELECT doc_id, text FROM corpus"), 2)
+      .orderBy("doc_id", "token").collect()
+    assert(tfidf.map(_.toString).toSeq == tfidfApi.map(_.toString).toSeq && tfidf.nonEmpty)
+    val rep = e.execute(
+      "SELECT doc_id, dup_ratio, keep FROM graft_repetition(corpus) ORDER BY doc_id")
+    assert(rep.count() == 4L)
+    assert(e.execute("SELECT doc_id, nll, n_bigrams FROM graft_lm_score(corpus)").count() == 4L)
+  }
+
+  test("view functions: embedding-typed operators reachable from SQL via a registered view") {
+    val e = freshEngine("tvf4")
+    e.execute("CREATE DATABASE tvf4")
+    import spark.implicits._
+    // an embedding relation can NEVER live in a managed table (8 scalar
+    // reference types only) — the escape hatch is a session temp view
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.05f)), (3L, Array(0.05f, 0.9f)))
+    val emb = (base ++ base.map { case (id, v) => (id + 100L, v) }) // identical clones
+      .toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("emb_view")
+    try {
+      // SemDeDup from SQL == the DataFrame pipeline with the same
+      // deterministic quantizer; identical clones (larger id) must prune
+      val viaSql = e.execute(
+        "SELECT vec_id FROM graft_semdedup('emb_view', 0.95, 2) ORDER BY vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      val viaApi = graft.operators.Dedup.semDedup(
+        graft.operators.Similarity.assignCells(emb,
+          graft.operators.Similarity.trainQuantizer(emb, 2)), 0.95)
+        .orderBy("vec_id").collect().map(r => r.getLong(r.fieldIndex("vec_id"))).toSeq
+      assert(viaSql == viaApi)
+      assert(viaSql.toSet.intersect(Set(100L, 101L, 102L, 103L)).isEmpty,
+        s"identical clones must prune: $viaSql")
+
+      // deterministic Lloyd from SQL == lloydAssign with the s06 seed rule
+      // (first k vectors by vec_id)
+      val kSql = e.execute(
+        "SELECT vec_id, cluster FROM graft_kmeans('emb_view', 2, 2) ORDER BY vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val seeds = base.take(2).map(_._2.map(_.toDouble)).toArray
+      val kApi = graft.operators.Similarity.lloydAssign(emb, seeds, 2)
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(kSql == kApi && kSql.size == 8)
+
+      // a missing view surfaces Spark's named resolution error, not a
+      // silent rewrite
+      assertThrows[Exception](e.execute("SELECT * FROM graft_semdedup('nope_view', 0.9)"))
+    } finally spark.catalog.dropTempView("emb_view")
+  }
+
+  test("resumable change feed: a consumer crosses a compaction with no loss and no dupes") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id bigint PRIMARY KEY, v bigint)")
+    e.execute("INSERT INTO t VALUES (1, 10), (2, 20), (3, 30)") // v1
+    e.execute("INSERT INTO t VALUES (4, 40), (5, 50), (6, 60)") // v2
+
+    // consumer processes (0, 2] via the fast path and records its keys
+    val consumedRows = e.readTableChangesResumable("test1", "public", "t",
+      0L, 2L, spark.sql("SELECT CAST(NULL AS BIGINT) AS id").limit(0), Seq("id"))
+    // (an empty consumed set: the fast path never evaluates it)
+    assert(consumedRows.count() == 6L)
+    val consumed = e.readTable("test1", "public", "t").select("id").filter("id <= 6")
+
+    // auto-compaction (here: explicit) publishes v3 as a REWRITE, then
+    // more data arrives as v4
+    e.compactTable("test1", "public", "t")
+    e.execute("INSERT INTO t VALUES (7, 70), (8, 80), (9, 90)") // v4
+
+    // the raw incremental read across the rewrite raises by design...
+    val err = intercept[SqlError](
+      e.readTableChanges("test1", "public", "t", 2L, 4L).count())
+    assert(err.getMessage.contains("compaction"))
+
+    // ...and the resumable read recovers: snapshot at v4 minus consumed
+    val resumed = e.readTableChangesResumable("test1", "public", "t",
+      2L, 4L, consumed, Seq("id"))
+    assert(resumed.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L, 9L))
+
+    // exactly-once overall: consumed ∪ resumed == the full table, disjoint
+    val all = consumed.select("id")
+      .unionByName(resumed.select("id")).collect().map(_.getLong(0)).toSeq
+    assert(all.sorted == (1L to 9L).toSeq && all.distinct.size == all.size)
+
+    // an expired/vacuumed interval recovers through the SAME path (the
+    // consumer's key set is re-derived from ITS OWN store — the pinned
+    // pre-compaction plan would reference reclaimed files)
+    e.vacuumTable("test1", "public", "t", retentionMs = 0L)
+    val consumedLive = e.readTable("test1", "public", "t").select("id").filter("id <= 6")
+    val afterVacuum = e.readTableChangesResumable("test1", "public", "t",
+      2L, 4L, consumedLive, Seq("id"))
+    assert(afterVacuum.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L, 9L))
+  }
 }
