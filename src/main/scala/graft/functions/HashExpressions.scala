@@ -87,6 +87,20 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** ALL overlapping `w`-token windows (stride 1), hashed with the same
+    * separator-delimited scheme as [[shingles]] — every POSITION emits,
+    * duplicates included: the denominator of a duplicated-span fraction
+    * is positions, not distinct spans ([[shingles]] dedups, [[chunks]]
+    * strides). Texts shorter than `w` emit nothing. */
+  def spans(arr: ArrayData, w: Int): ArrayData = {
+    val total = arr.numElements()
+    if (total < w) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](total - w + 1)
+    var i = 0
+    while (i <= total - w) { out(i) = tokenWindowHash(arr, i, w); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Non-overlapping stride-`w` token windows (full windows only), hashed
     * with the same separator-delimited scheme as [[shingles]]: hash
     * equality ⇔ token-sequence equality (modulo 64-bit collisions). */
@@ -274,6 +288,19 @@ case class ChunkHashes(child: Expression, w: Int) extends UnaryExpression {
   override def prettyName: String = "chunk_hashes"
 }
 
+/** span_hashes(tokens array<string>, w) → array<long>: hashes of ALL
+  * overlapping (stride-1) `w`-token windows, one per position, duplicates
+  * included; empty for texts shorter than w. */
+case class SpanHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.spans(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.spans($c, $w)")
+  override protected def withNewChildInternal(c: Expression): SpanHashes = copy(child = c)
+  override def prettyName: String = "span_hashes"
+}
+
 /** simhash64(tokens array<string>) → long: 64-bit SimHash over the token
   * multiset (per-bit vote of each token's hash, sign → bit). */
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -337,6 +364,8 @@ object GraftFunctions {
       "shingle_pairs", exprs => ShinglePairs(exprs.head, intLit(exprs(1), "n")), "built-in")
     reg.createOrReplaceTempFunction(
       "chunk_hashes", exprs => ChunkHashes(exprs.head, intLit(exprs(1), "w")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "span_hashes", exprs => SpanHashes(exprs.head, intLit(exprs(1), "w")), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

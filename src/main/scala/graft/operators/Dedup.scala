@@ -567,6 +567,49 @@ object Dedup {
         coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
   }
 
+  /** CROSS-document duplicated-SPAN fraction — the overlapping (stride-1)
+    * sibling of [[passageStats]] and the distributed stand-in for
+    * suffix-array exact-substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): a token POSITION is
+    * duplicated when its `width`-token window occurs in ≥2 distinct docs,
+    * and the per-doc duplicated fraction is the signal a curation pass
+    * thresholds on (`keep` ⇔ fraction < `tau`). Non-overlapping chunks
+    * (d07) miss SHIFTED copies — one inserted token de-aligns every chunk
+    * boundary downstream; stride-1 windows are shift-proof, at w× the
+    * hash volume.
+    *
+    * Scale shape: windows leave the scan as 64-bit hashes from one
+    * codegen'd kernel (span STRINGS never materialize off-core); the
+    * shared test is min(doc)≠max(doc) per hash — a plain two-phase
+    * aggregate, no distinct-aggregate exchange — and the per-doc recount
+    * is a semi-join of 8-byte keys. The exchange carries ~16 B per token
+    * position (≈2× the text bytes): the stated price of position-exact
+    * coverage — [[passageStats]] at stride w is the w×-cheaper screen,
+    * this is the precision pass a pipeline runs after it. `keep`
+    * thresholds the RAW integer-ratio double (identical in both engines),
+    * never the rounded display value. */
+  def spanStats(corpus: DataFrame, width: Int = 8, tau: Double = 0.3): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val sp = corpus
+      .withColumn("spans", expr(s"span_hashes(split(lower(text), '\\\\s+'), $width)"))
+      .select(col("doc_id"), size(col("spans")).cast("bigint").as("n_spans"), col("spans"))
+    val occ = sp.select(col("doc_id"), explode(col("spans")).as("sh"))
+    val shared = occ.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("sh"))
+    val rep = occ.join(shared, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val frac = when(col("n_spans") > 0,
+      col("n_dup").cast("double") / col("n_spans")).otherwise(lit(0.0))
+    sp.select(col("doc_id"), col("n_spans"))
+      .join(rep, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        stableRound(frac, 4).as("dup_frac"),
+        (!(frac >= tau)).cast("int").as("keep"))
+  }
+
   /** Connected components over an undirected `(id_a, id_b)` pair graph,
     * iterated UNTIL CONVERGENCE (no label changed) with a hard round
     * bound — a fixed round count is silently wrong for any component
@@ -881,6 +924,32 @@ object Dedup {
           "CAST(coalesce(rep.n_repeated, 0) AS BIGINT) AS n_repeated " +
           "FROM ch LEFT JOIN rep USING (doc_id) ORDER BY doc_id"),
       (s, dir) => passageStats(corpus(s, dir)).orderBy(col("doc_id"))),
+
+    // duplicated-span fraction: OVERLAPPING 8-token windows, a position is
+    // duplicated ⟺ its window text occurs in ≥2 distinct docs. The DuckDB
+    // oracle rebuilds every window as a string and replays the rule — a
+    // hash match proves the 64-bit span keys collide nowhere on this
+    // corpus and the whole count/fraction/threshold pipeline agrees.
+    // keep thresholds the raw integer-ratio double (bit-identical in both
+    // engines), not the rounded display fraction.
+    NamedQuery(
+      "d12_span_dedup",
+      Some(
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+          "sp AS (SELECT doc_id, len(tk) AS n, list_transform(range(0, len(tk) - 7), " +
+          "i -> array_to_string(tk[i+1 : i+8], ' ')) AS spans FROM t), " +
+          "e AS (SELECT doc_id, unnest(spans) AS span FROM sp), " +
+          "sh AS (SELECT span FROM e GROUP BY span HAVING min(doc_id) <> max(doc_id)), " +
+          "rep AS (SELECT doc_id, count(*) AS n_dup FROM e JOIN sh USING (span) GROUP BY doc_id) " +
+          "SELECT sp.doc_id, CAST(greatest(n - 7, 0) AS BIGINT) AS n_spans, " +
+          "CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup, " +
+          stableRoundSql(
+            "CASE WHEN n >= 8 THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / (n - 7) ELSE 0.0 END", 4) +
+          " AS dup_frac, " +
+          "CAST(CASE WHEN (CASE WHEN n >= 8 THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / (n - 7) " +
+          "ELSE 0.0 END) >= 0.3 THEN 0 ELSE 1 END AS INT) AS keep " +
+          "FROM sp LEFT JOIN rep USING (doc_id) ORDER BY sp.doc_id"),
+      (s, dir) => spanStats(corpus(s, dir)).orderBy(col("doc_id"))),
 
     // Incremental admission against the persisted digest index. The
     // corpus splits 80/20 into history and increment by doc_id, and the
