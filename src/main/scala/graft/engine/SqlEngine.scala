@@ -371,6 +371,13 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_epoch_shuffle" -> ((t, a) =>
         Selection.epochShuffle(t, a.headOption.map(_.toInt).getOrElse(0),
           a.lift(1).map(_.toInt).getOrElse(8))),
+      "graft_passage_scrub" -> ((t, a) =>
+        Dedup.passageScrub(t, a.headOption.map(_.toInt).getOrElse(8))),
+      "graft_vocabulary" -> ((t, a) =>
+        TextAnalysis.vocabulary(t, a.headOption.map(_.toInt).getOrElse(30))),
+      "graft_hashed_embedding" -> ((t, a) =>
+        graft.operators.Similarity.hashedEmbedding(t,
+          a.headOption.map(_.toInt).getOrElse(16))),
       // media tables carry payloads as bytea — the one reference type the
       // multimodal family needs (frame content returns as bytea too)
       "graft_sample_frames" -> ((t, a) =>
@@ -391,7 +398,9 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         TextAnalysis.bm25TopK(corpus, terms, a.headOption.map(_.toInt).getOrElse(10))),
       "graft_decontaminate" -> ((corpus, bench, a) =>
         Curation.contamination(corpus, bench, a.headOption.map(_.toInt).getOrElse(3))),
-      "graft_admit" -> ((inc, idx, _) => Dedup.incrementalAdmit(inc, idx)))
+      "graft_admit" -> ((inc, idx, _) => Dedup.incrementalAdmit(inc, idx)),
+      "graft_contamination_frac" -> ((corpus, bench, a) =>
+        Curation.contaminationScore(corpus, bench, a.headOption.getOrElse(0.2))))
   }
 
   /** Operators whose tuning parameters are STRINGS, entered as trailing
@@ -429,6 +438,23 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         Similarity.lloydAssign(rel, seeds, iters)
       }))
   }
+
+  /** TWO-view escape hatch — embedding-typed operators that need a second
+    * relation: `graft_embed_admit('inc_view', 'hist_view'[, tau[, k]])`
+    * admits the increment view against the history view's cell index.
+    * Centroids derive from the first k history vectors (bounded k·dim
+    * collect, the s06/s09 convention), so the call is deterministic. */
+  private val viewPairFunctions: Map[String, (DataFrame, DataFrame, Seq[Double]) => DataFrame] =
+    Map(
+      "graft_embed_admit" -> ((inc, hist, a) => {
+        val tau = a.headOption.getOrElse(0.9)
+        val k = a.lift(1).map(_.toInt).getOrElse(8)
+        val seeds = hist.orderBy(col("vec_id")).limit(k)
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        graft.operators.Similarity.incrementalEmbedAdmit(
+          inc, graft.operators.Similarity.cellIndex(hist, seeds), seeds, tau)
+      }))
 
   /** Table functions over the table IDENTITY rather than its current
     * snapshot — the time-travel reads: `graft_at_version(t, v)` is the
@@ -519,7 +545,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       def isTvf(w: String): Boolean =
         tableFunctions.contains(w) || stringTableFunctions.contains(w) ||
           snapshotFunctions.contains(w) || twoTableFunctions.contains(w) ||
-          viewFunctions.contains(w)
+          viewFunctions.contains(w) || viewPairFunctions.contains(w)
       var j = i + 2
       // Tbl = dotted chain; Nested = inner TVF's result view; ViewName =
       // user temp view named by a string literal (viewFunctions only)
@@ -539,7 +565,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         case None => None
       }
       val first: In =
-        if (viewFunctions.contains(fn)) strTok(j) match {
+        if (viewFunctions.contains(fn) || viewPairFunctions.contains(fn)) strTok(j) match {
           case Some(v) => j += 1; ViewName(v)
           case None => return None
         } else parseInput() match {
@@ -553,6 +579,10 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           j += 1
           second = parseInput()
           if (second.isEmpty) return None
+        } else return None
+      } else if (viewPairFunctions.contains(fn)) {
+        if (spans.lift(j).exists(_.tok == Sym(",")) && strTok(j + 1).isDefined) {
+          second = Some(ViewName(strTok(j + 1).get)); j += 2
         } else return None
       }
       val args = Vector.newBuilder[Double]
@@ -610,6 +640,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           .mkString("_") +
         (if (ss.isEmpty) "" else s"_s${ss.length}_" + ss.map(encStr).mkString("_"))
       val result = (first, second) match {
+        case (_, Some(s2)) if viewPairFunctions.contains(fn) =>
+          viewPairFunctions(fn)(relOf(first), relOf(s2), as)
         case (_, Some(s2)) => twoTableFunctions(fn)(relOf(first), relOf(s2), as)
         case (Tbl(p), None) if snapshotFunctions.contains(fn) =>
           snapshotFunctions(fn)(locate(p), as)
@@ -674,7 +706,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
             if (!prevIsDot && nextParen &&
               (tableFunctions.contains(a) || snapshotFunctions.contains(a) ||
                 twoTableFunctions.contains(a) || stringTableFunctions.contains(a) ||
-                viewFunctions.contains(a)))
+                viewFunctions.contains(a) || viewPairFunctions.contains(a)))
               spliceTableFunction(i, a)
             else None
           tvf match {

@@ -121,6 +121,30 @@ object HashOps {
     * hashes can be mapped back to human-readable phrases. Emitting both
     * from one kernel guarantees the pairing is consistent (a hash always
     * rides with the exact string it was computed from). */
+  private val spaceSep = UTF8String.fromString(" ")
+
+  /** Rebuild kernel for [[graft.functions.DropChunks]]: tokens with the
+    * `removed` chunk windows dropped, space-joined; the token tail past
+    * the last full `w`-window always survives. */
+  def dropChunks(arr: ArrayData, removed: ArrayData, w: Int): UTF8String = {
+    val total = arr.numElements()
+    val nFull = total / w
+    val rm = new java.util.HashSet[Integer]()
+    var i = 0
+    while (i < removed.numElements()) {
+      if (!removed.isNullAt(i)) rm.add(removed.getInt(i))
+      i += 1
+    }
+    val parts = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var p = 0
+    while (p < total) {
+      if (p >= nFull * w || !rm.contains(p / w))
+        parts += (if (arr.isNullAt(p)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(p))
+      p += 1
+    }
+    UTF8String.concatWs(spaceSep, parts.toSeq: _*)
+  }
+
   def shinglePairs(arr: ArrayData, n: Int): ArrayData = {
     val total = arr.numElements()
     def windowHash(start: Int, len: Int): Long = tokenWindowHash(arr, start, len)
@@ -341,6 +365,24 @@ case class RollingFingerprint(child: Expression, w: Int) extends UnaryExpression
   override def prettyName: String = "rolling_fingerprint"
 }
 
+/** drop_chunks(tokens array<string>, removed array<int>, w) → string:
+  * rebuilds a text from its tokens with every `removed` chunk index's
+  * `w`-token window dropped; trailing tokens past the last full chunk
+  * are always kept (they were never part of a chunk — cf.
+  * [[ChunkHashes]], which floors to full windows). The rebuild kernel of
+  * the corpus passage-scrub transform: one codegen'd pass, no
+  * interpreted higher-order lambda on the text-sized path. */
+case class DropChunks(left: Expression, right: Expression, w: Int) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(toks: Any, removed: Any): Any =
+    HashOps.dropChunks(toks.asInstanceOf[ArrayData], removed.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, r) => s"graft.functions.HashOps.dropChunks($t, $r, $w)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DropChunks =
+    copy(left = l, right = r)
+  override def prettyName: String = "drop_chunks"
+}
+
 /** Registers the sketch expressions as SQL functions on a session, so
   * operators can use them inside `expr(...)` / `spark.sql(...)` and they
   * compose with higher-order functions. */
@@ -355,7 +397,7 @@ object GraftFunctions {
     // emits a Spark WARN per function per call — skip when our set is
     // already in the session (replace stays the path if any is missing)
     if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_fingerprint"))) return
+        org.apache.spark.sql.catalyst.FunctionIdentifier("drop_chunks"))) return
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head, intLit(exprs(1), "k")), "built-in")
     reg.createOrReplaceTempFunction(
@@ -372,5 +414,8 @@ object GraftFunctions {
       "hyperplane_sig", exprs => HyperplaneSig(exprs.head, intLit(exprs(1), "bits")), "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_fingerprint", exprs => RollingFingerprint(exprs.head, intLit(exprs(1), "w")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "drop_chunks",
+      exprs => DropChunks(exprs.head, exprs(1), intLit(exprs(2), "w")), "built-in")
   }
 }

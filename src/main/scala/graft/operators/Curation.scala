@@ -74,6 +74,39 @@ object Curation {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Fractional CONTAMINATION score — the report-card sibling of
+    * [[contamination]] (which flags pairs over a hard overlap count):
+    * per train doc, the fraction of its DISTINCT word 3-gram shingles
+    * that appear anywhere in the benchmark suite, plus a `keep` verdict
+    * at threshold `tau`. Pipelines page a fraction (how contaminated),
+    * not just a flag — partial-overlap docs get trimmed or down-weighted
+    * rather than dropped.
+    *
+    * Scale shape: the benchmark's UNION shingle set is benchmark-sized
+    * (≤ millions of 8-byte hashes) and broadcasts; the corpus side is
+    * ONE linear pass — shingle, explode, map-side broadcast join, and a
+    * per-doc count re-aggregation keyed on doc_id. No corpus shuffle
+    * carries strings; `keep` thresholds the raw integer-ratio double
+    * (identical in both engines), never the rounded display value. */
+  def contaminationScore(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame, tau: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val be = Dedup.shingled(benchmark)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    // shingle_hashes emits DISTINCT hashes per doc, so size(shingles) is
+    // the denominator and the hit count the intersection size
+    val tr = Dedup.shingled(corpus)
+      .select(col("doc_id"), size(col("shingles")).cast("bigint").as("n_shingles"),
+        explode(col("shingles")).as("shingle"))
+    val scored = tr.join(broadcast(be), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"), count(col("hit")).as("n_hit"))
+    val frac = col("n_hit").cast("double") / col("n_shingles")
+    scored.select(col("doc_id"), col("n_shingles"), col("n_hit"),
+      OracleRound.stableRound(frac, 4).as("hit_frac"),
+      (!(frac >= tau)).cast("int").as("keep"))
+  }
+
   val queries: Seq[NamedQuery] = Seq(
 
     // decontamination against a planted "benchmark" (doc_id < 25 — the
@@ -95,6 +128,33 @@ object Curation {
         val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
         contamination(docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), 3)
           .orderBy(col("doc_id"), col("bench_id"))
+      }),
+
+    // fractional contamination report over the same planted benchmark
+    // split: per train doc, the fraction of its distinct 3-gram shingles
+    // present anywhere in the benchmark union set, thresholded at 0.2.
+    // The DuckDB oracle rebuilds both shingle sets from strings and
+    // replays count, fraction, and verdict.
+    NamedQuery(
+      "p14_contamination_frac",
+      Some(
+        "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+          "sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, chr(31))] " +
+          "ELSE list_distinct(list_transform(range(1, len(tk)-1), " +
+          "i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2])) END) AS shingle FROM toks), " +
+          "be AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25), " +
+          "tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 25), " +
+          "sc AS (SELECT tr.doc_id, count(*) AS n_shingles, count(be.shingle) AS n_hit " +
+          "FROM tr LEFT JOIN be ON tr.shingle = be.shingle GROUP BY tr.doc_id) " +
+          "SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, " +
+          "CAST(n_hit AS BIGINT) AS n_hit, " +
+          OracleRound.stableRoundSql("CAST(n_hit AS DOUBLE) / n_shingles", 4) + " AS hit_frac, " +
+          "CAST(CASE WHEN CAST(n_hit AS DOUBLE) / n_shingles >= 0.2 THEN 0 ELSE 1 END AS INT) AS keep " +
+          "FROM sc ORDER BY doc_id"),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        contaminationScore(docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))
+          .orderBy(col("doc_id"))
       }),
 
     NamedQuery(

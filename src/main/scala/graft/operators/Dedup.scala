@@ -610,6 +610,53 @@ object Dedup {
         (!(frac >= tau)).cast("int").as("keep"))
   }
 
+  /** Corpus passage-SCRUB — the C4-style dedup TRANSFORM the detection
+    * stats (d07/d12) feed: every occurrence of a globally duplicated
+    * `width`-token passage is REMOVED except the corpus-order first
+    * (min (doc_id, idx)), and each doc's text is rebuilt from its
+    * surviving tokens (the tail past the last full window always
+    * survives — it was never a chunk). This is the operator whose OUTPUT
+    * ships: cleaned text plus (n_chunks, n_removed) provenance, vs the
+    * flag/stat outputs of [[passageStats]]/[[spanStats]].
+    *
+    * Scale shape: the decision pipeline never touches text — occurrences
+    * leave the scan as 8-byte `chunk_hashes` keys, first-occurrence is
+    * one struct-min aggregate, and hashes occurring once (the vast
+    * majority of a real corpus) are pruned from the removal join by the
+    * `cnt > 1` filter, so the removal side carries only duplicated
+    * occurrences. The rebuild joins per-doc removal-index ARRAYS (ints)
+    * back to the corpus on doc_id: under the managed PK-clustered layout
+    * that join co-locates with zero text exchange, and in the general
+    * case text crosses the wire exactly once — it IS the output. The
+    * rebuild itself is one codegen'd `drop_chunks` kernel, not an
+    * interpreted lambda over the token array. Chunk identity is the
+    * 64-bit window hash (collision bound n²/2⁶⁵, the family convention —
+    * see [[passageStats]]); the DuckDB oracle replays passages as
+    * strings, so a hash match also certifies zero collisions. */
+  def passageScrub(corpus: DataFrame, width: Int = 8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val ch = corpus
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("chunks", expr(s"chunk_hashes(toks, $width)"))
+    val occ = ch.select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "ph")))
+    // first occurrence per duplicated hash; singletons (cnt = 1) never
+    // re-enter the join
+    val firsts = occ.groupBy(col("ph"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col("ph"), col("f"))
+    val removed = occ.join(firsts, Seq("ph"))
+      .filter(col("doc_id") =!= col("f.doc_id") || col("idx") =!= col("f.idx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("rm"))
+    ch.join(removed, Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("rm"), expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("bigint").as("n_chunks"),
+        size(col("rm")).cast("bigint").as("n_removed"),
+        expr(s"drop_chunks(toks, rm, $width)").as("text_clean"))
+  }
+
   /** Connected components over an undirected `(id_a, id_b)` pair graph,
     * iterated UNTIL CONVERGENCE (no label changed) with a hard round
     * bound — a fixed round count is silently wrong for any component
@@ -950,6 +997,34 @@ object Dedup {
           "ELSE 0.0 END) >= 0.3 THEN 0 ELSE 1 END AS INT) AS keep " +
           "FROM sp LEFT JOIN rep USING (doc_id) ORDER BY sp.doc_id"),
       (s, dir) => spanStats(corpus(s, dir)).orderBy(col("doc_id"))),
+
+    // C4-style passage-scrub TRANSFORM: remove all-but-first occurrences
+    // of every globally duplicated 8-token passage and rebuild each doc's
+    // text. The DuckDB oracle replays keep-first over passage STRINGS and
+    // rebuilds the text with list comprehensions — a hash match proves
+    // the decision pipeline, the 64-bit passage keys (no collisions on
+    // this corpus), and the codegen'd rebuild all agree byte-for-byte.
+    NamedQuery(
+      "d13_passage_scrub",
+      Some(
+        "WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+          "ch AS (SELECT doc_id, tk, len(tk) // 8 AS n_chunks, " +
+          "list_transform(range(0, len(tk) // 8), " +
+          "i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS chunks FROM tk), " +
+          "e AS (SELECT doc_id, unnest(chunks) AS chunk, " +
+          "unnest(range(0, len(chunks))) AS idx FROM ch), " +
+          "r AS (SELECT doc_id, idx, " +
+          "row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM e), " +
+          "rmv AS (SELECT doc_id, list_sort(list(idx)) AS rm_idx FROM r WHERE rn > 1 GROUP BY doc_id) " +
+          "SELECT ch.doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, " +
+          "CAST(coalesce(len(rm_idx), 0) AS BIGINT) AS n_removed, " +
+          // array_to_string([]) is NULL in DuckDB; an all-removed doc must
+          // come back as '' to match the codegen'd rebuild
+          "coalesce(array_to_string(flatten(list_transform(" +
+          "[i for i in range(0, n_chunks) if NOT list_contains(coalesce(rm_idx, []), i)], " +
+          "i -> tk[i*8+1 : i*8+8])) || tk[n_chunks*8+1 :], ' '), '') AS text_clean " +
+          "FROM ch LEFT JOIN rmv USING (doc_id) ORDER BY doc_id"),
+      (s, dir) => passageScrub(corpus(s, dir)).orderBy(col("doc_id"))),
 
     // Incremental admission against the persisted digest index. The
     // corpus splits 80/20 into history and increment by doc_id, and the

@@ -241,6 +241,113 @@ object Similarity {
           col("norm") === Double.PositiveInfinity).cast("int").as("degenerate"))
   }
 
+  /** Incremental EMBEDDING near-dup admission against a persisted
+    * cell-partitioned vector index — the d08/d09 growing-corpus pattern
+    * for the embedding family: each increment batch is admitted WITHOUT
+    * re-embedding or re-scanning the historical corpus beyond its own
+    * cells. A vector is rejected when any INDEXED vector in its coarse
+    * cell sits above cosine `tau`; within the increment, survivors
+    * cluster by connected components over within-cell τ-pairs and each
+    * cluster admits its min-vec_id representative (the d03+d06+p01
+    * batch-deterministic convention). Returns admitted (vec_id, cell) —
+    * append to the index with the increment's embeddings.
+    *
+    * Scale shape: cell assignment is a pure projection through the
+    * codegen'd [[graft.functions.NearestCentroid]] kernel (centroids are
+    * a k·dim literal — no join); the history probe joins ON THE CELL KEY,
+    * so each embedding crosses the wire once per side (the documented
+    * [[Dedup.semDedup]] exemption — under the cell-partitioned index
+    * layout, plans.IvfCellLayout, the index side co-locates and only the
+    * increment's cells are even read). Rejection reduces to DISTINCT
+    * vec_ids before the anti-join; the pair stage runs over survivors
+    * only. Cell-locality is the IVF approximation this family accepts:
+    * a τ-pair split across two cells is missed exactly as an IVF probe
+    * with nprobe=1 would miss it — identical clones always co-assign. */
+  def incrementalEmbedAdmit(increment: DataFrame, index: DataFrame,
+      centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    VectorFunctions.register(increment.sparkSession)
+    // one assignment pass feeds the probe, the survivor set, and the
+    // in-increment clustering
+    val inc = increment.select(col("vec_id"), col("embedding"))
+      .withColumn("cell",
+        call_function("nearest_centroid",
+          col("embedding"), typedLit(centroids.map(_.toSeq).toSeq)))
+      .localCheckpoint()
+    val rejected = inc
+      .join(index.select(col("cell"), col("embedding").as("h_emb")), Seq("cell"))
+      .filter(expr(s"cosine_sim(embedding, h_emb) > $tau"))
+      .select(col("vec_id")).distinct()
+    val surv = inc.join(rejected, Seq("vec_id"), "left_anti")
+    val a = surv.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("a_emb"))
+    val b = surv.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("b_emb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b") && expr(s"cosine_sim(a_emb, b_emb) > $tau"))
+      .select(col("id_a"), col("id_b"))
+    val nonReps = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"))
+    surv.join(nonReps, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Cell assignment of a base relation under explicit centroids — builds
+    * the persisted index side [[incrementalEmbedAdmit]] probes. */
+  def cellIndex(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    VectorFunctions.register(base.sparkSession)
+    base.select(col("vec_id"), col("embedding"))
+      .withColumn("cell",
+        call_function("nearest_centroid",
+          col("embedding"), typedLit(centroids.map(_.toSeq).toSeq)))
+  }
+
+  /** Feature-HASHED document embedding — the text→vector bridge that
+    * makes the embedding family (k-means, SemDeDup, ANN, hygiene) run on
+    * a TEXT-ONLY corpus with no external encoder: each token hashes to a
+    * signed bucket (sha-256 → 32-bit value; bucket = value mod `dim`,
+    * sign from the next hex nibble's parity — the classic
+    * feature-hashing construction), per-doc bucket sums L2-normalize to
+    * a unit vector. Returns LONG FORM (doc_id, bucket, weight) — the
+    * oracle-comparable spelling; [[hashedEmbeddingVec]] densifies it for
+    * composition.
+    *
+    * Scale shape: one linear pass — tokens never leave their scan stage
+    * (the sha-256 projection collapses each to (doc_id, bucket, ±1)
+    * before the exchange), the per-(doc, bucket) aggregate map-side
+    * combines to ≤ `dim` rows per doc, and the norm join is doc_id-keyed
+    * scalars. sha-256 (not xxhash64) is deliberate: both engines ship
+    * bit-identical implementations, so the whole embedding — not a proxy
+    * — is oracle-checkable; swap to `xxhash64` when porting to a
+    * production pipeline where only Spark evaluates it. */
+  def hashedEmbedding(corpus: DataFrame, dim: Int = 16): DataFrame = {
+    val tok = corpus.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("token"))
+      .withColumn("hex", sha2(col("token"), 256))
+      .select(col("doc_id"),
+        (conv(substring(col("hex"), 1, 8), 16, 10).cast("long") % dim).cast("int").as("bucket"),
+        when(conv(substring(col("hex"), 9, 1), 16, 10).cast("long") % 2 === 1, lit(-1))
+          .otherwise(lit(1)).as("sign"))
+    val sparse = tok.groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).cast("double").as("w"))
+    val norm = sparse.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    sparse.join(norm, "doc_id")
+      .select(col("doc_id"), col("bucket"),
+        stableRound(when(col("nrm") > 0, col("w") / col("nrm")).otherwise(lit(0.0)), 4)
+          .as("weight"))
+  }
+
+  /** Dense `(vec_id, embedding: array<double>)` spelling of
+    * [[hashedEmbedding]] (zero buckets filled in), directly consumable
+    * by [[lloydAssign]] / [[semDedup]] / [[bruteForceTopK]] — the
+    * composition surface for text-only corpora. Same plan shape plus one
+    * per-doc map build; no extra exchange. */
+  def hashedEmbeddingVec(corpus: DataFrame, dim: Int = 16): DataFrame =
+    hashedEmbedding(corpus, dim)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("weight")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(m, i), 0D))")
+          .as("embedding"))
+
   /** Per-query overlap with the exact top-k: (query_id, hits). */
   def recallHits(exact: DataFrame, approx: DataFrame): DataFrame =
     approx.select(col("query_id"), col("vec_id"))
@@ -475,6 +582,77 @@ object Similarity {
         embeddingHygiene(b.unionByName(scaled).unionByName(zeroed))
           .select(col("vec_id"), OracleRound.stableRound(col("norm"), 4).as("norm"),
             col("is_outlier"), col("degenerate"))
+          .orderBy(col("vec_id"))
+      }),
+
+    // feature-hashed text embedding over the documents corpus — a FULL
+    // oracle: DuckDB recomputes every signed bucket sum and the
+    // normalization from sha-256 (bit-identical in both engines), so the
+    // entire embedding is value-checked, not proxied.
+    NamedQuery(
+      "s08_hashed_embedding",
+      Some(
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents), " +
+          "b AS (SELECT doc_id, CAST(list_reduce(list_transform(range(1, 9), " +
+          "i -> strpos('0123456789abcdef', sha256(token)[i]) - 1), (a, c) -> a * 16 + c) % 16 AS INT) AS bucket, " +
+          "CASE WHEN (strpos('0123456789abcdef', sha256(token)[9]) - 1) % 2 = 1 THEN -1 ELSE 1 END AS sign FROM tok), " +
+          "sp AS (SELECT doc_id, bucket, CAST(sum(sign) AS DOUBLE) AS w FROM b GROUP BY doc_id, bucket), " +
+          "nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM sp GROUP BY doc_id) " +
+          "SELECT doc_id, bucket, " +
+          OracleRound.stableRoundSql("CASE WHEN nrm > 0 THEN w / nrm ELSE 0.0 END", 4) +
+          " AS weight FROM sp JOIN nm USING (doc_id) ORDER BY doc_id, bucket"),
+      (s, dir) =>
+        hashedEmbedding(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("text")))
+          .orderBy(col("doc_id"), col("bucket"))),
+
+    // incremental embedding admission against a persisted cell index,
+    // salted with planted traps: an identical clone of a HISTORY vector
+    // (+1e6 — same cell by determinism, cosine 1.0 → index must reject)
+    // and an in-increment clone pair (+2e6 — CC keeps the min id). FULL
+    // oracle: DuckDB replays centroid assignment (list_distance argmin,
+    // ties to smallest cell — the s06-verified parity), the cell-scoped
+    // cosine rejection, and the recursive-CTE connected components.
+    NamedQuery(
+      "s09_incremental_ann",
+      Some(
+        "WITH RECURSIVE ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+          "cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c FROM ed WHERE vec_id < 8), " +
+          "hist AS (SELECT vec_id, e FROM ed WHERE vec_id >= 8 AND vec_id < 400), " +
+          "inc AS (SELECT vec_id, e FROM ed WHERE vec_id >= 400 " +
+          "UNION ALL SELECT 1000000 + vec_id, e FROM ed WHERE vec_id = 100 " +
+          "UNION ALL SELECT 2000000 + vec_id, e FROM ed WHERE vec_id = 450), " +
+          "ah AS (SELECT vec_id, cell, e FROM (SELECT h.vec_id, c.cell, h.e, " +
+          "row_number() OVER (PARTITION BY h.vec_id ORDER BY list_distance(h.e, c.c), c.cell) AS rn " +
+          "FROM hist h CROSS JOIN cents c) WHERE rn = 1), " +
+          "ai AS (SELECT vec_id, cell, e FROM (SELECT i.vec_id, c.cell, i.e, " +
+          "row_number() OVER (PARTITION BY i.vec_id ORDER BY list_distance(i.e, c.c), c.cell) AS rn " +
+          "FROM inc i CROSS JOIN cents c) WHERE rn = 1), " +
+          "rej AS (SELECT DISTINCT ai.vec_id FROM ai JOIN ah ON ai.cell = ah.cell " +
+          "AND list_cosine_similarity(ai.e, ah.e) > 0.9), " +
+          "surv AS (SELECT * FROM ai WHERE vec_id NOT IN (SELECT vec_id FROM rej)), " +
+          "prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM surv a JOIN surv b " +
+          "ON a.cell = b.cell AND a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) > 0.9), " +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs), " +
+          "reach(id, lab) AS (SELECT DISTINCT src, src FROM edges " +
+          "UNION SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON r.id = e2.dst), " +
+          "drops AS (SELECT id FROM reach GROUP BY id HAVING min(lab) <> id) " +
+          "SELECT vec_id, cell FROM surv WHERE vec_id NOT IN (SELECT id FROM drops) ORDER BY vec_id"),
+      (s, dir) => {
+        val b = base(s, dir)
+        // seed collection is operator SETUP (bounded k·dim, the s06
+        // convention): k = 8 coarse cells
+        val seeds = b.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val hist = b.filter(col("vec_id") >= 8 && col("vec_id") < 400)
+        val histClone = b.filter(col("vec_id") === 100)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val incClone = b.filter(col("vec_id") === 450)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+        val inc = b.filter(col("vec_id") >= 400)
+          .unionByName(histClone).unionByName(incClone)
+        incrementalEmbedAdmit(inc, cellIndex(hist, seeds), seeds, 0.9)
           .orderBy(col("vec_id"))
       })
   )

@@ -260,6 +260,49 @@ object TextAnalysis {
       .select(translate(col("t"), "\u001f", " ").as("phrase"), col("df"))
   }
 
+  /** Corpus VOCABULARY head — the token-level census a tokenizer-training
+    * / coverage-analysis pass starts from: the `topN` most frequent
+    * tokens with term frequency, document frequency, rank, and the
+    * cumulative fraction of ALL corpus token occurrences the head covers
+    * so far (the "how much does a k-entry vocab cover" curve).
+    *
+    * Scale shape — the t11 winner-recovery discipline at token level:
+    * tf/df aggregate on 64-bit `xxhash64` keys (map-side combined; df
+    * from a pre-distinct (hash, doc_id) projection, never a
+    * distinct-aggregate exchange); the winner set is cut at the topN-th
+    * largest tf and recovered to strings through a broadcast-filtered
+    * semi-join, so token text shuffles only for winners. Under tf TIES
+    * at the boundary the winner set takes every tied hash and the final
+    * rank orders on (tf desc, token) AFTER recovery — hash order never
+    * decides who makes the cut, keeping the result content-deterministic
+    * (and oracle-replayable). The rank/coverage window runs over ≤
+    * topN + ties rows — bounded, single partition by design. */
+  def vocabulary(corpus: DataFrame, topN: Int = 30): DataFrame = {
+    val tok = corpus.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val tf = tok.groupBy(col("h")).agg(count(lit(1)).as("tf"))
+    val dfh = tok.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val totals = tf.agg(sum(col("tf")).cast("double").as("total_tf"))
+    val cutoff = tf.orderBy(col("tf").desc).limit(topN).agg(min(col("tf")).as("cut"))
+    val winners = tf.join(dfh, "h").crossJoin(broadcast(cutoff))
+      .filter(col("tf") >= col("cut"))
+    val rec = tok.select(col("h"), col("token"))
+      .join(broadcast(winners.select(col("h"))), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(min(col("token")).as("token"))
+    val ranked = winners.join(rec, "h")
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("token"))))
+      .filter(col("rank") <= topN)
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("cover_frac",
+        sum(col("tf")).over(Window.orderBy(col("rank"))).cast("double") / col("total_tf"))
+      .select(col("rank"), col("token"), col("tf"), col("df"),
+        OracleRound.stableRound(col("cover_frac"), 4).as("cover_frac"))
+      .orderBy(col("rank"))
+  }
+
   /** Pattern redaction — the scrubbing/normalization step of a training
     * pipeline: replaces every match of `pattern` with `replacement` and
     * reports the match count per doc. Single-pass projection. The
@@ -784,6 +827,26 @@ object TextAnalysis {
               .otherwise(lit(""))).as("text"))
         boilerplatePhrases(aug, n = 3, minDfRatio = 0.1).orderBy(col("phrase"))
       }),
+
+    // vocabulary head with coverage curve: top-30 tokens by tf with df
+    // and cumulative corpus-coverage fraction. The oracle recomputes the
+    // census from strings — tie handling at the cutoff (take all tied,
+    // rank on token text) makes the head content-deterministic.
+    NamedQuery(
+      "t13_vocabulary",
+      Some(
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents), " +
+          "agg AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM tok GROUP BY token), " +
+          "tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total_tf FROM agg), " +
+          "cut AS (SELECT min(tf) AS c FROM (SELECT tf FROM agg ORDER BY tf DESC LIMIT 30)), " +
+          "win AS (SELECT token, tf, df FROM agg, cut WHERE tf >= c), " +
+          "rk AS (SELECT token, tf, df, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM win) " +
+          "SELECT CAST(rank AS INT) AS rank, token, CAST(tf AS BIGINT) AS tf, " +
+          "CAST(df AS BIGINT) AS df, " +
+          OracleRound.stableRoundSql(
+            "CAST(sum(tf) OVER (ORDER BY rank) AS DOUBLE) / total_tf", 4) + " AS cover_frac " +
+          "FROM rk, tot WHERE rank <= 30 ORDER BY rank"),
+      (s, dir) => vocabulary(docs(s, dir), topN = 30)),
 
     // Gopher rule battery over the documents table. Thresholds/stop list
     // are tuned to the synthetic corpus vocabulary so every flag actually

@@ -1181,6 +1181,67 @@ class SqlEngineSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("emb_view")
   }
 
+  test("round-9 TVFs: scrub/vocab/embedding from tables, two-view embed admit") {
+    val e = freshEngine("tvf5")
+    e.execute("CREATE DATABASE tvf5")
+    e.execute("CREATE TABLE corpus (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO corpus VALUES " +
+      "(1, 'a b c d e f g h x y'), (2, 'a b c d p q r s'), (3, 'fresh words only here')")
+    // passage scrub: doc 2's first 8 tokens? width defaults to 8 — use 4
+    val scrub = e.execute(
+      "SELECT doc_id, n_removed, text_clean FROM graft_passage_scrub(corpus, 4) ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(scrub(1) == ((2L, 1L, "p q r s")), s"got ${scrub.toSeq}")
+    val apiScrub = graft.operators.Dedup.passageScrub(
+      e.execute("SELECT doc_id, text FROM corpus"), 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(scrub.toSeq == apiScrub.toSeq)
+    // vocabulary head composes with WHERE from plain SQL
+    val voc = e.execute(
+      "SELECT rank, token, tf FROM graft_vocabulary(corpus, 5) WHERE tf > 1 ORDER BY rank")
+      .collect()
+    assert(voc.nonEmpty && voc.forall(_.getLong(2) > 1))
+    // hashed embedding long form from SQL == the DataFrame API
+    val hSql = e.execute(
+      "SELECT doc_id, bucket, weight FROM graft_hashed_embedding(corpus, 8) ORDER BY doc_id, bucket")
+      .collect().map(_.toString).toSeq
+    val hApi = graft.operators.Similarity.hashedEmbedding(
+      e.execute("SELECT doc_id, text FROM corpus"), 8)
+      .orderBy("doc_id", "bucket").collect().map(_.toString).toSeq
+    assert(hSql == hApi && hSql.nonEmpty)
+    // contamination fraction (two managed relations)
+    e.execute("CREATE TABLE bench (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO bench VALUES (90, 'a b c d')")
+    val cf = e.execute(
+      "SELECT doc_id, hit_frac, keep FROM graft_contamination_frac(corpus, bench, 0.2) " +
+        "ORDER BY doc_id").collect().map(r => (r.getLong(0), r.getInt(2)))
+    // doc 1 shares abc+bcd = 2/8 ≥ 0.2 → flagged; doc 3 clean
+    assert(cf.length == 3 && cf(0)._2 == 0 && cf(2)._2 == 1)
+    // two-VIEW escape hatch: embedding admit from SQL == the DataFrame API
+    import spark.implicits._
+    val hist = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val inc = Seq((20L, Array(1.0f, 0.01f)), (21L, Array(0.5f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    hist.createOrReplaceTempView("hist_view")
+    inc.createOrReplaceTempView("inc_view")
+    try {
+      val aSql = e.execute(
+        "SELECT vec_id, cell FROM graft_embed_admit('inc_view', 'hist_view', 0.9, 2) ORDER BY vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      // 20 is a near-clone of history 10 (cos≈1) → rejected; 21 is novel
+      assert(aSql.map(_._1) == Seq(21L), s"got $aSql")
+      val seeds = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+      val aApi = graft.operators.Similarity.incrementalEmbedAdmit(
+        inc, graft.operators.Similarity.cellIndex(hist, seeds), seeds, 0.9)
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(aSql == aApi)
+    } finally {
+      spark.catalog.dropTempView("hist_view")
+      spark.catalog.dropTempView("inc_view")
+    }
+  }
+
   test("resumable change feed: a consumer crosses a compaction with no loss and no dupes") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")

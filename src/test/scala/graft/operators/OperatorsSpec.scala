@@ -768,6 +768,110 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dots.getAs[Long]("n_symbols") == 2L)
   }
 
+  test("passageScrub: keep-first across and within docs, tail survives, all-removed doc is empty") {
+    import spark.implicits._
+    // width-4 chunks: P = "a b c d", Q = "e f g h", R = "p q r s"
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),     // P, Q, tail "x y" — first occurrences, all kept
+      (2L, "a b c d p q r s z"),       // P repeated from doc 1 → dropped; R + tail kept
+      (3L, "p q r s p q r s"),         // R repeated from doc 2 AND again in-doc → both dropped
+      (4L, "a b c d"),                 // exactly one repeated chunk, no tail → ''
+      (5L, "w x")                      // shorter than a chunk: no chunks, tail only
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageScrub(docs, width = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_chunks", "n_removed", "text_clean")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 2L, 0L, "a b c d e f g h x y")))
+    assert(out(1) == ((2L, 2L, 1L, "p q r s z")))
+    assert(out(2) == ((3L, 2L, 2L, "")))
+    assert(out(3) == ((4L, 1L, 1L, "")))
+    assert(out(4) == ((5L, 0L, 0L, "w x")))
+    // idempotence: scrubbing the scrubbed corpus removes nothing
+    val again = Dedup.passageScrub(
+      Dedup.passageScrub(docs, width = 4)
+        .select(col("doc_id"), col("text_clean").as("text")), width = 4)
+    assert(again.agg(sum("n_removed")).collect()(0).getLong(0) == 0L)
+  }
+
+  test("contaminationScore: hand-computed fractions, short-text whole-doc shingle, tau verdict") {
+    import spark.implicits._
+    val bench = Seq((1L, "a b c d")).toDF("doc_id", "text") // shingles: abc, bcd
+    val train = Seq(
+      (10L, "a b c x y"),   // shingles abc,bcx,cxy → 1/3 hit
+      (11L, "a b c d"),     // abc,bcd → 2/2 hit → keep = 0
+      (12L, "p q r s"),     // 0/2
+      (13L, "a b")          // short text: whole-doc shingle "a b" ∉ bench → 0/1
+    ).toDF("doc_id", "text")
+    val out = Curation.contaminationScore(train, bench, tau = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(out(0) == ((10L, 3L, 1L, 0.3333, 1)))
+    assert(out(1) == ((11L, 2L, 2L, 1.0, 0)))
+    assert(out(2) == ((12L, 2L, 0L, 0.0, 1)))
+    assert(out(3) == ((13L, 1L, 0L, 0.0, 1)))
+  }
+
+  test("vocabulary: tf/df census, tie-inclusive cutoff, content-ordered rank, coverage curve") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "b c d a")).toDF("doc_id", "text")
+    // tf: a=3 b=2 c=2 d=1; topN=2 cutoff = 2 → winners {a,b,c} (tie kept),
+    // rank on (tf desc, token) → a,b survive the rank<=2 cut
+    val out = TextAnalysis.vocabulary(docs, topN = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1, "a", 3L, 2L, 0.375), (2, "b", 2L, 2L, 0.625)))
+  }
+
+  test("hashedEmbedding: unit norms, clones map identically, dense form composes with cosine") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // clone — must embed identically
+      (3L, "zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val vecs = Similarity.hashedEmbeddingVec(docs, dim = 16)
+    val m = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(m.values.forall(_.length == 16))
+    assert(m(1) == m(2), "clone docs must produce identical embeddings")
+    m.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 0.01, s"expected ~unit norm, got $n")
+    }
+    // the dense form feeds the vector kernels directly: clone cosine = 1,
+    // distinct-text cosine < 1
+    val cos = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        expr("cosine_sim(a.embedding, b.embedding)").as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(cos((1L, 2L)) - 1.0) < 1e-9)
+    assert(cos((1L, 3L)) < 0.99 && cos((2L, 3L)) < 0.99)
+  }
+
+  test("incrementalEmbedAdmit: index rejects in-cell near-dup, CC keeps min id, cross-cell admits") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val hist = Seq((10L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val inc = Seq(
+      (20L, Seq(0.9f, 0.1f)),   // cell 0, cos≈0.998 to hist 10 → rejected
+      (21L, Seq(0.1f, 0.95f)),  // cell 1, novel → admitted
+      (22L, Seq(0.1f, 0.9f)),   // cell 1, cos≈0.999 to 21 → CC drops (21 < 22)
+      (23L, Seq(-1.0f, 0.1f))   // cell 1 by distance, negative cosine → admitted
+    ).toDF("vec_id", "embedding")
+    val admitted = Similarity.incrementalEmbedAdmit(
+      inc, Similarity.cellIndex(hist, cents), cents, 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(admitted.keySet == Set(21L, 23L))
+    assert(admitted(21L) == 1 && admitted(23L) == 1)
+    // replaying the increment against the UPDATED index admits nothing
+    val idx2 = Similarity.cellIndex(hist, cents).unionByName(
+      inc.join(Seq(21L, 23L).toDF("vec_id"), Seq("vec_id"), "left_semi")
+        .transform(d => Similarity.cellIndex(d, cents)))
+    assert(Similarity.incrementalEmbedAdmit(inc, idx2, cents, 0.9).isEmpty)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -160,6 +160,73 @@ class PlanQualitySpec extends AnyFunSuite {
       "per-group range states must broadcast onto the kv projection")
   }
 
+  test("d13 passage scrub: decision exchanges carry hashes only; text crosses once, in the rebuild") {
+    // the keep-first decision pipeline (occurrence agg, first-occurrence
+    // agg, removal agg) must move 8-byte chunk hashes and (doc_id, idx)
+    // ints; the ONLY exchange allowed to carry the token array / text is
+    // the final rebuild join, whose payload IS the operator's output
+    val p = plan("d13_passage_scrub")
+    val sections = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(sections.nonEmpty, "expected exchanges in the scrub plan")
+    val hashSections = sections.filter(_.contains("ph#"))
+    assert(hashSections.nonEmpty, "expected chunk-hash-keyed decision exchanges")
+    hashSections.foreach(s => assert(!s.contains("text#") && !s.contains("toks#"),
+      s"text crossed a decision exchange:\n$s"))
+    val textSections = sections.filter(s => s.contains("text#") || s.contains("toks#"))
+    assert(textSections.length <= 1,
+      s"text may cross the wire at most once (rebuild join), found ${textSections.length}")
+    // singletons are pruned before the removal join: the first-occurrence
+    // aggregate must keep a count filter (cnt > 1) above it
+    assert(p.contains("(cnt"), "duplicated-hash (cnt > 1) pruning filter missing")
+  }
+
+  test("p14 contamination fraction: benchmark broadcasts; corpus is one scan, no text exchange") {
+    val p = plan("p14_contamination_frac")
+    assert(p.contains("BroadcastExchange"),
+      "benchmark shingle set must broadcast — a shuffled join scans the corpus twice at scale")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    shuffles.foreach(s => assert(!s.contains("text#") && !s.contains("toks#"),
+      s"corpus text crossed a shuffle:\n$s"))
+    assert("Scan parquet .*documents".r.findAllIn(p).size <= 2,
+      "corpus+benchmark should scan documents at most twice (one pass each side)")
+  }
+
+  test("t13 vocabulary: census exchanges carry hashes; token strings shuffle only for winners") {
+    val p = plan("t13_vocabulary")
+    // tf/df aggregate on 64-bit hashes: an exchange carrying token text
+    // outside the (broadcast-filtered) winner recovery means the census
+    // shuffles strings at corpus scale
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.count(_.contains("token#")) <= 1,
+      "token strings may shuffle only in the winner-recovery aggregate")
+    assert(p.contains("BroadcastExchange"), "winner set and cutoff must broadcast")
+    assert(p.contains("LeftSemi"), "winner recovery must prune map-side via a semi-join")
+  }
+
+  test("s08 hashed embedding: tokens collapse to (doc, bucket, sign) before any exchange") {
+    val p = plan("s08_hashed_embedding")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach(s =>
+      assert(!s.contains("token#") && !s.contains("text#") && !s.contains("hex#"),
+        s"token/text crossed an exchange — the sha-256 projection must collapse first:\n$s"))
+  }
+
+  test("s09 embedding admit: centroid literal assignment, anti-join rejection, one assignment pass") {
+    val p = plan("s09_incremental_ann")
+    // assignment must be the codegen'd projection kernel over a literal
+    // centroid array — a centroid JOIN would shuffle the increment per
+    // centroid at scale
+    assert(p.contains("nearest_centroid"), "cell assignment must use the projection kernel")
+    assert(p.contains("LeftAnti"), "index rejection must plan as an anti-join")
+    assert(p.contains("Scan ExistingRDD"),
+      "the increment must assign cells once (checkpointed), not per consumer")
+  }
+
   test("d09 near-dup admit: exchanges carry sketches and band keys, never text") {
     // same contract as the d08 lock, for the near-dup index: text stays
     // inside its scan stage; every exchange moves (band, bucket, sim,
