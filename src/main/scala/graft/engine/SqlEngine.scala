@@ -382,7 +382,9 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // multimodal family needs (frame content returns as bytea too)
       "graft_sample_frames" -> ((t, a) =>
         graft.operators.Multimodal.sampleFrames(t,
-          a.headOption.map(_.toInt).getOrElse(4096), a.lift(1).map(_.toInt).getOrElse(1))))
+          a.headOption.map(_.toInt).getOrElse(4096), a.lift(1).map(_.toInt).getOrElse(1))),
+      "graft_media_dedup" -> ((t, _) => graft.operators.Multimodal.mediaDedup(t)),
+      "graft_ppl_tiers" -> ((t, _) => TextAnalysis.pplTiers(t)))
   }
 
   /** Two-relation operator entry points: `fn(left_table, right_table[,

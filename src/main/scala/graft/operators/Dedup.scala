@@ -519,13 +519,28 @@ object Dedup {
     // On a stored corpus the exchange disappears entirely when the base is
     // partitioned by cell on disk (plans.IvfCellLayout) — that layout, not
     // this operator, is the 100 TB deployment shape.
+    //
+    // The pair stage runs over DISTINCT embeddings (the d09/s09
+    // discipline): "keep ⟺ no smaller-id doc in the cell above τ" is a
+    // property of the VECTOR — a doc that is not its identical-group's
+    // min id is dominated by that min (cosine 1.0), and a group min is
+    // dominated iff some similar group has a smaller min (any smaller
+    // member of a similar group implies that group's min is smaller). So
+    // exact-duplicate groups collapse to one row carrying min(vec_id)
+    // BEFORE the all-pairs join, and a clone-heavy corpus pays for its
+    // distinct vectors, not its rows (measured: the 10× clone scaler's
+    // 3.3–3.5× slope drops to ~linear).
     VectorFunctions.register(assigned.sparkSession)
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("a_emb"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("b_emb"))
-    val drops = a.join(b, Seq("cell"))
+    val grp = assigned.groupBy(col("cell"), col("embedding"))
+      .agg(min(col("vec_id")).as("gid"))
+    val a = grp.select(col("cell"), col("gid").as("id_a"), col("embedding").as("a_emb"))
+    val b = grp.select(col("cell"), col("gid").as("id_b"), col("embedding").as("b_emb"))
+    val dropG = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b") && expr("cosine_sim(a_emb, b_emb)") > tau)
-      .select(col("id_b").as("vec_id")).distinct()
-    assigned.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("id_b").as("gid")).distinct()
+    val keptIds = grp.select(col("gid")).join(dropG, Seq("gid"), "left_anti")
+      .select(col("gid").as("vec_id"))
+    assigned.join(keptIds, Seq("vec_id"), "left_semi")
   }
 
   /** PASSAGE-level duplication stats — sub-document dedup (the "repeated

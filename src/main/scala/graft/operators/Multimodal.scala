@@ -187,6 +187,27 @@ object Multimodal {
       (s, dir) =>
         sampleFrames(media(s, dir), frameSize = 32, stride = 4)
           .select(col("doc_id"), col("frame_idx"), col("n_bytes"))
-          .orderBy(col("doc_id"), col("frame_idx")))
+          .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // exact media dedup: content-addressed on the payload digest, keep
+    // the min doc_id per distinct asset with its copy count. The oracle
+    // groups by the raw bytes (payload = encode(text)), so a hash match
+    // also certifies the digest has no collisions on this corpus.
+    NamedQuery(
+      "m05_mm_dedup",
+      Some(
+        "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies " +
+          "FROM documents GROUP BY text ORDER BY doc_id"),
+      (s, dir) => mediaDedup(media(s, dir)).orderBy(col("doc_id")))
   )
+
+  /** Exact MEDIA dedup — the d01 content-address rule over the binary
+    * payload column: keep the min doc_id per distinct asset, with the
+    * copy count a storage-reclaim report reads. The shuffle carries
+    * 32-byte sha2 digests, never payload bytes — at 100 TB of media that
+    * is a metadata-sized exchange instead of re-shipping the corpus. */
+  def mediaDedup(media: DataFrame): DataFrame =
+    media.groupBy(sha2(col("payload"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
 }

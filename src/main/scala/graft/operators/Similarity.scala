@@ -254,14 +254,19 @@ object Similarity {
     *
     * Scale shape: cell assignment is a pure projection through the
     * codegen'd [[graft.functions.NearestCentroid]] kernel (centroids are
-    * a k·dim literal — no join); the history probe joins ON THE CELL KEY,
-    * so each embedding crosses the wire once per side (the documented
-    * [[Dedup.semDedup]] exemption — under the cell-partitioned index
-    * layout, plans.IvfCellLayout, the index side co-locates and only the
-    * increment's cells are even read). Rejection reduces to DISTINCT
-    * vec_ids before the anti-join; the pair stage runs over survivors
-    * only. Cell-locality is the IVF approximation this family accepts:
-    * a τ-pair split across two cells is missed exactly as an IVF probe
+    * a k·dim literal — no join); both the history probe and the
+    * in-increment pair stage run over DISTINCT embeddings (the d09
+    * distinct-sketch discipline — rejection and pairing are properties
+    * of the VECTOR, not the doc, and identical embeddings always
+    * co-assign, so clone groups collapse to one row carrying their min
+    * vec_id BEFORE any join; a clone-heavy increment pays for its
+    * distinct vectors, not its rows). The probe joins ON THE CELL KEY,
+    * so each distinct embedding crosses the wire once per side (the
+    * documented [[Dedup.semDedup]] exemption — under the
+    * cell-partitioned index layout, plans.IvfCellLayout, the index side
+    * co-locates and only the increment's cells are even read).
+    * Cell-locality is the IVF approximation this family accepts: a
+    * τ-pair split across two cells is missed exactly as an IVF probe
     * with nprobe=1 would miss it — identical clones always co-assign. */
   def incrementalEmbedAdmit(increment: DataFrame, index: DataFrame,
       centroids: Array[Array[Double]], tau: Double): DataFrame = {
@@ -273,20 +278,24 @@ object Similarity {
         call_function("nearest_centroid",
           col("embedding"), typedLit(centroids.map(_.toSeq).toSeq)))
       .localCheckpoint()
-    val rejected = inc
-      .join(index.select(col("cell"), col("embedding").as("h_emb")), Seq("cell"))
+    // clone groups collapse here: one row per distinct embedding, keyed
+    // by its min vec_id (the group's admission candidate)
+    val grp = inc.groupBy(col("cell"), col("embedding"))
+      .agg(min(col("vec_id")).as("gid"))
+    val rejected = grp
+      .join(index.select(col("cell"), col("embedding").as("h_emb")).distinct(), Seq("cell"))
       .filter(expr(s"cosine_sim(embedding, h_emb) > $tau"))
-      .select(col("vec_id")).distinct()
-    val surv = inc.join(rejected, Seq("vec_id"), "left_anti")
-    val a = surv.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("a_emb"))
-    val b = surv.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("b_emb"))
+      .select(col("gid")).distinct()
+    val surv = grp.join(rejected, Seq("gid"), "left_anti")
+    val a = surv.select(col("cell"), col("gid").as("id_a"), col("embedding").as("a_emb"))
+    val b = surv.select(col("cell"), col("gid").as("id_b"), col("embedding").as("b_emb"))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b") && expr(s"cosine_sim(a_emb, b_emb) > $tau"))
       .select(col("id_a"), col("id_b"))
     val nonReps = Dedup.connectedComponents(pairs)
-      .select(col("doc_id").as("vec_id"))
-    surv.join(nonReps, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("cell"))
+      .select(col("doc_id").as("gid"))
+    surv.join(nonReps, Seq("gid"), "left_anti")
+      .select(col("gid").as("vec_id"), col("cell"))
   }
 
   /** Cell assignment of a base relation under explicit centroids — builds
@@ -654,6 +663,54 @@ object Similarity {
           .unionByName(histClone).unionByName(incClone)
         incrementalEmbedAdmit(inc, cellIndex(hist, seeds), seeds, 0.9)
           .orderBy(col("vec_id"))
+      }),
+
+    // CAPSTONE composition — text-only SemDeDup with NO external encoder:
+    // hashedEmbeddingVec → trained quantizer → cell-scoped semantic
+    // prune, over the documents corpus salted with an identical clone of
+    // every doc (+1e6). Deterministic verdicts (constant oracle, the
+    // d10/s02 convention): identical texts hash to identical unit
+    // vectors, co-assign, pair at cosine 1.0 and prune to the min id —
+    // so every planted clone must vanish, every kept id must be an
+    // original, and no two kept docs may share a text. The quantizer /
+    // banding / cosine / keep-rule all sit on the verified path.
+    NamedQuery(
+      "s10_text_semdedup",
+      Some(
+        "SELECT 'clones_pruned_originals_kept' AS chk, 1 AS ok " +
+          "UNION ALL SELECT 'some_docs_kept', 1 " +
+          "UNION ALL SELECT 'text_groups_collapsed', 1 ORDER BY chk"),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val clones = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        // pin the embedding once (quantizer training sample, cell
+        // assignment, and BOTH pair-join sides consume it) and the kept
+        // set once (three verdicts read it) — unpinned, the whole
+        // hash-embed pipeline re-ran per consumer (measured 7.8 s →
+        // 2.9 s at sf0.1)
+        val vecs = hashedEmbeddingVec(docs.unionByName(clones), dim = 16)
+          .localCheckpoint()
+        // SemDeDup practice: k SCALES with the corpus (cells stay
+        // bounded) — a fixed k makes the in-cell pair stage quadratic in
+        // corpus growth; verdicts are k-independent (clones co-assign
+        // under any model)
+        val cells = math.max(8,
+          math.sqrt(vecs.count().toDouble).toInt.min(1024))
+        val kept = Dedup.semDedup(
+          assignCells(vecs, trainQuantizer(vecs, cells)), tau = 0.999)
+          .select(col("vec_id")).localCheckpoint()
+        val v1 = kept.agg(
+          (sum(when(col("vec_id") >= 1000000L, 1).otherwise(0)) === 0).cast("int").as("ok"))
+          .select(lit("clones_pruned_originals_kept").as("chk"), col("ok"))
+        val v2 = kept.agg((count(lit(1)) > 0).cast("int").as("ok"))
+          .select(lit("some_docs_kept").as("chk"), col("ok"))
+        // group on the 32-byte digest, not raw text — the verdict
+        // exchange stays metadata-sized
+        val v3 = docs.join(kept, docs("doc_id") === kept("vec_id"))
+          .groupBy(sha2(col("text"), 256)).agg(count(lit(1)).as("c"))
+          .agg((max(col("c")) <= 1).cast("int").as("ok"))
+          .select(lit("text_groups_collapsed").as("chk"), col("ok"))
+        v1.unionByName(v2).unionByName(v3).orderBy(col("chk"))
       })
   )
 }

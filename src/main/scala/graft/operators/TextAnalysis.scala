@@ -501,6 +501,36 @@ object TextAnalysis {
         sum(col("k")).as("n_bigrams"))
   }
 
+  /** CCNet-style PERPLEXITY TIERING — the head/middle/tail split a
+    * perplexity-filtered pipeline buckets its corpus into: per-doc LM
+    * score ([[lmScore]]), corpus-wide tier boundaries at the given
+    * quantiles, and a tier label per doc (0 = best/lowest nll).
+    *
+    * Scale shape: boundaries come from [[ExactQuantile.quantiles]] — the
+    * bounded-refinement exact percentile, NOT a global sort/ntile window
+    * (the naive spelling serializes the corpus through one partition);
+    * assignment is then a pure projection against two literal bounds.
+    * Boundaries are rounded to the nll display grid (4dp) with the
+    * 8dp→4dp HALF_UP ladder stableRound uses, which is cross-engine
+    * stable here: for third-quantiles of a 4dp grid the interpolated
+    * value sits ≥ 5/(3·10⁵) from every rounding tie, far beyond any ulp
+    * divergence between engines' interpolation spellings. */
+  def pplTiers(corpus: DataFrame, qs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      distinctRatio: Option[Double] = None): DataFrame = {
+    require(qs.nonEmpty && qs == qs.sorted, "quantiles must be ascending")
+    // pin the LM scores once: the quantile refinement and the final
+    // projection otherwise EACH re-run the whole bigram model (the
+    // lloydAssign lesson — measured 5.4 s vs 1.1 s at sf0.1)
+    val lm = lmScore(corpus, distinctRatio).localCheckpoint()
+    val bounds = ExactQuantile.quantiles(lm, "nll", qs).map(b =>
+      BigDecimal(b).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val tier = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), acc) => when(col("nll") <= b, lit(i)).otherwise(acc)
+    }
+    lm.select(col("doc_id"), col("nll"), col("n_bigrams"), tier.cast("int").as("tier"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint (custom codegen'd
     * expression); docs sharing a fingerprint are byte-near-identical
     * candidates. */
@@ -737,6 +767,32 @@ object TextAnalysis {
           "FROM pre JOIN cb USING (bg) JOIN c1 USING (w1) " +
           "GROUP BY doc_id ORDER BY doc_id"),
       (s, dir) => lmScore(docs(s, dir), Some(Dedup.docRatio(s, dir))).orderBy(col("doc_id"))),
+
+    // perplexity tiers over the t08 scores: DuckDB replays the LM, the
+    // third-quantile boundaries (quantile_cont — same (n-1)·q ordinal
+    // rule as ExactQuantile), the boundary rounding ladder, and the tier
+    // comparisons.
+    NamedQuery(
+      "t14_ppl_tiers",
+      Some(
+        "WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
+          "bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), " +
+          "i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t WHERE len(tk) >= 2), " +
+          "pre AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgs), " +
+          "c1 AS (SELECT w1, count(*) AS c1 FROM pre GROUP BY w1), " +
+          "cb AS (SELECT bg, count(*) AS cb FROM pre GROUP BY bg), " +
+          "lm AS (SELECT doc_id, " +
+          stableRoundSql("avg(-ln(CAST(cb AS DOUBLE) / c1))", 4) + " AS nll, " +
+          "count(*) AS n_bigrams FROM pre JOIN cb USING (bg) JOIN c1 USING (w1) GROUP BY doc_id), " +
+          "b AS (SELECT " +
+          stableRoundSql("quantile_cont(nll, CAST(1 AS DOUBLE)/3)", 4) + " AS b1, " +
+          stableRoundSql("quantile_cont(nll, CAST(2 AS DOUBLE)/3)", 4) + " AS b2 FROM lm) " +
+          "SELECT doc_id, nll, n_bigrams, " +
+          "CAST(CASE WHEN nll <= b1 THEN 0 WHEN nll <= b2 THEN 1 ELSE 2 END AS INT) AS tier " +
+          "FROM lm, b ORDER BY doc_id"),
+      (s, dir) =>
+        pplTiers(docs(s, dir), distinctRatio = Some(Dedup.docRatio(s, dir)))
+          .orderBy(col("doc_id"))),
 
     // hashed-linear-classifier scoring: the oracle rebuilds the SAME
     // bucket model from the shared lexicon (one Scala value emits both

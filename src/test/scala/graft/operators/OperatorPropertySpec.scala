@@ -179,6 +179,68 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(res.passed, s"weightedSample sweep: $res")
   }
 
+  test("passageScrub sweep: matches a naive keep-first model on clone-heavy corpora") {
+    // tiny vocab + short widths force heavy chunk duplication, in-doc
+    // repeats, all-removed docs, and sub-width tails
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(1, 14)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield toks.mkString(" ")
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      nDocs <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(nDocs, genDoc)
+    } yield docs.zipWithIndex.map { case (t, i) => (i * 3L, t) } // gapped ids
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(2, 3)) { (rows, w) =>
+      val got = Dedup.passageScrub(rows.toDF("doc_id", "text"), w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      // naive model: chunk strings in (doc_id, idx) order, first
+      // occurrence of each content kept, doc rebuilt from kept windows +
+      // tail
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = rows.sortBy(_._1).map { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").toSeq
+        val nFull = toks.length / w
+        val chunks = (0 until nFull).map(i => toks.slice(i * w, i * w + w).mkString(" "))
+        val keep = chunks.map(c => if (seen.contains(c)) false else { seen += c; true })
+        val kept = (0 until nFull).filter(keep).flatMap(i => toks.slice(i * w, i * w + w)) ++
+          toks.drop(nFull * w)
+        id -> ((nFull.toLong, keep.count(!_).toLong, kept.mkString(" ")))
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(20, 80)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("vocabulary sweep: matches a naive census with tie-inclusive cutoff") {
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      nDocs <- Gen.choose(1, 10)
+      docs <- Gen.listOfN(nDocs,
+        Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w", "v"))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(1, 2, 3, 5)) { (rows, topN) =>
+      val got = TextAnalysis.vocabulary(rows.toDF("doc_id", "text"), topN)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      val toks = rows.flatMap { case (id, t) => t.toLowerCase.split("\\s+").map(id -> _) }
+      val tf = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val df = toks.distinct.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val total = toks.size.toDouble
+      val cut = tf.values.toSeq.sorted.reverse.take(topN).lastOption.getOrElse(Long.MaxValue)
+      val ranked = tf.filter(_._2 >= cut).toSeq
+        .sortBy { case (t, f) => (-f, t) }.take(topN)
+      var cum = 0L
+      val expected = ranked.zipWithIndex.map { case ((t, f), i) =>
+        cum += f
+        (i + 1, t, f, df(t),
+          BigDecimal(cum / total).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      got.toSeq == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(20, 80)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("boilerplatePhrases sweep: matches naive distinct-ngram df counting") {
     val vocab = Vector("aa", "bb", "cc", "dd")
     val genCorpus: Gen[List[(Long, String)]] = for {

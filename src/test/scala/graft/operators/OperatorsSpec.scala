@@ -872,6 +872,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Similarity.incrementalEmbedAdmit(inc, idx2, cents, 0.9).isEmpty)
   }
 
+  test("mediaDedup: content-addressed across formats, min id kept, copy counted") {
+    import spark.implicits._
+    val media = Seq(
+      (5L, "png", "samebytes"), (2L, "jpeg", "samebytes"), // dup payload, formats differ
+      (3L, "wav", "other")
+    ).toDF("doc_id", "format", "text")
+      .select(col("doc_id"), col("format"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.mediaDedup(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(2L -> 2L, 3L -> 1L))
+  }
+
+  test("pplTiers: tiers are ordered by nll, near-thirds sized, boundaries inclusive") {
+    val out = q("t14_ppl_tiers").collect()
+      .map(r => (r.getDouble(r.fieldIndex("nll")), r.getInt(r.fieldIndex("tier"))))
+    val byTier = out.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byTier.keySet == Set(0, 1, 2), s"expected 3 tiers, got ${byTier.keySet}")
+    // total order: every tier-0 nll <= every tier-1 nll <= every tier-2 nll
+    assert(byTier(0).max <= byTier(1).min && byTier(1).max <= byTier(2).min)
+    // quantile thirds: no tier may deviate from n/3 by more than the
+    // largest tie group (equal nll values land in one tier together)
+    val n = out.length
+    val maxTie = out.groupBy(_._1).values.map(_.size).max
+    byTier.values.foreach(t =>
+      assert(math.abs(t.size - n / 3.0) <= maxTie + 1,
+        s"tier size ${t.size} vs n/3=${n / 3.0} (maxTie=$maxTie)"))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -225,6 +225,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "index rejection must plan as an anti-join")
     assert(p.contains("Scan ExistingRDD"),
       "the increment must assign cells once (checkpointed), not per consumer")
+    // d09 discipline: the probe and pair joins must consume the DISTINCT-
+    // embedding aggregate (keys [cell, embedding]), so clone groups
+    // collapse before any join — a per-doc probe re-grows quadratically
+    // on clone-heavy increments
+    assert("Keys \\[2\\]: \\[cell#\\d+, embedding#\\d+\\]".r.findFirstIn(p).isDefined,
+      "distinct-embedding group aggregate missing below the probe join")
+  }
+
+  test("t14 ppl tiers: assignment is a projection against literal bounds — no ntile window") {
+    // the naive spelling (ntile over a global orderBy) serializes the
+    // corpus through one partition; tiers must come from ExactQuantile
+    // bounds + a CASE projection
+    val p = plan("t14_ppl_tiers")
+    assert(!p.contains("ntile") && !p.contains("Window"),
+      "tier assignment regressed to a global window")
   }
 
   test("d09 near-dup admit: exchanges carry sketches and band keys, never text") {
@@ -461,8 +476,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("keys \\[1\\]: \\[cell#\\d+\\]".r.findFirstIn(p).isDefined,
       "pair join is not keyed on cell alone")
     assert(p.contains("LeftAnti"), "prune must plan as an anti-join")
-    assert("hashpartitioning\\(vec_id#\\d+L".r.findFirstIn(p).isDefined,
-      "drop-list dedup must exchange ids only")
+    assert(p.contains("LeftSemi"), "kept-id filter must plan as a semi-join")
+    // d09/s09 discipline: the pair join consumes the DISTINCT-embedding
+    // aggregate, so exact-duplicate groups collapse before the all-pairs
+    // stage — a per-doc pair join re-grows quadratically on clones
+    assert("Keys \\[2\\]: \\[cell#\\d+, embedding#\\d+\\]".r.findFirstIn(p).isDefined,
+      "distinct-embedding group aggregate missing below the pair join")
   }
 
   test("t09 classifier: weights broadcast; tokens partial-aggregate before the doc exchange") {
