@@ -241,6 +241,37 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("bestRepresentativesByContent sweep: identical to the doc-level pipeline on clone-heavy corpora") {
+    // the content-collapse argument (jaccard is a property of the text;
+    // clones never change connectivity; labels are rep ids) is proved by
+    // construction in the scaladoc — this sweep checks it holds on
+    // randomized corpora with heavy cloning, singleton groups, isolated
+    // multi-member groups, and tie-heavy qualities
+    val genCorpus: Gen[List[(Long, String, Double)]] = for {
+      nBase <- Gen.choose(2, 8)
+      bases <- Gen.listOfN(nBase,
+        Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))))
+      clones <- Gen.listOfN(nBase, Gen.choose(0, 4))
+    } yield {
+      val texts = bases.zip(clones).flatMap { case (t, c) => List.fill(1 + c)(t.mkString(" ")) }
+      texts.zipWithIndex.map { case (t, i) => (i * 3L, t, (i % 3).toDouble / 3) }
+    }
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(0.3, 0.5, 0.9)) { (rows, tau) =>
+      val docs = rows.toDF("doc_id", "text", "quality")
+      // doc-level reference: the original pipeline over the full doc pair
+      // graph (df cap high enough to keep everything on these tiny corpora)
+      val docPairs = Dedup.exactJaccardPairs(
+        Dedup.postingIndex(docs, dfCap = 10000), tau).select(col("id_a"), col("id_b"))
+      val ref = Dedup.bestRepresentatives(docPairs, docs.select(col("doc_id"), col("quality")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = Dedup.bestRepresentativesByContent(docs, tau, dfCap = 10000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      got == ref
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(15, 60)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("boilerplatePhrases sweep: matches naive distinct-ngram df counting") {
     val vocab = Vector("aa", "bb", "cc", "dd")
     val genCorpus: Gen[List[(Long, String)]] = for {

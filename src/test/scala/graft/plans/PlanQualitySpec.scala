@@ -484,6 +484,18 @@ class PlanQualitySpec extends AnyFunSuite {
       "distinct-embedding group aggregate missing below the pair join")
   }
 
+  test("d11 best-rep: consumes cached rep-level artifacts; membership joins carry digests, not text") {
+    val p = plan("d11_best_rep")
+    // the pair/CC machinery must run over the session-cached CONTENT-
+    // collapsed artifacts (rep-level), not rebuild a doc-level graph
+    assert(p.contains("Scan ExistingRDD"),
+      "content groups / rep pair graph must come from the cached artifacts")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    shuffles.foreach(s => assert(!s.contains("text#"),
+      s"text crossed an exchange — membership fan-out must ride the digest:\n$s"))
+  }
+
   test("t09 classifier: weights broadcast; tokens partial-aggregate before the doc exchange") {
     val p = plan("t09_classifier_score")
     assert(p.contains("BroadcastHashJoin"), "weight table must broadcast")
