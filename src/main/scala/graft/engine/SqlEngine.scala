@@ -384,7 +384,25 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         graft.operators.Multimodal.sampleFrames(t,
           a.headOption.map(_.toInt).getOrElse(4096), a.lift(1).map(_.toInt).getOrElse(1))),
       "graft_media_dedup" -> ((t, _) => graft.operators.Multimodal.mediaDedup(t)),
-      "graft_ppl_tiers" -> ((t, _) => TextAnalysis.pplTiers(t)))
+      "graft_ppl_tiers" -> ((t, _) => TextAnalysis.pplTiers(t)),
+      "graft_chunk_windows" -> ((t, a) =>
+        Packing.chunkWindows(t, a.headOption.map(_.toInt).getOrElse(64),
+          a.lift(1).map(_.toInt).getOrElse(32))),
+      // source diagnostics build their pair graph from the relation
+      // itself (doc_id, text, source all present on documents-shaped
+      // tables); arg 1 is the Jaccard floor
+      "graft_dup_report" -> ((t, a) =>
+        Dedup.dupReport(t, Dedup.exactJaccardPairs(
+          Dedup.postingIndex(t), a.headOption.getOrElse(0.4)))),
+      "graft_cross_source" -> ((t, a) =>
+        Dedup.crossSourceOverlap(t, Dedup.exactJaccardPairs(
+          Dedup.postingIndex(t), a.headOption.getOrElse(0.4)))),
+      // args: (simFloor, candidate jaccard floor, maxLev)
+      "graft_edit_pairs" -> ((t, a) =>
+        Dedup.editNearDupPairs(t,
+          Dedup.exactJaccardPairs(Dedup.postingIndex(t), a.lift(1).getOrElse(0.2)),
+          simFloor = a.headOption.getOrElse(0.8),
+          maxLev = a.lift(2).map(_.toInt).getOrElse(128))))
   }
 
   /** Two-relation operator entry points: `fn(left_table, right_table[,

@@ -751,6 +751,78 @@ object Dedup {
       .filter(col("doc_id") =!= col("cluster_rep")), round)
   }
 
+  /** Per-source near-duplication DIAGNOSTICS: for every source, the doc
+    * count, how many docs participate in at least one near-dup pair, and
+    * the duplicated fraction — the report a curation pipeline prints
+    * before choosing per-source dedup budgets. Inputs: `(doc_id, source)`
+    * and a pair graph `(id_a, id_b)` (any of the finders above).
+    *
+    * Scale shape: the pair graph is the shared cached artifact; the
+    * dup-membership set is 8-byte ids, the join back to sources is one
+    * hash join keyed on doc_id, and everything downstream is a
+    * per-source aggregate — no exchange ever carries text. */
+  def dupReport(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val dup = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+      .withColumn("is_dup", lit(1L))
+    docs.select(col("doc_id"), col("source"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_pct",
+        stableRound(col("n_dup").cast("double") / col("n_docs"), 4))
+  }
+
+  /** Cross-source near-dup OVERLAP matrix: for every unordered source
+    * pair, the number of near-dup pairs straddling them and their mean
+    * similarity — the "which sources copy each other" leakage report
+    * that drives source-level mixing and decontamination decisions.
+    *
+    * Scale shape: pairs from the cached artifact; two hash joins fan the
+    * tiny `(doc_id, source)` projection onto id pairs; the output is one
+    * row per source pair — exchanges carry ids, labels, and one double. */
+  def crossSourceOverlap(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .filter(col("src_a") =!= col("src_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        stableRound(avg(col("jaccard")), 4).as("avg_jaccard"))
+  }
+
+  /** Bounded-EDIT-DISTANCE near-dup (the code-dedup rule: keep pairs with
+    * edit similarity `1 - lev/max(len)` ≥ `simFloor`): candidates come
+    * from the shared n-gram pair graph at a LOW Jaccard floor (character
+    * edits that keep similarity ≥ 0.8 leave most word 3-grams intact, so
+    * the shingle filter is high-recall for them), then each candidate is
+    * verified with a threshold-bounded Levenshtein.
+    *
+    * Scale shape: candidates are id pairs off the cached artifact; the
+    * two text join-backs are linear in the CANDIDATE count — the only
+    * place text rides an exchange, bounded by candidates, never the
+    * corpus; the verify is per-row codegen with `maxLev` early exit
+    * (size `maxLev` ≥ (1-simFloor)·max text length or long-text pairs
+    * are cut by the bound before the similarity test). */
+  def editNearDupPairs(docs: DataFrame, candidates: DataFrame,
+      simFloor: Double = 0.8, maxLev: Int = 128): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(t.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+      .withColumn("lev", levenshtein(col("text_a"), col("text_b"), maxLev).cast("bigint"))
+      .withColumn("max_len",
+        greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
+      .filter(col("lev") >= 0 &&
+        lit(1.0) - col("lev") / col("max_len") >= lit(simFloor))
+      .select(col("id_a"), col("id_b"), col("lev"),
+        stableRound(lit(1.0) - col("lev") / col("max_len"), 4).as("edit_sim"))
+  }
+
   // ---------- testdata bindings (the driver contract) ----------
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
@@ -1258,6 +1330,68 @@ object Dedup {
           Similarity.assignCells(emb.unionByName(clones), Similarity.cachedModel(s, dir)),
           0.8)
           .select(col("vec_id")).orderBy(col("vec_id"))
-      })
+      }),
+
+    // per-source duplication diagnostics over the shared ≥0.4 pair graph;
+    // the oracle replays the pair CTE and the left-join membership count.
+    NamedQuery(
+      "d14_dup_report",
+      Some(
+        s"WITH ${ngramPairsSql(0.4)}, " +
+          "dup AS (SELECT DISTINCT id FROM " +
+          "(SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)) " +
+          "SELECT source, count(*) AS n_docs, " +
+          "CAST(count(dup.id) AS BIGINT) AS n_dup, " +
+          stableRoundSql("count(dup.id) / count(*)", 4) + " AS dup_pct " +
+          "FROM documents LEFT JOIN dup ON documents.doc_id = dup.id " +
+          "GROUP BY source ORDER BY source"),
+      (s, dir) =>
+        dupReport(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+          exactJaccardPairs(s, dir, 0.4).select(col("id_a"), col("id_b")))
+          .orderBy(col("source"))),
+
+    // cross-source overlap matrix over the same pair graph; avg jaccard
+    // aggregates the 4dp-rounded pair values identically on both sides.
+    NamedQuery(
+      "d15_cross_source",
+      Some(
+        s"WITH ${ngramPairsSql(0.4)}, " +
+          "sp AS (SELECT least(da.source, db.source) AS source_a, " +
+          "greatest(da.source, db.source) AS source_b, jaccard " +
+          "FROM pairs JOIN documents da ON pairs.id_a = da.doc_id " +
+          "JOIN documents db ON pairs.id_b = db.doc_id " +
+          "WHERE da.source <> db.source) " +
+          "SELECT source_a, source_b, count(*) AS n_pairs, " +
+          stableRoundSql("avg(jaccard)", 4) + " AS avg_jaccard " +
+          "FROM sp GROUP BY source_a, source_b ORDER BY source_a, source_b"),
+      (s, dir) =>
+        crossSourceOverlap(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+          exactJaccardPairs(s, dir, 0.4))
+          .orderBy(col("source_a"), col("source_b"))),
+
+    // edit-distance near-dup: ≥0.2-Jaccard candidates verified with exact
+    // Levenshtein at edit similarity ≥ 0.8. The oracle recomputes the
+    // candidates AND the unbounded levenshtein in DuckDB, so a hash match
+    // proves the threshold-bounded Spark verify agrees distance-for-
+    // distance (maxLev=128 > 0.2·max text length on this corpus, so the
+    // bound never cuts a true positive — see scaladoc sizing rule).
+    NamedQuery(
+      "d16_edit_neardup",
+      Some(
+        s"WITH ${ngramPairsSql(0.2)}, " +
+          "v AS (SELECT id_a, id_b, levenshtein(da.text, db.text) AS lev, " +
+          "greatest(length(da.text), length(db.text)) AS max_len " +
+          "FROM pairs JOIN documents da ON pairs.id_a = da.doc_id " +
+          "JOIN documents db ON pairs.id_b = db.doc_id) " +
+          "SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev, " +
+          stableRoundSql("1.0 - lev / max_len", 4) + " AS edit_sim " +
+          "FROM v WHERE lev <= 128 AND 1.0 - lev / max_len >= 0.8 " +
+          "ORDER BY id_a, id_b"),
+      (s, dir) =>
+        editNearDupPairs(corpus(s, dir),
+          cachedPairGraph(s, dir).filter(col("jaccard") >= 0.2))
+          .orderBy(col("id_a"), col("id_b")))
   )
 }

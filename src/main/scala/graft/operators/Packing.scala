@@ -164,6 +164,35 @@ object Packing {
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
 
+  /** Overlapping CONTEXT-WINDOW CHUNKING (the RAG/long-context layout):
+    * each doc's token stream is cut into `window`-token chunks every
+    * `stride` tokens; a chunk carries its span (`start_tok`, `n_toks`)
+    * and a content hash for downstream chunk-level dedup/retrieval —
+    * never the chunk text itself.
+    *
+    * Scale shape: a pure NARROW plan — tokenize, one Generate for the
+    * start offsets, and per-row slice+hash all fuse into the scan stage;
+    * no shuffle, no UDF, and the only thing wider than the input row is
+    * the ≤ window/stride chunk fan-out. The final window may be shorter
+    * than `window` (its `n_toks` says so); every token is covered by
+    * ≥1 chunk and consecutive chunks overlap by `window - stride`. */
+  def chunkWindows(corpus: DataFrame, window: Int = 64, stride: Int = 32): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    corpus
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("bigint"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(s"sequence(0L, greatest(n - 1, 0L), ${stride}L)")).as("start_tok"))
+      .select(
+        col("doc_id"),
+        expr(s"start_tok div $stride").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(window.toLong), col("n") - col("start_tok")).as("n_toks"),
+        md5(concat_ws("\u001f",
+          expr(s"slice(toks, CAST(start_tok + 1 AS INT), $window)"))).as("chunk_hash"))
+  }
+
   // ---------- testdata bindings (the driver contract) ----------
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -231,5 +260,25 @@ object Packing {
       (s, dir) =>
         packedSpans(docs(s, dir).select(col("doc_id"), col("text")))
           .orderBy(col("seq_id"), col("doc_id")))
+,
+    // overlapping context-window chunks (W=64, stride=32). The oracle
+    // replays tokenization, the start grid (DuckDB range() exclusive stop
+    // == Spark sequence() inclusive stop-1), the clamped slice, and the
+    // unit-separator md5 — a hash match proves span arithmetic AND the
+    // chunk content hash byte-for-byte.
+    NamedQuery(
+      "p15_chunk_windows",
+      Some(
+        "WITH tk AS (SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents), " +
+          "x AS (SELECT doc_id, tk, len(tk) AS n, " +
+          "unnest(range(0, greatest(len(tk), 1), 32)) AS start_tok FROM tk) " +
+          "SELECT doc_id, CAST(start_tok // 32 AS BIGINT) AS chunk_idx, " +
+          "CAST(start_tok AS BIGINT) AS start_tok, " +
+          "CAST(least(64, n - start_tok) AS BIGINT) AS n_toks, " +
+          "md5(array_to_string(tk[start_tok + 1 : start_tok + 64], chr(31))) AS chunk_hash " +
+          "FROM x ORDER BY doc_id, chunk_idx"),
+      (s, dir) =>
+        chunkWindows(docs(s, dir).select(col("doc_id"), col("text")))
+          .orderBy(col("doc_id"), col("chunk_idx")))
   )
 }

@@ -1285,4 +1285,39 @@ class SqlEngineSpec extends AnyFunSuite {
       2L, 4L, consumedLive, Seq("id"))
     assert(afterVacuum.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L, 9L))
   }
+
+  test("round-9b TVFs: chunk windows, source diagnostics, edit pairs from pure SQL") {
+    val e = freshEngine("tvf6")
+    e.execute("CREATE DATABASE tvf6")
+    e.execute("CREATE TABLE corpus (doc_id bigint PRIMARY KEY, text text, source text)")
+    e.execute("INSERT INTO corpus VALUES " +
+      "(1, 'the quick brown fox jumps over the lazy dog today', 'web'), " +
+      "(2, 'the quick brown fox jumps over the lazy dog tonight', 'books'), " +
+      "(3, 'completely different content with no overlap at all', 'web')")
+    // chunk windows from SQL == the DataFrame API, including the hash
+    val cw = e.execute(
+      "SELECT doc_id, chunk_idx, start_tok, n_toks, chunk_hash " +
+        "FROM graft_chunk_windows(corpus, 4, 2) ORDER BY doc_id, chunk_idx")
+      .collect().map(_.toString).toSeq
+    val cwApi = graft.operators.Packing.chunkWindows(
+      e.execute("SELECT doc_id, text FROM corpus"), 4, 2)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toString).toSeq
+    assert(cw == cwApi && cw.nonEmpty)
+    // docs 1/2 are near-dups straddling web/books; doc 3 is clean
+    val rep = e.execute(
+      "SELECT source, n_docs, n_dup FROM graft_dup_report(corpus, 0.4) ORDER BY source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rep == Seq(("books", 1L, 1L), ("web", 2L, 1L)), s"got $rep")
+    val xs = e.execute(
+      "SELECT source_a, source_b, n_pairs FROM graft_cross_source(corpus, 0.4) " +
+        "ORDER BY source_a").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(xs == Seq(("books", "web", 1L)), s"got $xs")
+    // edit verify: one small char-level edit between docs 1 and 2
+    val ep = e.execute(
+      "SELECT id_a, id_b, lev FROM graft_edit_pairs(corpus, 0.8, 0.2, 128) ORDER BY id_a")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ep.map(p => (p._1, p._2)) == Seq((1L, 2L)) &&
+      ep.head._3 >= 1L && ep.head._3 <= 10L, s"got $ep")
+  }
 }

@@ -295,4 +295,141 @@ class OperatorPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(10, 30)), prop)
     assert(res.passed, s"boilerplate sweep: $res")
   }
+
+  /** In-test Levenshtein DP — the independent reference for d16. */
+  private def levRef(a: String, b: String): Int = {
+    val (n, m) = (a.length, b.length)
+    var prev = Array.tabulate(m + 1)(identity)
+    for (i <- 1 to n) {
+      val cur = new Array[Int](m + 1); cur(0) = i
+      for (j <- 1 to m)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      prev = cur
+    }
+    prev(m)
+  }
+
+  test("editNearDupPairs sweep: bounded verify matches DP levenshtein on every candidate") {
+    // corpora of near-clone families: a base sentence plus char-level
+    // mutations (substitute/insert/delete) — exactly the shapes the edit
+    // verify must separate at the 0.8 similarity floor
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      nBase <- Gen.choose(2, 5)
+      bases <- Gen.listOfN(nBase, Gen.choose(6, 14).flatMap(Gen.listOfN(_, word)))
+      muts <- Gen.listOfN(nBase, Gen.choose(0, 3))
+      seeds <- Gen.listOfN(nBase, Gen.choose(0, 1000))
+    } yield {
+      val texts = bases.lazyZip(muts).lazyZip(seeds).flatMap { (ws, m, seed) =>
+        val base = ws.mkString(" ")
+        base :: (1 to m).toList.map { k =>
+          val r = new scala.util.Random(seed + k)
+          val i = r.nextInt(base.length)
+          r.nextInt(3) match { // one random char edit per clone
+            case 0 => base.updated(i, ('a' + r.nextInt(26)).toChar)
+            case 1 => base.substring(0, i) + ('a' + r.nextInt(26)).toChar + base.substring(i)
+            case _ => base.substring(0, i) + base.substring(math.min(i + 1, base.length))
+          }
+        }
+      }
+      texts.zipWithIndex.map { case (t, i) => (i * 2L, t) }
+    }
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(8, 128)) { (rows, maxLev) =>
+      val docs = rows.toDF("doc_id", "text")
+      // candidates: every co-occurring-shingle pair (df cap off) — the
+      // pair generator is property-tested elsewhere; this sweep isolates
+      // the NEW verify stage against the in-test DP
+      val cands = Dedup.jaccardPairGraph(Dedup.postingIndex(docs, dfCap = 10000))
+      val got = Dedup.editNearDupPairs(docs, cands, simFloor = 0.8, maxLev = maxLev)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val byId = rows.toMap
+      val want = cands.collect().map(r => (r.getLong(0), r.getLong(1))).flatMap {
+        case (a, b) =>
+          val lev = levRef(byId(a), byId(b))
+          val maxLen = math.max(byId(a).length, byId(b).length).toDouble
+          if (lev <= maxLev && 1.0 - lev / maxLen >= 0.8) Some((a, b, lev.toLong)) else None
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(15, 60)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("dupReport + crossSourceOverlap sweep: match naive recomputation on random pair graphs") {
+    val genFixture: Gen[(List[(Long, String)], List[(Long, Long, Double)])] = for {
+      n <- Gen.choose(4, 30)
+      srcs <- Gen.listOfN(n, Gen.choose(0, 4).map(k => s"s$k"))
+      nPairs <- Gen.choose(0, 40)
+      pairIdx <- Gen.listOfN(nPairs, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+      sims <- Gen.listOfN(nPairs, Gen.choose(40, 100).map(_ / 100.0))
+    } yield {
+      val docs = srcs.zipWithIndex.map { case (s, i) => (i * 3L, s) }
+      val pairs = pairIdx.zip(sims).collect {
+        case ((i, j), v) if i != j =>
+          (math.min(i, j) * 3L, math.max(i, j) * 3L, v)
+      }.distinct
+      (docs, pairs)
+    }
+    val prop = Prop.forAll(genFixture) { case (docs, pairs) =>
+      val docsDf = docs.toDF("doc_id", "source")
+      val pairsDf = pairs.toDF("id_a", "id_b", "jaccard")
+      val srcOf = docs.toMap
+
+      val gotReport = Dedup.dupReport(docsDf, pairsDf.select(col("id_a"), col("id_b")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val dupIds = pairs.flatMap(p => List(p._1, p._2)).toSet
+      val wantReport = docs.groupBy(_._2).map { case (s, ds) =>
+        (s, ds.size.toLong, ds.count(d => dupIds(d._1)).toLong)
+      }.toSet
+      val okReport = gotReport == wantReport
+
+      val gotX = Dedup.crossSourceOverlap(docsDf, pairsDf)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val wantX = pairs
+        .filter(p => srcOf(p._1) != srcOf(p._2))
+        .groupBy { p =>
+          val (a, b) = (srcOf(p._1), srcOf(p._2))
+          (if (a < b) a else b, if (a < b) b else a)
+        }
+        .map { case ((a, b), ps) => (a, b) -> (ps.size.toLong, ps.map(_._3).sum / ps.size) }
+      val okX = gotX.length == wantX.size && gotX.forall { case (a, b, n, avg) =>
+        wantX.get((a, b)).exists { case (wn, wavg) => wn == n && math.abs(wavg - avg) < 1e-4 }
+      }
+      okReport && okX
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(20, 80)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("chunkWindows sweep: spans, coverage, overlap, and content hashes vs in-test reference") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "e")
+    val genText: Gen[String] = for {
+      n <- Gen.choose(1, 200)
+      ws <- Gen.listOfN(n, word)
+      lead <- Gen.oneOf("", " ", "\n\t")
+      sep <- Gen.listOfN(n, Gen.oneOf(" ", "  ", "\t", " \n "))
+    } yield lead + ws.zip(sep).map { case (w, s) => w + s }.mkString.trim
+    val prop = Prop.forAll(Gen.listOf(genText), Gen.oneOf((4, 4), (8, 3), (64, 32))) {
+      case (texts, (w, s)) =>
+        val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val docs = rows.toDF("doc_id", "text")
+        val out = Packing.chunkWindows(docs, window = w, stride = s)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(x: String): String =
+          md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val want = rows.flatMap { case (id, t) =>
+          val toks = java.util.regex.Pattern.compile("\\s+").split(t, -1).toSeq
+          val n = toks.length
+          (0L until n.toLong by s.toLong).map { start =>
+            val chunk = toks.slice(start.toInt, start.toInt + w)
+            (id, start / s, start, math.min(w.toLong, n - start), md5hex(chunk.mkString("\u001f")))
+          }
+        }.toSet
+        out.toSet == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(15, 60)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -484,6 +484,42 @@ class PlanQualitySpec extends AnyFunSuite {
       "distinct-embedding group aggregate missing below the pair join")
   }
 
+  test("p15 chunking: pure narrow plan — only the output-order range exchange, hash computed before it") {
+    val p = plan("p15_chunk_windows")
+    assert(p.contains("Generate"), "start-offset fan-out must be a Generate, not a join")
+    assert(!p.contains("hashpartitioning"), "chunking must not hash-shuffle")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.length == 1 && shuffles.head.contains("rangepartitioning"),
+      "expected exactly the output-order range exchange")
+    // word-boundary match: the exchange legitimately carries n_toks#
+    assert(!shuffles.head.contains("text#") &&
+      "[\\[, ]toks#".r.findFirstIn(shuffles.head).isEmpty,
+      "chunk text/tokens crossed the exchange — only the hash may travel")
+  }
+
+  test("d14/d15 source diagnostics: cached pair graph, broadcast dup set, no text on any exchange") {
+    val p14 = plan("d14_dup_report")
+    assert(p14.contains("Scan ExistingRDD"), "pair graph must come from the cached artifact")
+    assert(p14.contains("BroadcastHashJoin LeftOuter"),
+      "dup-id membership must broadcast onto the docs scan, not shuffle it")
+    val p15x = plan("d15_cross_source")
+    assert(p15x.contains("Scan ExistingRDD"), "pair graph must come from the cached artifact")
+    Seq(p14, p15x).foreach(_.split("\n\n")
+      .filter(s => "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+      .foreach(s => assert(!s.contains("text#"),
+        s"text crossed an exchange in the source diagnostics:\n$s")))
+  }
+
+  test("d16 edit near-dup: cached candidates, bounded levenshtein, no shingle rebuild") {
+    val p = plan("d16_edit_neardup")
+    assert(p.contains("Scan ExistingRDD"), "candidates must come from the cached pair graph")
+    assert(p.contains("levenshtein") && p.contains("Some(128)"),
+      "verify must use the threshold-bounded levenshtein (early exit)")
+    assert(!p.contains("Generate"),
+      "edit verify must not re-run the shingle stage — candidates are the cached artifact")
+  }
+
   test("d11 best-rep: consumes cached rep-level artifacts; membership joins carry digests, not text") {
     val p = plan("d11_best_rep")
     // the pair/CC machinery must run over the session-cached CONTENT-
