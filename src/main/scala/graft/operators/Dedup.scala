@@ -823,6 +823,68 @@ object Dedup {
         stableRound(lit(1.0) - col("lev") / col("max_len"), 4).as("edit_sim"))
   }
 
+  /** Reps (min-id per distinct text) that own at least one LIVE (non-hot,
+    * doc-level df ≤ `dfCap`) shingle — exactly the reps that appear in
+    * the doc-level posting index at all. The gate for intra-clone-group
+    * pair emission in [[editNearDupFromContent]]: a clone family whose
+    * every shingle is hot never enters the doc-level pair graph, so its
+    * member pairs must not be fanned out either. */
+  def liveContentReps(groups: DataFrame, dfCap: Int = 50): DataFrame = {
+    val sx = shingled(groups.select(col("rep").as("doc_id"), col("text"), col("csize")))
+      .select(col("doc_id"), col("csize"), explode(col("shingles")).as("shingle"))
+    val hot = sx.groupBy(col("shingle")).agg(sum(col("csize")).as("df"))
+      .filter(col("df") > dfCap).select(col("shingle"))
+    sx.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(col("doc_id").as("rep")).distinct()
+  }
+
+  /** CONTENT-COLLAPSED edit near-dup — identical output to
+    * [[editNearDupPairs]] over the doc-level pair graph, but Levenshtein
+    * runs ONCE PER DISTINCT-TEXT PAIR (edit distance is a property of the
+    * text, so clone members inherit their rep's verdict), and clone-clone
+    * pairs inside one group are emitted directly (identical texts: lev 0,
+    * similarity exactly 1 — gated on the group owning a live shingle and
+    * a non-empty text, mirroring the doc-level graph's membership rule
+    * and its NaN-drop on 0/0).
+    *
+    * Equivalence: hotness is decided by doc-level df (the rep graph
+    * counts `csize` per shingle), and both the candidate floor and the
+    * verify consume only (text_a, text_b, global df) — all constant
+    * across a clone group — so fan-out over members reproduces the
+    * doc-level pipeline row-for-row.
+    *
+    * Scale shape: the expensive stages (shingle index, candidate join,
+    * bounded Levenshtein) all run over DISTINCT texts — the clone-heavy
+    * 10× scaler had made the doc-level verify 156× (quadratic pair count
+    * × per-pair edit distance); here the fan-back joins carry
+    * `(id, lev, edit_sim)` only and cost O(1) per OUTPUT row, which is
+    * the deliverable's own size (every clone pair IS a near-dup pair —
+    * the d06/p01 adjudication). */
+  def editNearDupFromContent(docs: DataFrame, groups: DataFrame,
+      repCandidates: DataFrame, liveReps: DataFrame,
+      simFloor: Double = 0.8, maxLev: Int = 128): DataFrame = {
+    val members = docs.select(col("doc_id"), sha2(col("text"), 256).as("dg"))
+      .join(groups.select(col("dg"), col("rep")), "dg")
+      .select(col("doc_id"), col("rep"))
+    val repVerified = editNearDupPairs(
+      groups.select(col("rep").as("doc_id"), col("text")),
+      repCandidates, simFloor, maxLev)
+    val cross = repVerified
+      .join(members.select(col("rep").as("id_a"), col("doc_id").as("da")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("doc_id").as("db")), "id_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("lev"), col("edit_sim"))
+    val intraMembers = groups
+      .filter(col("csize") >= 2 && length(col("text")) > 0)
+      .join(liveReps, Seq("rep"), "left_semi")
+      .select(col("rep")).join(members, Seq("rep"))
+    val intra = intraMembers.select(col("rep"), col("doc_id").as("id_a"))
+      .join(intraMembers.select(col("rep"), col("doc_id").as("id_b")), "rep")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("lev"), lit(1.0).as("edit_sim"))
+    cross.unionByName(intra)
+  }
+
   // ---------- testdata bindings (the driver contract) ----------
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
@@ -988,6 +1050,10 @@ object Dedup {
   private[operators] def cachedRepPairGraph(s: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrBuild(s, ("rep-pair-graph", dir))(
       contentRepPairGraph(cachedContentGroups(s, dir)).localCheckpoint())
+
+  private[operators] def cachedLiveReps(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, ("live-reps", dir))(
+      liveContentReps(cachedContentGroups(s, dir)).localCheckpoint())
 
   private[operators] def ngramPairsSql(threshold: Double): String =
     "toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
@@ -1390,8 +1456,9 @@ object Dedup {
           "FROM v WHERE lev <= 128 AND 1.0 - lev / max_len >= 0.8 " +
           "ORDER BY id_a, id_b"),
       (s, dir) =>
-        editNearDupPairs(corpus(s, dir),
-          cachedPairGraph(s, dir).filter(col("jaccard") >= 0.2))
+        editNearDupFromContent(corpus(s, dir), cachedContentGroups(s, dir),
+          cachedRepPairGraph(s, dir).filter(col("jaccard") >= 0.2),
+          cachedLiveReps(s, dir))
           .orderBy(col("id_a"), col("id_b")))
   )
 }

@@ -356,6 +356,48 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("editNearDupFromContent sweep: content-collapsed output equals the doc-level pipeline") {
+    // clone-heavy corpora — the shape that made the doc-level verify
+    // quadratic: base sentences, char-edit variants, AND identical clones
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      nBase <- Gen.choose(2, 4)
+      bases <- Gen.listOfN(nBase, Gen.choose(6, 12).flatMap(Gen.listOfN(_, word)))
+      clones <- Gen.listOfN(nBase, Gen.choose(0, 4))
+      edits <- Gen.listOfN(nBase, Gen.choose(0, 2))
+      seeds <- Gen.listOfN(nBase, Gen.choose(0, 1000))
+      empties <- Gen.choose(0, 1)
+    } yield {
+      val texts = bases.lazyZip(clones).lazyZip(edits).toList.zip(seeds).flatMap {
+        case ((ws, c, m), seed) =>
+          val base = ws.mkString(" ")
+          val r = new scala.util.Random(seed)
+          val mutated = (1 to m).toList.map { _ =>
+            val i = r.nextInt(base.length)
+            base.updated(i, ('a' + r.nextInt(26)).toChar)
+          }
+          List.fill(c + 1)(base) ++ mutated
+      } ++ List.fill(empties)("")
+      texts.zipWithIndex.map { case (t, i) => (i * 2L, t) }
+    }
+    // dfCap 3 drives clone-family shingles HOT (family size > 3), so the
+    // live-rep gate and the hot-exclusion of intra pairs are exercised
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(3, 50)) { (rows, dfCap) =>
+      val docs = rows.toDF("doc_id", "text")
+      val want = Dedup.editNearDupPairs(docs,
+        Dedup.exactJaccardPairs(Dedup.postingIndex(docs, dfCap), 0.2))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val grp = Dedup.contentGroups(docs)
+      val got = Dedup.editNearDupFromContent(docs, grp,
+        Dedup.contentRepPairGraph(grp, dfCap).filter(col("jaccard") >= 0.2),
+        Dedup.liveContentReps(grp, dfCap))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(10, 40)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dupReport + crossSourceOverlap sweep: match naive recomputation on random pair graphs") {
     val genFixture: Gen[(List[(Long, String)], List[(Long, Long, Double)])] = for {
       n <- Gen.choose(4, 30)
