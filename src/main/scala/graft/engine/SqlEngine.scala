@@ -402,7 +402,15 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         Dedup.editNearDupPairs(t,
           Dedup.exactJaccardPairs(Dedup.postingIndex(t), a.lift(1).getOrElse(0.2)),
           simFloor = a.headOption.getOrElse(0.8),
-          maxLev = a.lift(2).map(_.toInt).getOrElse(128))))
+          maxLev = a.lift(2).map(_.toInt).getOrElse(128))),
+      "graft_corpus_card" -> ((t, _) => graft.operators.Curation.corpusCard(t)),
+      "graft_mixture_weights" -> ((t, a) =>
+        Packing.mixtureWeights(t, a.headOption.getOrElse(0.5),
+          a.lift(1).map(_.toLong).getOrElse(100000L))),
+      // over any (id, cell, score) relation — cells from labels, sources,
+      // or a quantizer registered upstream
+      "graft_diverse_topk" -> ((t, a) =>
+        Selection.diverseTopK(t, a.headOption.map(_.toInt).getOrElse(100))))
   }
 
   /** Two-relation operator entry points: `fn(left_table, right_table[,

@@ -107,6 +107,43 @@ object Curation {
       (!(frac >= tau)).cast("int").as("keep"))
   }
 
+  /** CORPUS CARD — the per-(source, lang) summary every dataset release
+    * ships: doc count, token and char totals, token-length extremes, and
+    * mean/variance of doc length. Variance uses the explicit
+    * `(n·Σx² − (Σx)²) / (n·(n−1))` form with the sums carried in
+    * DECIMAL(38,0): integer token counts make both sums EXACT (so
+    * aggregation order — Spark partial merges vs DuckDB's scan order —
+    * cannot perturb them), and 38 digits holds Σx² at 10¹¹ docs ×
+    * 10⁴-token means with room to spare.
+    *
+    * Scale shape: one hash aggregate with map-side partials; the
+    * exchange carries per-group (count, 3 sums, min, max) — never text.
+    * Tokenization matches t03 (`split(trim(text), " +")`). */
+  def corpusCard(corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val agg = corpus
+      .withColumn("n_toks", size(split(trim(col("text")), " +")).cast("bigint"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast(dec)).as("s1"),
+        sum((col("n_toks") * col("n_toks")).cast(dec)).as("s2"),
+        sum(length(col("text")).cast("bigint")).as("n_chars"),
+        min(col("n_toks")).as("min_tokens"),
+        max(col("n_toks")).as("max_tokens"))
+    agg.select(
+      col("source"), col("lang"), col("n_docs"),
+      col("s1").cast("bigint").as("n_tokens"),
+      col("n_chars"), col("min_tokens"), col("max_tokens"),
+      OracleRound.stableRound(
+        col("s1").cast("double") / col("n_docs"), 4).as("mean_tokens"),
+      OracleRound.stableRound(
+        when(col("n_docs") > 1,
+          (col("n_docs").cast(dec) * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n_docs") * (col("n_docs") - lit(1L))).cast("double"))
+          .otherwise(lit(0.0)), 4).as("var_tokens"))
+  }
+
   val queries: Seq[NamedQuery] = Seq(
 
     // decontamination against a planted "benchmark" (doc_id < 25 — the
@@ -209,5 +246,33 @@ object Curation {
               .otherwise(100))
           .select(col("doc_id"), col("lang"), col("bucket"))
           .orderBy(col("doc_id")))
+,
+    // corpus card per (source, lang). DuckDB carries the sums in HUGEINT
+    // (exact int128) mirroring Spark's DECIMAL(38,0) — both exact, so the
+    // variance numerator agrees bit-for-bit before the double division.
+    NamedQuery(
+      "p16_corpus_card",
+      Some(
+        "WITH t AS (SELECT source, lang, " +
+          "CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_toks, " +
+          "CAST(length(text) AS BIGINT) AS nc FROM documents), " +
+          "g AS (SELECT source, lang, count(*) AS n_docs, " +
+          "sum(CAST(n_toks AS HUGEINT)) AS s1, " +
+          "sum(CAST(n_toks AS HUGEINT) * n_toks) AS s2, " +
+          "CAST(sum(nc) AS BIGINT) AS n_chars, " +
+          "min(n_toks) AS min_tokens, max(n_toks) AS max_tokens " +
+          "FROM t GROUP BY source, lang) " +
+          "SELECT source, lang, n_docs, CAST(s1 AS BIGINT) AS n_tokens, " +
+          "n_chars, min_tokens, max_tokens, " +
+          OracleRound.stableRoundSql("CAST(s1 AS DOUBLE) / n_docs", 4) + " AS mean_tokens, " +
+          "CASE WHEN n_docs > 1 THEN " +
+          OracleRound.stableRoundSql(
+            "CAST(n_docs * s2 - s1 * s1 AS DOUBLE) / (n_docs * (n_docs - 1))", 4) +
+          " ELSE 0.0 END AS var_tokens " +
+          "FROM g ORDER BY source, lang"),
+      (s, dir) =>
+        corpusCard(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"), col("lang")))
+          .orderBy(col("source"), col("lang")))
   )
 }

@@ -193,6 +193,39 @@ object Packing {
           expr(s"slice(toks, CAST(start_tok + 1 AS INT), $window)"))).as("chunk_hash"))
   }
 
+  /** MIXTURE-WEIGHT report — the per-language sampling plan a temperature-
+    * balanced run trains from: token-count shares raised to `alpha`
+    * (α < 1 upweights low-resource languages), normalized to weights,
+    * then a token budget split by weight with the implied epoch count
+    * (epochs > 1 = that language repeats). [[temperatureMix]] is the
+    * doc-level realization of such a plan; this is the plan itself —
+    * counts come from data, weights from arithmetic, so the report is
+    * deterministic and oracle-replayable.
+    *
+    * Scale shape: one hash aggregate (map-side partials, fixed-width
+    * rows), then pure arithmetic over the ≤|langs|-row counts relation
+    * joined to a broadcast 1-row total — nothing after the aggregate
+    * touches corpus-sized data. */
+  def mixtureWeights(corpus: DataFrame, alpha: Double = 0.5,
+      budgetTokens: Long = 100000L): DataFrame = {
+    require(alpha > 0 && budgetTokens > 0, "need alpha > 0 and a positive budget")
+    val counts = corpus
+      .withColumn("n_toks", size(split(trim(col("text")), " +")).cast("bigint"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val tot = counts.agg(
+      sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("wsum"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        stableRound(pow(col("n_tokens").cast("double"), lit(alpha)) / col("wsum"), 6))
+      .withColumn("target_tokens",
+        floor(col("weight") * lit(budgetTokens.toDouble)).cast("bigint"))
+      .withColumn("epochs",
+        stableRound(col("target_tokens").cast("double") / col("n_tokens"), 4))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("target_tokens"), col("epochs"))
+  }
+
   // ---------- testdata bindings (the driver contract) ----------
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -280,5 +313,28 @@ object Packing {
       (s, dir) =>
         chunkWindows(docs(s, dir).select(col("doc_id"), col("text")))
           .orderBy(col("doc_id"), col("chunk_idx")))
+,
+    // per-language mixture plan at alpha=0.5, budget=100k tokens. The
+    // oracle replays the exact-integer counts, the pow/normalize on
+    // identical doubles (the p05 precedent), the floor off the ROUNDED
+    // weight, and the epoch ratio.
+    NamedQuery(
+      "p17_mixture_weights",
+      Some(
+        "WITH t AS (SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_tokens " +
+          "FROM documents GROUP BY lang), " +
+          "w AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS wsum FROM t), " +
+          "r AS (SELECT lang, n_docs, n_tokens, " +
+          stableRoundSql("pow(CAST(n_tokens AS DOUBLE), 0.5) / wsum", 6) +
+          " AS weight FROM t, w) " +
+          "SELECT lang, n_docs, n_tokens, weight, " +
+          "CAST(floor(weight * CAST(100000 AS DOUBLE)) AS BIGINT) AS target_tokens, " +
+          stableRoundSql(
+            "CAST(floor(weight * CAST(100000 AS DOUBLE)) AS DOUBLE) / n_tokens", 4) +
+          " AS epochs FROM r ORDER BY lang"),
+      (s, dir) =>
+        mixtureWeights(docs(s, dir).select(col("text"), col("lang")))
+          .orderBy(col("lang")))
   )
 }

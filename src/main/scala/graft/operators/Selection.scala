@@ -270,6 +270,33 @@ object Selection {
         (expr(s"(pos - 1) div $shards") + lit(1L)).cast("bigint").as("shard_pos"))
   }
 
+  /** DIVERSITY-AWARE top-n selection: round-robin across cells — every
+    * cell's rank-1 item is considered before any cell's rank-2, so the
+    * pick covers all clusters before deepening into any (the scalable
+    * stand-in for greedy MMR, whose sequential select can't distribute;
+    * cells come from any partitioner — k-means, LSH, labels, sources).
+    * Input columns: `id`, `cell`, `score`; returns the n picked rows
+    * with their in-cell rank and global pick order. Total order
+    * `(cell_rank, score DESC, id)` makes the pick deterministic and
+    * oracle-replayable.
+    *
+    * Scale shape: one window partitioned BY CELL (the exchange carries
+    * three scalars per row, never payloads), then the global top-n plans
+    * as TakeOrderedAndProject — per-partition heaps of n, one n-row
+    * merge, no global sort; the final pick_rank window sees only the n
+    * survivors. */
+  def diverseTopK(items: DataFrame, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val wCell = Window.partitionBy(col("cell")).orderBy(col("score").desc, col("id"))
+    val top = items.select(col("id"), col("cell"), col("score"))
+      .withColumn("cell_rank", row_number().over(wCell).cast("bigint"))
+      .orderBy(col("cell_rank"), col("score").desc, col("id"))
+      .limit(n)
+    top.withColumn("pick_rank",
+      row_number().over(
+        Window.orderBy(col("cell_rank"), col("score").desc, col("id"))).cast("bigint"))
+  }
+
   // ---------- testdata bindings (the driver contract) ----------
 
   /** Deterministic quality proxy over the documents table: 13 distinct
@@ -367,5 +394,33 @@ object Selection {
       (s, dir) =>
         epochShuffle(Tables.load(s, dir, "documents"), epoch = 2, shards = 8)
           .orderBy(col("doc_id")))
+,
+    // diversity-aware top-100 over the embeddings table: cell = the
+    // stored label, score = the L2 norm (the s07-proven bit-exact
+    // spelling on both engines), so ranking happens on identical raw
+    // doubles and the full pick is hash-checkable.
+    NamedQuery(
+      "s11_diverse_topk",
+      Some(
+        "WITH nv AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS cell, " +
+          "sqrt(list_sum(list_transform(embedding, " +
+          "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS score FROM embeddings), " +
+          "r AS (SELECT id, cell, score, CAST(row_number() OVER " +
+          "(PARTITION BY cell ORDER BY score DESC, id) AS BIGINT) AS cell_rank FROM nv), " +
+          "p AS (SELECT id, cell, score, cell_rank, CAST(row_number() OVER " +
+          "(ORDER BY cell_rank, score DESC, id) AS BIGINT) AS pick_rank FROM r) " +
+          "SELECT id, cell, " + OracleRound.stableRoundSql("score", 4) + " AS score, " +
+          "cell_rank, pick_rank FROM p WHERE pick_rank <= 100 ORDER BY pick_rank"),
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        diverseTopK(
+          Tables.load(s, dir, "embeddings").select(
+            col("vec_id").as("id"), col("label").cast("bigint").as("cell"),
+            expr("l2_norm(embedding)").as("score")), 100)
+          .select(col("id"), col("cell"),
+            OracleRound.stableRound(col("score"), 4).as("score"),
+            col("cell_rank"), col("pick_rank"))
+          .orderBy(col("pick_rank"))
+      })
   )
 }

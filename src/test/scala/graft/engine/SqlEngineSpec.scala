@@ -1320,4 +1320,38 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(ep.map(p => (p._1, p._2)) == Seq((1L, 2L)) &&
       ep.head._3 >= 1L && ep.head._3 <= 10L, s"got $ep")
   }
+
+  test("round-9c TVFs: corpus card, mixture weights, diverse top-k from pure SQL") {
+    val e = freshEngine("tvf7")
+    e.execute("CREATE DATABASE tvf7")
+    e.execute("CREATE TABLE docs (doc_id bigint PRIMARY KEY, text text, source text, lang text)")
+    e.execute("INSERT INTO docs VALUES " +
+      "(1, 'one two three', 'web', 'en'), " +
+      "(2, 'four five six seven', 'web', 'en'), " +
+      "(3, 'acht neun', 'web', 'de'), " +
+      "(4, 'zehn', 'books', 'de')")
+    val card = e.execute(
+      "SELECT source, lang, n_docs, n_tokens, mean_tokens, var_tokens " +
+        "FROM graft_corpus_card(docs) ORDER BY source, lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(card == Seq(
+      ("books", "de", 1L, 1L, 1.0, 0.0),
+      ("web", "de", 1L, 2L, 2.0, 0.0),
+      ("web", "en", 2L, 7L, 3.5, 0.5)), s"got $card")
+    val mix = e.execute(
+      "SELECT lang, n_tokens, target_tokens FROM graft_mixture_weights(docs, 1.0, 1000) " +
+        "ORDER BY lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // alpha=1: proportional split of 1000 tokens over 7 en / 3 de
+    assert(mix == Seq(("de", 3L, 300L), ("en", 7L, 700L)), s"got $mix")
+    // diverse top-3 over (id, cell, score) spelled as a plain projection
+    e.execute("CREATE TABLE scored (id bigint PRIMARY KEY, cell bigint, score double precision)")
+    e.execute("INSERT INTO scored VALUES (1, 0, 0.9), (2, 0, 0.8), (3, 1, 0.1), (4, 1, 0.05)")
+    val top = e.execute(
+      "SELECT id, pick_rank FROM graft_diverse_topk(scored, 3) ORDER BY pick_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // round-robin: both cells' rank-1 first (by score), then cell 0's rank-2
+    assert(top == Seq((1L, 1L), (3L, 2L), (2L, 3L)), s"got $top")
+  }
 }

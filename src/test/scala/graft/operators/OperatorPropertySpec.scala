@@ -474,4 +474,94 @@ class OperatorPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(15, 60)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("diverseTopK sweep: round-robin pick matches the in-test reference on ragged, tie-heavy cells") {
+    val genItems: Gen[List[(Long, Long, Double)]] = for {
+      nCells <- Gen.choose(1, 6)
+      sizes <- Gen.listOfN(nCells, Gen.choose(0, 12))
+      scores <- Gen.listOfN(sizes.sum, Gen.choose(0, 5).map(_ / 5.0)) // tie-heavy
+    } yield {
+      val cells = sizes.zipWithIndex.flatMap { case (sz, c) => List.fill(sz)(c.toLong) }
+      cells.zip(scores).zipWithIndex.map { case ((c, sc), i) => (i * 3L, c, sc) }
+    }
+    val prop = Prop.forAll(genItems, Gen.choose(1, 20)) { (rows, n) =>
+      val got = Selection.diverseTopK(rows.toDF("id", "cell", "score"), n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      // reference: rank within cell, then order by (cell_rank, score desc, id)
+      val ranked = rows.groupBy(_._2).toList.flatMap { case (_, items) =>
+        items.sortBy(it => (-it._3, it._1)).zipWithIndex
+          .map { case ((id, c, sc), i) => (id, c, sc, i + 1L) }
+      }
+      val want = ranked.sortBy(it => (it._4, -it._3, it._1)).take(n)
+        .zipWithIndex.map { case ((id, c, sc, cr), i) => (id, c, sc, cr, i + 1L) }
+      got.toList == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(20, 80)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("corpusCard sweep: moments match exact BigInt recomputation on skewed groups") {
+    val word = Gen.oneOf("a", "bb", "ccc", "dddd")
+    val genDocs: Gen[List[(Long, String, String, String)]] = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("web", "books", "code")
+        lang <- Gen.oneOf("en", "de")
+        k <- Gen.choose(1, 30)
+        ws <- Gen.listOfN(k, word)
+      } yield (src, lang, ws.mkString(" ")))
+    } yield rows.zipWithIndex.map { case ((s, l, t), i) => (i * 2L, t, s, l) }
+    val prop = Prop.forAll(genDocs) { rows =>
+      val got = Curation.corpusCard(rows.toDF("doc_id", "text", "source", "lang"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+            r.getDouble(7), r.getDouble(8))).toMap
+      rows.groupBy(r => (r._3, r._4)).forall { case (key, ds) =>
+        val toks = ds.map(_._2.trim.split(" +").length.toLong)
+        val n = toks.size.toLong
+        val s1 = toks.map(BigInt(_)).sum
+        val s2 = toks.map(t => BigInt(t) * t).sum
+        val mean = (s1.toDouble / n * 10000).round / 10000.0
+        val varT = if (n > 1) (((n * s2 - s1 * s1).toDouble / (n * (n - 1))) * 10000).round / 10000.0 else 0.0
+        val (gn, gs1, gchars, gmin, gmax, gmean, gvar) = got(key)
+        gn == n && gs1 == s1.toLong &&
+          gchars == ds.map(_._2.length.toLong).sum &&
+          gmin == toks.min && gmax == toks.max &&
+          math.abs(gmean - mean) < 2e-4 && math.abs(gvar - varT) < 2e-4
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(20, 60)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("mixtureWeights sweep: weights sum to ~1, budget conserved, epochs consistent") {
+    val genDocs: Gen[List[(Long, String, String)]] = for {
+      nLangs <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(nLangs, Gen.choose(1, 25))
+      kss <- Gen.listOfN(nLangs, Gen.choose(1, 40))
+    } yield sizes.zipWithIndex.flatMap { case (sz, l) =>
+      (0 until sz).map(i => ((l * 100 + i).toLong,
+        List.fill(kss(l))("w").mkString(" "), s"lang$l"))
+    }
+    val prop = Prop.forAll(genDocs, Gen.oneOf(0.3, 0.5, 1.0)) { (rows, alpha) =>
+      val out = Packing.mixtureWeights(
+        rows.toDF("doc_id", "text", "lang"), alpha, 50000L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      val byLang = rows.groupBy(_._3)
+      val nTok = byLang.map { case (l, ds) => l -> ds.map(_._2.split(" +").length.toLong).sum }
+      val wsum = nTok.values.map(n => math.pow(n.toDouble, alpha)).sum
+      out.length == byLang.size &&
+        math.abs(out.map(_._4).sum - 1.0) < 1e-3 &&          // weights normalize
+        out.map(_._5).sum <= 50000L &&                       // floor never overshoots
+        out.forall { case (l, nd, nt, w, tgt, ep) =>
+          nd == byLang(l).size && nt == nTok(l) &&
+            math.abs(w - math.pow(nt.toDouble, alpha) / wsum) < 2e-6 &&
+            tgt == math.floor(w * 50000.0).toLong &&
+            math.abs(ep - math.floor(tgt.toDouble / nt * 10000 + 0.5) / 10000) < 2e-4
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(20, 60)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -520,6 +520,35 @@ class PlanQualitySpec extends AnyFunSuite {
       "edit verify must not re-run the shingle stage — candidates are the cached artifact")
   }
 
+  test("p16 corpus card: one partial+final aggregate pair, no text on the exchange") {
+    val p = plan("p16_corpus_card")
+    assert(p.contains("HashAggregate"), "corpus card must be a hash aggregate")
+    assert("Keys \\[2\\]: \\[source".r.findFirstIn(p).isDefined ||
+      p.contains("partial_count"), "map-side partial aggregation missing")
+    p.split("\n\n").filter(s => "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+      .foreach(s => assert(!s.contains("text#"),
+        s"document text crossed the aggregate exchange:\n$s"))
+  }
+
+  test("s11 diverse top-k: cell window carries 3 scalars, global top-n is TakeOrdered, no vectors past the scan projection") {
+    val p = plan("s11_diverse_topk")
+    assert(p.contains("TakeOrderedAndProject"), "global top-n must not be a full sort")
+    assert(p.contains("Window"), "in-cell rank window missing")
+    p.split("\n\n").filter(s => "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+      .foreach(s => assert(!s.contains("embedding#"),
+        s"embedding vectors crossed an exchange — norm must be consumed scan-side:\n$s"))
+  }
+
+  test("p17 mixture weights: corpus-sized data stops at the hash aggregate; totals broadcast") {
+    val p = plan("p17_mixture_weights")
+    assert(p.contains("HashAggregate"), "per-lang aggregate missing")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row totals must broadcast onto the counts relation")
+    p.split("\n\n").filter(s => "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+      .foreach(s => assert(!s.contains("text#"),
+        s"document text crossed an exchange in the mixture plan:\n$s"))
+  }
+
   test("d11 best-rep: consumes cached rep-level artifacts; membership joins carry digests, not text") {
     val p = plan("d11_best_rep")
     // the pair/CC machinery must run over the session-cached CONTENT-
