@@ -410,7 +410,10 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // over any (id, cell, score) relation — cells from labels, sources,
       // or a quantizer registered upstream
       "graft_diverse_topk" -> ((t, a) =>
-        Selection.diverseTopK(t, a.headOption.map(_.toInt).getOrElse(100))))
+        Selection.diverseTopK(t, a.headOption.map(_.toInt).getOrElse(100))),
+      "graft_containment" -> ((t, a) =>
+        Dedup.containmentPairs(Dedup.postingIndex(t),
+          a.headOption.getOrElse(0.8))))
   }
 
   /** Two-relation operator entry points: `fn(left_table, right_table[,

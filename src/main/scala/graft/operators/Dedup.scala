@@ -390,7 +390,13 @@ object Dedup {
     * exchange. Nothing here depends on a similarity threshold, so this is
     * the reusable artifact: operators at different thresholds filter one
     * materialization instead of re-running the quadratic stage. */
-  def jaccardPairGraph(index: DataFrame): DataFrame = {
+  /** Full COVERAGE graph off the posting index: per co-occurring pair
+    * the shared-shingle count, both doc sizes, symmetric jaccard, AND
+    * asymmetric containment `co / min(sz)` — the measure that catches a
+    * quote/excerpt living inside a larger doc (jaccard dilutes it by the
+    * big doc's size; containment stays ≈1). One computation feeds both
+    * finals, so the session-cached artifact serves every pair consumer. */
+  def coverageGraph(index: DataFrame): DataFrame = {
     val sizes = index.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // ordered pairs per group via two Generate nodes + a filter — pure
@@ -406,8 +412,21 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         stableRound(col("co").cast("double") / (col("sz_a") + col("sz_b") - col("co")), 4))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .withColumn("containment",
+        stableRound(col("co").cast("double") / least(col("sz_a"), col("sz_b")), 4))
+      .select(col("id_a"), col("id_b"), col("co"), col("sz_a"), col("sz_b"),
+        col("jaccard"), col("containment"))
   }
+
+  def jaccardPairGraph(index: DataFrame): DataFrame =
+    coverageGraph(index).select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** CONTAINMENT pairs at `floor`: see [[coverageGraph]] — returns
+    * (id_a, id_b, containment, jaccard) where containment ≥ floor. */
+  def containmentPairs(index: DataFrame, floor: Double): DataFrame =
+    coverageGraph(index)
+      .filter(col("containment") >= floor)
+      .select(col("id_a"), col("id_b"), col("containment"), col("jaccard"))
 
   /** EXACT n-gram Jaccard pairs ≥ threshold (a filter over
     * [[jaccardPairGraph]]). */
@@ -927,8 +946,11 @@ object Dedup {
     * all filter this same artifact, so the quadratic pair stage runs once
     * per corpus, not once per threshold. */
   private[operators] def cachedPairGraph(s: SparkSession, dir: String): DataFrame =
-    graft.SessionCache.getOrBuild(s, ("pair-graph", dir))(
-      jaccardPairGraph(cachedIndex(s, dir)).localCheckpoint())
+    cachedCoverageGraph(s, dir).select(col("id_a"), col("id_b"), col("jaccard"))
+
+  private[operators] def cachedCoverageGraph(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, ("coverage-graph", dir))(
+      coverageGraph(cachedIndex(s, dir)).localCheckpoint())
 
   private[operators] def exactJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
     cachedPairGraph(s, dir).filter(col("jaccard") >= threshold)
@@ -1055,7 +1077,10 @@ object Dedup {
     graft.SessionCache.getOrBuild(s, ("live-reps", dir))(
       liveContentReps(cachedContentGroups(s, dir)).localCheckpoint())
 
-  private[operators] def ngramPairsSql(threshold: Double): String =
+  /** Shared CTE body through the co-occurrence (`cp`) and per-doc size
+    * (`sz`) relations — the ground both the jaccard and the containment
+    * finals stand on. */
+  private val ngramGraphBodySql: String =
     "toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk FROM documents), " +
       "sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, chr(31))] " +
       "ELSE list_distinct(list_transform(range(1, len(tk)-1), " +
@@ -1064,11 +1089,22 @@ object Dedup {
       "filt AS (SELECT doc_id, s.shingle FROM sh s JOIN dfreq d ON s.shingle = d.shingle WHERE d.df <= 50), " +
       "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt FROM filt a " +
       "JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-      "sz AS (SELECT doc_id, count(*) AS sz FROM filt GROUP BY doc_id), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM filt GROUP BY doc_id)"
+
+  private[operators] def ngramPairsSql(threshold: Double): String =
+    ngramGraphBodySql + ", " +
       "pairs AS (SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, " +
       stableRoundSql("cnt / (sa.sz + sb.sz - cnt)", 4) + " AS jaccard " +
       "FROM cp JOIN sz sa ON cp.id_a = sa.doc_id JOIN sz sb ON cp.id_b = sb.doc_id) " +
       s"WHERE jaccard >= $threshold)"
+
+  private[operators] def containmentPairsSql(floor: Double): String =
+    ngramGraphBodySql + ", " +
+      "cpairs AS (SELECT id_a, id_b, containment, jaccard FROM (SELECT id_a, id_b, " +
+      stableRoundSql("cnt / least(sa.sz, sb.sz)", 4) + " AS containment, " +
+      stableRoundSql("cnt / (sa.sz + sb.sz - cnt)", 4) + " AS jaccard " +
+      "FROM cp JOIN sz sa ON cp.id_a = sa.doc_id JOIN sz sb ON cp.id_b = sb.doc_id) " +
+      s"WHERE containment >= $floor)"
 
   val queries: Seq[NamedQuery] = Seq(
 
@@ -1459,6 +1495,22 @@ object Dedup {
         editNearDupFromContent(corpus(s, dir), cachedContentGroups(s, dir),
           cachedRepPairGraph(s, dir).filter(col("jaccard") >= 0.2),
           cachedLiveReps(s, dir))
+          .orderBy(col("id_a"), col("id_b"))),
+
+    // containment ≥ 0.8: excerpt/quote detection — the asymmetric
+    // coverage jaccard dilutes. Same cached coverage artifact as every
+    // pair consumer; the oracle replays both measures off the shared CTE
+    // body.
+    NamedQuery(
+      "d17_containment",
+      Some(
+        s"WITH ${containmentPairsSql(0.8)} " +
+          "SELECT id_a, id_b, containment, jaccard FROM cpairs " +
+          "ORDER BY id_a, id_b"),
+      (s, dir) =>
+        cachedCoverageGraph(s, dir)
+          .filter(col("containment") >= 0.8)
+          .select(col("id_a"), col("id_b"), col("containment"), col("jaccard"))
           .orderBy(col("id_a"), col("id_b")))
   )
 }

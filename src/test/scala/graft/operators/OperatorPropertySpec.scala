@@ -475,6 +475,46 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("containmentPairs sweep: asymmetric coverage matches naive shingle-set recomputation") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    // corpora built to CONTAIN: long docs plus excerpts sliced out of them
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      nBase <- Gen.choose(1, 4)
+      bases <- Gen.listOfN(nBase, Gen.choose(8, 20).flatMap(Gen.listOfN(_, word)))
+      cuts <- Gen.listOfN(nBase, Gen.choose(0, 2))
+    } yield {
+      val texts = bases.zip(cuts).flatMap { case (ws, c) =>
+        ws.mkString(" ") :: (1 to c).toList.map(k =>
+          ws.slice(k, k + 5 + k).mkString(" ")) // excerpts of the base
+      }
+      texts.zipWithIndex.map { case (t, i) => (i * 2L, t) }
+    }
+    def shingles(t: String): Set[String] = {
+      val tk = t.toLowerCase.split("\\s+").toSeq
+      if (tk.length < 3) Set(tk.mkString(""))
+      else tk.sliding(3).map(_.mkString("")).toSet
+    }
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(0.5, 0.8, 1.0)) { (rows, floor) =>
+      val docs = rows.toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(Dedup.postingIndex(docs, dfCap = 10000), floor)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val byId = rows.map { case (id, t) => id -> shingles(t) }.toMap
+      val want = (for {
+        (a, sa) <- byId; (b, sb) <- byId if a < b
+        co = (sa & sb).size if co > 0
+        cont = math.rint(co.toDouble / math.min(sa.size, sb.size) * 10000) / 10000
+        if cont >= floor
+        jac = math.rint(co.toDouble / (sa.size + sb.size - co) * 10000) / 10000
+      } yield (a, b, cont, jac)).toSet
+      // rint vs HALF_UP can differ at exact .00005 ties; compare with tolerance
+      got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)) &&
+        got.toList.sortBy(t => (t._1, t._2)).zip(want.toList.sortBy(t => (t._1, t._2)))
+          .forall { case (g, w) => math.abs(g._3 - w._3) < 2e-4 && math.abs(g._4 - w._4) < 2e-4 }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(15, 60)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("diverseTopK sweep: round-robin pick matches the in-test reference on ragged, tie-heavy cells") {
     val genItems: Gen[List[(Long, Long, Double)]] = for {
       nCells <- Gen.choose(1, 6)

@@ -549,6 +549,17 @@ class PlanQualitySpec extends AnyFunSuite {
         s"document text crossed an exchange in the mixture plan:\n$s"))
   }
 
+  test("d17 containment: pure filter+project over the cached coverage artifact") {
+    val p = plan("d17_containment")
+    assert(p.contains("Scan ExistingRDD"), "coverage graph must come from the cached artifact")
+    assert(!p.contains("Generate"), "containment must not rebuild the shingle index")
+    assert(!p.contains("levenshtein"), "containment is pure pair arithmetic")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.forall(_.contains("rangepartitioning")),
+      "only the output-order exchange may remain — the pair work is in the artifact")
+  }
+
   test("d11 best-rep: consumes cached rep-level artifacts; membership joins carry digests, not text") {
     val p = plan("d11_best_rep")
     // the pair/CC machinery must run over the session-cached CONTENT-
