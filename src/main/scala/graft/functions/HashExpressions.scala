@@ -196,6 +196,40 @@ object HashOps {
     out
   }
 
+  /** 128-bit SimHash: the same per-bit vote as [[simhash]] over TWO
+    * decorrelated 64-bit token hashes (splitmix finalizers of the one
+    * FNV-1a base — one kernel pass, not two). Returned as [hi, lo]. The
+    * wide sketch exists for the 10¹¹-distinct-sketch tail: 4×32-bit
+    * bands give a 2³² bucket space (vs 2¹⁶ for the 64-bit sketch's
+    * 4×16-bit bands) while keeping the Hamming ≤ 3 pigeonhole. */
+  def simhash128(arr: ArrayData): ArrayData = {
+    val votes = new Array[Int](128)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val base = Hashing.fnv1a64(arr.getUTF8String(i).getBytes)
+        val lo = Hashing.mix64(base)
+        val hi = Hashing.mix64(base ^ 0xa5a5a5a5a5a5a5a5L)
+        var b = 0
+        while (b < 64) {
+          if (((lo >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((hi >>> b) & 1L) == 1L) votes(64 + b) += 1 else votes(64 + b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) lo |= (1L << b)
+      if (votes(64 + b) > 0) hi |= (1L << b)
+      b += 1
+    }
+    new GenericArrayData(Array(hi, lo))
+  }
+
   /** Plane coefficients are deterministic pseudo-random values derived from
     * (bit, dim) — every executor regenerates the same planes, so nothing
     * needs broadcasting. */
@@ -337,6 +371,20 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** simhash128(tokens array<string>) → array<long> [hi, lo]: 128-bit
+  * SimHash — the WIDE-sketch variant whose 4×32-bit bands keep the
+  * Hamming ≤ 3 pigeonhole over a 2³² bucket space (see
+  * [[HashOps.simhash128]]). */
+case class SimHash128(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.simhash128(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhash128($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash128 = copy(child = c)
+  override def prettyName: String = "simhash128"
+}
+
 /** hyperplane_sig(vec array<float|double>, bits) → long: random-hyperplane
   * (sign-of-projection) LSH signature. */
 case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
@@ -410,6 +458,8 @@ object GraftFunctions {
       "span_hashes", exprs => SpanHashes(exprs.head, intLit(exprs(1), "w")), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash128", exprs => SimHash128(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSig(exprs.head, intLit(exprs(1), "bits")), "built-in")
     reg.createOrReplaceTempFunction(

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -226,6 +226,85 @@ object Packing {
         col("weight"), col("target_tokens"), col("epochs"))
   }
 
+  /** Morton bit-spread of a 16-bit value into the even bit positions of a
+    * 32-bit lane — the classic mask-doubling construction, spelled with
+    * codegen'd BUILT-IN bitwise columns so the identical arithmetic
+    * replays in DuckDB (see [[zorderSpreadSql]]). */
+  private def spread16(x: Column): Column = {
+    val s1 = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(16711935L))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(252645135L))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(858993459L))
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(1431655765L))
+  }
+
+  /** Z-VALUE of two dims (low 16 bits each, interleaved a-even/b-odd). */
+  def zvalue(a: Column, b: Column): Column =
+    spread16(a.bitwiseAND(lit(65535L)))
+      .bitwiseOR(shiftleft(spread16(b.bitwiseAND(lit(65535L))), 1))
+
+  /** The same Morton spread as SQL text (for the DuckDB oracle). */
+  private[operators] def zorderSpreadSql(x: String): String = {
+    val s1 = s"((($x) | (($x) << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+
+  private[operators] def zvalueSql(a: String, b: String): String =
+    s"(${zorderSpreadSql(s"($a) & 65535")} | (${zorderSpreadSql(s"($b) & 65535")} << 1))"
+
+  /** Z-ORDER FILE LAYOUT — multi-dimensional clustering for scan pruning:
+    * rows sort by the Morton interleave of two dimensions and cut into
+    * `rowsPerFile` files, so each file's (min, max) envelope is tight in
+    * BOTH dims at once and a predicate on EITHER dim skips most files —
+    * the property a single-dim sort gives only its leading column. This
+    * is the layout step behind every "Z-ORDER BY" table optimizer; the
+    * engine's PK-clustered compaction (SqlEngine) is the 1-D special
+    * case. Returns per-row `(id, a, b, zval, file_id)` — write it
+    * `partitionBy(file_id)` to realize the layout; [[zorderFileStats]]
+    * derives the min/max skipping index.
+    *
+    * The global rank is the [[packSequences]] TWO-LEVEL PREFIX SUM, not a
+    * single-partition window: zval-range buckets from one min/max stats
+    * row, per-bucket counts, an exclusive running count over the
+    * ≤`buckets`-row relation, and a bucket-partitioned (zval, id) rank
+    * plus the broadcast offset. Shuffled bytes: (id, a, b, zval, bucket)
+    * scalars — 40 B/row once. */
+  def zorderFiles(rows: DataFrame, idCol: String, aCol: String, bCol: String,
+      rowsPerFile: Long = 1024L, buckets: Int = 1024): DataFrame = {
+    require(rowsPerFile > 0, "need rowsPerFile > 0")
+    val z = rows.select(col(idCol).as("id"),
+        col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .withColumn("zval", zvalue(col("a"), col("b")))
+    // one 1-row stats action sizes the value buckets (the packSequences
+    // discipline: O(1) driver data, never the corpus)
+    val r = z.agg(min(col("zval")), max(col("zval"))).head()
+    val (lo, width) =
+      if (r.isNullAt(0)) (0L, 1L)
+      else (r.getLong(0), math.max(1L, (r.getLong(1) - r.getLong(0)) / buckets + 1))
+    val bk = z.withColumn("bucket", expr(s"(zval - $lo) div $width"))
+    val totals = bk.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val exclusive = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("offset", coalesce(sum(col("cnt")).over(exclusive), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("zval"), col("id"))
+    bk.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rk", col("offset") + row_number().over(inBucket) - 1)
+      .select(col("id"), col("a"), col("b"), col("zval"),
+        expr(s"rk div $rowsPerFile").as("file_id"))
+  }
+
+  /** The file-skipping index a [[zorderFiles]] layout yields: per file
+    * the row count and BOTH dims' (min, max) envelope — exactly what a
+    * reader consults to prune files against a predicate on either dim. */
+  def zorderFileStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+
   // ---------- testdata bindings (the driver contract) ----------
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -336,5 +415,31 @@ object Packing {
       (s, dir) =>
         mixtureWeights(docs(s, dir).select(col("text"), col("lang")))
           .orderBy(col("lang")))
+,
+    // z-order layout of orders on (custkey, order day): per-file row
+    // counts and both min/max envelopes — the skipping index itself is
+    // the checked output. FULL oracle: DuckDB replays the Morton spread
+    // (same mask arithmetic), the global (zval, id) rank, and the
+    // rowsPerFile cut bit-for-bit.
+    NamedQuery(
+      "p18_zorder_layout",
+      Some(
+        "WITH z0 AS (SELECT o_orderkey AS id, o_custkey AS a, " +
+          "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS b FROM orders), " +
+          s"zz AS (SELECT id, a, b, ${zvalueSql("a", "b")} AS zval FROM z0), " +
+          "rk AS (SELECT id, a, b, zval, " +
+          "row_number() OVER (ORDER BY zval, id) - 1 AS rk FROM zz) " +
+          "SELECT CAST(rk // 1024 AS BIGINT) AS file_id, count(*) AS n_rows, " +
+          "min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b " +
+          "FROM rk GROUP BY 1 ORDER BY file_id"),
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+              .cast("long").as("o_day"))
+        zorderFileStats(
+          zorderFiles(orders, "o_orderkey", "o_custkey", "o_day", rowsPerFile = 1024L))
+          .orderBy(col("file_id"))
+      })
   )
 }

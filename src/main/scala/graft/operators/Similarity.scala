@@ -357,6 +357,30 @@ object Similarity {
         expr(s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(m, i), 0D))")
           .as("embedding"))
 
+  /** HARD-NEGATIVE mining for contrastive/embedding training: for each
+    * labeled query vector, the top-k most-cosine-similar base vectors
+    * carrying a DIFFERENT label — the "looks similar, means different"
+    * set that contrastive losses (InfoNCE, triplet) need explicitly and
+    * random negatives almost never supply. `base` is `(vec_id,
+    * embedding, label)`, `queries` is `(query_id, q_emb, q_label)`.
+    * Returns (query_id, vec_id, raw_cos, rank).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the query set
+    * broadcasts, the label-mismatch predicate rides the same broadcast
+    * join (no second pass), embeddings are consumed at the cosine kernel
+    * and never reach the per-query ranking exchange. For a billion-vector
+    * base, swap the broadcast candidate stage for [[ivfTopK]]'s
+    * cell-probed candidates and keep the same label filter + re-rank —
+    * the mining semantics are unchanged. */
+  def hardNegatives(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(base.sparkSession)
+    rankTopK(
+      base.select(col("vec_id"), col("label"), col("embedding").as("b_emb"))
+        .join(broadcast(queries),
+          col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+        .select(col("query_id"), col("vec_id"), col("q_emb"), col("b_emb")), k)
+  }
+
   /** Per-query overlap with the exact top-k: (query_id, hits). */
   def recallHits(exact: DataFrame, approx: DataFrame): DataFrame =
     approx.select(col("query_id"), col("vec_id"))
@@ -663,6 +687,29 @@ object Similarity {
           .unionByName(histClone).unionByName(incClone)
         incrementalEmbedAdmit(inc, cellIndex(hist, seeds), seeds, 0.9)
           .orderBy(col("vec_id"))
+      }),
+
+    // hard-negative mining over the labeled embeddings — a FULL oracle:
+    // DuckDB recomputes cosine + the label-mismatch filter + the per-query
+    // ranking bit-for-bit (the s01 parity with one extra predicate).
+    NamedQuery(
+      "s12_hard_negatives",
+      Some(
+        "SELECT query_id, vec_id, cos_sim, rank FROM (" +
+          "SELECT q.vec_id AS query_id, b.vec_id AS vec_id, " +
+          "CAST(round(CAST(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS DECIMAL(28,8)), 4) AS DOUBLE) AS cos_sim, " +
+          "CAST(row_number() OVER (PARTITION BY q.vec_id " +
+          "ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS INT) AS rank " +
+          "FROM embeddings q JOIN embeddings b " +
+          "ON b.vec_id != q.vec_id AND b.label != q.label WHERE q.vec_id < 8) t " +
+          "WHERE rank <= 5 ORDER BY query_id, rank"),
+      (s, dir) => {
+        val lb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val q = lb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("label").as("q_label"))
+        present(hardNegatives(lb, q, 5))
       }),
 
     // CAPSTONE composition — text-only SemDeDup with NO external encoder:

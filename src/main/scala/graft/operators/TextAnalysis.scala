@@ -314,6 +314,34 @@ object TextAnalysis {
       regexp_count(col("text"), lit(pattern)).cast("bigint").as("n_matches"),
       regexp_replace(col("text"), pattern, replacement).as("redacted"))
 
+  /** Default PII pattern battery — the detection side of the scrubbing
+    * pipeline [[redact]] closes: emails, NANP-style phone numbers,
+    * dotted-quad IPv4 addresses, SSN-shaped ids. RE2-safe syntax (no
+    * backreferences/lookaround), so the same patterns evaluate
+    * identically under Spark's java.util.regex and DuckDB's RE2. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "emails" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phones" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "ipv4s" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "ssns" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b")
+
+  /** PII / pattern AUDIT — per-document match counts for a named pattern
+    * battery plus a `has_pii` verdict: the measurement pass a pipeline
+    * runs BEFORE deciding what to [[redact]] (you audit a 100 TB corpus
+    * first; rewriting it is the expensive step you only take where the
+    * audit says so). Patterns ride as Column literals (quote-safe data,
+    * never interpolated SQL). Single-pass projection — one codegen'd
+    * regexp_count per pattern over the scan, no shuffle, no UDF. */
+  def patternAudit(corpus: DataFrame,
+      patterns: Seq[(String, String)] = piiPatterns): DataFrame = {
+    val counts = patterns.map { case (name, p) =>
+      regexp_count(col("text"), lit(p)).cast("bigint").as(name)
+    }
+    val audited = corpus.select(col("doc_id") +: counts: _*)
+    audited.withColumn("has_pii",
+      patterns.map(p => col(p._1) > 0L).reduce(_ || _).cast("int"))
+  }
+
   /** ADAPTIVELY CONTENT-ADDRESSED per-document computation (see
     * CorpusStats): on a clone-heavy corpus, `f` sees one (doc_id, text)
     * row per DISTINCT text (doc_id = the text's 64-bit digest) and its
@@ -936,6 +964,42 @@ object TextAnalysis {
       (s, dir) =>
         heuristicFilter(docs(s, dir), minWords = 30L,
           stopWords = Seq("the", "a", "value", "table", "key"))
-          .orderBy(col("doc_id")))
+          .orderBy(col("doc_id"))),
+
+    // PII audit over the corpus salted with PLANTED PII (doc_id+1e6:
+    // two emails, a phone, an IPv4, an SSN appended to three real texts)
+    // — the clean synthetic corpus must count zero everywhere and every
+    // planted doc must count exactly the planted battery. FULL oracle:
+    // both engines evaluate the same RE2-safe patterns (Spark
+    // regexp_count vs DuckDB len(regexp_extract_all)), so every count
+    // and the has_pii verdict hash-match bit-for-bit.
+    NamedQuery(
+      "t15_pii_audit",
+      Some {
+        val salt = " reach alice@example.com and bob@corp.io, " +
+          "call 555-123-4567, server 10.0.0.1, ssn 123-45-6789"
+        "WITH c AS (SELECT doc_id, text FROM documents " +
+          s"UNION ALL SELECT doc_id + 1000000, text || '$salt' " +
+          "FROM documents WHERE doc_id < 3) " +
+          "SELECT doc_id, " +
+          "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS emails, " +
+          "CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS phones, " +
+          "CAST(len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS ipv4s, " +
+          "CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS ssns, " +
+          "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0 " +
+          "OR len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) > 0 " +
+          "OR len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) > 0 " +
+          "OR len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) > 0 AS INT) AS has_pii " +
+          "FROM c ORDER BY doc_id"
+      },
+      (s, dir) => {
+        val salt = " reach alice@example.com and bob@corp.io, " +
+          "call 555-123-4567, server 10.0.0.1, ssn 123-45-6789"
+        val base = docs(s, dir).select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(salt)).as("text"))
+        patternAudit(base.unionByName(planted)).orderBy(col("doc_id"))
+      })
   )
 }
