@@ -146,11 +146,18 @@ object Bench {
     // scale) and per-query raw / scale are round-over-round comparable.
     // Raw values stay primary — normalization is a lens, not a rewrite.
     val canaryRef = 0.066 // quiet-host floor, measured round 7 (VERDICT r08)
-    val scale = canarySorted.headOption.map(_ / canaryRef).getOrElse(1.0)
+    // scale is CLAMPED to >= 1.0: normalization exists to discount host
+    // SLOWDOWN bursts; a canary min under the reference floor (a faster
+    // host) must never inflate value_norm above raw — interleaved
+    // min-of-4 already dodges bursts, so dividing by a sub-1 scale would
+    // over-correct in the wrong direction (VERDICT r09 "what's wrong" #2)
+    val scaleRaw = canarySorted.headOption.map(_ / canaryRef).getOrElse(1.0)
+    val scale = math.max(1.0, scaleRaw)
     val canaryJson =
       if (canarySorted.isEmpty) "null"
       else s"""{"min":${fmtSeconds(canarySorted.head)},"max":${fmtSeconds(canarySorted.last)},""" +
-        s""""ref":${fmtSeconds(canaryRef)},"scale":${fmtSeconds(scale)}}"""
+        s""""ref":${fmtSeconds(canaryRef)},"scale":${fmtSeconds(scale)},""" +
+        s""""clamp":"slowdown-only${if (scaleRaw < 1.0) " (applied)" else ""}"}"""
     val norm = if (scale > 0) total / scale else total
     println(s"""{"metric":"total","value":${fmtSeconds(total)},"value_norm":${fmtSeconds(norm)},"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfDir"}""")
     spark.stop()

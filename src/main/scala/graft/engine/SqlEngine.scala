@@ -334,6 +334,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         Dedup.minhashPairs(t, a.headOption.getOrElse(0.35))),
       "graft_simhash_pairs" -> ((t, a) =>
         Dedup.simhashPairs(t, a.headOption.map(_.toInt).getOrElse(3))),
+      "graft_simhash128_pairs" -> ((t, a) =>
+        Dedup.simhashPairs128(t, a.headOption.map(_.toInt).getOrElse(3))),
       "graft_jaccard_pairs" -> ((t, a) =>
         Dedup.exactJaccardPairs(Dedup.postingIndex(t), a.headOption.getOrElse(0.5))),
       "graft_passage_stats" -> ((t, a) =>

@@ -47,3 +47,32 @@ case class PartitionOffsetId(offsets: Array[Long]) extends LeafExpression with N
 
   override def prettyName: String = "partition_offset_id"
 }
+
+/** range_bucket(v) → count of `bounds` ≤ v: the bucket index of `v`
+  * against sorted distinct range boundaries, by binary search — O(log B)
+  * per row where the lambda spelling (`size(filter(bounds, b -> b <= v))`)
+  * is O(B). Monotone in `v` and deterministic per distinct value (equal
+  * keys always share a bucket), which is exactly the contract the
+  * two-level prefix-sum global rank needs from its bucketing column.
+  * Used by `Packing.zorderFiles` with quantile-derived boundaries. */
+case class RangeBucket(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    bounds: Array[Long])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bounds.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+    "range_bucket bounds must be sorted and distinct")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val i = java.util.Arrays.binarySearch(bounds, input.asInstanceOf[Long])
+    if (i >= 0) (i + 1).toLong else (-i - 1).toLong
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("rangeBounds", bounds, "long[]")
+    val idx = ctx.freshName("idx")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      int $idx = java.util.Arrays.binarySearch($b, $c);
+      ${ev.value} = $idx >= 0 ? ($idx + 1L) : (-$idx - 1L);""")
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): RangeBucket = copy(child = c)
+  override def prettyName: String = "range_bucket"
+}

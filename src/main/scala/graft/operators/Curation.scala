@@ -122,12 +122,16 @@ object Curation {
   def corpusCard(corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
+    // cast BEFORE multiplying (the oracle's HUGEINT order): a BIGINT
+    // square overflows long past ~3e9 tokens/doc; DECIMAL(19,0)² is an
+    // exact DECIMAL(38,0) product
+    val dec19 = DecimalType(19, 0)
     val agg = corpus
       .withColumn("n_toks", size(split(trim(col("text")), " +")).cast("bigint"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks").cast(dec)).as("s1"),
-        sum((col("n_toks") * col("n_toks")).cast(dec)).as("s2"),
+        sum((col("n_toks").cast(dec19) * col("n_toks").cast(dec19)).cast(dec)).as("s2"),
         sum(length(col("text")).cast("bigint")).as("n_chars"),
         min(col("n_toks")).as("min_tokens"),
         max(col("n_toks")).as("max_tokens"))

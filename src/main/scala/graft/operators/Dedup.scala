@@ -363,6 +363,87 @@ object Dedup {
     cross.unionAll(intra)
   }
 
+  /** [[firstMatchBand]] for the 128-bit [hi, lo] sketch: bands 0–1 are
+    * lo's 32-bit halves, bands 2–3 hi's. */
+  private def firstMatchBand128(numBands: Int): String = {
+    def slice(side: String, k: Int): String = {
+      val w = if (k < 2) "lo" else "hi"
+      s"(shiftright($side.$w, ${(k % 2) * 32}) & 4294967295)"
+    }
+    (0 until numBands).map { k =>
+      val earlierDiffer = (0 until k).map(j => s"${slice("a", j)} != ${slice("b", j)}")
+      (s"a.band = $k" +: earlierDiffer).mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+  }
+
+  /** WIDE-SKETCH SimHash near-dup pairs: [[simhashPairs]] on the 128-bit
+    * `simhash128` [hi, lo] sketch with 4 BANDS OF 32 BITS — the same
+    * Hamming ≤ 3 pigeonhole (3 differing bits can touch at most 3 of the
+    * 4 bands, so one band key always matches exactly) over a 2³² bucket
+    * space instead of 2¹⁶. This is the scale path the 64-bit banding's
+    * own analysis calls for past ~10¹¹ distinct sketches: with 16-bit
+    * bands every bucket holds ≥ n/65536 sketches and band joins go
+    * quadratic in that load; 32-bit buckets push the same crossover out
+    * by a factor of 65536.
+    *
+    * Same adaptive sketch-level banding as the 64-bit operator: on
+    * clone-heavy corpora banding runs over DISTINCT (hi, lo) sketches
+    * (the two longs ARE the group key — no lossy re-hash that could
+    * merge distinct sketches), doc pairs reconstitute through joins
+    * linear in the output, and same-sketch doc pairs come from a gated
+    * self-join at Hamming 0. */
+  def simhashPairs128(corpus: DataFrame, maxHamming: Int = 3,
+      distinctRatio: Option[Double] = None): DataFrame = {
+    val d = shingled(corpus)
+      .withColumn("s2", expr("simhash128(toks)"))
+      .select(col("doc_id"), col("s2").getItem(0).as("hi"), col("s2").getItem(1).as("lo"))
+      .localCheckpoint() // one sketch pass feeds bands + both expansion sides
+    val cloneHeavy =
+      distinctRatio.getOrElse(CorpusStats.headDistinctRatio(corpus)) <
+        CorpusStats.cloneHeavyBelow
+    val (dk, grouped) =
+      if (cloneHeavy)
+        (d.select(col("doc_id"), col("hi").as("k1"), col("lo").as("k2")),
+          d.groupBy(col("hi"), col("lo")).agg(count(lit(1)).as("cnt"))
+            .select(col("hi").as("k1"), col("lo").as("k2"), col("hi"), col("lo"), col("cnt")))
+      else
+        (d.select(col("doc_id"), col("doc_id").as("k1"), lit(0L).as("k2")),
+          d.select(col("doc_id").as("k1"), lit(0L).as("k2"), col("hi"), col("lo"),
+            lit(1L).as("cnt")))
+    val bands = grouped.select(
+      col("k1"), col("k2"), col("hi"), col("lo"),
+      posexplode(expr(
+        "array(lo & 4294967295, shiftright(lo, 32) & 4294967295, " +
+          "hi & 4294967295, shiftright(hi, 32) & 4294967295)"))
+        .as(Seq("band", "bucket")))
+    val simPairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          (col("a.k1") < col("b.k1") ||
+            (col("a.k1") === col("b.k1") && col("a.k2") < col("b.k2"))))
+      .filter(expr(firstMatchBand128(4)))
+      .select(col("a.k1").as("a1"), col("a.k2").as("a2"),
+        col("b.k1").as("b1"), col("b.k2").as("b2"),
+        (expr("bit_count(a.hi ^ b.hi)") + expr("bit_count(a.lo ^ b.lo)")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val cross = simPairs
+      .join(dk.select(col("doc_id").as("da"), col("k1").as("a1"), col("k2").as("a2")),
+        Seq("a1", "a2"))
+      .join(dk.select(col("doc_id").as("db"), col("k1").as("b1"), col("k2").as("b2")),
+        Seq("b1", "b2"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("hamming").cast("int").as("hamming"))
+    val dm = dk.join(grouped.filter(col("cnt") > 1).select(col("k1"), col("k2")),
+      Seq("k1", "k2"), "left_semi")
+    val intra = dm.as("x")
+      .join(dm.as("y"),
+        col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionAll(intra)
+  }
+
   /** The discriminative-shingle POSTING INDEX: one row per shingle with
     * df ≤ dfCap, holding its (≤ dfCap) doc ids. Threshold-independent, so
     * it's the reusable artifact every n-gram operator shares. Shingles
@@ -836,7 +917,12 @@ object Dedup {
       .withColumn("lev", levenshtein(col("text_a"), col("text_b"), maxLev).cast("bigint"))
       .withColumn("max_len",
         greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
-      .filter(col("lev") >= 0 &&
+      // max_len > 0 is explicit: Spark orders NaN ABOVE every double, so
+      // without it a pair of identical empty texts (lev 0, max_len 0 →
+      // 1.0 - 0/0 = NaN) would slip PAST the simFloor test and emit a
+      // NaN edit_sim — and DuckDB versions disagree on 0/0 (NULL vs
+      // NaN), so the oracle carries the same predicate by construction
+      .filter(col("max_len") > 0 && col("lev") >= 0 &&
         lit(1.0) - col("lev") / col("max_len") >= lit(simFloor))
       .select(col("id_a"), col("id_b"), col("lev"),
         stableRound(lit(1.0) - col("lev") / col("max_len"), 4).as("edit_sim"))
@@ -864,7 +950,7 @@ object Dedup {
     * pairs inside one group are emitted directly (identical texts: lev 0,
     * similarity exactly 1 — gated on the group owning a live shingle and
     * a non-empty text, mirroring the doc-level graph's membership rule
-    * and its NaN-drop on 0/0).
+    * and [[editNearDupPairs]]' explicit `max_len > 0` predicate).
     *
     * Equivalence: hotness is decided by doc-level df (the rep graph
     * counts `csize` per shingle), and both the candidate floor and the
@@ -1008,7 +1094,8 @@ object Dedup {
       dfCap: Int = 50): DataFrame = {
     val grp = contentGroups(docs).localCheckpoint()
     bestRepsFromContent(docs, grp,
-      contentRepPairGraph(grp, dfCap).filter(col("jaccard") >= threshold))
+      contentRepPairGraph(grp, dfCap).filter(col("jaccard") >= threshold),
+      liveContentReps(grp, dfCap))
   }
 
   /** Exact-duplicate text groups: one row per distinct text, carrying
@@ -1039,19 +1126,27 @@ object Dedup {
 
   /** Final stage of [[bestRepresentativesByContent]]: cluster the rep
     * pair graph, fan membership back out through the digest (no text on
-    * the wire), argmax quality per cluster. */
+    * the wire), argmax quality per cluster. `liveReps` gates the
+    * intra-group (csize ≥ 2) clause exactly as in
+    * [[editNearDupFromContent]]: a clone family whose EVERY shingle is
+    * hot (doc-level df > dfCap) never enters the doc-level posting
+    * index, pairs with nothing — not even its own clones — and so must
+    * not surface as a cluster here either. */
   def bestRepsFromContent(docs: DataFrame, groups: DataFrame,
-      repPairs0: DataFrame): DataFrame = {
+      repPairs0: DataFrame, liveReps: DataFrame): DataFrame = {
     val repPairs = repPairs0.select(col("id_a"), col("id_b"))
     val nonReps = connectedComponents(repPairs)
       .select(col("doc_id").as("rep"), col("cluster_rep"))
     val paired = repPairs.select(col("id_a").as("rep"))
       .unionByName(repPairs.select(col("id_b").as("rep"))).distinct()
       .withColumn("inp", lit(1))
+    val live = liveReps.select(col("rep")).distinct().withColumn("lv", lit(1))
     val repCluster = groups
       .join(nonReps, Seq("rep"), "left")
       .join(paired, Seq("rep"), "left")
-      .filter(col("cluster_rep").isNotNull || col("inp").isNotNull || col("csize") >= 2)
+      .join(live, Seq("rep"), "left")
+      .filter(col("cluster_rep").isNotNull || col("inp").isNotNull ||
+        (col("csize") >= 2 && col("lv").isNotNull))
       .select(col("dg"), coalesce(col("cluster_rep"), col("rep")).as("cluster"))
     docs.select(col("doc_id"), col("quality"), sha2(col("text"), 256).as("dg"))
       .join(repCluster, Seq("dg"))
@@ -1173,7 +1268,8 @@ object Dedup {
         val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"),
           ((col("n_chars") % 13).cast("double") / lit(13.0)).as("quality"))
         bestRepsFromContent(docs, cachedContentGroups(s, dir),
-          cachedRepPairGraph(s, dir).filter(col("jaccard") >= 0.4))
+          cachedRepPairGraph(s, dir).filter(col("jaccard") >= 0.4),
+          cachedLiveReps(s, dir))
           .select(col("cluster"), col("keep_id"),
             OracleRound.stableRound(col("quality"), 4).as("quality"))
           .orderBy(col("cluster"))
@@ -1489,7 +1585,7 @@ object Dedup {
           "JOIN documents db ON pairs.id_b = db.doc_id) " +
           "SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev, " +
           stableRoundSql("1.0 - lev / max_len", 4) + " AS edit_sim " +
-          "FROM v WHERE lev <= 128 AND 1.0 - lev / max_len >= 0.8 " +
+          "FROM v WHERE max_len > 0 AND lev <= 128 AND 1.0 - lev / max_len >= 0.8 " +
           "ORDER BY id_a, id_b"),
       (s, dir) =>
         editNearDupFromContent(corpus(s, dir), cachedContentGroups(s, dir),
@@ -1511,6 +1607,45 @@ object Dedup {
         cachedCoverageGraph(s, dir)
           .filter(col("containment") >= 0.8)
           .select(col("id_a"), col("id_b"), col("containment"), col("jaccard"))
-          .orderBy(col("id_a"), col("id_b")))
+          .orderBy(col("id_a"), col("id_b"))),
+
+    // WIDE-sketch SimHash gate — the d03 invariant pair re-run on the
+    // 128-bit [hi, lo] sketch with 4×32-bit bands (the bucket-space
+    // scale path for the 10¹¹-distinct-sketch tail):
+    //   sketch_near_ok  — true ≥0.4-Jaccard pairs sit within Hamming 32
+    //     of 128 (measured max 17/11/20 at sf0.001/0.01/0.1; a random
+    //     pair centers at 64 ± 5.7, so P(≤32) ≈ 8e-9 — wide margins both
+    //     sides);
+    //   band_complete_ok — banded-finder membership ⟺ Hamming ≤ 3: 3
+    //     differing bits touch at most 3 of the 4 bands, so one 32-bit
+    //     band key always matches exactly (deterministic pigeonhole).
+    NamedQuery(
+      "d18_dedup_simhash128",
+      Some(
+        s"WITH ${ngramPairsSql(0.4)} " +
+          "SELECT id_a, id_b, CAST(1 AS INT) AS sketch_near_ok, " +
+          "CAST(1 AS INT) AS band_complete_ok FROM pairs ORDER BY id_a, id_b"),
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val docs = corpus(s, dir)
+        val sketches = docs
+          .withColumn("toks", split(lower(col("text")), "\\s+"))
+          .withColumn("s2", expr("simhash128(toks)"))
+          .select(col("doc_id"), col("s2").getItem(0).as("hi"), col("s2").getItem(1).as("lo"))
+        val found = simhashPairs128(docs, 3, Some(docRatio(s, dir)))
+          .select(col("id_a"), col("id_b"), lit(1).as("f"))
+        exactJaccardPairs(s, dir, 0.4).select(col("id_a"), col("id_b"))
+          .join(sketches.select(col("doc_id").as("id_a"),
+            col("hi").as("ha"), col("lo").as("la")), "id_a")
+          .join(sketches.select(col("doc_id").as("id_b"),
+            col("hi").as("hb"), col("lo").as("lb")), "id_b")
+          .withColumn("ham", expr("bit_count(ha ^ hb) + bit_count(la ^ lb)"))
+          .join(found, Seq("id_a", "id_b"), "left")
+          .select(
+            col("id_a"), col("id_b"),
+            (col("ham") <= 32).cast("int").as("sketch_near_ok"),
+            (col("f").isNotNull === (col("ham") <= 3)).cast("int").as("band_complete_ok"))
+          .orderBy(col("id_a"), col("id_b"))
+      })
   )
 }

@@ -265,24 +265,41 @@ object Packing {
     * derives the min/max skipping index.
     *
     * The global rank is the [[packSequences]] TWO-LEVEL PREFIX SUM, not a
-    * single-partition window: zval-range buckets from one min/max stats
-    * row, per-bucket counts, an exclusive running count over the
-    * ≤`buckets`-row relation, and a bucket-partitioned (zval, id) rank
-    * plus the broadcast offset. Shuffled bytes: (id, a, b, zval, bucket)
-    * scalars — 40 B/row once. */
+    * single-partition window: zval-range buckets, per-bucket counts, an
+    * exclusive running count over the ≤`buckets`-row relation, and a
+    * bucket-partitioned (zval, id) rank plus the broadcast offset.
+    * Shuffled bytes: (id, a, b, zval, bucket) scalars — 40 B/row once.
+    *
+    * Bucket boundaries come from SAMPLED ZVAL QUANTILES (one bounded
+    * O(buckets)-row driver action, computed distributed by the
+    * Greenwald–Khanna sketch), not uniform min/max slicing: Morton
+    * interleaving AMPLIFIES dimension skew (clustered or constant dims
+    * collapse huge row masses into narrow zval ranges), and a uniform
+    * slice would serialize those rows through one window partition.
+    * Quantile cuts keep bucket populations ~equal for any zval
+    * distribution; the irreducible floor is a single hot DISTINCT zval
+    * (equal keys must share a bucket for the rank to stay
+    * deterministic), i.e. duplicate (a, b) coordinate pairs — pre-dedup
+    * those upstream if a corpus has them in bulk. Per-row bucket lookup
+    * is the codegen'd binary-search [[graft.functions.RangeBucket]],
+    * O(log buckets). */
   def zorderFiles(rows: DataFrame, idCol: String, aCol: String, bCol: String,
       rowsPerFile: Long = 1024L, buckets: Int = 1024): DataFrame = {
     require(rowsPerFile > 0, "need rowsPerFile > 0")
     val z = rows.select(col(idCol).as("id"),
         col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .withColumn("zval", zvalue(col("a"), col("b")))
-    // one 1-row stats action sizes the value buckets (the packSequences
-    // discipline: O(1) driver data, never the corpus)
-    val r = z.agg(min(col("zval")), max(col("zval"))).head()
-    val (lo, width) =
-      if (r.isNullAt(0)) (0L, 1L)
-      else (r.getLong(0), math.max(1L, (r.getLong(1) - r.getLong(0)) / buckets + 1))
-    val bk = z.withColumn("bucket", expr(s"(zval - $lo) div $width"))
+    val cuts = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds =
+      if (cuts.isEmpty) Array.empty[Long]
+      else z.stat.approxQuantile("zval", cuts, 0.01).map(_.toLong).distinct.sorted
+    // the PartitionOffsetId convention: a builder closure captures the
+    // boundary array; withColumn analyzes EAGERLY, so the expression (and
+    // its bounds) is embedded in this plan at construction
+    z.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_range_bucket",
+      exprs => graft.functions.RangeBucket(exprs.head, bounds), "built-in")
+    val bk = z.withColumn("bucket", expr("graft_range_bucket(zval)"))
     val totals = bk.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     val exclusive = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

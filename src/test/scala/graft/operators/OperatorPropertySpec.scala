@@ -256,15 +256,20 @@ class OperatorPropertySpec extends AnyFunSuite {
       val texts = bases.zip(clones).flatMap { case (t, c) => List.fill(1 + c)(t.mkString(" ")) }
       texts.zipWithIndex.map { case (t, i) => (i * 3L, t, (i % 3).toDouble / 3) }
     }
-    val prop = Prop.forAll(genCorpus, Gen.oneOf(0.3, 0.5, 0.9)) { (rows, tau) =>
+    // dfCap 3 drives clone-family shingles HOT (family size > 3), so the
+    // live-rep gate on the csize>=2 clause is exercised — an all-hot
+    // clone family must vanish from BOTH pipelines, not just the
+    // doc-level one
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(0.3, 0.5, 0.9),
+      Gen.oneOf(3, 10000)) { (rows, tau, dfCap) =>
       val docs = rows.toDF("doc_id", "text", "quality")
       // doc-level reference: the original pipeline over the full doc pair
-      // graph (df cap high enough to keep everything on these tiny corpora)
+      // graph at the SAME df cap
       val docPairs = Dedup.exactJaccardPairs(
-        Dedup.postingIndex(docs, dfCap = 10000), tau).select(col("id_a"), col("id_b"))
+        Dedup.postingIndex(docs, dfCap = dfCap), tau).select(col("id_a"), col("id_b"))
       val ref = Dedup.bestRepresentatives(docPairs, docs.select(col("doc_id"), col("quality")))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val got = Dedup.bestRepresentativesByContent(docs, tau, dfCap = 10000)
+      val got = Dedup.bestRepresentativesByContent(docs, tau, dfCap = dfCap)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       got == ref
     }
@@ -320,6 +325,10 @@ class OperatorPropertySpec extends AnyFunSuite {
       bases <- Gen.listOfN(nBase, Gen.choose(6, 14).flatMap(Gen.listOfN(_, word)))
       muts <- Gen.listOfN(nBase, Gen.choose(0, 3))
       seeds <- Gen.listOfN(nBase, Gen.choose(0, 1000))
+      // identical-empty pairs: lev 0 over max_len 0 — the 0/0 edge the
+      // explicit max_len > 0 predicate must drop (Scala-side NaN >= 0.8
+      // is false; Spark-side NaN orders ABOVE 0.8 without the guard)
+      empties <- Gen.choose(0, 2)
     } yield {
       val texts = bases.lazyZip(muts).lazyZip(seeds).flatMap { (ws, m, seed) =>
         val base = ws.mkString(" ")
@@ -332,7 +341,7 @@ class OperatorPropertySpec extends AnyFunSuite {
             case _ => base.substring(0, i) + base.substring(math.min(i + 1, base.length))
           }
         }
-      }
+      } ++ List.fill(empties)("")
       texts.zipWithIndex.map { case (t, i) => (i * 2L, t) }
     }
     val prop = Prop.forAll(genCorpus, Gen.oneOf(8, 128)) { (rows, maxLev) =>
@@ -366,7 +375,10 @@ class OperatorPropertySpec extends AnyFunSuite {
       clones <- Gen.listOfN(nBase, Gen.choose(0, 4))
       edits <- Gen.listOfN(nBase, Gen.choose(0, 2))
       seeds <- Gen.listOfN(nBase, Gen.choose(0, 1000))
-      empties <- Gen.choose(0, 1)
+      // up to TWO empty docs: an identical-empty PAIR hits the 0/0
+      // edit-similarity edge (max_len = 0), which both pipelines must
+      // drop via the explicit max_len > 0 predicate
+      empties <- Gen.choose(0, 2)
     } yield {
       val texts = bases.lazyZip(clones).lazyZip(edits).toList.zip(seeds).flatMap {
         case ((ws, c, m), seed) =>

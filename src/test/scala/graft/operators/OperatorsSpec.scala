@@ -162,6 +162,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(found.toSet == expected,
       s"sketch-level banding must equal brute force: missing=${expected -- found.toSet} extra=${found.toSet -- expected}")
 
+    // the 128-bit wide-band variant must ALSO equal ITS brute force
+    // (4x32-bit bands, hamming summed over both lanes)
+    val found128 = Dedup.simhashPairs128(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(found128.size == found128.distinct.size,
+      "simhashPairs128 emitted a duplicate pair")
+    val sk2 = Dedup.shingled(corpus)
+      .withColumn("s2", expr("simhash128(toks)"))
+      .select(col("doc_id"), col("s2").getItem(0), col("s2").getItem(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected128 = (for {
+      (ia, ha, la) <- sk2; (ib, hb, lb) <- sk2 if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb) <= 3
+    } yield (ia, ib)).toSet
+    assert(found128.toSet == expected128,
+      s"128-bit banding must equal brute force: missing=${expected128 -- found128.toSet} " +
+        s"extra=${found128.toSet -- expected128}")
+
     val mh = Dedup.minhashPairs(corpus, 0.35)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(mh.size == mh.distinct.size, "minhashPairs emitted a duplicate pair")
@@ -170,6 +188,47 @@ class OperatorsSpec extends AnyFunSuite {
       i <- 0 until 12; a <- 0 until 4; b <- a + 1 until 4
     } yield (i * 10L + a, i * 10L + b)).toSet
     assert(clonePairs.subsetOf(mh.toSet), "minhashPairs missed an exact-clone pair")
+  }
+
+  test("simhash128 kernel: lo lane == simhash64, decorrelated hi, bands cover the sketch") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different sentence with other words entirely"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "")).toDF("doc_id", "text")
+    val all = docs.withColumn("toks", split(lower(col("text")), "\\s+"))
+      .select(col("doc_id"), expr("simhash128(toks)").as("s2"), expr("simhash64(toks)").as("s1"))
+      .collect().map(r => (r.getLong(0), (r.getSeq[Long](1)(0), r.getSeq[Long](1)(1)), r.getLong(2)))
+    all.foreach { case (id, (hi, lo), s1) =>
+      // lo lane is the SAME per-bit vote as simhash64 (one shared base
+      // hash), so the 128-bit kernel is pinned to the tested 64-bit one
+      assert(lo == s1, s"doc $id: lo lane must equal simhash64")
+    }
+    // identical texts -> identical sketches; different text -> decorrelated
+    val m = all.map(t => t._1 -> t._2).toMap
+    assert(m(1L) == m(3L), "identical texts must sketch identically")
+    assert(m(1L) != m(2L), "different texts must sketch differently")
+    assert(m(1L)._1 != m(1L)._2, "hi lane must be decorrelated from lo")
+
+    // pigeonhole: ANY [hi, lo] pair within Hamming 3 shares >= 1 of the
+    // 4 32-bit bands — exercised over 2000 random flip trials (0-3 bits)
+    val rnd = new scala.util.Random(42)
+    def bandsOf(hi: Long, lo: Long): Seq[Long] =
+      Seq(lo & 0xffffffffL, (lo >>> 32) & 0xffffffffL,
+        hi & 0xffffffffL, (hi >>> 32) & 0xffffffffL)
+    (0 until 2000).foreach { _ =>
+      val hi = rnd.nextLong(); val lo = rnd.nextLong()
+      var (hi2, lo2) = (hi, lo)
+      val nFlips = rnd.nextInt(4)
+      (0 until nFlips).foreach { _ =>
+        val b = rnd.nextInt(128)
+        if (b < 64) lo2 ^= (1L << b) else hi2 ^= (1L << (b - 64))
+      }
+      val shared = bandsOf(hi, lo).zip(bandsOf(hi2, lo2)).exists { case (x, y) => x == y }
+      assert(shared, s"hamming<=3 pair must share a 32-bit band: $hi/$lo vs $hi2/$lo2")
+    }
   }
 
   test("CorpusStats head-sample ratio separates unique from clone-heavy corpora") {
@@ -215,6 +274,8 @@ class OperatorsSpec extends AnyFunSuite {
       rows(Dedup.minhashPairs(corpus, 0.35, sketch)), "minhashPairs modes disagree")
     assert(rows(Dedup.simhashPairs(corpus, 3, perDoc)) ==
       rows(Dedup.simhashPairs(corpus, 3, sketch)), "simhashPairs modes disagree")
+    assert(rows(Dedup.simhashPairs128(corpus, 3, perDoc)) ==
+      rows(Dedup.simhashPairs128(corpus, 3, sketch)), "simhashPairs128 modes disagree")
     assert(rows(TextAnalysis.repetitionStats(corpus, distinctRatio = perDoc)) ==
       rows(TextAnalysis.repetitionStats(corpus, distinctRatio = sketch)),
       "repetitionStats modes disagree")
