@@ -415,7 +415,34 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         Selection.diverseTopK(t, a.headOption.map(_.toInt).getOrElse(100))),
       "graft_containment" -> ((t, a) =>
         Dedup.containmentPairs(Dedup.postingIndex(t),
-          a.headOption.getOrElse(0.8))))
+          a.headOption.getOrElse(0.8))),
+      "graft_span_stats" -> ((t, a) =>
+        Dedup.spanStats(t, a.headOption.map(_.toInt).getOrElse(8),
+          a.lift(1).getOrElse(0.3))),
+      // default PII battery; the ('name', 'regex') pair spelling lives in
+      // stringTableFunctions under the same name
+      "graft_pattern_audit" -> ((t, _) => TextAnalysis.patternAudit(t)),
+      // the s10 capstone behind one call: hash-embed -> sqrt(n)-scaled
+      // quantizer -> cell-scoped semantic prune; args (dim, tau, cells).
+      // Returns the KEPT (doc_id, cell) rows — scalar columns only, so
+      // the result composes with every relational construct. The real-
+      // encoder path keeps the graft_semdedup('view') escape hatch.
+      "graft_text_semdedup" -> ((t, a) => {
+        import graft.operators.Similarity
+        val dim = a.headOption.map(_.toInt).getOrElse(16)
+        val tau = a.lift(1).getOrElse(0.95)
+        val vecs = Similarity.hashedEmbeddingVec(t, dim).localCheckpoint()
+        // k-means k must not exceed the DISTINCT vector count (Spark ML
+        // k-means|| returns fewer centers and the aggregator overruns) —
+        // a corpus of a handful of docs trains a handful of cells
+        val distinctVecs = vecs.select(col("embedding")).distinct().count()
+        val cells = a.lift(2).map(_.toInt).getOrElse(
+            math.max(8, math.sqrt(vecs.count().toDouble).toInt.min(1024)))
+          .min(math.max(1L, distinctVecs).toInt)
+        Dedup.semDedup(
+          Similarity.assignCells(vecs, Similarity.trainQuantizer(vecs, cells)), tau)
+          .select(col("vec_id").as("doc_id"), col("cell"))
+      }))
   }
 
   /** Two-relation operator entry points: `fn(left_table, right_table[,
@@ -443,7 +470,24 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
   private val stringTableFunctions: Map[String, (DataFrame, Seq[String], Seq[Double]) => DataFrame] =
     Map(
       "graft_redact" -> ((t, ss, _) =>
-        graft.operators.TextAnalysis.redact(t, ss.head, ss.lift(1).getOrElse("[redacted]"))))
+        graft.operators.TextAnalysis.redact(t, ss.head, ss.lift(1).getOrElse("[redacted]"))),
+      // custom battery as ('name', 'regex') pairs; no strings → the
+      // default-battery entry in tableFunctions handles the call
+      "graft_pattern_audit" -> ((t, ss, _) => {
+        require(ss.nonEmpty && ss.length % 2 == 0,
+          "graft_pattern_audit takes ('name', 'regex') string pairs")
+        graft.operators.TextAnalysis.patternAudit(t,
+          ss.grouped(2).map(p => p(0) -> p(1)).toSeq)
+      }),
+      // z-order layout needs COLUMN NAMES (id, dim a, dim b) — the one
+      // operator whose tuning is identifiers, not values
+      "graft_zorder" -> ((t, ss, a) => {
+        require(ss.length == 3,
+          "graft_zorder(t, 'id', 'a', 'b'[, rowsPerFile[, buckets]])")
+        graft.operators.Packing.zorderFiles(t, ss(0), ss(1), ss(2),
+          a.headOption.map(_.toLong).getOrElse(1024L),
+          a.lift(1).map(_.toInt).getOrElse(1024))
+      }))
 
   /** Registered-relation ESCAPE HATCH: operators whose input needs an
     * embedding ARRAY column, which managed tables (restricted to the
@@ -631,10 +675,14 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       if (bad || !spans.lift(j).exists(_.tok == Sym(")"))) return None
       val as = args.result()
       val ss = strArgs.result()
-      // string args belong ONLY to functions declared to take them — and
-      // those require at least one (there is no default redaction pattern)
-      if (stringTableFunctions.contains(fn)) { if (ss.isEmpty) return None }
-      else if (ss.nonEmpty) return None
+      // string args belong ONLY to functions declared to take them; a
+      // name in BOTH maps dispatches on whether strings were given
+      // (graft_pattern_audit: default battery vs custom pairs); a
+      // string-only function with no strings has no default to fall to
+      // (there is no default redaction pattern)
+      if (stringTableFunctions.contains(fn)) {
+        if (ss.isEmpty && !tableFunctions.contains(fn)) return None
+      } else if (ss.nonEmpty) return None
       def locate(p: Vector[String]): (String, String, String) = p match {
         case Seq(t) => (ctx.database, hostOf(t).getOrElse("public"), t)
         case p => resolve(p)
@@ -679,7 +727,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         case (Tbl(p), None) if snapshotFunctions.contains(fn) =>
           snapshotFunctions(fn)(locate(p), as)
         case (ViewName(_), None) => viewFunctions(fn)(relOf(first), as)
-        case (in, None) if stringTableFunctions.contains(fn) =>
+        case (in, None) if stringTableFunctions.contains(fn) && ss.nonEmpty =>
           stringTableFunctions(fn)(relOf(in), ss, as)
         case (in, None) => tableFunctions(fn)(relOf(in), as)
       }

@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  private val stops = "'the','a','of','to','in','is'"
+  // Spark side consumes the Seq through the Column API (stop words are
+  // data, never SQL text); the SQL string feeds only the DuckDB oracle
+  private val stopList = Seq("the", "a", "of", "to", "in", "is")
+  private val stops = stopList.map(w => s"'$w'").mkString(",")
 
   /** The full curation pass over any `(doc_id, text)` corpus — quality
     * gate → exact dedup → connected-component near-dup removal — as one
@@ -39,7 +42,8 @@ object Curation {
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("quality",
         least(col("n_tokens") / 50.0, lit(1.0)) * 0.5 +
-          expr(s"size(filter(toks, t -> array_contains(array($stops), t)))")
+          size(filter(col("toks"),
+            t => array_contains(array(stopList.map(lit): _*), t)))
             .cast("double") / col("n_tokens") * 0.5)
       .filter(col("n_tokens") >= 5 && col("quality") >= 0.2)
     val exactKeep = scored

@@ -26,10 +26,11 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "por"),
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "pour", "dans"))
 
-  private def hitCount(lang: String): Column = {
-    val arr = stopwords(lang).map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter(toks, t -> array_contains(array($arr), t)))")
-  }
+  // Column API, not interpolated SQL: stop words are DATA (a word with a
+  // quote must never become SQL text) — the heuristicFilter convention
+  private def hitCount(lang: String): Column =
+    size(filter(col("toks"),
+      t => array_contains(array(stopwords(lang).map(lit): _*), t)))
 
   /** Language prediction per document: stopword hit counts per candidate
     * language, highest wins (deterministic priority tie-break), zero hits
@@ -51,11 +52,12 @@ object TextAnalysis {
 
   /** Quality features + composite score per document (single pass). */
   def qualityFeatures(corpus: DataFrame): DataFrame = {
-    val stops = stopwords("en").map(w => s"'$w'").mkString(", ")
     corpus
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens_i", size(col("toks")))
-      .withColumn("n_stop", expr(s"size(filter(toks, t -> array_contains(array($stops), t)))"))
+      .withColumn("n_stop",
+        size(filter(col("toks"),
+          t => array_contains(array(stopwords("en").map(lit): _*), t))))
       .select(
         col("doc_id"),
         length(col("text")).cast("bigint").as("n_chars"),

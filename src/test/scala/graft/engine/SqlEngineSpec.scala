@@ -1242,6 +1242,70 @@ class SqlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10 TVFs: span stats, pattern audit (default + custom), z-order, text semdedup") {
+    val e = freshEngine("tvf6")
+    e.execute("CREATE DATABASE tvf6")
+    e.execute("CREATE TABLE corpus (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO corpus VALUES " +
+      "(1, 'a b c d e f g h'), (2, 'a b c d x y z w'), (3, 'call 555-123-4567 or mail a@b.co')")
+    def api = e.execute("SELECT doc_id, text FROM corpus")
+
+    // d12 span stats from SQL == the DataFrame API
+    val spSql = e.execute(
+      "SELECT doc_id, n_spans, n_dup, dup_frac, keep FROM graft_span_stats(corpus, 4) " +
+        "ORDER BY doc_id").collect().map(_.toString).toSeq
+    val spApi = graft.operators.Dedup.spanStats(api, 4)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(spSql == spApi && spSql.size == 3)
+
+    // t15 pattern audit: DEFAULT battery (no string args)...
+    val paSql = e.execute(
+      "SELECT doc_id, emails, phones, has_pii FROM graft_pattern_audit(corpus) ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(paSql(2) == ((3L, 1L, 1L, 1)) && paSql(0)._4 == 0, s"got ${paSql.toSeq}")
+    // ...and a CUSTOM ('name', 'regex') battery, quote-escape included
+    val cuSql = e.execute(
+      "SELECT doc_id, digits, has_pii FROM graft_pattern_audit(corpus, 'digits', '[0-9]+') " +
+        "ORDER BY doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cuApi = graft.operators.TextAnalysis.patternAudit(api, Seq("digits" -> "[0-9]+"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cuSql.toSeq == cuApi.toSeq && cuSql(2)._2 == 3L)
+
+    // p18 z-order layout from SQL (string column-name args + numeric
+    // rowsPerFile) == the DataFrame API
+    e.execute("CREATE TABLE pts (id bigint PRIMARY KEY, a bigint, b bigint)")
+    e.execute("INSERT INTO pts VALUES " +
+      (0 until 40).map(i => s"($i, ${i % 7}, ${i * 3 % 11})").mkString(", "))
+    val zSql = e.execute(
+      "SELECT id, a, b, zval, file_id FROM graft_zorder(pts, 'id', 'a', 'b', 8) " +
+        "ORDER BY id").collect().map(_.toString).toSeq
+    val zApi = graft.operators.Packing.zorderFiles(
+      e.execute("SELECT id, a, b FROM pts"), "id", "a", "b", rowsPerFile = 8L)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(zSql == zApi && zSql.size == 40)
+
+    // s10 capstone behind one SQL call: clone of doc 1 must prune, and
+    // the result matches the same composition through the DataFrame API
+    e.execute("INSERT INTO corpus VALUES (101, 'a b c d e f g h')")
+    val tsSql = e.execute(
+      "SELECT doc_id, cell FROM graft_text_semdedup(corpus) ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(tsSql.map(_._1).contains(1L) && !tsSql.map(_._1).contains(101L),
+      s"identical clone must prune to the min id: $tsSql")
+    val vecs = graft.operators.Similarity.hashedEmbeddingVec(api, 16)
+    // same cell sizing as the TVF: sqrt(n) floored at 8, capped by the
+    // distinct-vector count (k-means k > distinct points is invalid)
+    val cells = math.max(8, math.sqrt(vecs.count().toDouble).toInt.min(1024))
+      .min(math.max(1L, vecs.select("embedding").distinct().count()).toInt)
+    val tsApi = graft.operators.Dedup.semDedup(
+      graft.operators.Similarity.assignCells(vecs,
+        graft.operators.Similarity.trainQuantizer(vecs, cells)), 0.95)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("doc_id"),
+        org.apache.spark.sql.functions.col("cell"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(tsSql == tsApi)
+  }
+
   test("resumable change feed: a consumer crosses a compaction with no loss and no dupes") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")
@@ -1284,6 +1348,33 @@ class SqlEngineSpec extends AnyFunSuite {
     val afterVacuum = e.readTableChangesResumable("test1", "public", "t",
       2L, 4L, consumedLive, Seq("id"))
     assert(afterVacuum.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L, 9L))
+  }
+
+  test("resumable change feed: capped-history EXPIRY routes to the same snapshot fallback") {
+    // the OTHER incremental-read failure cause: no compaction anywhere —
+    // the consumer's fromV simply aged out of the capped version history.
+    // Both causes raise SqlError.Unexpected and both must recover through
+    // snapshot ⊖ consumed (the fallback is cause-agnostic by design).
+    val wh = Files.createTempDirectory("graft-wh-").toString
+    val e = new SqlEngine(spark, new Catalog(wh, maxVersionHistory = 3),
+      SqlContext("test1", "user1"))
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id bigint PRIMARY KEY)")
+    (1 to 5).foreach(i => e.execute(s"INSERT INTO t VALUES ($i)")) // v1..v5; retained: v3..v5
+
+    // the raw incremental read from the expired fromV fails LOUDLY with
+    // the expiry cause (append-only history — no compaction in sight)
+    val err = intercept[SqlError](
+      e.readTableChanges("test1", "public", "t", 1L, 5L).count())
+    assert(err.getMessage.contains("expired"), s"got: ${err.getMessage}")
+
+    // consumer had processed (0, 1] = {1}; the resumable read recovers
+    // exactly the unseen rows — no loss, no dupes
+    val consumed = spark.sql("SELECT CAST(1 AS BIGINT) AS id")
+    val resumed = e.readTableChangesResumable("test1", "public", "t",
+      1L, 5L, consumed, Seq("id"))
+    assert(resumed.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L, 4L, 5L))
   }
 
   test("round-9b TVFs: chunk windows, source diagnostics, edit pairs from pure SQL") {
