@@ -1284,6 +1284,14 @@ class SqlEngineSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.toString).toSeq
     assert(zSql == zApi && zSql.size == 40)
 
+    // 128-bit wide-band simhash pairs from SQL == the DataFrame API
+    val shSql = e.execute(
+      "SELECT id_a, id_b, hamming FROM graft_simhash128_pairs(corpus) ORDER BY id_a, id_b")
+      .collect().map(_.toString).toSeq
+    val shApi = graft.operators.Dedup.simhashPairs128(api)
+      .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+    assert(shSql == shApi)
+
     // s10 capstone behind one SQL call: clone of doc 1 must prune, and
     // the result matches the same composition through the DataFrame API
     e.execute("INSERT INTO corpus VALUES (101, 'a b c d e f g h')")

@@ -98,6 +98,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(mhPer < mhCa, s"per-doc minhashPairs must plan fewer exchanges ($mhPer vs $mhCa)")
   }
 
+  test("d18 simhash128: exchanges carry the [hi, lo] sketch and band keys, never text") {
+    // the wide-band path exists for the 10^11-distinct-sketch tail — its
+    // exchanges must stay 2x8-byte sketch + band scalars; text or the
+    // token array on the wire would undo the whole point
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = (0 until 60).map(i => (i.toLong, s"text ${i % 9} one two three four"))
+      .toDF("doc_id", "text")
+    val p = graft.operators.Dedup.simhashPairs128(corpus, 3, Some(0.0))
+      .queryExecution.explainString(FormattedMode)
+    val exchangeSections = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(exchangeSections.nonEmpty, "expected exchanges in the banding plan")
+    exchangeSections.foreach { s =>
+      assert(!s.contains("text#"), s"document text crossed an exchange:\n$s")
+      assert(!s.contains("toks#"), s"the token array crossed an exchange:\n$s")
+    }
+  }
+
   test("d08 incremental admit: exchanges carry digests, never document text") {
     // the whole design is that shuffles move (digest, doc_id) rows — if a
     // refactor hashes AFTER an exchange, text rides the wire and the
