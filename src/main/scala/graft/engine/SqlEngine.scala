@@ -523,6 +523,12 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     * collect, the s06/s09 convention), so the call is deterministic. */
   private val viewPairFunctions: Map[String, (DataFrame, DataFrame, Seq[Double]) => DataFrame] =
     Map(
+      // k-NN label propagation: both views are (vec_id, embedding[, label])
+      // — the labeled side needs `label`, the query side is renamed here
+      "graft_knn_label" -> ((labeled, queries, a) =>
+        graft.operators.Similarity.knnLabel(labeled,
+          queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+          a.headOption.map(_.toInt).getOrElse(5))),
       "graft_embed_admit" -> ((inc, hist, a) => {
         val tau = a.headOption.getOrElse(0.9)
         val k = a.lift(1).map(_.toInt).getOrElse(8)

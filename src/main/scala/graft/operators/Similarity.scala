@@ -381,6 +381,37 @@ object Similarity {
         .select(col("query_id"), col("vec_id"), col("q_emb"), col("b_emb")), k)
   }
 
+  /** k-NN LABEL PROPAGATION — the classifier-bootstrapping step a
+    * curation pipeline runs when it has a small labeled seed set and a
+    * large unlabeled corpus (label quality tiers, topic buckets, safety
+    * flags): each query vector takes the MAJORITY LABEL of its k nearest
+    * labeled vectors by exact cosine, ties broken deterministically by
+    * (votes DESC, label ASC). Output `(query_id, pred_label, votes,
+    * top_sim)` where top_sim is the winning label's best cosine.
+    *
+    * The exact brute-force rank is the verified baseline (the s01
+    * convention); at billions of vectors swap the candidate stage for
+    * [[ivfTopK]]'s cell-probed candidates and keep the identical vote —
+    * same rule, approximate recall. Scale shape: the query side
+    * broadcasts (it is the bounded seed/batch side), the rank window
+    * carries 3 scalars per candidate, the vote is a per-(query, label)
+    * aggregate with map-side partials; vectors never cross an exchange. */
+  def knnLabel(labeled: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val topk = bruteForceTopK(labeled.select(col("vec_id"), col("embedding")), queries, k)
+    topk.join(labeled.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), max(col("raw_cos")).as("best"))
+      // per-query argmax carried through one struct max: votes first,
+      // then -label (so equal-vote ties go to the SMALLEST label), best
+      // cosine rides as payload
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("votes"), (-col("label")).as("neg_label"), col("best"))).as("w"))
+      .select(col("query_id"),
+        (-col("w.neg_label")).cast("int").as("pred_label"),
+        col("w.votes").as("votes"),
+        stableRound(col("w.best"), 4).as("top_sim"))
+  }
+
   /** Per-query overlap with the exact top-k: (query_id, hits). */
   def recallHits(exact: DataFrame, approx: DataFrame): DataFrame =
     approx.select(col("query_id"), col("vec_id"))
@@ -758,6 +789,39 @@ object Similarity {
           .agg((max(col("c")) <= 1).cast("int").as("ok"))
           .select(lit("text_groups_collapsed").as("chk"), col("ok"))
         v1.unionByName(v2).unionByName(v3).orderBy(col("chk"))
+      }),
+
+    // k-NN label propagation: vec_id < 50 are the "unlabeled" queries,
+    // the rest the labeled seed set; exact top-5 cosine vote with the
+    // deterministic (votes DESC, label ASC) tie order. The DuckDB oracle
+    // replays the whole chain — rank, vote, argmax, winning-label best
+    // cosine — off list_cosine_similarity (bit-identical accumulation
+    // order, the s01 precedent).
+    NamedQuery(
+      "s13_knn_label",
+      Some(
+        "WITH nn AS (SELECT * FROM (" +
+          "SELECT q.vec_id AS query_id, b.vec_id AS vid, b.label, " +
+          "list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos, " +
+          "row_number() OVER (PARTITION BY q.vec_id " +
+          "ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS rank " +
+          "FROM embeddings q JOIN embeddings b ON b.vec_id >= 50 WHERE q.vec_id < 50) t " +
+          "WHERE rank <= 5), " +
+          "v AS (SELECT query_id, label, count(*) AS votes, max(cos) AS best " +
+          "FROM nn GROUP BY 1, 2), " +
+          "r AS (SELECT query_id, label, votes, best, row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY votes DESC, label) AS rk FROM v) " +
+          "SELECT query_id, CAST(label AS INT) AS pred_label, votes, " +
+          OracleRound.stableRoundSql("best", 4) +
+          " AS top_sim FROM r WHERE rk = 1 ORDER BY query_id"),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+        knnLabel(
+          e.filter(col("vec_id") >= 50),
+          e.filter(col("vec_id") < 50)
+            .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), 5)
+          .orderBy(col("query_id"))
       })
   )
 }

@@ -1312,6 +1312,23 @@ class SqlEngineSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("cell"))
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(tsSql == tsApi)
+
+    // k-NN label propagation through the two-view escape hatch
+    import spark.implicits._
+    val lab = Seq((10L, Array(1.0f, 0.0f), 7), (11L, Array(0.0f, 1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val unl = Seq((1L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    lab.createOrReplaceTempView("lab_view")
+    unl.createOrReplaceTempView("unl_view")
+    try {
+      val kSql = e.execute(
+        "SELECT query_id, pred_label, votes FROM graft_knn_label('lab_view', 'unl_view', 1)")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(kSql == Seq((1L, 7, 1L)), s"got $kSql")
+    } finally {
+      spark.catalog.dropTempView("lab_view")
+      spark.catalog.dropTempView("unl_view")
+    }
   }
 
   test("resumable change feed: a consumer crosses a compaction with no loss and no dupes") {

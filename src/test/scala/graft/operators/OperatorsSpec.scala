@@ -231,6 +231,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnLabel: planted clusters vote correctly, ties break to the smallest label") {
+    import spark.implicits._
+    val labeled = Seq(
+      (10L, Array(1.0f, 0.0f), 2), (11L, Array(0.99f, 0.01f), 2),
+      (12L, Array(0.98f, 0.02f), 2),
+      (13L, Array(0.0f, 1.0f), 1), (14L, Array(0.01f, 0.99f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Array(1.0f, 0.05f)), (2L, Array(0.05f, 1.0f)))
+      .toDF("query_id", "q_emb")
+    val r = Similarity.knnLabel(labeled, queries, 3).orderBy("query_id").collect()
+    assert(r(0).getInt(1) == 2 && r(0).getLong(2) == 3L, s"got ${r.toSeq}") // all-3 +x vote
+    assert(r(1).getInt(1) == 1 && r(1).getLong(2) == 2L, s"got ${r.toSeq}") // 2-of-3 +y vote
+    assert(r(1).getDouble(3) > 0.99, "winning label's best cosine must be the near-identical one")
+    // k=4 for the +y query: 2 votes label 1 vs 2 votes label 2 — the
+    // deterministic tie order keeps the SMALLEST label
+    val t = Similarity.knnLabel(labeled, queries.filter(col("query_id") === 2L), 4).collect()
+    assert(t(0).getInt(1) == 1 && t(0).getLong(2) == 2L, s"got ${t.toSeq}")
+  }
+
   test("CorpusStats head-sample ratio separates unique from clone-heavy corpora") {
     import spark.implicits._
     val unique = (0 until 400).map(i => (i.toLong, s"unique text number $i with words")).toDF("doc_id", "text")

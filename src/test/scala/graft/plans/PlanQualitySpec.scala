@@ -98,6 +98,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(mhPer < mhCa, s"per-doc minhashPairs must plan fewer exchanges ($mhPer vs $mhCa)")
   }
 
+  test("s13 knn label: query side broadcasts; shuffle exchanges carry scalars, never vectors") {
+    // the labeled base must stay partition-parallel with only the bounded
+    // query set broadcast, and the rank/vote exchanges must move
+    // (query_id, vec_id, raw_cos, label) scalars — a vector riding a hash
+    // exchange means the cosine kernel moved past the join
+    val p = plan("s13_knn_label")
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.nonEmpty, "expected the rank/vote exchanges")
+    shuffles.foreach { s =>
+      assert(!s.contains("embedding#") && !s.contains("q_emb#") && !s.contains("b_emb#"),
+        s"a vector crossed a shuffle exchange:\n$s")
+    }
+  }
+
   test("d18 simhash128: exchanges carry the [hi, lo] sketch and band keys, never text") {
     // the wide-band path exists for the 10^11-distinct-sketch tail — its
     // exchanges must stay 2x8-byte sketch + band scalars; text or the
