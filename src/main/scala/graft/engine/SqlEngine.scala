@@ -409,6 +409,10 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_mixture_weights" -> ((t, a) =>
         Packing.mixtureWeights(t, a.headOption.getOrElse(0.5),
           a.lift(1).map(_.toLong).getOrElse(100000L))),
+      "graft_mixture_capped" -> ((t, a) =>
+        Packing.mixtureWeightsCapped(t, a.headOption.getOrElse(0.5),
+          a.lift(1).map(_.toLong).getOrElse(100000L),
+          a.lift(2).getOrElse(2.0))),
       // over any (id, cell, score) relation — cells from labels, sources,
       // or a quantizer registered upstream
       "graft_diverse_topk" -> ((t, a) =>

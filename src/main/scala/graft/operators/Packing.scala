@@ -226,6 +226,94 @@ object Packing {
         col("weight"), col("target_tokens"), col("epochs"))
   }
 
+  /** CAPPED mixture weights — [[mixtureWeights]] under the max-epoch
+    * constraint every production recipe carries (a low-resource language
+    * must not repeat more than `maxEpochs` times no matter what the
+    * temperature says), solved by WATER-FILLING: allocate the budget
+    * ∝ n^α among uncapped groups, pin any group whose allocation exceeds
+    * `maxEpochs · n_tokens` at its cap, redistribute the remainder among
+    * the others, repeat to convergence (caps only grow, so ≤ #groups
+    * rounds; `iters` is a fixed bound over it so the Spark plan and the
+    * DuckDB oracle run the IDENTICAL chain — converged rounds are
+    * idempotent). The cap comparison goes through the decimal-stable
+    * 6-digit grid on both engines, the [[temperatureMix]] threshold
+    * discipline.
+    *
+    * Output per group: (lang, n_docs, n_tokens, target_tokens, epochs,
+    * capped). Scale shape: ONE corpus-sized hash aggregate (the p17
+    * plan); the water-filling iterates over the group-count relation,
+    * which is checkpointed once and re-aggregated per round — O(groups)
+    * rows per step, the corpus is never rescanned. */
+  def mixtureWeightsCapped(corpus: DataFrame, alpha: Double = 0.5,
+      budgetTokens: Long = 100000L, maxEpochs: Double = 2.0,
+      iters: Int = 8): DataFrame = {
+    require(alpha > 0 && budgetTokens > 0 && maxEpochs > 0 && iters > 0,
+      "need positive alpha, budget, maxEpochs, iters")
+    val base = corpus
+      .withColumn("n_toks", size(split(trim(col("text")), " +")).cast("bigint"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("n", col("n_tokens").cast("double"))
+      .withColumn("w", pow(col("n"), lit(alpha)))
+      .withColumn("cap_tokens", col("n") * lit(maxEpochs))
+      .localCheckpoint() // group-count rows; cuts the corpus out of the loop lineage
+    val cols = Seq("lang", "n_docs", "n_tokens", "n", "w", "cap_tokens").map(col)
+    def share(fixed: Column, wsum: Column): Column =
+      when(col("capped") || wsum <= 0, col("cap_tokens"))
+        .otherwise((lit(budgetTokens.toDouble) - fixed) * col("w") / wsum)
+    var cur = base.withColumn("capped", lit(false))
+    (1 to iters).foreach { _ =>
+      val agg = cur.agg(
+        sum(when(col("capped"), col("cap_tokens")).otherwise(lit(0.0))).as("fixed"),
+        sum(when(col("capped"), lit(0.0)).otherwise(col("w"))).as("wsum"))
+      cur = cur.select(cols :+ col("capped"): _*)
+        .crossJoin(broadcast(agg))
+        .withColumn("capped",
+          col("capped") ||
+            stableRound(share(col("fixed"), col("wsum")), 6) > col("cap_tokens"))
+        .select(cols :+ col("capped"): _*)
+    }
+    val agg = cur.agg(
+      sum(when(col("capped"), col("cap_tokens")).otherwise(lit(0.0))).as("fixed"),
+      sum(when(col("capped"), lit(0.0)).otherwise(col("w"))).as("wsum"))
+    cur.crossJoin(broadcast(agg))
+      .withColumn("alloc", share(col("fixed"), col("wsum")))
+      .withColumn("target_tokens",
+        floor(least(stableRound(col("alloc"), 6), col("cap_tokens"))).cast("bigint"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("target_tokens"),
+        stableRound(col("target_tokens").cast("double") / col("n"), 4).as("epochs"),
+        col("capped").cast("int").as("capped"))
+  }
+
+  /** The [[mixtureWeightsCapped]] chain spelled as DuckDB CTEs — the
+    * oracle replays the identical fixed-round water-filling. */
+  private[operators] def cappedMixSql(alpha: Double, budgetTokens: Long,
+      maxEpochs: Double, iters: Int): String = {
+    val b = s"${budgetTokens.toDouble}"
+    def aggOver(i: String): String =
+      s"(SELECT coalesce(sum(CASE WHEN i.capped THEN b.cap ELSE 0 END), 0) AS fixed, " +
+        s"coalesce(sum(CASE WHEN i.capped THEN 0 ELSE b.w END), 0) AS wsum " +
+        s"FROM b JOIN $i i USING (lang)) a"
+    def shareSql: String =
+      s"CASE WHEN i.capped OR a.wsum <= 0 THEN b.cap " +
+        s"ELSE ($b - a.fixed) * b.w / a.wsum END"
+    val steps = (1 to iters).map { k =>
+      s"i$k AS (SELECT b.lang, (i.capped OR " +
+        OracleRound.stableRoundSql(shareSql, 6) +
+        s" > b.cap) AS capped FROM b JOIN i${k - 1} i USING (lang), ${aggOver(s"i${k - 1}")})"
+    }.mkString(", ")
+    "c AS (SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_tokens " +
+      "FROM documents GROUP BY 1), " +
+      "b AS (SELECT lang, n_docs, n_tokens, CAST(n_tokens AS DOUBLE) AS n, " +
+      s"pow(CAST(n_tokens AS DOUBLE), $alpha) AS w, " +
+      s"CAST(n_tokens AS DOUBLE) * $maxEpochs AS cap FROM c), " +
+      "i0 AS (SELECT lang, FALSE AS capped FROM b), " +
+      steps + ", " +
+      s"fin AS (SELECT b.lang, b.n_docs, b.n_tokens, b.n, b.cap, i.capped, $shareSql AS alloc " +
+      s"FROM b JOIN i$iters i USING (lang), ${aggOver(s"i$iters")})"
+  }
+
   /** Morton bit-spread of a 16-bit value into the even bit positions of a
     * 32-bit lane — the classic mask-doubling construction, spelled with
     * codegen'd BUILT-IN bitwise columns so the identical arithmetic
@@ -457,6 +545,25 @@ object Packing {
         zorderFileStats(
           zorderFiles(orders, "o_orderkey", "o_custkey", "o_day", rowsPerFile = 1024L))
           .orderBy(col("file_id"))
-      })
+      }),
+
+    // capped mixture: budget 50000 at alpha 0.5 over this corpus drives
+    // every low-resource language PAST 2.0 epochs (they pin at the cap)
+    // while en stays under — both water-filling branches are live. The
+    // DuckDB oracle replays the identical fixed-6-round chain CTE by CTE.
+    NamedQuery(
+      "p19_mixture_capped",
+      Some(
+        s"WITH ${cappedMixSql(0.5, 50000L, 2.0, 6)} " +
+          "SELECT lang, n_docs, n_tokens, target_tokens, " +
+          OracleRound.stableRoundSql("CAST(target_tokens AS DOUBLE) / n", 4) +
+          " AS epochs, CAST(capped AS INT) AS capped FROM " +
+          "(SELECT lang, n_docs, n_tokens, n, capped, " +
+          "CAST(floor(least(" + OracleRound.stableRoundSql("alloc", 6) +
+          ", cap)) AS BIGINT) AS target_tokens FROM fin) t ORDER BY lang"),
+      (s, dir) =>
+        mixtureWeightsCapped(docs(s, dir), alpha = 0.5, budgetTokens = 50000L,
+          maxEpochs = 2.0, iters = 6)
+          .orderBy(col("lang")))
   )
 }

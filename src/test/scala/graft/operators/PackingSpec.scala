@@ -160,6 +160,56 @@ class PackingSpec extends AnyFunSuite {
     assert(r.head.getLong(1) == 2L && r.head.getLong(2) == 0L)
   }
 
+  test("mixtureWeightsCapped: water-filling matches an in-test reference; caps bind") {
+    // groups with wildly uneven sizes so several rounds of redistribution
+    // happen: tiny groups cap, the freed budget flows to the big ones
+    def mkCorpus(sizes: Map[String, Int]) =
+      sizes.toSeq.flatMap { case (lang, n) =>
+        (0 until n).map(i => (s"$lang-$i", lang, "tok " * 9 + "tok")) // 10 tokens/doc
+      }.zipWithIndex.map { case ((_, lang, text), i) => (i.toLong, lang, text) }
+        .toDF("doc_id", "lang", "text")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def reference(sizes: Map[String, Long], alpha: Double, budget: Double,
+        maxEpochs: Double, iters: Int): Map[String, (Long, Int)] = {
+      val n = sizes.view.mapValues(_.toDouble).toMap
+      val w = n.view.mapValues(math.pow(_, alpha)).toMap
+      val cap = n.view.mapValues(_ * maxEpochs).toMap
+      var capped = sizes.keySet.map(_ -> false).toMap
+      def alloc(g: String): Double = {
+        val fixed = capped.collect { case (k, true) => cap(k) }.sum
+        val wsum = capped.collect { case (k, false) => w(k) }.sum
+        if (capped(g) || wsum <= 0) cap(g) else (budget - fixed) * w(g) / wsum
+      }
+      (1 to iters).foreach { _ =>
+        capped = capped.map { case (g, c) => g -> (c || round6(alloc(g)) > cap(g)) }
+      }
+      sizes.keySet.map { g =>
+        g -> (math.floor(math.min(round6(alloc(g)), cap(g))).toLong,
+          if (capped(g)) 1 else 0)
+      }.toMap
+    }
+    for (sizes <- Seq(
+        Map("aa" -> 3, "bb" -> 40, "cc" -> 5),
+        Map("aa" -> 1, "bb" -> 1, "cc" -> 50, "dd" -> 10),
+        Map("aa" -> 20, "bb" -> 20))) {
+      val budget = 700L
+      val got = Packing.mixtureWeightsCapped(mkCorpus(sizes), 0.5, budget, 2.0, 6)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(3), r.getInt(5)), r.getLong(2))).toMap
+      val want = reference(sizes.map { case (k, v) => k -> v.toLong * 10 },
+        0.5, budget.toDouble, 2.0, 6)
+      sizes.keys.foreach { g =>
+        assert(got(g)._2 == sizes(g).toLong * 10, s"$g token total")
+        assert(got(g)._1 == want(g), s"$g: got ${got(g)._1}, want ${want(g)} in $sizes")
+      }
+      // the allocation never exceeds any cap and never exceeds the budget
+      val totTarget = got.values.map(_._1._1).sum
+      assert(totTarget <= budget + sizes.size, s"budget overrun: $totTarget")
+      got.foreach { case (g, ((t, _), n)) => assert(t <= (n * 2.0).toLong, s"$g cap") }
+    }
+  }
+
   test("RangeBucket kernel: bucket = count of bounds <= v, monotone, null-safe") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val bounds = Array(-5L, 0L, 7L, 100L)

@@ -584,6 +584,21 @@ class PlanQualitySpec extends AnyFunSuite {
         s"document text crossed an exchange in the mixture plan:\n$s"))
   }
 
+  test("p19 capped mixture: corpus scans once into the group aggregate; rounds run off the checkpoint") {
+    val p = plan("p19_mixture_capped")
+    // the water-filling rounds must iterate over the CHECKPOINTED
+    // group-count relation, never re-scanning the corpus — exactly one
+    // parquet scan (the per-lang aggregate's input) in the whole plan
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length <= 1,
+      "water-filling re-scanned the corpus:\n" + p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), "group relation must be a checkpointed artifact")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row round aggregates must broadcast onto the group relation")
+    p.split("\n\n").filter(s => "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+      .foreach(s => assert(!s.contains("text#"),
+        s"document text crossed an exchange in the capped-mixture plan:\n$s"))
+  }
+
   test("d17 containment: pure filter+project over the cached coverage artifact") {
     val p = plan("d17_containment")
     assert(p.contains("Scan ExistingRDD"), "coverage graph must come from the cached artifact")
