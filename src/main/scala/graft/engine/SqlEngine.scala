@@ -386,6 +386,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         graft.operators.Multimodal.sampleFrames(t,
           a.headOption.map(_.toInt).getOrElse(4096), a.lift(1).map(_.toInt).getOrElse(1))),
       "graft_media_dedup" -> ((t, _) => graft.operators.Multimodal.mediaDedup(t)),
+      "graft_media_neardup" -> ((t, a) =>
+        graft.operators.Multimodal.mediaNearDupPairs(t, a.headOption.getOrElse(0.99))),
       "graft_ppl_tiers" -> ((t, _) => TextAnalysis.pplTiers(t)),
       "graft_chunk_windows" -> ((t, a) =>
         Packing.chunkWindows(t, a.headOption.map(_.toInt).getOrElse(64),

@@ -198,7 +198,34 @@ object Multimodal {
       Some(
         "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies " +
           "FROM documents GROUP BY text ORDER BY doc_id"),
-      (s, dir) => mediaDedup(media(s, dir)).orderBy(col("doc_id")))
+      (s, dir) => mediaDedup(media(s, dir)).orderBy(col("doc_id"))),
+
+    // perceptual near-dup gate: plant a BYTE-PERMUTED copy (reversed
+    // text, id+1e6) of every doc_id<25 asset — different payload bytes
+    // (m05's digest treats it as new), identical byte histogram → the
+    // feature vectors are EQUAL, so recovery through the banded pipeline
+    // is deterministic: equal vectors share every band and pair at
+    // similarity exactly 1. Oracle is the constant verdict.
+    NamedQuery(
+      "m06_mm_neardup",
+      Some(
+        "SELECT doc_id, CAST(1 AS INT) AS found_ok, CAST(1.0 AS DOUBLE) AS sim " +
+          "FROM documents WHERE doc_id < 25 ORDER BY doc_id"),
+      (s, dir) => {
+        val m = media(s, dir)
+        val planted = m.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("format"),
+            reverse(col("payload").cast("string")).cast("binary").as("payload"))
+        val pairs = mediaNearDupPairs(m.unionByName(planted), tau = 0.99)
+        val plantedPairs = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+          .select(col("id_a"), col("sim"))
+        m.filter(col("doc_id") < 25).select(col("doc_id"))
+          .join(plantedPairs, col("doc_id") === col("id_a"), "left")
+          .select(col("doc_id"),
+            col("id_a").isNotNull.cast("int").as("found_ok"),
+            coalesce(col("sim"), lit(0.0)).as("sim"))
+          .orderBy(col("doc_id"))
+      })
   )
 
   /** Exact MEDIA dedup — the d01 content-address rule over the binary
@@ -210,4 +237,72 @@ object Multimodal {
     media.groupBy(sha2(col("payload"), 256).as("digest"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
+
+  /** PERCEPTUAL near-dup pairs over the decoded FEATURE space — the
+    * "same asset, different container bytes" case [[mediaDedup]]'s exact
+    * digest can never see (a re-mux / byte permutation / benign
+    * re-encode changes the payload, not the content features). Features
+    * come through the codec seam, L2-normalize to unit vectors,
+    * exact-duplicate vectors collapse to their min-id rep (the d10/d16
+    * content-collapse discipline — a viral asset costs its distinct
+    * features, not its copies), reps band by 32-bit hyperplane signature
+    * (8×4-bit bands, the s02 index), banded candidates verify at cosine
+    * ≥ `tau`, and clone groups fan back arithmetically at similarity
+    * exactly 1. Returns (id_a, id_b, sim).
+    *
+    * Scale shape: the pair join runs over distinct (band, bucket)
+    * collisions of DISTINCT vectors; fan-back joins carry
+    * (gid, doc_id, sim) scalars. Identical-feature recall is
+    * DETERMINISTIC (equal vectors share every band); near-but-unequal
+    * recall is the standard LSH trade-off — raise bands/bits for more. */
+  def mediaNearDupPairs(media: DataFrame, tau: Double = 0.99,
+      codec: MediaCodec = DeterministicFakeCodec): DataFrame = {
+    val s = media.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.VectorFunctions.register(s)
+    import OracleRound.stableRound
+    val v = decodeFeatures(media, codec)
+      .select(col("doc_id"), expr("transform(histogram, x -> CAST(x AS DOUBLE))").as("hraw"))
+      .withColumn("nrm", sqrt(expr("aggregate(hraw, 0D, (a, x) -> a + x * x)")))
+      .filter(col("nrm") > 0) // empty payloads have no features to compare
+      .withColumn("embedding", expr("transform(hraw, x -> x / nrm)"))
+      .select(col("doc_id"), col("embedding"))
+    val grp = v.groupBy(col("embedding"))
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val members = v.join(grp.select(col("embedding"), col("gid")), Seq("embedding"))
+      .select(col("gid"), col("doc_id"))
+    val banded = grp
+      .withColumn("sig", expr("hyperplane_sig(embedding, 32)"))
+      .select(col("gid"), col("embedding"), col("sig"),
+        posexplode(expr("transform(sequence(0, 7), b -> shiftright(sig, b*4) & 15)"))
+          .as(Seq("band", "bucket")))
+    // lowest-agreeing-band filter (the lshTopK discipline): unique pairs
+    // by construction, no distinct() re-shuffling vectors
+    val firstMatch = (0 until 8).map { bnd =>
+      val earlierDiffer = (0 until bnd)
+        .map(j => s"(shiftright(a.sig, ${j * 4}) & 15) != (shiftright(b.sig, ${j * 4}) & 15)")
+      (s"a.band = $bnd" +: earlierDiffer).mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val repPairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.gid") < col("b.gid"))
+      .filter(expr(firstMatch))
+      .select(col("a.gid").as("id_a"), col("b.gid").as("id_b"),
+        col("a.embedding").as("q_emb"), col("b.embedding").as("b_emb"))
+      .withColumn("raw", expr("cosine_sim(q_emb, b_emb)"))
+      .filter(col("raw") >= tau)
+      .select(col("id_a"), col("id_b"), stableRound(col("raw"), 4).as("sim"))
+    val cross = repPairs
+      .join(members.select(col("gid").as("id_a"), col("doc_id").as("da")), "id_a")
+      .join(members.select(col("gid").as("id_b"), col("doc_id").as("db")), "id_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("sim"))
+    val dm = members.join(grp.filter(col("cnt") > 1).select(col("gid")), Seq("gid"), "left_semi")
+    val intra = dm.as("x")
+      .join(dm.as("y"), col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), lit(1.0).as("sim"))
+    cross.unionByName(intra)
+  }
 }

@@ -1313,6 +1313,18 @@ class SqlEngineSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(tsSql == tsApi)
 
+    // perceptual media near-dup over a bytea payload table: permuted
+    // bytes pair at sim 1.0 from pure SQL
+    e.execute("CREATE TABLE assets (doc_id bigint PRIMARY KEY, format text, payload bytea)")
+    e.execute("INSERT INTO assets VALUES " +
+      "(1, 'png', CAST('hello world abc' AS BINARY)), " +
+      "(2, 'png', CAST('cba dlrow olleh' AS BINARY)), " +
+      "(3, 'png', CAST('0123 456789 !!! ### 0123456789' AS BINARY))")
+    val mnSql = e.execute(
+      "SELECT id_a, id_b, sim FROM graft_media_neardup(assets) ORDER BY id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(mnSql == Seq((1L, 2L, 1.0)), s"got $mnSql")
+
     // k-NN label propagation through the two-view escape hatch
     import spark.implicits._
     val lab = Seq((10L, Array(1.0f, 0.0f), 7), (11L, Array(0.0f, 1.0f), 3))

@@ -250,6 +250,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(t(0).getInt(1) == 1 && t(0).getLong(2) == 2L, s"got ${t.toSeq}")
   }
 
+  test("mediaNearDupPairs: byte-permuted payloads pair at sim 1.0; exact digest is blind to them") {
+    import spark.implicits._
+    val m = Seq(
+      (1L, "png", "hello world abc".getBytes("UTF-8")),
+      (2L, "png", "cba dlrow olleh".getBytes("UTF-8")), // same byte multiset, different bytes
+      (3L, "png", "0123 456789 !!! ### 0123456789".getBytes("UTF-8")) // digit/punct nibbles
+    ).toDF("doc_id", "format", "payload")
+    val pairs = Multimodal.mediaNearDupPairs(m, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.contains((1L, 2L, 1.0)), s"permuted pair must be found at 1.0: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the digit/punct payload must not pair with the letter payloads: $pairs")
+    // the exact-digest operator treats all three as distinct (the blind spot)
+    assert(Multimodal.mediaDedup(m).count() == 3)
+  }
+
   test("CorpusStats head-sample ratio separates unique from clone-heavy corpora") {
     import spark.implicits._
     val unique = (0 until 400).map(i => (i.toLong, s"unique text number $i with words")).toDF("doc_id", "text")

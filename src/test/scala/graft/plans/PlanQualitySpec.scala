@@ -114,6 +114,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("m06 media near-dup: payload bytes never cross an exchange") {
+    // decode projects the payload away inside the partition-wise codec
+    // pass; everything downstream (feature grouping, banding, verify,
+    // fan-back) moves 16-double vectors or id/sim scalars — raw media
+    // bytes on a shuffle would sink the operator at real asset sizes
+    val p = plan("m06_mm_neardup")
+    val exchanges = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(exchanges.nonEmpty, "expected exchanges in the near-dup plan")
+    exchanges.foreach(s =>
+      assert(!s.contains("payload#"), s"payload bytes crossed an exchange:\n$s"))
+  }
+
   test("d18 simhash128: exchanges carry the [hi, lo] sketch and band keys, never text") {
     // the wide-band path exists for the 10^11-distinct-sketch tail — its
     // exchanges must stay 2x8-byte sketch + band scalars; text or the
