@@ -388,6 +388,9 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_media_dedup" -> ((t, _) => graft.operators.Multimodal.mediaDedup(t)),
       "graft_media_neardup" -> ((t, a) =>
         graft.operators.Multimodal.mediaNearDupPairs(t, a.headOption.getOrElse(0.99))),
+      "graft_media_semdedup" -> ((t, a) =>
+        graft.operators.Multimodal.mediaSemDedup(t, a.headOption.getOrElse(0.99),
+          a.lift(1).map(_.toInt).getOrElse(0))),
       "graft_ppl_tiers" -> ((t, _) => TextAnalysis.pplTiers(t)),
       "graft_chunk_windows" -> ((t, a) =>
         Packing.chunkWindows(t, a.headOption.map(_.toInt).getOrElse(64),

@@ -200,31 +200,41 @@ object Multimodal {
           "FROM documents GROUP BY text ORDER BY doc_id"),
       (s, dir) => mediaDedup(media(s, dir)).orderBy(col("doc_id"))),
 
-    // perceptual near-dup gate: plant a BYTE-PERMUTED copy (reversed
-    // text, id+1e6) of every doc_id<25 asset — different payload bytes
-    // (m05's digest treats it as new), identical byte histogram → the
-    // feature vectors are EQUAL, so recovery through the banded pipeline
-    // is deterministic: equal vectors share every band and pair at
-    // similarity exactly 1. Oracle is the constant verdict.
+    // perceptual dedup gate (the s10 verdict convention): plant a
+    // BYTE-PERMUTED copy (reversed text, id+1e6) of every doc_id<25
+    // asset — different payload bytes (m05's digest treats it as new),
+    // identical byte histogram → the feature vectors are EQUAL, so they
+    // co-assign under ANY quantizer, pair at cosine exactly 1, and
+    // prune to the smaller id deterministically. Verdicts: every
+    // planted copy pruned; something kept; no two kept assets share a
+    // feature vector. Oracle is the constant triple.
     NamedQuery(
       "m06_mm_neardup",
       Some(
-        "SELECT doc_id, CAST(1 AS INT) AS found_ok, CAST(1.0 AS DOUBLE) AS sim " +
-          "FROM documents WHERE doc_id < 25 ORDER BY doc_id"),
+        "SELECT 'no_two_kept_share_features' AS chk, 1 AS ok " +
+          "UNION ALL SELECT 'permuted_copies_pruned', 1 " +
+          "UNION ALL SELECT 'some_assets_kept', 1 ORDER BY chk"),
       (s, dir) => {
         val m = media(s, dir)
         val planted = m.filter(col("doc_id") < 25)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("format"),
             reverse(col("payload").cast("string")).cast("binary").as("payload"))
-        val pairs = mediaNearDupPairs(m.unionByName(planted), tau = 0.99)
-        val plantedPairs = pairs.filter(col("id_b") === col("id_a") + 1000000L)
-          .select(col("id_a"), col("sim"))
-        m.filter(col("doc_id") < 25).select(col("doc_id"))
-          .join(plantedPairs, col("doc_id") === col("id_a"), "left")
-          .select(col("doc_id"),
-            col("id_a").isNotNull.cast("int").as("found_ok"),
-            coalesce(col("sim"), lit(0.0)).as("sim"))
-          .orderBy(col("doc_id"))
+        val kept = mediaSemDedup(m.unionByName(planted), tau = 0.99)
+          .localCheckpoint() // three verdicts read it
+        val v1 = kept.agg(
+          (sum(when(col("doc_id") >= 1000000L, 1).otherwise(0)) === 0).cast("int").as("ok"))
+          .select(lit("permuted_copies_pruned").as("chk"), col("ok"))
+        val v2 = kept.agg((count(lit(1)) > 0).cast("int").as("ok"))
+          .select(lit("some_assets_kept").as("chk"), col("ok"))
+        // two kept assets sharing a feature vector = the prune missed an
+        // identical pair; compare on the histogram digest, never vectors
+        val feats = decodeFeatures(m.unionByName(planted))
+          .select(col("doc_id"), sha2(to_json(col("histogram")), 256).as("fg"))
+        val v3 = feats.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .groupBy(col("fg")).agg(count(lit(1)).as("c"))
+          .agg((max(col("c")) <= 1).cast("int").as("ok"))
+          .select(lit("no_two_kept_share_features").as("chk"), col("ok"))
+        v3.unionByName(v1).unionByName(v2).orderBy(col("chk"))
       })
   )
 
@@ -254,7 +264,15 @@ object Multimodal {
     * collisions of DISTINCT vectors; fan-back joins carry
     * (gid, doc_id, sim) scalars. Identical-feature recall is
     * DETERMINISTIC (equal vectors share every band); near-but-unequal
-    * recall is the standard LSH trade-off — raise bands/bits for more. */
+    * recall is the standard LSH trade-off — raise bands/bits for more.
+    *
+    * CAVEAT — clustered feature spaces: random hyperplanes split a
+    * corpus whose vectors point the same way (e.g. byte histograms of
+    * same-script text) into a FEW hot buckets, and the pair OUTPUT
+    * itself goes quadratic when most pairs clear `tau` (measured 17 s at
+    * sf0.1 on exactly that shape). When the deliverable is a keep/drop
+    * set rather than the pair list, use [[mediaSemDedup]] — trained
+    * cells split clustered data adaptively and the output is linear. */
   def mediaNearDupPairs(media: DataFrame, tau: Double = 0.99,
       codec: MediaCodec = DeterministicFakeCodec): DataFrame = {
     val s = media.sparkSession
@@ -304,5 +322,34 @@ object Multimodal {
       .join(dm.as("y"), col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), lit(1.0).as("sim"))
     cross.unionByName(intra)
+  }
+
+  /** Perceptual media DEDUP — the keep/drop deliverable over the decoded
+    * feature space: normalize features to unit vectors, train a
+    * √n-scaled coarse quantizer, cell-scoped semantic prune at cosine
+    * ≥ `tau` (the d10 SemDeDup machinery verbatim, so identical-feature
+    * assets collapse to one distinct vector BEFORE the in-cell pair
+    * stage). Returns kept (doc_id, cell). Unlike [[mediaNearDupPairs]]
+    * the output is LINEAR in assets and trained cells split a clustered
+    * feature space adaptively — this is the shape to bench and the one a
+    * curation pass consumes. */
+  def mediaSemDedup(media: DataFrame, tau: Double = 0.99, cells: Int = 0,
+      codec: MediaCodec = DeterministicFakeCodec): DataFrame = {
+    val v = decodeFeatures(media, codec)
+      .select(col("doc_id"), expr("transform(histogram, x -> CAST(x AS DOUBLE))").as("hraw"))
+      .withColumn("nrm", sqrt(expr("aggregate(hraw, 0D, (a, x) -> a + x * x)")))
+      .filter(col("nrm") > 0)
+      .withColumn("embedding", expr("transform(hraw, x -> x / nrm)"))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+      .localCheckpoint() // quantizer sample + assignment + pair sides share one decode
+    val k0 =
+      if (cells > 0) cells
+      else math.max(8, math.sqrt(v.count().toDouble).toInt.min(1024))
+    val k = k0.min(math.max(1L,
+      v.select(col("embedding")).distinct().count()).toInt)
+    Dedup.semDedup(
+      graft.operators.Similarity.assignCells(v,
+        graft.operators.Similarity.trainQuantizer(v, k)), tau)
+      .select(col("vec_id").as("doc_id"), col("cell"))
   }
 }

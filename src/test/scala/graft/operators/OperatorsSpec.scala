@@ -264,6 +264,11 @@ class OperatorsSpec extends AnyFunSuite {
       s"the digit/punct payload must not pair with the letter payloads: $pairs")
     // the exact-digest operator treats all three as distinct (the blind spot)
     assert(Multimodal.mediaDedup(m).count() == 3)
+    // the keep/drop deliverable: the permuted copy prunes to the min id,
+    // the genuinely different asset survives
+    val kept = Multimodal.mediaSemDedup(m, 0.99)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L), s"got $kept")
   }
 
   test("CorpusStats head-sample ratio separates unique from clone-heavy corpora") {
