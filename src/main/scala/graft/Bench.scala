@@ -91,8 +91,10 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "4").toInt
     // optional comma-separated name/prefix filter for local iteration
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q27,d02); unset = the full board
+    // empty/blank (scale_check.sh passes "" for the full board) = unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     // fixed CPU-bound probe, one sample per iteration round: its spread

@@ -370,7 +370,9 @@ object Packing {
     * deterministic), i.e. duplicate (a, b) coordinate pairs — pre-dedup
     * those upstream if a corpus has them in bulk. Per-row bucket lookup
     * is the codegen'd binary-search [[graft.functions.RangeBucket]],
-    * O(log buckets). */
+    * O(log buckets). Rows with a NULL dimension have no Morton position
+    * and are dropped (null zval → null bucket → no offset row);
+    * `coalesce` upstream to give them one. */
   def zorderFiles(rows: DataFrame, idCol: String, aCol: String, bCol: String,
       rowsPerFile: Long = 1024L, buckets: Int = 1024): DataFrame = {
     require(rowsPerFile > 0, "need rowsPerFile > 0")

@@ -397,8 +397,11 @@ object Similarity {
     * carries 3 scalars per candidate, the vote is a per-(query, label)
     * aggregate with map-side partials; vectors never cross an exchange. */
   def knnLabel(labeled: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
-    val topk = bruteForceTopK(labeled.select(col("vec_id"), col("embedding")), queries, k)
-    topk.join(labeled.select(col("vec_id"), col("label")), "vec_id")
+    // a null label can't vote (and a null inside the argmax struct would
+    // make the comparison order undefined) — the seed set is labels only
+    val lab = labeled.filter(col("label").isNotNull)
+    val topk = bruteForceTopK(lab.select(col("vec_id"), col("embedding")), queries, k)
+    topk.join(lab.select(col("vec_id"), col("label")), "vec_id")
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("votes"), max(col("raw_cos")).as("best"))
       // per-query argmax carried through one struct max: votes first,

@@ -616,4 +616,45 @@ class OperatorPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(20, 60)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("knnLabel sweep: vote matches in-test brute force on tie-heavy embeddings") {
+    // component values off a coarse grid so cosine TIES and equal-vote
+    // groups actually happen; the reference replays the kernel's exact
+    // sequential double accumulation, the (cos DESC, vec_id) rank order,
+    // and the (votes DESC, label ASC) argmax
+    def cosRef(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val genVec: Gen[Seq[Double]] =
+      Gen.listOfN(4, Gen.oneOf(0.0, 0.5, 1.0)).map(_.toSeq)
+        .retryUntil(v => v.exists(_ != 0.0))
+    val genFixture: Gen[(List[(Long, Seq[Double], Int)], List[(Long, Seq[Double])], Int)] = for {
+      nLab <- Gen.choose(3, 25)
+      labs <- Gen.listOfN(nLab, Gen.zip(genVec, Gen.choose(0, 3)))
+      nQ <- Gen.choose(1, 6)
+      qs <- Gen.listOfN(nQ, genVec)
+      k <- Gen.choose(1, 7)
+    } yield (
+      labs.zipWithIndex.map { case ((v, l), i) => (i * 2L, v, l) },
+      qs.zipWithIndex.map { case (v, i) => (1000L + i, v) }, k)
+    val prop = Prop.forAll(genFixture) { case (labs, qs, k) =>
+      val labeled = labs.toDF("vec_id", "embedding", "label")
+      val queries = qs.toDF("query_id", "q_emb")
+      val got = Similarity.knnLabel(labeled, queries, k)
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+      val want = qs.map { case (qid, q) =>
+        val topk = labs.map { case (id, v, l) => (id, l, cosRef(q, v)) }
+          .sortBy { case (id, _, c) => (-c, id) }.take(k)
+        val byLabel = topk.groupBy(_._2).view
+          .mapValues(_.size.toLong).toMap
+        val (lab, votes) = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+        qid -> ((lab, votes))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(15, 50)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
