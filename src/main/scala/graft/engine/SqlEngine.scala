@@ -441,15 +441,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         val dim = a.headOption.map(_.toInt).getOrElse(16)
         val tau = a.lift(1).getOrElse(0.95)
         val vecs = Similarity.hashedEmbeddingVec(t, dim).localCheckpoint()
-        // k-means k must not exceed the DISTINCT vector count (Spark ML
-        // k-means|| returns fewer centers and the aggregator overruns) —
-        // a corpus of a handful of docs trains a handful of cells
-        val distinctVecs = vecs.select(col("embedding")).distinct().count()
-        val cells = a.lift(2).map(_.toInt).getOrElse(
-            math.max(8, math.sqrt(vecs.count().toDouble).toInt.min(1024)))
-          .min(math.max(1L, distinctVecs).toInt)
         Dedup.semDedup(
-          Similarity.assignCells(vecs, Similarity.trainQuantizer(vecs, cells)), tau)
+          Similarity.quantizedCells(vecs, a.lift(2).map(_.toInt).getOrElse(0)), tau)
           .select(col("vec_id").as("doc_id"), col("cell"))
       }))
   }

@@ -342,14 +342,7 @@ object Multimodal {
       .withColumn("embedding", expr("transform(hraw, x -> x / nrm)"))
       .select(col("doc_id").as("vec_id"), col("embedding"))
       .localCheckpoint() // quantizer sample + assignment + pair sides share one decode
-    val k0 =
-      if (cells > 0) cells
-      else math.max(8, math.sqrt(v.count().toDouble).toInt.min(1024))
-    val k = k0.min(math.max(1L,
-      v.select(col("embedding")).distinct().count()).toInt)
-    Dedup.semDedup(
-      graft.operators.Similarity.assignCells(v,
-        graft.operators.Similarity.trainQuantizer(v, k)), tau)
+    Dedup.semDedup(graft.operators.Similarity.quantizedCells(v, cells), tau)
       .select(col("vec_id").as("doc_id"), col("cell"))
   }
 }

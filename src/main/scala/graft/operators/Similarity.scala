@@ -415,6 +415,23 @@ object Similarity {
         stableRound(col("w.best"), 4).as("top_sim"))
   }
 
+  /** Cell assignment over a trained coarse quantizer with SAFE sizing
+    * for arbitrary caller corpora: k = `cells` when given, else the
+    * √n-scaled SemDeDup rule, always capped by the DISTINCT vector
+    * count (Spark ML k-means|| returns fewer centers than k on tiny
+    * inputs and the block aggregator overruns) — and when fewer than 2
+    * distinct vectors exist (k-means needs k ≥ 2) everything lands in
+    * one cell, which is exactly the right quantizer for that corpus. */
+  def quantizedCells(v: DataFrame, cells: Int = 0): DataFrame = {
+    val distinct = v.select(col("embedding")).distinct().count()
+    val k0 =
+      if (cells > 0) cells.toLong
+      else math.max(8L, math.sqrt(v.count().toDouble).toLong.min(1024L))
+    val k = math.min(k0, distinct)
+    if (k < 2L) v.select(col("vec_id"), col("embedding"), lit(0).as("cell"))
+    else assignCells(v, trainQuantizer(v, k.toInt))
+  }
+
   /** Per-query overlap with the exact top-k: (query_id, hits). */
   def recallHits(exact: DataFrame, approx: DataFrame): DataFrame =
     approx.select(col("query_id"), col("vec_id"))

@@ -123,4 +123,33 @@ class LibraryApiSpec extends AnyFunSuite {
     val top = Similarity.bruteForceTopK(base, queries, 1).head()
     assert(top.getAs[Long]("vec_id") == 1L) // the near-parallel vector wins
   }
+
+  test("round-10 additions run on caller-supplied data") {
+    import spark.implicits._
+    val c = corpus()
+    // 128-bit wide-band simhash: the exact dup pairs surface at hamming 0
+    val p128 = Dedup.simhashPairs128(c)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p128.contains((1L, 2L)) && p128.contains((3L, 6L)))
+    // capped mixture over a (doc_id, lang, text) frame
+    val langs = c.withColumn("lang",
+      org.apache.spark.sql.functions.when(col("doc_id") === 7L, "de").otherwise("en"))
+    val mix = Packing.mixtureWeightsCapped(langs, 0.5, 100L, 2.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(mix.keySet == Set("en", "de") && mix.values.forall(_ >= 0))
+    // z-order layout over any (id, a, b) frame
+    val pts = (0 until 50).map(i => (i.toLong, (i % 5).toLong, (i % 11).toLong))
+      .toDF("pid", "x", "y")
+    val z = Packing.zorderFiles(pts, "pid", "x", "y", rowsPerFile = 16L)
+    assert(z.count() == 50 && Packing.zorderFileStats(z).count() >= 3)
+    // knn label propagation over caller vectors
+    val lab = Seq((10L, Array(1.0f, 0.0f), 1), (11L, Array(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((5L, Array(0.95f, 0.05f))).toDF("query_id", "q_emb")
+    assert(Similarity.knnLabel(lab, q, 1).head().getInt(1) == 1)
+    // perceptual media dedup over any (doc_id, format, payload) frame
+    val media = Seq((1L, "png", "abc def".getBytes), (2L, "png", "fed cba".getBytes))
+      .toDF("doc_id", "format", "payload")
+    assert(Multimodal.mediaSemDedup(media, 0.99).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
