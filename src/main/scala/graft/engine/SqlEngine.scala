@@ -377,6 +377,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         Dedup.passageScrub(t, a.headOption.map(_.toInt).getOrElse(8))),
       "graft_vocabulary" -> ((t, a) =>
         TextAnalysis.vocabulary(t, a.headOption.map(_.toInt).getOrElse(30))),
+      "graft_bpe_merges" -> ((t, a) =>
+        TextAnalysis.bpeMerges(t, a.headOption.map(_.toInt).getOrElse(8))),
       "graft_hashed_embedding" -> ((t, a) =>
         graft.operators.Similarity.hashedEmbedding(t,
           a.headOption.map(_.toInt).getOrElse(16))),

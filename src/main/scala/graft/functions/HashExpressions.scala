@@ -101,6 +101,25 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** GREEDY left-to-right merge of every adjacent (a, b) symbol pair into
+    * the single symbol a||b — one BPE merge round over one symbol
+    * sequence. A freshly merged symbol never re-matches as the LEFT side
+    * within the same round (a||b is strictly longer than a, so it can
+    * never equal a), which makes the single forward scan exact: on
+    * "x x x" with pair (x, x) the first two merge and the third survives. */
+  def mergePair(arr: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (i + 1 < n && s == a && arr.getUTF8String(i + 1) == b) {
+        out.add(UTF8String.concat(a, b)); i += 2
+      } else { out.add(s); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Non-overlapping stride-`w` token windows (full windows only), hashed
     * with the same separator-delimited scheme as [[shingles]]: hash
     * equality ⇔ token-sequence equality (modulo 64-bit collisions). */
@@ -357,6 +376,26 @@ case class SpanHashes(child: Expression, w: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.spans($c, $w)")
   override protected def withNewChildInternal(c: Expression): SpanHashes = copy(child = c)
   override def prettyName: String = "span_hashes"
+}
+
+/** merge_pair(syms array<string>) → array<string>: one greedy BPE merge
+  * round — every adjacent (a, b) becomes a||b, left to right (see
+  * [[HashOps.mergePair]]). The pair rides as constructor values (plain
+  * data, never SQL text — symbols may contain quotes), bound per round
+  * by `TextAnalysis.bpeMerges` through a builder closure. */
+case class MergePair(child: Expression, a: String, b: String) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.mergePair(input.asInstanceOf[ArrayData], ua, ub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("mergeA", ua, "org.apache.spark.unsafe.types.UTF8String")
+    val rb = ctx.addReferenceObj("mergeB", ub, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.mergePair($c, $ra, $rb)")
+  }
+  override protected def withNewChildInternal(c: Expression): MergePair = copy(child = c)
+  override def prettyName: String = "merge_pair"
 }
 
 /** simhash64(tokens array<string>) → long: 64-bit SimHash over the token

@@ -279,6 +279,104 @@ object TextAnalysis {
     * decides who makes the cut, keeping the result content-deterministic
     * (and oracle-replayable). The rank/coverage window runs over ≤
     * topN + ties rows — bounded, single partition by design. */
+  /** BPE MERGE TRAINING — the tokenizer-training step of a data
+    * pipeline: learn the top-`merges` byte-pair-encoding merges from the
+    * corpus. Words (lowercased, whitespace-split) collapse to a DISTINCT
+    * (word → corpus frequency) relation in ONE corpus-sized pass — the
+    * standard trick that makes BPE training frequency-weighted without
+    * ever iterating the corpus — then each round counts adjacent symbol
+    * pairs over that bounded-vocabulary relation (frequencies weighted,
+    * overlaps included), picks the argmax under the deterministic
+    * (freq DESC, a ASC, b ASC) order, and applies the merge greedily
+    * left-to-right via the codegen'd [[graft.functions.MergePair]]
+    * kernel (a freshly merged symbol never re-matches as the left side:
+    * a||b is strictly longer than a).
+    *
+    * Returns the merge table (rank, a, b, freq). The per-round argmax is
+    * a 1-row driver action and the pair values bind into the next
+    * round's plan through a builder closure (the PartitionOffsetId
+    * convention — symbols are data, never SQL text), so `merges` bounded
+    * driver rows total, the seed-collect discipline. At 100 TB the only
+    * corpus-sized work is the word count; the rounds iterate over the
+    * distinct vocabulary, checkpointed per round to keep lineage flat. */
+  def bpeMerges(corpus: DataFrame, merges: Int = 8): DataFrame = {
+    require(merges > 0, "need merges > 0")
+    val s = corpus.sparkSession
+    val words = corpus
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select(col("freq"), col("syms"))
+      .localCheckpoint() // the ONLY corpus-sized pass
+    var cur = words
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val top = cur
+        // CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather
+        // than being empty, so single-symbol words need an explicit
+        // empty pair list
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(syms) < 2 THEN array() " +
+            "ELSE transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) END")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r, a, b, f))
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_bpe_merge_round",
+          exprs => graft.functions.MergePair(exprs.head, a, b), "built-in")
+        cur = cur.withColumn("syms", expr("graft_bpe_merge_round(syms)"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import s.implicits._
+    out.result().toDF("rank", "a", "b", "freq")
+  }
+
+  /** The identical `merges`-round chain spelled as DuckDB CTEs: the
+    * oracle replays the word census, the pair count, the argmax tie
+    * order, and the greedy fold (list_reduce over a \x1f-joined
+    * accumulator — safe because a||b can never equal a, so a merged
+    * token never re-matches as the left side). */
+  private[operators] def bpeMergesSql(merges: Int): String = {
+    def fold(m: String): String =
+      "string_split(list_reduce(syms, (acc, x) -> " +
+        s"CASE WHEN x = $m.b AND (acc = $m.a OR suffix(acc, chr(31) || $m.a)) " +
+        s"THEN left(acc, length(acc) - length($m.a)) || $m.ab " +
+        "ELSE acc || chr(31) || x END), chr(31))"
+    val parts = Seq.newBuilder[String]
+    parts += "w AS (SELECT word, count(*) AS freq FROM " +
+      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents) " +
+      "WHERE word <> '' GROUP BY 1)"
+    parts += "s0 AS (SELECT freq, " +
+      "list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM w)"
+    (1 to merges).foreach { r =>
+      val prev = s"s${r - 1}"
+      parts += s"p$r AS (SELECT p.a AS a, p.b AS b, sum(freq) AS freq FROM " +
+        "(SELECT freq, unnest(list_transform(range(1, len(syms)), " +
+        s"i -> {'a': syms[i], 'b': syms[i+1]})) AS p FROM $prev) GROUP BY 1, 2)"
+      parts += s"m$r AS (SELECT a, b, a || b AS ab, freq FROM p$r " +
+        "ORDER BY freq DESC, a, b LIMIT 1)"
+      parts += s"s$r AS (SELECT $prev.freq AS freq, ${fold(s"m$r")} AS syms " +
+        s"FROM $prev, m$r)"
+    }
+    val union = (1 to merges)
+      .map(r => s"SELECT $r AS rank, a, b, CAST(freq AS BIGINT) AS freq FROM m$r")
+      .mkString(" UNION ALL ")
+    "WITH " + parts.result().mkString(", ") +
+      s" SELECT * FROM ($union) ORDER BY rank"
+  }
+
   def vocabulary(corpus: DataFrame, topN: Int = 30): DataFrame = {
     val tok = corpus.select(col("doc_id"),
       explode(split(lower(col("text")), "\\s+")).as("token"))
@@ -1002,6 +1100,16 @@ object TextAnalysis {
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(col("text"), lit(salt)).as("text"))
         patternAudit(base.unionByName(planted)).orderBy(col("doc_id"))
-      })
+      }),
+
+    // BPE merge training: 8 frequency-weighted merge rounds over the
+    // distinct-word census. The DuckDB oracle replays the identical
+    // chain — census, pair counts, (freq DESC, a, b) argmax, and the
+    // greedy left-to-right fold — so a hash match proves every round's
+    // pick AND the merge application agree symbol-for-symbol.
+    NamedQuery(
+      "t16_bpe_merges",
+      Some(bpeMergesSql(8)),
+      (s, dir) => bpeMerges(docs(s, dir), merges = 8).orderBy(col("rank")))
   )
 }

@@ -617,6 +617,60 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("bpeMerges sweep: merge table matches an in-test reference BPE") {
+    // tiny-alphabet corpora so pair-frequency TIES and run-merges
+    // ("aaa" with pair (a,a)) actually happen; the reference replays
+    // the frequency-weighted census, the (freq DESC, a, b) argmax, and
+    // the greedy left-to-right merge
+    def bpeRef(corpus: Seq[String], k: Int): Seq[(Int, String, String, Long)] = {
+      val words = corpus.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var cur: Seq[(List[String], Long)] =
+        words.toSeq.map { case (w, f) => (w.map(_.toString).toList, f) }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= k && !done) {
+        val counts = cur.flatMap { case (ss, f) =>
+          ss.zip(ss.drop(1)).map(p => p -> f)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), f) = counts.toSeq
+            .sortBy { case ((a, b), f) => (-f, a, b) }.head
+          out += ((r, a, b, f))
+          cur = cur.map { case (ss, fr) =>
+            val m = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < ss.length) {
+              if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) {
+                m += (a + b); i += 2
+              } else { m += ss(i); i += 1 }
+            }
+            (m.toList, fr)
+          }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    val word = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val genCorpus: Gen[List[String]] = for {
+      nDocs <- Gen.choose(1, 10)
+      docs <- Gen.listOfN(nDocs, Gen.choose(1, 8).flatMap(Gen.listOfN(_, word)))
+    } yield docs.map(_.mkString(" "))
+    val prop = Prop.forAll(genCorpus, Gen.choose(1, 5)) { (texts, k) =>
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.bpeMerges(corpus, k)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+        .sortBy(_._1)
+      got == bpeRef(texts, k)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(10, 40)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("knnLabel sweep: vote matches in-test brute force on tie-heavy embeddings") {
     // component values off a coarse grid so cosine TIES and equal-vote
     // groups actually happen; the reference replays the kernel's exact

@@ -271,6 +271,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L), s"got $kept")
   }
 
+  test("merge_pair kernel: greedy left-to-right, equal-symbol runs merge non-overlapping") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "test_merge_pair",
+      es => graft.functions.MergePair(es.head, "x", "x"), "built-in")
+    val r = Seq(Seq("x", "x", "x"), Seq("a", "x", "x", "b"), Seq("x"), Seq("x", "x", "x", "x"))
+      .toDF("syms").selectExpr("test_merge_pair(syms) AS m")
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("xx", "x"))   // run of 3: first two merge, third survives
+    assert(r(1) == Seq("a", "xx", "b"))
+    assert(r(2) == Seq("x"))
+    assert(r(3) == Seq("xx", "xx"))  // run of 4: two disjoint merges
+    // a merged token never re-matches as the LEFT side in the same round
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "test_merge_pair2",
+      es => graft.functions.MergePair(es.head, "xx", "x"), "built-in")
+    val r2 = Seq(Seq("x", "x", "x")).toDF("syms")
+      .selectExpr("test_merge_pair2(syms) AS m").collect().map(_.getSeq[String](0))
+    assert(r2(0) == Seq("x", "x", "x")) // no literal "xx" symbol present
+  }
+
   test("CorpusStats head-sample ratio separates unique from clone-heavy corpora") {
     import spark.implicits._
     val unique = (0 until 400).map(i => (i.toLong, s"unique text number $i with words")).toDF("doc_id", "text")
