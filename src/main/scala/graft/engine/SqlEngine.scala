@@ -379,6 +379,14 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         TextAnalysis.vocabulary(t, a.headOption.map(_.toInt).getOrElse(30))),
       "graft_bpe_merges" -> ((t, a) =>
         TextAnalysis.bpeMerges(t, a.headOption.map(_.toInt).getOrElse(8))),
+      // train-then-encode convenience: k merges learned from the relation
+      // itself, then per-doc tokenizer stats under them
+      "graft_bpe_encode" -> ((t, a) => {
+        val k = a.headOption.map(_.toInt).getOrElse(8)
+        val table = TextAnalysis.bpeMerges(t, k).orderBy(col("rank"))
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.bpeEncode(t, table)
+      }),
       "graft_hashed_embedding" -> ((t, a) =>
         graft.operators.Similarity.hashedEmbedding(t,
           a.headOption.map(_.toInt).getOrElse(16))),

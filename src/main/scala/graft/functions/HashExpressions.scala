@@ -120,6 +120,17 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** [[mergePair]] for a whole LEARNED MERGE LIST: rounds apply in rank
+    * order, each a greedy left-to-right pass — exactly k sequential
+    * [[mergePair]] rounds fused into one kernel call per symbol
+    * sequence (BPE encode). */
+  def mergeAll(arr: ArrayData, as: Array[UTF8String], bs: Array[UTF8String]): ArrayData = {
+    var cur = arr
+    var r = 0
+    while (r < as.length) { cur = mergePair(cur, as(r), bs(r)); r += 1 }
+    cur
+  }
+
   /** Non-overlapping stride-`w` token windows (full windows only), hashed
     * with the same separator-delimited scheme as [[shingles]]: hash
     * equality ⇔ token-sequence equality (modulo 64-bit collisions). */
@@ -396,6 +407,25 @@ case class MergePair(child: Expression, a: String, b: String) extends UnaryExpre
   }
   override protected def withNewChildInternal(c: Expression): MergePair = copy(child = c)
   override def prettyName: String = "merge_pair"
+}
+
+/** merge_all(syms array<string>) → array<string>: a learned BPE merge
+  * list applied in rank order, each round a greedy left-to-right pass
+  * (see [[HashOps.mergeAll]]). The merge table rides as constructor
+  * data, bound by `TextAnalysis.bpeEncode` through a builder closure. */
+case class MergeAll(child: Expression, pairs: Seq[(String, String)]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val as = pairs.map(p => UTF8String.fromString(p._1)).toArray
+  @transient private lazy val bs = pairs.map(p => UTF8String.fromString(p._2)).toArray
+  override def nullSafeEval(input: Any): Any =
+    HashOps.mergeAll(input.asInstanceOf[ArrayData], as, bs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("mergeAs", as, "org.apache.spark.unsafe.types.UTF8String[]")
+    val rb = ctx.addReferenceObj("mergeBs", bs, "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.mergeAll($c, $ra, $rb)")
+  }
+  override protected def withNewChildInternal(c: Expression): MergeAll = copy(child = c)
+  override def prettyName: String = "merge_all"
 }
 
 /** simhash64(tokens array<string>) → long: 64-bit SimHash over the token

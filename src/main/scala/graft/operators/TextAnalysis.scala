@@ -343,12 +343,41 @@ object TextAnalysis {
     out.result().toDF("rank", "a", "b", "freq")
   }
 
+  /** BPE ENCODE — apply a learned merge table (rank order, greedy
+    * left-to-right per round — the [[graft.functions.MergeAll]] kernel)
+    * and report per-document tokenizer stats: word count, post-merge
+    * token count, and FERTILITY (tokens per word — the standard
+    * tokenizer-quality measure; 1.0 = every word one token).
+    *
+    * Scale shape: a PURE NARROW pass — words explode where the text
+    * lives, each word's symbol array folds through the k merges inside
+    * codegen, and the per-doc aggregate map-side-combines to one
+    * (doc_id, 2 longs) row per partition before the only exchange. The
+    * merge table is constructor data (k entries, driver-held — the
+    * bounded artifact [[bpeMerges]] produces). */
+  def bpeEncode(corpus: DataFrame, mergeTable: Seq[(String, String)]): DataFrame = {
+    val s = corpus.sparkSession
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_apply",
+      exprs => graft.functions.MergeAll(exprs.head, mergeTable), "built-in")
+    corpus
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("n_toks", size(expr(
+        "graft_bpe_apply(transform(sequence(1, length(word)), i -> substring(word, i, 1)))"))
+        .cast("bigint"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("fertility",
+        stableRound(col("n_tokens").cast("double") / col("n_words"), 4))
+  }
+
   /** The identical `merges`-round chain spelled as DuckDB CTEs: the
     * oracle replays the word census, the pair count, the argmax tie
     * order, and the greedy fold (list_reduce over a \x1f-joined
     * accumulator — safe because a||b can never equal a, so a merged
     * token never re-matches as the left side). */
-  private[operators] def bpeMergesSql(merges: Int): String = {
+  private def bpeChainSql(merges: Int): String = {
     def fold(m: String): String =
       "string_split(list_reduce(syms, (acc, x) -> " +
         s"CASE WHEN x = $m.b AND (acc = $m.a OR suffix(acc, chr(31) || $m.a)) " +
@@ -358,7 +387,7 @@ object TextAnalysis {
     parts += "w AS (SELECT word, count(*) AS freq FROM " +
       "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents) " +
       "WHERE word <> '' GROUP BY 1)"
-    parts += "s0 AS (SELECT freq, " +
+    parts += "s0 AS (SELECT word, freq, " +
       "list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM w)"
     (1 to merges).foreach { r =>
       val prev = s"s${r - 1}"
@@ -367,15 +396,31 @@ object TextAnalysis {
         s"i -> {'a': syms[i], 'b': syms[i+1]})) AS p FROM $prev) GROUP BY 1, 2)"
       parts += s"m$r AS (SELECT a, b, a || b AS ab, freq FROM p$r " +
         "ORDER BY freq DESC, a, b LIMIT 1)"
-      parts += s"s$r AS (SELECT $prev.freq AS freq, ${fold(s"m$r")} AS syms " +
-        s"FROM $prev, m$r)"
+      parts += s"s$r AS (SELECT $prev.word AS word, $prev.freq AS freq, " +
+        s"${fold(s"m$r")} AS syms FROM $prev, m$r)"
     }
+    parts.result().mkString(", ")
+  }
+
+  private[operators] def bpeMergesSql(merges: Int): String = {
     val union = (1 to merges)
       .map(r => s"SELECT $r AS rank, a, b, CAST(freq AS BIGINT) AS freq FROM m$r")
       .mkString(" UNION ALL ")
-    "WITH " + parts.result().mkString(", ") +
-      s" SELECT * FROM ($union) ORDER BY rank"
+    s"WITH ${bpeChainSql(merges)} SELECT * FROM ($union) ORDER BY rank"
   }
+
+  /** [[bpeEncode]]'s oracle: run the same chain, read each word's
+    * post-merge token count off the final stage, aggregate per doc. */
+  private[operators] def bpeEncodeSql(merges: Int): String =
+    s"WITH ${bpeChainSql(merges)}, " +
+      s"enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_toks FROM s$merges), " +
+      "dw AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word " +
+      "FROM documents) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
+      stableRoundSql("CAST(sum(n_toks) AS DOUBLE) / count(*)", 4) + " AS fertility " +
+      "FROM (SELECT * FROM dw WHERE word <> '') JOIN enc USING (word) " +
+      "GROUP BY doc_id ORDER BY doc_id"
 
   def vocabulary(corpus: DataFrame, topN: Int = 30): DataFrame = {
     val tok = corpus.select(col("doc_id"),
@@ -1110,6 +1155,20 @@ object TextAnalysis {
     NamedQuery(
       "t16_bpe_merges",
       Some(bpeMergesSql(8)),
-      (s, dir) => bpeMerges(docs(s, dir), merges = 8).orderBy(col("rank")))
+      (s, dir) => bpeMerges(docs(s, dir), merges = 8).orderBy(col("rank"))),
+
+    // BPE encode + fertility under the 8 learned merges: the oracle runs
+    // the identical training chain, reads each distinct word's
+    // post-merge token count, and aggregates per document — so the gate
+    // proves training AND application agree end-to-end.
+    NamedQuery(
+      "t17_bpe_encode",
+      Some(bpeEncodeSql(8)),
+      (s, dir) => {
+        val table = bpeMerges(docs(s, dir), merges = 8)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        bpeEncode(docs(s, dir), table).orderBy(col("doc_id"))
+      })
   )
 }

@@ -659,13 +659,30 @@ class OperatorPropertySpec extends AnyFunSuite {
       nDocs <- Gen.choose(1, 10)
       docs <- Gen.listOfN(nDocs, Gen.choose(1, 8).flatMap(Gen.listOfN(_, word)))
     } yield docs.map(_.mkString(" "))
+    def applyRef(word: String, table: Seq[(String, String)]): Int =
+      table.foldLeft(word.map(_.toString).toList) { case (ss, (a, b)) =>
+        val m = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) { m += (a + b); i += 2 }
+          else { m += ss(i); i += 1 }
+        }
+        m.toList
+      }.length
     val prop = Prop.forAll(genCorpus, Gen.choose(1, 5)) { (texts, k) =>
       val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
       val got = TextAnalysis.bpeMerges(corpus, k)
         .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
         .sortBy(_._1)
-      got == bpeRef(texts, k)
+      val table = got.map(t => (t._2, t._3))
+      val enc = TextAnalysis.bpeEncode(corpus, table)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val encWant = texts.zipWithIndex.map { case (t, i) =>
+        val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        i.toLong -> ((ws.length.toLong, ws.map(w => applyRef(w, table).toLong).sum))
+      }.toMap
+      got == bpeRef(texts, k) && enc == encWant
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(10, 40)), prop)
     assert(res.passed, res.status.toString)
