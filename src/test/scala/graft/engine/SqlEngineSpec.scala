@@ -1325,6 +1325,22 @@ class SqlEngineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(mnSql == Seq((1L, 2L, 1.0)), s"got $mnSql")
 
+    // BPE: merge training and train-then-encode from pure SQL
+    val bpSql = e.execute(
+      "SELECT rank, a, b, freq FROM graft_bpe_merges(corpus, 3) ORDER BY rank")
+      .collect().map(_.toString).toSeq
+    val bpApi = graft.operators.TextAnalysis.bpeMerges(api, 3)
+      .orderBy("rank").collect().map(_.toString).toSeq
+    assert(bpSql == bpApi && bpSql.size == 3)
+    val beSql = e.execute(
+      "SELECT doc_id, n_words, n_tokens, fertility FROM graft_bpe_encode(corpus, 3) " +
+        "ORDER BY doc_id").collect().map(_.toString).toSeq
+    val beTable = graft.operators.TextAnalysis.bpeMerges(api, 3)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val beApi = graft.operators.TextAnalysis.bpeEncode(api, beTable)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(beSql == beApi && beSql.size == 4)
+
     // k-NN label propagation through the two-view escape hatch
     import spark.implicits._
     val lab = Seq((10L, Array(1.0f, 0.0f), 7), (11L, Array(0.0f, 1.0f), 3))
