@@ -114,6 +114,20 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("t17 bpe encode: join-free narrow encode — only the aggregate/sort exchanges") {
+    // the encode must fold each word through the merges WHERE THE TEXT
+    // LIVES (no vocabulary join, no word strings on a shuffle): the only
+    // exchanges are the map-side-combined per-doc aggregate and the
+    // display sort
+    val p = plan("t17_bpe_encode")
+    assert(!p.contains("Join"), "encode must not join a vocabulary relation:\n" + p.take(1500))
+    val exchanges = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(exchanges.length <= 2, s"expected agg + sort exchanges only:\n$p")
+    exchanges.foreach(s => assert(!s.contains("word#"),
+      s"word strings crossed an exchange:\n$s"))
+  }
+
   test("m06 media near-dup: payload bytes never cross an exchange") {
     // decode projects the payload away inside the partition-wise codec
     // pass; everything downstream (feature grouping, banding, verify,
