@@ -331,11 +331,14 @@ object TextAnalysis {
       else {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r, a, b, f))
-        s.sessionState.functionRegistry.createOrReplaceTempFunction(
-          "graft_bpe_merge_round",
-          exprs => graft.functions.MergePair(exprs.head, a, b), "built-in")
-        cur = cur.withColumn("syms", expr("graft_bpe_merge_round(syms)"))
-          .localCheckpoint()
+        // the last round's pick needs no application — nothing reads it
+        if (r < merges) {
+          s.sessionState.functionRegistry.createOrReplaceTempFunction(
+            "graft_bpe_merge_round",
+            exprs => graft.functions.MergePair(exprs.head, a, b), "built-in")
+          cur = cur.withColumn("syms", expr("graft_bpe_merge_round(syms)"))
+            .localCheckpoint()
+        }
         r += 1
       }
     }
