@@ -8,7 +8,8 @@ object SparkEntry {
   private def allQueries =
     Relational.queries ++ Parity.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries ++
-      Curation.queries ++ Packing.queries ++ Selection.queries
+      Curation.queries ++ Packing.queries ++ Selection.queries ++
+      graft.streaming.EventStreams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

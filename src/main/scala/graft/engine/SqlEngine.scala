@@ -396,6 +396,9 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         graft.operators.Multimodal.sampleFrames(t,
           a.headOption.map(_.toInt).getOrElse(4096), a.lift(1).map(_.toInt).getOrElse(1))),
       "graft_media_dedup" -> ((t, _) => graft.operators.Multimodal.mediaDedup(t)),
+      // pair-list output is quadratic on clustered feature spaces (see
+      // the operator's caveat) — for a keep/drop deliverable over a large
+      // corpus, call graft_media_semdedup instead
       "graft_media_neardup" -> ((t, a) =>
         graft.operators.Multimodal.mediaNearDupPairs(t, a.headOption.getOrElse(0.99))),
       "graft_media_semdedup" -> ((t, a) =>
@@ -472,7 +475,17 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         Curation.contamination(corpus, bench, a.headOption.map(_.toInt).getOrElse(3))),
       "graft_admit" -> ((inc, idx, _) => Dedup.incrementalAdmit(inc, idx)),
       "graft_contamination_frac" -> ((corpus, bench, a) =>
-        Curation.contaminationScore(corpus, bench, a.headOption.getOrElse(0.2))))
+        Curation.contaminationScore(corpus, bench, a.headOption.getOrElse(0.2))),
+      // apply a LEARNED merge table (rank, a, b) to a DIFFERENT corpus —
+      // tokenizer trained on A encodes B. The one-table spelling (in
+      // tableFunctions) retrains on its own input; this one makes the
+      // trained artifact portable from pure SQL. The merge relation is a
+      // bounded k-row artifact, so the ordered collect is the sanctioned
+      // seed-collect shape.
+      "graft_bpe_encode" -> ((corpus, merges, _) =>
+        TextAnalysis.bpeEncode(corpus,
+          merges.orderBy(col("rank")).collect()
+            .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq)))
   }
 
   /** Operators whose tuning parameters are STRINGS, entered as trailing
@@ -667,14 +680,22 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           case Some(in) => in
           case None => return None
         }
-      // two-relation functions take a second input before any literal args
+      // two-relation functions take a second input before any literal args.
+      // A name in BOTH maps (graft_bpe_encode: train-then-encode vs
+      // apply-a-learned-table) dispatches on the second argument's SHAPE —
+      // a relation selects the two-table form, a numeric literal falls
+      // back to the one-table form's trailing args.
       var second: Option[In] = None
       if (twoTableFunctions.contains(fn)) {
         if (spans.lift(j).exists(_.tok == Sym(","))) {
+          val beforeSecond = j
           j += 1
           second = parseInput()
-          if (second.isEmpty) return None
-        } else return None
+          if (second.isEmpty) {
+            if (!tableFunctions.contains(fn)) return None
+            j = beforeSecond
+          }
+        } else if (!tableFunctions.contains(fn)) return None
       } else if (viewPairFunctions.contains(fn)) {
         if (spans.lift(j).exists(_.tok == Sym(",")) && strTok(j + 1).isDefined) {
           second = Some(ViewName(strTok(j + 1).get)); j += 2

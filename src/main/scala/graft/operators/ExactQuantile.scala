@@ -184,7 +184,7 @@ object ExactQuantile {
     import spark.implicits._
     // null keys ride as a sentinel: broadcast-join range states by key
     // without null-key join semantics getting in the way
-    val NULLK = " graft_null_key"
+    val NULLK = "\u0000graft_null_key"
     val kv = df
       .select(coalesce(col(keyCol).cast("string"), lit(NULLK)).as("k"),
         col(valueCol).cast("double").as("v"))

@@ -235,6 +235,45 @@ object Multimodal {
           .agg((max(col("c")) <= 1).cast("int").as("ok"))
           .select(lit("no_two_kept_share_features").as("chk"), col("ok"))
         v3.unionByName(v1).unionByName(v2).orderBy(col("chk"))
+      }),
+
+    // the PAIR operator's own gate (m06 gates only the keep/drop shape):
+    // a bounded 25-asset slice plus a byte-permuted copy of each — the
+    // permutation preserves the byte histogram, so every planted pair
+    // must surface at similarity exactly 1, every emitted pair must be
+    // canonical (id_a < id_b) and inside [tau, 1]. Input is bounded by
+    // construction — the operator's documented quadratic degeneration on
+    // clustered feature spaces is exactly why the full-corpus deliverable
+    // is m06's mediaSemDedup, not this pair list.
+    NamedQuery(
+      "m07_mm_neardup_pairs",
+      Some(
+        "SELECT 'pairs_canonical' AS chk, 1 AS ok " +
+          "UNION ALL SELECT 'planted_pairs_at_sim_one', 1 " +
+          "UNION ALL SELECT 'sims_within_tau_one', 1 ORDER BY chk"),
+      (s, dir) => {
+        val m = media(s, dir).filter(col("doc_id") < 25)
+        val planted = m
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("format"),
+            reverse(col("payload").cast("string")).cast("binary").as("payload"))
+        val pairs = mediaNearDupPairs(m.unionByName(planted), tau = 0.99)
+          .localCheckpoint() // three verdicts read it
+        val expected = m.filter(octet_length(col("payload")) > 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+        val v1 = expected
+          .join(pairs.filter(col("sim") === 1.0), Seq("id_a", "id_b"), "left_anti")
+          .agg((count(lit(1)) === 0).cast("int").as("ok"))
+          .select(lit("planted_pairs_at_sim_one").as("chk"), col("ok"))
+        val v2 = pairs.agg(
+          ((count(lit(1)) > 0) &&
+            (sum(when(col("sim").between(0.99, 1.0), 1).otherwise(0)) === count(lit(1))))
+            .cast("int").as("ok"))
+          .select(lit("sims_within_tau_one").as("chk"), col("ok"))
+        val v3 = pairs.agg(
+          (coalesce(sum(when(col("id_a") < col("id_b"), 0).otherwise(1)), lit(0L)) === 0)
+            .cast("int").as("ok"))
+          .select(lit("pairs_canonical").as("chk"), col("ok"))
+        v3.unionByName(v1).unionByName(v2).orderBy(col("chk"))
       })
   )
 

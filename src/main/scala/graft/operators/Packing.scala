@@ -376,9 +376,13 @@ object Packing {
   def zorderFiles(rows: DataFrame, idCol: String, aCol: String, bCol: String,
       rowsPerFile: Long = 1024L, buckets: Int = 1024): DataFrame = {
     require(rowsPerFile > 0, "need rowsPerFile > 0")
+    // materialized ONCE (4 scalars/row): the quantile sketch, the bucket
+    // census, and the final rank all read this checkpoint — without it
+    // the zval projection recomputes for each of the three passes
     val z = rows.select(col(idCol).as("id"),
         col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .withColumn("zval", zvalue(col("a"), col("b")))
+      .localCheckpoint()
     val cuts = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds =
       if (cuts.isEmpty) Array.empty[Long]

@@ -91,6 +91,17 @@ object Similarity {
     rankTopK(cand, k)
   }
 
+  /** The quantizer's bounded training sample: the 4096 SMALLEST vec_ids,
+    * by rank — not an absolute `vec_id < 4096` filter, which returns an
+    * EMPTY sample for corpora whose ids all exceed 4096 (arbitrary bigint
+    * PKs are legal in managed tables fed to the SemDeDup TVFs) and made
+    * KMeans.fit throw. For id spaces dense from 0 (every driver corpus)
+    * the two definitions pick the identical set. Shared by
+    * [[trainQuantizer]] and [[quantizedCells]]'s safe-sizing cap so the
+    * cap is computed over the SAME rows the model trains on. */
+  private[operators] def quantizerSample(base: DataFrame): DataFrame =
+    base.sort(col("vec_id")).limit(4096)
+
   /** Trains the IVF coarse quantizer on a DETERMINISTICALLY ordered
     * single-partition sample (standard IVF practice: the quantizer trains
     * on a bounded sample) — k-means|| init is otherwise
@@ -98,10 +109,10 @@ object Similarity {
     * executor count. */
   def trainQuantizer(base: DataFrame, k: Int = 16): KMeansModel = {
     import org.apache.spark.ml.functions.array_to_vector
-    val sample = base
+    val sample = quantizerSample(base)
       .withColumn("features",
         array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
-      .filter(col("vec_id") < 4096).sort(col("vec_id")).coalesce(1)
+      .sort(col("vec_id")).coalesce(1)
     new KMeans().setK(k).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").fit(sample)
   }
@@ -400,7 +411,14 @@ object Similarity {
     // a null label can't vote (and a null inside the argmax struct would
     // make the comparison order undefined) — the seed set is labels only
     val lab = labeled.filter(col("label").isNotNull)
-    val topk = bruteForceTopK(lab.select(col("vec_id"), col("embedding")), queries, k)
+    // labeled and query sets are DISTINCT relations with independent id
+    // spaces — no self-join exclusion here (bruteForceTopK's
+    // vec_id =!= query_id guard would silently drop a labeled vector that
+    // happens to share an id with a query, skewing that query's vote)
+    VectorFunctions.register(lab.sparkSession)
+    val topk = rankTopK(
+      lab.select(col("vec_id"), col("embedding").as("b_emb"))
+        .crossJoin(broadcast(queries)), k)
     topk.join(lab.select(col("vec_id"), col("label")), "vec_id")
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("votes"), max(col("raw_cos")).as("best"))
@@ -421,13 +439,19 @@ object Similarity {
     * count (Spark ML k-means|| returns fewer centers than k on tiny
     * inputs and the block aggregator overruns) — and when fewer than 2
     * distinct vectors exist (k-means needs k ≥ 2) everything lands in
-    * one cell, which is exactly the right quantizer for that corpus. */
+    * one cell, which is exactly the right quantizer for that corpus.
+    *
+    * The cap (and the k<2 fallback) is computed over [[quantizerSample]]
+    * — the SAME rows the model trains on — because a sample less diverse
+    * than the whole corpus would otherwise reintroduce the exact
+    * fewer-centers-than-k overrun the cap exists to prevent. */
   def quantizedCells(v: DataFrame, cells: Int = 0): DataFrame = {
-    val distinct = v.select(col("embedding")).distinct().count()
+    val distinctInSample =
+      quantizerSample(v).select(col("embedding")).distinct().count()
     val k0 =
       if (cells > 0) cells.toLong
       else math.max(8L, math.sqrt(v.count().toDouble).toLong.min(1024L))
-    val k = math.min(k0, distinct)
+    val k = math.min(k0, distinctInSample)
     if (k < 2L) v.select(col("vec_id"), col("embedding"), lit(0).as("cell"))
     else assignCells(v, trainQuantizer(v, k.toInt))
   }

@@ -296,38 +296,49 @@ object TextAnalysis {
     * a 1-row driver action and the pair values bind into the next
     * round's plan through a builder closure (the PartitionOffsetId
     * convention — symbols are data, never SQL text), so `merges` bounded
-    * driver rows total, the seed-collect discipline. At 100 TB the only
-    * corpus-sized work is the word count; the rounds iterate over the
-    * distinct vocabulary, checkpointed per round to keep lineage flat. */
+    * driver rows total, the seed-collect discipline.
+    *
+    * At 100 TB the only corpus-sized work is the word count. The rounds
+    * are INCREMENTAL (the standard delta formulation): a running
+    * (a, b, freq) pair-count relation is built once from the census, and
+    * each round's merge recounts ONLY the words that actually contain
+    * the merged pair — their pre-merge pairs enter with weight -freq,
+    * their post-merge pairs with +freq, and the delta folds into the
+    * running relation. A round's shuffle is therefore ∝ words containing
+    * the merged pair (falling with merge rank), not the full vocabulary;
+    * the only full-vocabulary work per round is the narrow, exchange-free
+    * [[graft.functions.MergePair]] rewrite that keeps the checkpointed
+    * symbol relation current. */
   def bpeMerges(corpus: DataFrame, merges: Int = 8): DataFrame = {
     require(merges > 0, "need merges > 0")
     val s = corpus.sparkSession
-    val words = corpus
-      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .withColumn("syms",
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .select(col("freq"), col("syms"))
-      .localCheckpoint() // the ONLY corpus-sized pass
+    val words = bpeWordCensus(corpus).localCheckpoint() // the ONLY corpus-sized pass
+
+    // adjacent symbol pairs of `c`, each carrying `w` — the CASE guard
+    // because Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than being
+    // empty, so single-symbol words need an explicit empty pair list
+    def weightedPairs(c: String, w: String): String =
+      s"CASE WHEN size($c) < 2 THEN array() " +
+        s"ELSE transform(sequence(1, size($c) - 1), " +
+        s"i -> struct(element_at($c, i) AS a, element_at($c, i + 1) AS b, " +
+        s"CAST($w AS BIGINT) AS w)) END"
+
+    def pairCountsOf(df: DataFrame, pairsExpr: String): DataFrame = df
+      .select(explode(expr(pairsExpr)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("p.w")).as("freq"))
+
     var cur = words
+    var pairCounts =
+      pairCountsOf(words, weightedPairs("syms", "freq")).localCheckpoint()
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= merges && !exhausted) {
-      val top = cur
-        // CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather
-        // than being empty, so single-symbol words need an explicit
-        // empty pair list
-        .select(col("freq"), explode(expr(
-          "CASE WHEN size(syms) < 2 THEN array() " +
-            "ELSE transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) END")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("freq"))
+      val top = pairCounts
         .orderBy(col("freq").desc, col("a"), col("b"))
         .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      if (top.isEmpty || top(0).getLong(2) <= 0L) exhausted = true
       else {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r, a, b, f))
@@ -336,8 +347,20 @@ object TextAnalysis {
           s.sessionState.functionRegistry.createOrReplaceTempFunction(
             "graft_bpe_merge_round",
             exprs => graft.functions.MergePair(exprs.head, a, b), "built-in")
-          cur = cur.withColumn("syms", expr("graft_bpe_merge_round(syms)"))
+          val staged = cur
+            .withColumn("merged", expr("graft_bpe_merge_round(syms)"))
+            .localCheckpoint() // narrow full-vocab rewrite, no exchange
+          // words the merge touched: old pairs out (-freq), new pairs in
+          // (+freq) — everything else's counts are already right
+          val affected = staged.filter(col("merged") =!= col("syms"))
+          val delta = pairCountsOf(affected,
+            s"concat(${weightedPairs("syms", "-freq")}, " +
+              s"${weightedPairs("merged", "freq")})")
+          pairCounts = pairCounts.unionByName(delta)
+            .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("freq"))
+            .filter(col("freq") > 0)
             .localCheckpoint()
+          cur = staged.select(col("freq"), col("merged").as("syms"))
         }
         r += 1
       }
@@ -345,6 +368,19 @@ object TextAnalysis {
     import s.implicits._
     out.result().toDF("rank", "a", "b", "freq")
   }
+
+  /** The shared (word → corpus frequency, symbol array) census both BPE
+    * operators start from. A literal 0x1F byte (the oracle fold's join byte)
+    * in document text is normalized to a space BEFORE word-splitting —
+    * mirrored in the oracle's census CTE — so the DuckDB list_reduce
+    * replay can never confuse a data byte for its accumulator joint. */
+  private def bpeWordCensus(corpus: DataFrame): DataFrame = corpus
+    .select(explode(split(translate(lower(col("text")), "\u001f", " "), "\\s+")).as("word"))
+    .filter(col("word") =!= "")
+    .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    .withColumn("syms",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    .select(col("freq"), col("syms"))
 
   /** BPE ENCODE — apply a learned merge table (rank order, greedy
     * left-to-right per round — the [[graft.functions.MergeAll]] kernel)
@@ -364,7 +400,10 @@ object TextAnalysis {
       "graft_bpe_apply",
       exprs => graft.functions.MergeAll(exprs.head, mergeTable), "built-in")
     corpus
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .select(col("doc_id"),
+        // the same 0x1F-to-space normalization as the census (the two
+        // sides must split words identically for the merge table to bind)
+        explode(split(translate(lower(col("text")), "\u001f", " "), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .withColumn("n_toks", size(expr(
         "graft_bpe_apply(transform(sequence(1, length(word)), i -> substring(word, i, 1)))"))
@@ -387,8 +426,10 @@ object TextAnalysis {
         s"THEN left(acc, length(acc) - length($m.a)) || $m.ab " +
         "ELSE acc || chr(31) || x END), chr(31))"
     val parts = Seq.newBuilder[String]
+    // replace(.., chr(31), ' ') mirrors the Spark census: a literal 0x1F
+    // byte in document text must never reach the fold's joined accumulator
     parts += "w AS (SELECT word, count(*) AS freq FROM " +
-      "(SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents) " +
+      "(SELECT unnest(string_split_regex(replace(lower(text), chr(31), ' '), '\\s+')) AS word FROM documents) " +
       "WHERE word <> '' GROUP BY 1)"
     parts += "s0 AS (SELECT word, freq, " +
       "list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM w)"
@@ -417,7 +458,7 @@ object TextAnalysis {
   private[operators] def bpeEncodeSql(merges: Int): String =
     s"WITH ${bpeChainSql(merges)}, " +
       s"enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_toks FROM s$merges), " +
-      "dw AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word " +
+      "dw AS (SELECT doc_id, unnest(string_split_regex(replace(lower(text), chr(31), ' '), '\\s+')) AS word " +
       "FROM documents) " +
       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
       "CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +

@@ -33,28 +33,48 @@ object EventStreams {
     * testdata have stored it as TIMESTAMP(NANOS) (which surfaces as a raw
     * long under `nanosAsLong`) or TIMESTAMP(MICROS) (a native timestamp),
     * so the physical type is probed per file, not assumed. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    readEventsFrom(spark, stageEvents(spark, dir, "", Seq("events.parquet")))
+
+  /** The events stream with every event DUPLICATED — the staged source
+    * dir holds the same file under two names, so the stream replays each
+    * event twice. This is the ingest-replay fixture behind the e01 gate:
+    * a no-op dedup doubles every downstream count. */
+  def readEventsDoubled(spark: SparkSession, dir: String): DataFrame =
+    readEventsFrom(spark,
+      stageEvents(spark, dir, "2x-", Seq("events_a.parquet", "events_b.parquet")))
+
+  /** The file stream source wants a directory: stage a symlinked dir
+    * holding the events file under `names` (testdata itself is
+    * read-only). */
+  private def stageEvents(spark: SparkSession, dir: String, tag: String,
+      names: Seq[String]): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file stream source wants a directory: stage a symlinked dir
-    // holding just the events file (testdata itself is read-only)
     val staged = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-events-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      System.getProperty("java.io.tmpdir"),
+      s"graft-events-$tag${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     java.nio.file.Files.createDirectories(staged)
-    val link = staged.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val physical = spark.read.parquet(staged.toString).schema
+    names.foreach { n =>
+      val link = staged.resolve(n)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    }
+    staged.toString
+  }
+
+  private def readEventsFrom(spark: SparkSession, staged: String): DataFrame = {
+    val physical = spark.read.parquet(staged).schema
     if (physical("ts").dataType == LongType)
       spark.readStream
         .schema(rawSchema)
-        .parquet(staged.toString)
+        .parquet(staged)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else
       // cast pins the stream-side event-time type to TIMESTAMP regardless
       // of the session's NTZ inference, matching the long-nanos branch
       spark.readStream
         .schema(physical)
-        .parquet(staged.toString)
+        .parquet(staged)
         .withColumn("ts", col("ts").cast(TimestampType))
   }
 
@@ -573,4 +593,39 @@ object EventStreams {
       expr("unix_micros(ts)").as("ts_us"),
       col("user_id"), col("event_type"), col("value")).as[Event]
   }
+
+  // ---------- testdata binding (the driver contract) ----------
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** The streaming family's CORRECTNESS row: a REAL Structured Streaming
+    * run — file source → watermarked [[dedup]] → memory sink, drained to
+    * completion — over a source where every event appears TWICE
+    * ([[readEventsDoubled]]). The daily rollup of the ingested result
+    * must equal the batch rollup of the events table counted ONCE, so a
+    * no-op dedup doubles every count and the oracle hash misses. The
+    * DuckDB oracle replays the batch-equivalent semantics (the q28
+    * rollup shape); the rollup is checkpointed and the sink dropped so
+    * repeated bench runs don't accumulate ingested copies. */
+  val queries: Seq[graft.operators.NamedQuery] = Seq(
+    graft.operators.NamedQuery(
+      "e01_stream_dedup_ingest",
+      Some(
+        "SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n, " +
+          "round(sum(value),2) AS total FROM events " +
+          "GROUP BY 1, 2 ORDER BY day, event_type"),
+      (s, dir) => {
+        val name = s"graft_e01_sink_${sinkSeq.incrementAndGet()}"
+        val q = dedup(readEventsDoubled(s, dir))
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val out = s.table(name)
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .orderBy(col("day"), col("event_type"))
+          .localCheckpoint()
+        s.catalog.dropTempView(name)
+        out
+      })
+  )
 }

@@ -1341,6 +1341,30 @@ class SqlEngineSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(beSql == beApi && beSql.size == 4)
 
+    // two-relation form: a merge table TRAINED on corpus A encodes a
+    // DIFFERENT corpus B — the portable-tokenizer path. Nested spelling
+    // (train inline) and a persisted merge table must both bind, and a
+    // numeric second arg must still dispatch to the train-then-encode form.
+    e.execute("CREATE TABLE corpus_b (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO corpus_b VALUES (1, 'aaab aab'), (2, 'xyz aaab')")
+    val be2Sql = e.execute(
+      "SELECT doc_id, n_words, n_tokens, fertility FROM " +
+        "graft_bpe_encode(corpus_b, graft_bpe_merges(corpus, 3)) ORDER BY doc_id")
+      .collect().map(_.toString).toSeq
+    val apiB = e.execute("SELECT doc_id, text FROM corpus_b")
+    val be2Api = graft.operators.TextAnalysis.bpeEncode(apiB, beTable)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(be2Sql == be2Api && be2Sql.size == 2, s"got $be2Sql vs $be2Api")
+    e.execute("CREATE TABLE merges_b (rank bigint PRIMARY KEY, a text, b text)")
+    beTable.zipWithIndex.foreach { case ((a, b), i) =>
+      e.execute(s"INSERT INTO merges_b VALUES (${i + 1}, '$a', '$b')")
+    }
+    val be3Sql = e.execute(
+      "SELECT doc_id, n_words, n_tokens, fertility FROM " +
+        "graft_bpe_encode(corpus_b, merges_b) ORDER BY doc_id")
+      .collect().map(_.toString).toSeq
+    assert(be3Sql == be2Api, s"persisted merge table must bind: $be3Sql")
+
     // k-NN label propagation through the two-view escape hatch
     import spark.implicits._
     val lab = Seq((10L, Array(1.0f, 0.0f), 7), (11L, Array(0.0f, 1.0f), 3))

@@ -728,4 +728,67 @@ class OperatorPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(15, 50)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("quantizedCells + semDedup sweep: degenerate feature spaces keep/drop vs reference") {
+    // the documented LSH failure modes as generator shapes — constant
+    // vectors, one-hot axes, two clustered directions — plus id spaces
+    // entirely ABOVE the quantizer's old absolute vec_id < 4096 sample
+    // filter (which returned an empty training sample and made
+    // KMeans.fit throw). The reference replays semDedup's keep rule over
+    // the SAME cell assignment quantizedCells produced, so the check is
+    // quantizer-agnostic: clone groups collapse to their min id, a gid
+    // drops iff a smaller gid in its cell clears tau.
+    def cosRef(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dim = 6
+    def vecOf(shape: Int, i: Int): Seq[Double] = shape match {
+      case 0 => Seq.fill(dim)(0.5) // constant: every vector identical
+      case 1 => Seq.tabulate(dim)(d => if (d == i % dim) 1.0 else 0.0) // one-hot axes
+      case _ =>
+        // two clustered directions (cos 0.5 apart), tiny per-doc jitter in
+        // a dedicated coordinate: same-cluster cosines ≈ 1, cross ≈ 0.5 —
+        // both far from tau, so float-vs-double rounding can't flip keeps
+        val base =
+          if (i % 2 == 0) Seq(1.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+          else Seq(1.0, 0.0, 1.0, 0.0, 0.0, 0.0)
+        base.updated(4 + i % 2, 0.001 * (i % 5))
+    }
+    val genFixture: Gen[(List[(Long, Seq[Double])], Long)] = for {
+      shape <- Gen.oneOf(0, 1, 2)
+      n <- Gen.choose(8, 60)
+      offset <- Gen.oneOf(0L, 5000L, 1000000L) // 5000/1e6: all ids above the sample filter
+      nClones <- Gen.choose(0, 8)
+    } yield {
+      val base = (0 until n).map(i => (offset + i.toLong, vecOf(shape, i)))
+      val clones = (0 until math.min(nClones, n))
+        .map(i => (offset + n + i.toLong, vecOf(shape, i)))
+      ((base ++ clones).toList, offset)
+    }
+    val tau = 0.95
+    val prop = Prop.forAll(genFixture) { case (rows, _) =>
+      val v = rows.toDF("vec_id", "embedding")
+      val assigned = Similarity.quantizedCells(v).localCheckpoint()
+      val asn = assigned.select("vec_id", "embedding", "cell").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+      // total assignment: every row lands in exactly one cell
+      val okAssigned = asn.length == rows.length &&
+        asn.map(_._1).distinct.length == rows.length
+      val kept = Dedup.semDedup(assigned, tau)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      // reference keep set over the produced assignment
+      val gids = asn.groupBy(_._2.toList).map { case (_, g) => g.minBy(_._1) }.toSeq
+      val want = gids.filter { case (id, emb, cell) =>
+        !gids.exists { case (id2, emb2, cell2) =>
+          cell2 == cell && id2 < id && cosRef(emb2, emb) > tau
+        }
+      }.map(_._1).toSet
+      val okLinear = kept.size <= gids.size && kept.nonEmpty
+      okAssigned && okLinear && kept == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(12, 40)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

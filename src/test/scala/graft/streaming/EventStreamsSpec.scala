@@ -34,6 +34,19 @@ class EventStreamsSpec extends AnyFunSuite {
       batch.select(col("day").cast("timestamp"), col("event_type"), col("n"), col("total"))).isEmpty)
   }
 
+  test("e01 gate: doubled-source dedup ingest rolls up to the single-counted batch") {
+    // every event arrives twice (readEventsDoubled); a no-op dedup would
+    // double every n/total below
+    val out = EventStreams.queries.find(_.name == "e01_stream_dedup_ingest").get
+      .run(spark, dir).collect().map(_.toString).toSeq
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("day"), col("event_type"))
+      .collect().map(_.toString).toSeq
+    assert(out == batch && out.nonEmpty)
+  }
+
   test("stateful dedup keeps every distinct event_id") {
     val q = EventStreams.dedup(EventStreams.readEvents(spark, dir))
       .writeStream.format("memory").queryName("dedup_events").outputMode("append").start()
