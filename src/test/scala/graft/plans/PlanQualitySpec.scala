@@ -141,6 +141,18 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!s.contains("payload#"), s"payload bytes crossed an exchange:\n$s"))
   }
 
+  test("m07 media near-dup pairs: payload bytes never cross an exchange") {
+    // the PAIR operator shares m06's invariant: decode projects payload
+    // away per partition; banding, verify, and clone fan-back move
+    // vectors/scalars only
+    val p = plan("m07_mm_neardup_pairs")
+    val exchanges = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(exchanges.nonEmpty, "expected exchanges in the pair plan")
+    exchanges.foreach(s =>
+      assert(!s.contains("payload#"), s"payload bytes crossed an exchange:\n$s"))
+  }
+
   test("d18 simhash128: exchanges carry the [hi, lo] sketch and band keys, never text") {
     // the wide-band path exists for the 10^11-distinct-sketch tail — its
     // exchanges must stay 2x8-byte sketch + band scalars; text or the
