@@ -46,18 +46,34 @@ object EventStreams {
 
   /** The file stream source wants a directory: stage a symlinked dir
     * holding the events file under `names` (testdata itself is
-    * read-only). */
+    * read-only). The source may be a single parquet FILE (the driver
+    * testdata) or a multi-file parquet DIRECTORY (ScaleData output) —
+    * a directory's part files are flattened into the staged dir, since
+    * the stream source lists leaf files, not nested dirs. */
   private def stageEvents(spark: SparkSession, dir: String, tag: String,
       names: Seq[String]): String = {
+    import scala.jdk.CollectionConverters._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft-events-$tag${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     java.nio.file.Files.createDirectories(staged)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     names.foreach { n =>
-      val link = staged.resolve(n)
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      if (java.nio.file.Files.isDirectory(src)) {
+        val parts = java.nio.file.Files.list(src).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+        parts.zipWithIndex.foreach { case (p, i) =>
+          val link = staged.resolve(s"${n.stripSuffix(".parquet")}_p$i.parquet")
+          if (!java.nio.file.Files.exists(link))
+            java.nio.file.Files.createSymbolicLink(link, p)
+        }
+      } else {
+        val link = staged.resolve(n)
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, src)
+      }
     }
     staged.toString
   }

@@ -729,6 +729,22 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("knnLabel: a labeled vector sharing an id with a query still votes") {
+    // labeled and query relations have independent id spaces — the old
+    // candidate stage reused bruteForceTopK's vec_id =!= query_id
+    // self-join exclusion, silently dropping exactly this vector
+    val labeled = List(
+      (1L, Seq(1.0, 0.0), 7), // same id as the query — must still vote
+      (2L, Seq(0.9, 0.1), 7),
+      (3L, Seq(0.0, 1.0), 3)).toDF("vec_id", "embedding", "label")
+    val queries = List((1L, Seq(1.0, 0.0))).toDF("query_id", "q_emb")
+    val got = Similarity.knnLabel(labeled, queries, k = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getInt(1) == 7 && r.getLong(2) == 2L,
+      s"both nearest label-7 vectors must vote (got $r)")
+  }
+
   test("quantizedCells + semDedup sweep: degenerate feature spaces keep/drop vs reference") {
     // the documented LSH failure modes as generator shapes — constant
     // vectors, one-hot axes, two clustered directions — plus id spaces
