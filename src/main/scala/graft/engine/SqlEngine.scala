@@ -554,6 +554,18 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         graft.operators.Similarity.knnLabel(labeled,
           queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
           a.headOption.map(_.toInt).getOrElse(5))),
+      // product-quantization ANN: both views are (vec_id, embedding);
+      // the quantizer trains on the base view (bounded deterministic
+      // sample), codes scan narrow, ADC tables broadcast with the
+      // queries. args: (k, m, k_per_subspace)
+      "graft_pq_topk" -> ((pqBase, pqQueries, a) => {
+        import graft.operators.Similarity
+        Similarity.pqTopK(pqBase,
+          pqQueries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+          Similarity.pqTrain(pqBase,
+            a.lift(1).map(_.toInt).getOrElse(16), a.lift(2).map(_.toInt).getOrElse(64)),
+          a.headOption.map(_.toInt).getOrElse(10))
+      }),
       "graft_embed_admit" -> ((inc, hist, a) => {
         val tau = a.headOption.getOrElse(0.9)
         val k = a.lift(1).map(_.toInt).getOrElse(8)

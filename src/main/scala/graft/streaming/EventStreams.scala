@@ -595,7 +595,7 @@ object EventStreams {
             // engine's timeout>watermark requirement when the watermark
             // lands exactly on the window end mid-batch.
             state.setTimeoutTimestamp(
-              math.max((windowStart + windowUs) / 1000, state.getCurrentWatermarkMs + 1))
+              math.max((windowStart + windowUs) / 1000, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

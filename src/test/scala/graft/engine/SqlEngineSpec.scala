@@ -1381,6 +1381,28 @@ class SqlEngineSpec extends AnyFunSuite {
       spark.catalog.dropTempView("lab_view")
       spark.catalog.dropTempView("unl_view")
     }
+
+    // product-quantization ANN through the same two-view seam
+    val pqBase = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val pqQ = Seq((10L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    pqBase.createOrReplaceTempView("pq_base_view")
+    pqQ.createOrReplaceTempView("pq_q_view")
+    try {
+      val pSql = e.execute(
+        "SELECT query_id, vec_id, rank FROM graft_pq_topk('pq_base_view', 'pq_q_view', 2, 1, 2) " +
+          "ORDER BY rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val pApi = graft.operators.Similarity.pqTopK(pqBase,
+        pqQ.select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+          org.apache.spark.sql.functions.col("embedding").as("q_emb")),
+        graft.operators.Similarity.pqTrain(pqBase, m = 1, k = 2), 2)
+        .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+      assert(pSql == pApi && pSql.size == 2, s"got $pSql vs $pApi")
+    } finally {
+      spark.catalog.dropTempView("pq_base_view")
+      spark.catalog.dropTempView("pq_q_view")
+    }
   }
 
   test("resumable change feed: a consumer crosses a compaction with no loss and no dupes") {

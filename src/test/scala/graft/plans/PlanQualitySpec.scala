@@ -141,6 +141,22 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!s.contains("payload#"), s"payload bytes crossed an exchange:\n$s"))
   }
 
+  test("s14 pq ann: codes scan narrow, query tables broadcast, no vector on a shuffle") {
+    // the whole point of PQ is that the candidate stage moves m ints +
+    // scalars per vector: the float embedding must be projected away at
+    // the encode scan, the query's ADC table must ride the broadcast,
+    // and no embedding may cross a shuffle exchange
+    val p = plan("s14_pq_ann")
+    assert(p.contains("BroadcastExchange"), "query-table side must broadcast")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.nonEmpty, "expected the rank-window exchange")
+    shuffles.foreach { s =>
+      assert(!s.contains("embedding#") && !s.contains("q_emb#"),
+        s"a float vector crossed a shuffle exchange:\n$s")
+    }
+  }
+
   test("m07 media near-dup pairs: payload bytes never cross an exchange") {
     // the PAIR operator shares m06's invariant: decode projects payload
     // away per partition; banding, verify, and clone fan-back move
