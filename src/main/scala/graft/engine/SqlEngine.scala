@@ -566,6 +566,20 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
             a.lift(1).map(_.toInt).getOrElse(16), a.lift(2).map(_.toInt).getOrElse(64)),
           a.headOption.map(_.toInt).getOrElse(10))
       }),
+      // IVF-ADC: coarse cells + PQ over residuals, probed per query.
+      // args: (k, nprobe, cells, m, k_per_subspace)
+      "graft_ivfpq_topk" -> ((pqBase, pqQueries, a) => {
+        import graft.operators.Similarity
+        val (km, pq) = Similarity.ivfPqTrain(pqBase,
+          a.lift(2).map(_.toInt).getOrElse(16),
+          a.lift(3).map(_.toInt).getOrElse(16),
+          a.lift(4).map(_.toInt).getOrElse(64))
+        Similarity.ivfPqTopK(pqBase,
+          pqQueries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+          km, pq,
+          a.headOption.map(_.toInt).getOrElse(10),
+          a.lift(1).map(_.toInt).getOrElse(4))
+      }),
       "graft_embed_admit" -> ((inc, hist, a) => {
         val tau = a.headOption.getOrElse(0.9)
         val k = a.lift(1).map(_.toInt).getOrElse(8)

@@ -265,6 +265,92 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** The coarse-centroid relation of a trained k-means model — model
+    * metadata (k rows), always broadcast. */
+  private def centroidTable(s: SparkSession, model: KMeansModel): DataFrame =
+    s.createDataFrame(
+      model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "centroid")
+
+  /** The RESIDUAL relation an IVF-ADC product quantizer trains on:
+    * each vector minus its assigned coarse centroid (residuals center
+    * near zero — training PQ on raw vectors and encoding residuals
+    * would put every centroid in the wrong place). */
+  private def residuals(base: DataFrame, km: KMeansModel): DataFrame =
+    assignCells(base, km)
+      .join(broadcast(centroidTable(base.sparkSession, km)), Seq("cell"))
+      .select(col("vec_id"),
+        expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)")
+          .as("embedding"))
+
+  /** IVF-ADC top-k (Jégou/Douze/Schmid TPAMI 2011, the IVFADC system —
+    * the canonical billion-vector index): a coarse quantizer routes each
+    * vector to a cell (the inverted file), a product quantizer encodes
+    * its RESIDUAL from the cell centroid to m codes, and a query probes
+    * its `nprobe` nearest cells carrying one ADC table per probed cell
+    * (computed on the query's residual from THAT cell's centroid).
+    * Candidate cost: m table lookups over only the probed cells'
+    * members — both the memory lever (codes, not vectors) and the
+    * compute lever (cell pruning) at once.
+    *
+    * Scale shape: the code relation is built by a narrow projection
+    * through two broadcasts (centroids = model metadata); at deployment
+    * scale it is PARTITIONED BY cell on disk (plans.IvfCellLayout), so
+    * a probe reads nprobe/k of the corpus. The probe side broadcasts
+    * (query_id, cell, table) — bounded queries × nprobe rows; no float
+    * vector ever crosses a shuffle. */
+  def ivfPqTopK(base: DataFrame, queries: DataFrame, km: KMeansModel, pq: PqModel,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val s = base.sparkSession
+    val reg = s.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_pq_encode",
+      exprs => graft.functions.PqEncode(exprs.head, pq.cents, pq.m, pq.k, pq.sub),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_table",
+      exprs => graft.functions.PqDistTable(exprs.head, pq.cents, pq.m, pq.k, pq.sub),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc",
+      exprs => graft.functions.PqAdc(exprs.head, exprs(1), pq.k), "built-in")
+    val centroids = centroidTable(s, km)
+    val codes = assignCells(base, km)
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        expr("graft_pq_encode(zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y))")
+          .as("codes"))
+    val cdist = "aggregate(zip_with(q_emb, centroid, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)"
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))
+    // cdist is consumed before the probe-rank window, so its exchange
+    // carries (query_id, cell, cdist) scalars; the query vector rejoins
+    // by broadcast only to compute the chosen cells' residual tables
+    val probeCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", expr(cdist))
+      .select(col("query_id"), col("cell"), col("cdist"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val probes = probeCells
+      .join(broadcast(queries), Seq("query_id"))
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        expr("graft_pq_table(zip_with(q_emb, centroid, (x, y) -> CAST(x AS DOUBLE) - y))")
+          .as("qtab"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", expr("graft_pq_adc(codes, qtab)"))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Trains a full IVF-ADC index: the coarse quantizer plus the product
+    * quantizer over its residuals — the pair [[ivfPqTopK]] consumes. */
+  def ivfPqTrain(base: DataFrame, cells: Int = 16, m: Int = 16,
+      k: Int = 64): (KMeansModel, PqModel) = {
+    val km = trainQuantizer(base, cells)
+    (km, pqTrain(residuals(base, km), m, k))
+  }
+
   /** Distributed LLOYD k-means over `(vec_id, embedding)` with explicit
     * seed centroids and a fixed iteration count — the user-facing
     * clustering operator (the trained-quantizer path above serves IVF;
@@ -591,6 +677,12 @@ object Similarity {
   private[operators] def cachedPqModel(s: SparkSession, dir: String): PqModel =
     graft.SessionCache.getOrBuild[PqModel](s, ("pq-model", dir))(
       pqTrain(base(s, dir)))
+
+  /** IVF-ADC's residual product quantizer: trained on (vector − its
+    * coarse centroid) under the session's IVF model. */
+  private[operators] def cachedIvfPqModel(s: SparkSession, dir: String): PqModel =
+    graft.SessionCache.getOrBuild[PqModel](s, ("ivfpq-model", dir))(
+      pqTrain(residuals(base(s, dir), cachedModel(s, dir))))
 
   /** Base corpus plus an IDENTICAL clone (vec_id+1e6) of every query
     * vector — the deterministic fixture behind the s02/s03/s05 gates: an
@@ -999,6 +1091,26 @@ object Similarity {
         topk.filter(col("rank") === 1)
           .select(col("query_id"),
             (col("vec_id") === col("query_id") + 1000000L).cast("int").as("pq_top1_ok"))
+          .orderBy(col("query_id"))
+      }),
+
+    // IVF-ADC under the same planted-clone gate: an identical clone
+    // assigns to the probe's nearest cell and its residual encodes to
+    // the argmin codes of the query's own residual — the minimum ADC
+    // value that cell's table can produce.
+    NamedQuery(
+      "s15_ivfpq_ann",
+      Some(
+        "SELECT vec_id AS query_id, CAST(1 AS INT) AS ivfpq_top1_ok " +
+          "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"),
+      (s, dir) => {
+        val b = base(s, dir)
+        val q = queriesOf(b)
+        val topk = ivfPqTopK(withClones(b, q), q,
+          cachedModel(s, dir), cachedIvfPqModel(s, dir), 5)
+        topk.filter(col("rank") === 1)
+          .select(col("query_id"),
+            (col("vec_id") === col("query_id") + 1000000L).cast("int").as("ivfpq_top1_ok"))
           .orderBy(col("query_id"))
       })
   )

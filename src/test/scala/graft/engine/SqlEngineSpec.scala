@@ -1399,6 +1399,17 @@ class SqlEngineSpec extends AnyFunSuite {
         graft.operators.Similarity.pqTrain(pqBase, m = 1, k = 2), 2)
         .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
       assert(pSql == pApi && pSql.size == 2, s"got $pSql vs $pApi")
+      // IVF-ADC through the same seam: (k, nprobe, cells, m, ksub)
+      val iSql = e.execute(
+        "SELECT query_id, vec_id, rank FROM graft_ivfpq_topk('pq_base_view', 'pq_q_view', 2, 2, 2, 1, 2) " +
+          "ORDER BY rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val (ikm, ipq) = graft.operators.Similarity.ivfPqTrain(pqBase, cells = 2, m = 1, k = 2)
+      val iApi = graft.operators.Similarity.ivfPqTopK(pqBase,
+        pqQ.select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+          org.apache.spark.sql.functions.col("embedding").as("q_emb")),
+        ikm, ipq, 2, nprobe = 2)
+        .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+      assert(iSql == iApi && iSql.nonEmpty, s"got $iSql vs $iApi")
     } finally {
       spark.catalog.dropTempView("pq_base_view")
       spark.catalog.dropTempView("pq_q_view")

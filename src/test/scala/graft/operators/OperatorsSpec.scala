@@ -464,6 +464,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"mean recall@5 vs exact euclidean = $recall")
   }
 
+  test("IVF-ADC: planted clone top-1, candidates confined to probed cells") {
+    val verdict = q("s15_ivfpq_ann").collect()
+    assert(verdict.length == 8 && verdict.forall(_.getInt(1) == 1),
+      "planted clone must rank first under IVF-ADC")
+    // every returned candidate must come from a cell the query probed —
+    // the pruning contract (nprobe=1: only the query's own nearest cell)
+    val (km, pq) = Similarity.ivfPqTrain(annBase, cells = 4, m = 16, k = 16)
+    val got = Similarity.ivfPqTopK(annBase, annQueries, km, pq, 5, nprobe = 1)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val cellOf = Similarity.assignCells(annBase, km)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    got.foreach { case (qid, ids) =>
+      val probed = cellOf(qid) // the query vector's own cell is its nearest
+      ids.foreach(id => assert(cellOf(id) == probed,
+        s"candidate $id of query $qid escaped the probed cell"))
+    }
+  }
+
   test("dedup clusters are closed under the pair graph") {
     val pairs = q("d02_dedup_minhash").select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -157,6 +157,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("s15 ivf-adc: cell-pruned codes, probe tables broadcast, no vector on a shuffle") {
+    // codes build through broadcast centroid joins; probes broadcast
+    // (query_id, cell, table); the only shuffle is the rank window and
+    // it moves scalars
+    val p = plan("s15_ivfpq_ann")
+    assert(p.contains("BroadcastExchange"), "probe/centroid sides must broadcast")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.nonEmpty, "expected the rank-window exchange")
+    shuffles.foreach { s =>
+      assert(!s.contains("embedding#") && !s.contains("q_emb#"),
+        s"a float vector crossed a shuffle exchange:\n$s")
+    }
+  }
+
   test("m07 media near-dup pairs: payload bytes never cross an exchange") {
     // the PAIR operator shares m06's invariant: decode projects payload
     // away per partition; banding, verify, and clone fan-back move
