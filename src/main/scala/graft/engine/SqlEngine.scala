@@ -476,6 +476,11 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_admit" -> ((inc, idx, _) => Dedup.incrementalAdmit(inc, idx)),
       "graft_contamination_frac" -> ((corpus, bench, a) =>
         Curation.contaminationScore(corpus, bench, a.headOption.getOrElse(0.2))),
+      // embedding-level decontamination (hashed-embedding cosine >= tau);
+      // args: (dim, tau)
+      "graft_semantic_decontam" -> ((corpus, bench, a) =>
+        Curation.semanticContamination(corpus, bench,
+          a.headOption.map(_.toInt).getOrElse(16), a.lift(1).getOrElse(0.95))),
       // apply a LEARNED merge table (rank, a, b) to a DIFFERENT corpus —
       // tokenizer trained on A encodes B. The one-table spelling (in
       // tableFunctions) retrains on its own input; this one makes the

@@ -111,6 +111,38 @@ object Curation {
       (!(frac >= tau)).cast("int").as("keep"))
   }
 
+  /** SEMANTIC decontamination — the embedding-level sibling of
+    * [[contamination]]: n-gram overlap catches VERBATIM leakage, this
+    * catches PARAPHRASED benchmark leakage — flag every (train, bench)
+    * pair whose hashed-embedding cosine clears `tau`. No external
+    * encoder: both sides embed through the s08 feature-hash bridge, so
+    * the DuckDB oracle replays every value (the s08-proven chain plus
+    * list_cosine_similarity — both engines accumulate the dot product
+    * sequentially in double, bit-identical before the display rounding).
+    *
+    * Scale shape: the benchmark is the bounded side — its dense vectors
+    * broadcast; the corpus embeds where its text lives (the hash-bucket
+    * aggregate shuffles (doc_id, bucket, weight) scalars, never text);
+    * cosine runs in the codegen'd kernel at the broadcast join and both
+    * embeddings are consumed there, so the pair relation carries
+    * scalars. Zero-norm docs (no tokens → NaN cosine) are excluded on
+    * BOTH sides explicitly — DuckDB orders NaN above every number, so
+    * an unguarded `cos >= tau` would flag them there and nowhere else. */
+  def semanticContamination(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame, dim: Int = 16,
+      tau: Double = 0.95): org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val cv = Similarity.hashedEmbeddingVec(corpus, dim)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("d_emb"))
+    val bv = Similarity.hashedEmbeddingVec(benchmark, dim)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"))
+    cv.crossJoin(broadcast(bv))
+      .withColumn("raw", expr("cosine_sim(d_emb, b_emb)"))
+      .filter(!isnan(col("raw")) && col("raw") >= tau)
+      .select(col("doc_id"), col("bench_id"),
+        OracleRound.stableRound(col("raw"), 4).as("sim"))
+  }
+
   /** CORPUS CARD — the per-(source, lang) summary every dataset release
     * ships: doc count, token and char totals, token-length extremes, and
     * mean/variance of doc length. Variance uses the explicit
@@ -172,6 +204,44 @@ object Curation {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
         contamination(docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), 3)
+          .orderBy(col("doc_id"), col("bench_id"))
+      }),
+
+    // SEMANTIC decontamination over the same planted benchmark split:
+    // every (train, bench) pair whose hashed-embedding cosine clears
+    // 0.95 — the corpus's planted exact/near clones guarantee
+    // cross-boundary hits at every SF. FULL data-bearing oracle: DuckDB
+    // rebuilds both sides' 16-dim hashed embeddings through the
+    // s08-proven sha-256 chain, densifies (ordered list aggregate over
+    // a bucket grid), and replays list_cosine_similarity — sequential
+    // double accumulation on both engines, bit-identical pre-rounding.
+    // The isnan guard is load-bearing: DuckDB orders NaN ABOVE every
+    // number, so a zero-norm doc would otherwise flag there only.
+    NamedQuery(
+      "p20_semantic_decontam",
+      Some(
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents), " +
+          "b AS (SELECT doc_id, CAST(list_reduce(list_transform(range(1, 9), " +
+          "i -> strpos('0123456789abcdef', sha256(token)[i]) - 1), (a, c) -> a * 16 + c) % 16 AS INT) AS bucket, " +
+          "CASE WHEN (strpos('0123456789abcdef', sha256(token)[9]) - 1) % 2 = 1 THEN -1 ELSE 1 END AS sign FROM tok), " +
+          "sp AS (SELECT doc_id, bucket, CAST(sum(sign) AS DOUBLE) AS w FROM b GROUP BY doc_id, bucket), " +
+          "nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM sp GROUP BY doc_id), " +
+          "wgt AS (SELECT doc_id, bucket, " +
+          OracleRound.stableRoundSql("CASE WHEN nrm > 0 THEN w / nrm ELSE 0.0 END", 4) +
+          " AS weight FROM sp JOIN nm USING (doc_id)), " +
+          "grid AS (SELECT d.doc_id, r.i AS bucket FROM (SELECT DISTINCT doc_id FROM wgt) d, range(0, 16) r(i)), " +
+          "dense AS (SELECT g.doc_id, g.bucket, coalesce(w.weight, 0.0) AS weight " +
+          "FROM grid g LEFT JOIN wgt w USING (doc_id, bucket)), " +
+          "vecs AS (SELECT doc_id, list(weight ORDER BY bucket) AS v FROM dense GROUP BY doc_id), " +
+          "pr AS (SELECT t.doc_id AS doc_id, e.doc_id AS bench_id, " +
+          "list_cosine_similarity(t.v, e.v) AS raw FROM vecs t, vecs e " +
+          "WHERE t.doc_id >= 25 AND e.doc_id < 25) " +
+          "SELECT doc_id, bench_id, " + OracleRound.stableRoundSql("raw", 4) + " AS sim " +
+          "FROM pr WHERE NOT isnan(raw) AND raw >= 0.95 ORDER BY doc_id, bench_id"),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        semanticContamination(
+          docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), 16, 0.95)
           .orderBy(col("doc_id"), col("bench_id"))
       }),
 

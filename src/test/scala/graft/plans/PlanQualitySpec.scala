@@ -172,6 +172,23 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("p20 semantic decontam: bench vectors broadcast; exchanges carry bucket scalars") {
+    // the corpus side must stay a linear embed-where-the-text-lives
+    // pass: the benchmark's dense vectors broadcast, the only shuffles
+    // are the hash-bucket aggregates (doc_id, bucket, weight scalars) —
+    // document text on an exchange means the embed moved past the scan
+    val p = plan("p20_semantic_decontam")
+    assert(p.contains("BroadcastExchange"), "benchmark side must broadcast")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.nonEmpty, "expected the hash-bucket aggregate exchanges")
+    shuffles.foreach { s =>
+      assert(!s.contains("text#"), s"document text crossed a shuffle exchange:\n$s")
+      assert(!s.contains("d_emb#") && !s.contains("b_emb#"),
+        s"a dense vector crossed a shuffle exchange:\n$s")
+    }
+  }
+
   test("m07 media near-dup pairs: payload bytes never cross an exchange") {
     // the PAIR operator shares m06's invariant: decode projects payload
     // away per partition; banding, verify, and clone fan-back move
