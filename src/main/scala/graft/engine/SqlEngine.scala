@@ -481,6 +481,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_semantic_decontam" -> ((corpus, bench, a) =>
         Curation.semanticContamination(corpus, bench,
           a.headOption.map(_.toInt).getOrElse(16), a.lift(1).getOrElse(0.95))),
+      // dataset-version drift: per doc_id added/removed/changed/unchanged
+      "graft_corpus_diff" -> ((oldC, newC, _) => Curation.corpusDiff(oldC, newC)),
       // apply a LEARNED merge table (rank, a, b) to a DIFFERENT corpus —
       // tokenizer trained on A encodes B. The one-table spelling (in
       // tableFunctions) retrains on its own input; this one makes the

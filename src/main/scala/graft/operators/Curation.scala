@@ -143,6 +143,25 @@ object Curation {
         OracleRound.stableRound(col("raw"), 4).as("sim"))
   }
 
+  /** CORPUS DIFF — the dataset-version drift report a release pipeline
+    * runs between two corpus snapshots: per doc_id, `added` (new side
+    * only), `removed` (old side only), `changed` (both, content
+    * differs), `unchanged`. Scale shape: both sides reduce to
+    * (doc_id, 32-byte sha2 digest) AT THE SCAN, so the full-outer join
+    * shuffles digests, never text — at 100 TB the diff is a
+    * metadata-sized exchange. */
+  def corpusDiff(oldCorpus: org.apache.spark.sql.DataFrame,
+      newCorpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val o = oldCorpus.select(col("doc_id"), sha2(col("text"), 256).as("o_digest"))
+    val n = newCorpus.select(col("doc_id"), sha2(col("text"), 256).as("n_digest"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("o_digest").isNull, "added")
+          .when(col("n_digest").isNull, "removed")
+          .when(col("o_digest") === col("n_digest"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** CORPUS CARD — the per-(source, lang) summary every dataset release
     * ships: doc count, token and char totals, token-length extremes, and
     * mean/variance of doc length. Variance uses the explicit
@@ -243,6 +262,33 @@ object Curation {
         semanticContamination(
           docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25), 16, 0.95)
           .orderBy(col("doc_id"), col("bench_id"))
+      }),
+
+    // corpus-version diff over a deterministic synthetic "next release":
+    // docs 0..24 dropped, every %7==0 survivor edited (' v2' appended),
+    // ten re-keyed (+1e6) docs added. The DuckDB oracle rebuilds both
+    // snapshots from strings and compares text directly — a hash match
+    // also certifies the digest-only Spark diff saw every edit.
+    NamedQuery(
+      "p21_corpus_diff",
+      Some(
+        "WITH o AS (SELECT doc_id, text FROM documents), " +
+          "n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text " +
+          "FROM documents WHERE doc_id >= 25 " +
+          "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10) " +
+          "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+          "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+          "WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END AS status " +
+          "FROM o FULL JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id"),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val next = docs.filter(col("doc_id") >= 25)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") < 10)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        corpusDiff(docs, next).orderBy(col("doc_id"))
       }),
 
     // fractional contamination report over the same planted benchmark

@@ -189,6 +189,17 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("p21 corpus diff: the full-outer join shuffles digests, never text") {
+    // both snapshots must reduce to (doc_id, sha2) at the scan — document
+    // text on the diff's exchange re-ships the corpus to compare it
+    val p = plan("p21_corpus_diff")
+    val exchanges = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(exchanges.nonEmpty, "expected the diff-join exchanges")
+    exchanges.foreach(s => assert(!s.contains("text#"),
+      s"document text crossed an exchange:\n$s"))
+  }
+
   test("m07 media near-dup pairs: payload bytes never cross an exchange") {
     // the PAIR operator shares m06's invariant: decode projects payload
     // away per partition; banding, verify, and clone fan-back move
