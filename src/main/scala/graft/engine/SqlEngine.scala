@@ -438,6 +438,13 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_containment" -> ((t, a) =>
         Dedup.containmentPairs(Dedup.postingIndex(t),
           a.headOption.getOrElse(0.8))),
+      // winnowed-fingerprint near-dup pairs; args (k, w, minShared, dfCap)
+      "graft_winnow_pairs" -> ((t, a) =>
+        Dedup.winnowedPairs(t,
+          a.headOption.map(_.toInt).getOrElse(4),
+          a.lift(1).map(_.toInt).getOrElse(4),
+          a.lift(2).map(_.toInt).getOrElse(2),
+          a.lift(3).map(_.toInt).getOrElse(64))),
       "graft_span_stats" -> ((t, a) =>
         Dedup.spanStats(t, a.headOption.map(_.toInt).getOrElse(8),
           a.lift(1).getOrElse(0.3))),

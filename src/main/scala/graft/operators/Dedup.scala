@@ -1201,6 +1201,57 @@ object Dedup {
       "FROM cp JOIN sz sa ON cp.id_a = sa.doc_id JOIN sz sb ON cp.id_b = sb.doc_id) " +
       s"WHERE containment >= $floor)"
 
+  /** WINNOWED FINGERPRINTS (Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS scheme): hash every k-token gram, slide a w-hash window, keep
+    * each window's MINIMUM. Guarantee: any shared token run of length
+    * ≥ w + k − 1 shares at least one selected fingerprint, at expected
+    * density 2/(w+1) — the POSITION-ROBUST local fingerprinting that
+    * fixed-grid spans (d12) lack: an insertion upstream shifts every
+    * grid chunk but leaves local window minima intact.
+    *
+    * Fingerprints are 32-bit sha-256 prefixes (the s08 convention) so
+    * the DuckDB oracle replays VALUES, not just shapes; at deployment
+    * scale swap the hash for xxhash64 (one expression) — the selection
+    * logic is hash-agnostic. A 0x1F byte in text normalizes to a space
+    * before splitting (the BPE-census rule: the join byte must never
+    * occur inside a token). Returns DISTINCT (doc_id, fp). */
+  def winnowedFingerprints(corpus: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "need k > 0 and w > 0")
+    corpus
+      .select(col("doc_id"),
+        split(translate(lower(col("text")), "\u001f", " "), "\\s+").as("tk"))
+      .withColumn("hs", expr(
+        s"CASE WHEN size(tk) < $k THEN array(CAST(conv(substring(sha2(concat_ws(char(31), tk), 256), 1, 8), 16, 10) AS BIGINT)) " +
+          s"ELSE transform(sequence(1, size(tk) - ${k - 1}), i -> " +
+          s"CAST(conv(substring(sha2(concat_ws(char(31), slice(tk, i, $k)), 256), 1, 8), 16, 10) AS BIGINT)) END"))
+      .withColumn("fp", explode(expr(
+        s"CASE WHEN size(hs) <= $w THEN array(array_min(hs)) " +
+          s"ELSE transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w))) END")))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Near-dup pairs over shared winnowed fingerprints: docs sharing
+    * ≥ `minShared` selected fingerprints, with the shared count.
+    * Fingerprints seen in more than `dfCap` docs are dropped first —
+    * boilerplate minima carry no discriminative signal and their
+    * posting lists are the quadratic hot spot (the postingIndex df-cap
+    * discipline). Shuffles carry (doc_id, 8-byte fp) scalars; pair
+    * volume is quadratic only in true near-dup cliques — the d04
+    * adjudication. */
+  def winnowedPairs(corpus: DataFrame, k: Int = 4, w: Int = 4,
+      minShared: Int = 2, dfCap: Int = 64): DataFrame = {
+    val fps = winnowedFingerprints(corpus, k, w)
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("fp"))
+    val fk = fps.join(keep, Seq("fp"), "left_semi")
+    fk.as("a").join(fk.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   val queries: Seq[NamedQuery] = Seq(
 
     NamedQuery(
@@ -1646,6 +1697,30 @@ object Dedup {
             (col("ham") <= 32).cast("int").as("sketch_near_ok"),
             (col("f").isNotNull === (col("ham") <= 3)).cast("int").as("band_complete_ok"))
           .orderBy(col("id_a"), col("id_b"))
-      })
+      }),
+
+    // winnowed-fingerprint near-dup pairs (k=4 grams, w=4 windows,
+    // ≥2 shared, df ≤ 64). FULL value oracle: DuckDB rebuilds the
+    // 32-bit sha-prefix k-gram hashes (the s08 chain), replays the
+    // sliding-window minima, the df cap, and the shared counts.
+    NamedQuery(
+      "d19_winnow_pairs",
+      Some(
+        "WITH tk AS (SELECT doc_id, string_split_regex(replace(lower(text), chr(31), ' '), '\\s+') AS tk FROM documents), " +
+          "g AS (SELECT doc_id, CASE WHEN len(tk) < 4 THEN [array_to_string(tk, chr(31))] " +
+          "ELSE list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], chr(31))) END AS gs FROM tk), " +
+          "h AS (SELECT doc_id, list_transform(gs, g2 -> list_reduce(list_transform(range(1, 9), " +
+          "c -> strpos('0123456789abcdef', sha256(g2)[c]) - 1), (a, c) -> a * 16 + c)) AS hs FROM g), " +
+          "sel AS (SELECT doc_id, unnest(CASE WHEN len(hs) <= 4 THEN [list_min(hs)] " +
+          "ELSE list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3])) END) AS fp FROM h), " +
+          "fps AS (SELECT DISTINCT doc_id, fp FROM sel), " +
+          "keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64), " +
+          "fk AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp)) " +
+          "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared " +
+          "FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b"),
+      (s, dir) =>
+        winnowedPairs(corpus(s, dir), 4, 4, 2, 64)
+          .orderBy(col("id_a"), col("id_b")))
   )
 }

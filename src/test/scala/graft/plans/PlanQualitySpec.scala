@@ -189,6 +189,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("d19 winnow pairs: exchanges carry 8-byte fingerprints, never text or token arrays") {
+    // the k-gram hash consumes the token array at the scan; everything
+    // downstream (df cap, posting self-join, pair counts) moves
+    // (doc_id, fp) scalars
+    val p = plan("d19_winnow_pairs")
+    val exchanges = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(exchanges.nonEmpty, "expected the posting/pair exchanges")
+    exchanges.foreach { s =>
+      assert(!s.contains("text#"), s"document text crossed an exchange:\n$s")
+      assert(!s.contains("tk#") && !s.contains("hs#"),
+        s"a token/hash array crossed an exchange:\n$s")
+    }
+  }
+
   test("p21 corpus diff: the full-outer join shuffles digests, never text") {
     // both snapshots must reduce to (doc_id, sha2) at the scan — document
     // text on the diff's exchange re-ships the corpus to compare it
