@@ -503,8 +503,8 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
     def shingles(t: String): Set[String] = {
       val tk = t.toLowerCase.split("\\s+").toSeq
-      if (tk.length < 3) Set(tk.mkString(""))
-      else tk.sliding(3).map(_.mkString("")).toSet
+      if (tk.length < 3) Set(tk.mkString("\u001f"))
+      else tk.sliding(3).map(_.mkString("\u001f")).toSet
     }
     val prop = Prop.forAll(genCorpus, Gen.oneOf(0.5, 0.8, 1.0)) { (rows, floor) =>
       val docs = rows.toDF("doc_id", "text")
@@ -743,6 +743,56 @@ class OperatorPropertySpec extends AnyFunSuite {
     val r = got.head
     assert(r.getInt(1) == 7 && r.getLong(2) == 2L,
       s"both nearest label-7 vectors must vote (got $r)")
+  }
+
+  test("winnowing sweep: selection matches reference; shared runs >= w+k-1 collide") {
+    // in-test reference replays the whole chain (sha-prefix k-gram
+    // hashes, sliding window minima) independently, and the paper's
+    // guarantee is checked structurally: two docs sharing a planted
+    // token run of length >= w + k - 1 must share a fingerprint
+    val k = 4; val w = 4
+    def hashRef(gram: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(gram.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def fpsRef(text: String): Set[Long] = {
+      val tk = text.toLowerCase.split("\\s+").toSeq
+      val gs = if (tk.length < k) Seq(tk.mkString("\u001f"))
+               else tk.sliding(k).map(_.mkString("\u001f")).toSeq
+      val hs = gs.map(hashRef)
+      if (hs.length <= w) Set(hs.min)
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(n, Gen.oneOf(words))
+    } yield ws.mkString(" ")
+    val genFixture: Gen[(List[String], String)] = for {
+      nDocs <- Gen.choose(2, 10)
+      docs <- Gen.listOfN(nDocs, genDoc)
+      runLen <- Gen.choose(w + k - 1, 2 * (w + k))
+      run <- Gen.listOfN(runLen, Gen.oneOf(words)).map(_.mkString(" "))
+    } yield (docs, run)
+    val prop = Prop.forAll(genFixture) { case (docs, run) =>
+      // plant the run inside the first two docs at different offsets
+      val planted = docs.zipWithIndex.map {
+        case (d, 0) => s"$d $run"
+        case (d, 1) => s"$run $d"
+        case (d, _) => d
+      }
+      val df = planted.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.winnowedFingerprints(df, k, w).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val okRef = planted.indices.forall(i => got(i.toLong) == fpsRef(planted(i)))
+      val okGuarantee = (got(0L) intersect got(1L)).nonEmpty
+      okRef && okGuarantee
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(12, 40)), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("quantizedCells + semDedup sweep: degenerate feature spaces keep/drop vs reference") {
