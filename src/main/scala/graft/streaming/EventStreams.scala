@@ -54,11 +54,18 @@ object EventStreams {
       names: Seq[String]): String = {
     import scala.jdk.CollectionConverters._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    // the staged dir is keyed on the SOURCE GENERATION (file-vs-dir +
+    // mtime): the driver regenerates testdata in place, and a stale
+    // staged dir would otherwise keep symlinks to replaced part files
+    // (dangling) or mix a whole-dir link with flattened part links
+    val attrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val gen = s"${if (attrs.isDirectory) "d" else "f"}${attrs.lastModifiedTime.toMillis}"
     val staged = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft-events-$tag${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"graft-events-$tag$gen-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     java.nio.file.Files.createDirectories(staged)
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     names.foreach { n =>
       if (java.nio.file.Files.isDirectory(src)) {
         val parts = java.nio.file.Files.list(src).iterator().asScala
