@@ -571,17 +571,23 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // product-quantization ANN: both views are (vec_id, embedding);
       // the quantizer trains on the base view (bounded deterministic
       // sample), codes scan narrow, ADC tables broadcast with the
-      // queries. args: (k, m, k_per_subspace)
+      // queries. args: (k, m, k_per_subspace, excludeSelf) —
+      // excludeSelf defaults 1 (the corpus-ANN convention: vec_id =
+      // query_id is a self-pair); pass 0 when the two views use
+      // INDEPENDENT id spaces, or an id-sharing true neighbor is
+      // silently dropped
       "graft_pq_topk" -> ((pqBase, pqQueries, a) => {
         import graft.operators.Similarity
         Similarity.pqTopK(pqBase,
           pqQueries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
           Similarity.pqTrain(pqBase,
             a.lift(1).map(_.toInt).getOrElse(16), a.lift(2).map(_.toInt).getOrElse(64)),
-          a.headOption.map(_.toInt).getOrElse(10))
+          a.headOption.map(_.toInt).getOrElse(10),
+          excludeSelf = a.lift(3).forall(_ != 0.0))
       }),
       // IVF-ADC: coarse cells + PQ over residuals, probed per query.
-      // args: (k, nprobe, cells, m, k_per_subspace)
+      // args: (k, nprobe, cells, m, k_per_subspace, excludeSelf) — see
+      // graft_pq_topk for the excludeSelf contract
       "graft_ivfpq_topk" -> ((pqBase, pqQueries, a) => {
         import graft.operators.Similarity
         val (km, pq) = Similarity.ivfPqTrain(pqBase,
@@ -592,7 +598,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           pqQueries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
           km, pq,
           a.headOption.map(_.toInt).getOrElse(10),
-          a.lift(1).map(_.toInt).getOrElse(4))
+          a.lift(1).map(_.toInt).getOrElse(4),
+          excludeSelf = a.lift(5).forall(_ != 0.0))
       }),
       "graft_embed_admit" -> ((inc, hist, a) => {
         val tau = a.headOption.getOrElse(0.9)

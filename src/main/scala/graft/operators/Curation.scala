@@ -126,8 +126,9 @@ object Curation {
     * cosine runs in the codegen'd kernel at the broadcast join and both
     * embeddings are consumed there, so the pair relation carries
     * scalars. Zero-norm docs (no tokens → NaN cosine) are excluded on
-    * BOTH sides explicitly — DuckDB orders NaN above every number, so
-    * an unguarded `cos >= tau` would flag them there and nowhere else. */
+    * BOTH sides explicitly — BOTH engines order NaN above every number
+    * in comparisons, so an unguarded `cos >= tau` would silently admit
+    * the degenerate rows everywhere. */
   def semanticContamination(corpus: org.apache.spark.sql.DataFrame,
       benchmark: org.apache.spark.sql.DataFrame, dim: Int = 16,
       tau: Double = 0.95): org.apache.spark.sql.DataFrame = {
@@ -152,13 +153,20 @@ object Curation {
     * metadata-sized exchange. */
   def corpusDiff(oldCorpus: org.apache.spark.sql.DataFrame,
       newCorpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val o = oldCorpus.select(col("doc_id"), sha2(col("text"), 256).as("o_digest"))
-    val n = newCorpus.select(col("doc_id"), sha2(col("text"), 256).as("n_digest"))
+    // presence is its own flag — a NULL digest must mean "NULL text",
+    // never "absent row", or a doc with NULL text on one side would
+    // misreport as added/removed; content compares null-safely (<=>)
+    // so NULL-vs-NULL text is "unchanged", matching the oracle's
+    // IS NOT DISTINCT FROM
+    val o = oldCorpus.select(col("doc_id"),
+      sha2(col("text"), 256).as("o_digest"), lit(1).as("in_old"))
+    val n = newCorpus.select(col("doc_id"),
+      sha2(col("text"), 256).as("n_digest"), lit(1).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("o_digest").isNull, "added")
-          .when(col("n_digest").isNull, "removed")
-          .when(col("o_digest") === col("n_digest"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("o_digest") <=> col("n_digest"), "unchanged")
           .otherwise("changed").as("status"))
   }
 
@@ -278,7 +286,7 @@ object Curation {
           "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10) " +
           "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
           "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
-          "WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END AS status " +
+          "WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged' ELSE 'changed' END AS status " +
           "FROM o FULL JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id"),
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))

@@ -98,7 +98,16 @@ object Similarity {
     * KMeans.fit throw. For id spaces dense from 0 (every driver corpus)
     * the two definitions pick the identical set. Shared by
     * [[trainQuantizer]] and [[quantizedCells]]'s safe-sizing cap so the
-    * cap is computed over the SAME rows the model trains on. */
+    * cap is computed over the SAME rows the model trains on.
+    *
+    * KNOWN TRADE: the smallest-id sample assumes the low-id rows are
+    * representative. A corpus whose lowest ids are homogeneous (e.g. a
+    * templated ingest batch first) trains a degenerate quantizer and
+    * quantizedCells degrades to ONE cell — graceful (the old absolute
+    * filter crashed outright) but quadratic for semDedup. If that shape
+    * arises, switch the sort key to (xxhash64(vec_id), vec_id) for a
+    * diversity-preserving sample; kept id-ordered here because the
+    * measured recall floors (s04) are pinned against this sample. */
   private[operators] def quantizerSample(base: DataFrame): DataFrame =
     base.sort(col("vec_id")).limit(4096)
 
@@ -239,12 +248,17 @@ object Similarity {
     * query precomputes its m×k ADC distance table once and broadcasts
     * (query_id, table); a candidate's approximate distance is m table
     * lookups inside codegen. Rank window carries 3 scalars per
-    * candidate (the s01 convention). Self-pairs are excluded
-    * (vec_id ≠ query_id — base and query ids share the corpus id space
-    * here, unlike [[knnLabel]]'s independent relations). At deployment
-    * scale, compose with the IVF cell layout: encode within probed
-    * cells only. */
-  def pqTopK(base: DataFrame, queries: DataFrame, model: PqModel, k: Int): DataFrame = {
+    * candidate (the s01 convention).
+    *
+    * `excludeSelf` (default true — the corpus-ANN convention, where
+    * queries are corpus members and vec_id = query_id is a self-pair):
+    * pass FALSE when base and queries are INDEPENDENT relations whose
+    * id spaces coincidentally overlap, or an id-sharing true neighbor
+    * is silently dropped (the knnLabel lesson). At deployment scale,
+    * compose with the IVF cell layout: encode within probed cells
+    * only. */
+  def pqTopK(base: DataFrame, queries: DataFrame, model: PqModel, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val s = base.sparkSession
     val reg = s.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_pq_encode",
@@ -258,7 +272,8 @@ object Similarity {
     val codes = base.select(col("vec_id"), expr("graft_pq_encode(embedding)").as("codes"))
     val qt = queries.select(col("query_id"), expr("graft_pq_table(q_emb)").as("qtab"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    codes.join(broadcast(qt), col("vec_id") =!= col("query_id"))
+    (if (excludeSelf) codes.join(broadcast(qt), col("vec_id") =!= col("query_id"))
+     else codes.crossJoin(broadcast(qt)))
       .withColumn("dist", expr("graft_pq_adc(codes, qtab)"))
       .select(col("query_id"), col("vec_id"), col("dist"))
       .withColumn("rank", row_number().over(w))
@@ -300,7 +315,7 @@ object Similarity {
     * (query_id, cell, table) — bounded queries × nprobe rows; no float
     * vector ever crosses a shuffle. */
   def ivfPqTopK(base: DataFrame, queries: DataFrame, km: KMeansModel, pq: PqModel,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val s = base.sparkSession
     val reg = s.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_pq_encode",
@@ -336,7 +351,7 @@ object Similarity {
           .as("qtab"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
     codes.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("dist", expr("graft_pq_adc(codes, qtab)"))
       .select(col("query_id"), col("vec_id"), col("dist"))
       .withColumn("rank", row_number().over(w))

@@ -66,21 +66,25 @@ object EventStreams {
       System.getProperty("java.io.tmpdir"),
       s"graft-events-$tag$gen-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     java.nio.file.Files.createDirectories(staged)
-    names.foreach { n =>
-      if (java.nio.file.Files.isDirectory(src)) {
-        val parts = java.nio.file.Files.list(src).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.getFileName.toString)
-        parts.zipWithIndex.foreach { case (p, i) =>
-          val link = staged.resolve(s"${n.stripSuffix(".parquet")}_p$i.parquet")
-          if (!java.nio.file.Files.exists(link))
-            java.nio.file.Files.createSymbolicLink(link, p)
-        }
-      } else {
-        val link = staged.resolve(n)
+    // check-then-create races with a concurrent suite staging the same
+    // generation — losing the race is fine, the link content is identical
+    def linkQuietly(link: java.nio.file.Path, target: java.nio.file.Path): Unit =
+      try {
         if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link, src)
-      }
+          java.nio.file.Files.createSymbolicLink(link, target)
+      } catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    names.foreach { n =>
+      if (attrs.isDirectory) {
+        val listing = java.nio.file.Files.list(src) // a Stream: must close
+        val parts =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.getFileName.toString)
+          finally listing.close()
+        parts.zipWithIndex.foreach { case (p, i) =>
+          linkQuietly(staged.resolve(s"${n.stripSuffix(".parquet")}_p$i.parquet"), p)
+        }
+      } else linkQuietly(staged.resolve(n), src)
     }
     staged.toString
   }
@@ -622,14 +626,22 @@ object EventStreams {
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** The streaming family's CORRECTNESS row: a REAL Structured Streaming
-    * run — file source → watermarked [[dedup]] → memory sink, drained to
-    * completion — over a source where every event appears TWICE
-    * ([[readEventsDoubled]]). The daily rollup of the ingested result
-    * must equal the batch rollup of the events table counted ONCE, so a
-    * no-op dedup doubles every count and the oracle hash misses. The
-    * DuckDB oracle replays the batch-equivalent semantics (the q28
-    * rollup shape); the rollup is checkpointed and the sink dropped so
-    * repeated bench runs don't accumulate ingested copies. */
+    * run — file source → watermarked [[dedup]] → foreachBatch parquet
+    * spool, drained to completion — over a source where every event
+    * appears TWICE ([[readEventsDoubled]]). The daily rollup of the
+    * ingested result must equal the batch rollup of the events table
+    * counted ONCE, so a no-op dedup doubles every count and the oracle
+    * hash misses. The DuckDB oracle replays the batch-equivalent
+    * semantics (the q28 rollup shape).
+    *
+    * The sink is a PARQUET spool, not a memory sink: a memory sink
+    * materializes the whole deduped stream as driver-heap rows (the
+    * "no driver collects in query paths" violation, and a driver OOM at
+    * any real SF) — foreachBatch-to-files is also the deployment-true
+    * shape ([[ingestInto]] writes micro-batches to managed tables the
+    * same way). Only the bounded (day, event_type) rollup is
+    * checkpointed; the spool is deleted before returning so repeated
+    * bench runs don't accumulate. */
   val queries: Seq[graft.operators.NamedQuery] = Seq(
     graft.operators.NamedQuery(
       "e01_stream_dedup_ingest",
@@ -638,16 +650,23 @@ object EventStreams {
           "round(sum(value),2) AS total FROM events " +
           "GROUP BY 1, 2 ORDER BY day, event_type"),
       (s, dir) => {
-        val name = s"graft_e01_sink_${sinkSeq.incrementAndGet()}"
+        val spool = java.nio.file.Files.createTempDirectory(
+          s"graft_e01_spool_${sinkSeq.incrementAndGet()}_").toString
         val q = dedup(readEventsDoubled(s, dir))
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
+          .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(spool)
+          }.start()
         try q.processAllAvailable() finally q.stop()
-        val out = s.table(name)
+        val out = s.read.parquet(spool)
           .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
           .orderBy(col("day"), col("event_type"))
           .localCheckpoint()
-        s.catalog.dropTempView(name)
+        // rollup is materialized — reclaim the spool
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(spool)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
         out
       })
   )

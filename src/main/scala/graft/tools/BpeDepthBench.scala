@@ -30,12 +30,19 @@ object BpeDepthBench {
     docs.count() // warm the scan
     graft.operators.TextAnalysis.bpeMerges(docs, 2) // absorb codegen startup
     val ks = Seq(8, 16, 32, 64)
+    var deepest: Array[(Int, Long)] = Array.empty
     val times = ks.map { k =>
       System.gc() // reclaim the previous run's checkpoint blocks
       val t0 = System.nanoTime()
       val m = graft.operators.TextAnalysis.bpeMerges(docs, k)
       val rows = m.count()
-      k -> ((System.nanoTime() - t0) / 1e9, rows)
+      val t = (System.nanoTime() - t0) / 1e9
+      // keep the deepest run's table (outside the timed region) so the
+      // frequency curve below needs no retrain
+      if (k == ks.last)
+        deepest = m.orderBy(org.apache.spark.sql.functions.col("rank"))
+          .collect().map(r => (r.getInt(0), r.getLong(3)))
+      k -> ((t, rows))
     }
     val totals = times
       .map { case (k, (t, rows)) =>
@@ -45,11 +52,8 @@ object BpeDepthBench {
     // the merge FREQUENCY curve is its direct proxy — print it at a few
     // ranks so the falling data-dependent cost is visible even when the
     // per-round scheduling floor dominates wall time at small SF
-    val m64 = graft.operators.TextAnalysis.bpeMerges(docs, 64)
-      .orderBy(org.apache.spark.sql.functions.col("rank"))
-      .collect().map(r => (r.getInt(0), r.getLong(3)))
     val freqCurve = Seq(1, 8, 16, 32, 64)
-      .flatMap(r => m64.find(_._1 == r))
+      .flatMap(r => deepest.find(_._1 == r))
       .map { case (r, f) => s""""rank$r":$f""" }.mkString(",")
     val marginal = times.map { case (k, (t, _)) => k -> t }
       .sliding(2).collect { case Seq((k0, t0), (k1, t1)) =>

@@ -218,8 +218,16 @@ class PlanQualitySpec extends AnyFunSuite {
   test("m07 media near-dup pairs: payload bytes never cross an exchange") {
     // the PAIR operator shares m06's invariant: decode projects payload
     // away per partition; banding, verify, and clone fan-back move
-    // vectors/scalars only
-    val p = plan("m07_mm_neardup_pairs")
+    // vectors/scalars only. Locked on the OPERATOR's own plan — the m07
+    // query localCheckpoints the pair output for its three verdicts, so
+    // plan("m07_...") would explain only post-checkpoint aggregates and
+    // the assertion would be vacuous
+    import spark.implicits._
+    val media = (0 until 40)
+      .map(i => (i.toLong, "png", s"payload bytes $i ${i % 5}".getBytes("UTF-8")))
+      .toDF("doc_id", "format", "payload")
+    val p = graft.operators.Multimodal.mediaNearDupPairs(media, 0.99)
+      .queryExecution.explainString(FormattedMode)
     val exchanges = p.split("\n\n").filter(s =>
       "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
     assert(exchanges.nonEmpty, "expected exchanges in the pair plan")
