@@ -146,9 +146,7 @@ object Similarity {
     VectorFunctions.register(base.sparkSession)
     val assigned = assignCells(base, model)
     // centroid table is model metadata (16 rows) — broadcast by size
-    val centroids = base.sparkSession.createDataFrame(
-      model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-      .toDF("cell", "centroid")
+    val centroids = centroidTable(base.sparkSession, model)
     val cdist = "aggregate(zip_with(q_emb, centroid, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)"
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
     val probes = queries.crossJoin(broadcast(centroids))

@@ -464,6 +464,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"mean recall@5 vs exact euclidean = $recall")
   }
 
+  test("PQ ANN excludeSelf=false: an id-sharing vector in an independent base still ranks") {
+    import spark.implicits._
+    // base and queries use INDEPENDENT id spaces that collide on id 1;
+    // with excludeSelf=false base vector 1 (the true nearest) must rank
+    val pqBase = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0f, 0.05f))).toDF("query_id", "q_emb")
+    val model = Similarity.pqTrain(pqBase, m = 1, k = 3)
+    val withSelf = Similarity.pqTopK(pqBase, q, model, 1, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(withSelf.toSeq == Seq((1L, 1L)),
+      s"id-sharing nearest neighbor must rank when excludeSelf=false: ${withSelf.toSeq}")
+    val without = Similarity.pqTopK(pqBase, q, model, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(without.toSeq.nonEmpty && without.head._2 != 1L,
+      "default corpus-ANN mode excludes the self id")
+  }
+
   test("IVF-ADC: planted clone top-1, candidates confined to probed cells") {
     val verdict = q("s15_ivfpq_ann").collect()
     assert(verdict.length == 8 && verdict.forall(_.getInt(1) == 1),
