@@ -585,6 +585,19 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           a.headOption.map(_.toInt).getOrElse(10),
           excludeSelf = a.lift(3).forall(_ != 0.0))
       }),
+      // two-stage PQ: ADC shortlist -> exact cosine re-rank of the
+      // shortlist only. args: (k, shortlist, m, k_per_subspace,
+      // excludeSelf) — see graft_pq_topk for the excludeSelf contract
+      "graft_pq_rerank" -> ((pqBase, pqQueries, a) => {
+        import graft.operators.Similarity
+        Similarity.pqTopKReranked(pqBase,
+          pqQueries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+          Similarity.pqTrain(pqBase,
+            a.lift(2).map(_.toInt).getOrElse(16), a.lift(3).map(_.toInt).getOrElse(64)),
+          a.headOption.map(_.toInt).getOrElse(10),
+          a.lift(1).map(_.toInt).getOrElse(0),
+          excludeSelf = a.lift(4).forall(_ != 0.0))
+      }),
       // IVF-ADC: coarse cells + PQ over residuals, probed per query.
       // args: (k, nprobe, cells, m, k_per_subspace, excludeSelf) — see
       // graft_pq_topk for the excludeSelf contract

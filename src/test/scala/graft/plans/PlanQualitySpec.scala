@@ -157,6 +157,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("s16 pq rerank: shortlist ids broadcast back to the scan; no vector on a shuffle") {
+    // the exact re-rank must fetch float vectors by BROADCASTING the
+    // bounded (query x shortlist) id set against the base scan — an
+    // embedding on a shuffle exchange means the corpus was re-shipped
+    // to be shortlisted
+    val p = plan("s16_pq_rerank")
+    assert(p.contains("BroadcastExchange"), "shortlist/query sides must broadcast")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.nonEmpty, "expected the rank-window exchanges")
+    shuffles.foreach { s =>
+      assert(!s.contains("embedding#") && !s.contains("q_emb#") && !s.contains("b_emb#"),
+        s"a float vector crossed a shuffle exchange:\n$s")
+    }
+  }
+
   test("s15 ivf-adc: cell-pruned codes, probe tables broadcast, no vector on a shuffle") {
     // codes build through broadcast centroid joins; probes broadcast
     // (query_id, cell, table); the only shuffle is the rank window and
