@@ -1241,7 +1241,10 @@ object Dedup {
     * adjudication. */
   def winnowedPairs(corpus: DataFrame, k: Int = 4, w: Int = 4,
       minShared: Int = 2, dfCap: Int = 64): DataFrame = {
-    val fps = winnowedFingerprints(corpus, k, w)
+    // materialized once (the postingIndex discipline): the df-cap
+    // aggregate and BOTH self-join sides read it — without the
+    // checkpoint each consumer re-runs the per-gram sha2 chain
+    val fps = winnowedFingerprints(corpus, k, w).localCheckpoint()
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("fp"))
     val fk = fps.join(keep, Seq("fp"), "left_semi")

@@ -45,7 +45,11 @@ object Similarity {
       .withColumn("raw_cos", expr(cos))
       // cosine is consumed here: project the embeddings away so the
       // per-query window exchange carries 3 scalars per candidate, not
-      // two vectors
+      // two vectors. A zero-norm side yields NaN cosine, and Spark
+      // sorts NaN ABOVE every double — unguarded, one degenerate
+      // vector would rank #1 for every query it reaches; drop it (the
+      // s07 hygiene operator is where degenerate vectors get reported)
+      .filter(!isnan(col("raw_cos")))
       .select(col("query_id"), col("vec_id"), col("raw_cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

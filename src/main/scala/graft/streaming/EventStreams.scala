@@ -62,15 +62,46 @@ object EventStreams {
     val attrs = java.nio.file.Files.readAttributes(
       src, classOf[java.nio.file.attribute.BasicFileAttributes])
     val gen = s"${if (attrs.isDirectory) "d" else "f"}${attrs.lastModifiedTime.toMillis}"
+    val sanitized = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val staged = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft-events-$tag$gen-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      System.getProperty("java.io.tmpdir"), s"graft-events-$tag$gen-$sanitized")
+    // reap SUPERSEDED generations of the same source so repeated driver
+    // regenerations don't accumulate one symlink dir per generation
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val siblings = java.nio.file.Files.list(tmpRoot)
+    try siblings.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        val prefix = s"graft-events-$tag"
+        val suffix = s"-$sanitized"
+        // the middle must be exactly a generation token — an untagged
+        // (tag="") prefix would otherwise also match this source's
+        // OTHER tags (the 2x- doubled staging) and reap them live
+        n.startsWith(prefix) && n.endsWith(suffix) &&
+          n != staged.getFileName.toString &&
+          n.length > prefix.length + suffix.length &&
+          n.substring(prefix.length, n.length - suffix.length).matches("[df]\\d+")
+      }
+      .foreach { old =>
+        val links = java.nio.file.Files.list(old)
+        try links.iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally links.close()
+        java.nio.file.Files.deleteIfExists(old)
+      }
+    finally siblings.close()
     java.nio.file.Files.createDirectories(staged)
     // check-then-create races with a concurrent suite staging the same
-    // generation — losing the race is fine, the link content is identical
+    // generation — losing the race is fine, the link content is
+    // identical. NOFOLLOW is load-bearing: plain exists() follows the
+    // link and returns false for a DANGLING one, which would make the
+    // create throw, the catch swallow it, and the parquet read fail far
+    // from the cause — a dangling link is replaced instead.
     def linkQuietly(link: java.nio.file.Path, target: java.nio.file.Path): Unit =
       try {
-        if (!java.nio.file.Files.exists(link))
+        if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !java.nio.file.Files.exists(link))
+          java.nio.file.Files.delete(link) // dangling: target was replaced
+        if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
           java.nio.file.Files.createSymbolicLink(link, target)
       } catch { case _: java.nio.file.FileAlreadyExistsException => () }
     names.foreach { n =>
@@ -652,22 +683,28 @@ object EventStreams {
       (s, dir) => {
         val spool = java.nio.file.Files.createTempDirectory(
           s"graft_e01_spool_${sinkSeq.incrementAndGet()}_").toString
-        val q = dedup(readEventsDoubled(s, dir))
-          .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(spool)
-          }.start()
-        try q.processAllAvailable() finally q.stop()
-        val out = s.read.parquet(spool)
-          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-          .orderBy(col("day"), col("event_type"))
-          .localCheckpoint()
-        // rollup is materialized — reclaim the spool
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(spool)
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        out
+        try {
+          val q = dedup(readEventsDoubled(s, dir))
+            .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(spool)
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+          // localCheckpoint is EAGER: the rollup is materialized before
+          // the finally block reclaims the spool it read from
+          s.read.parquet(spool)
+            .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+            .orderBy(col("day"), col("event_type"))
+            .localCheckpoint()
+        } finally {
+          // reclaim the spool even when the stream throws (retries would
+          // otherwise accumulate micro-batch files); walk() is a Stream
+          // and must close
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(spool))
+          val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+          all.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       })
   )
 }

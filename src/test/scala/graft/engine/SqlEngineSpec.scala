@@ -1410,10 +1410,31 @@ class SqlEngineSpec extends AnyFunSuite {
         ikm, ipq, 2, nprobe = 2)
         .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
       assert(iSql == iApi && iSql.nonEmpty, s"got $iSql vs $iApi")
+      // two-stage rerank through the same seam: (k, shortlist, m, ksub,
+      // excludeSelf) — 0 shortlist means the 4k default; the trailing 0
+      // exercises the excludeSelf=false spelling
+      val rSql = e.execute(
+        "SELECT query_id, vec_id, rank FROM graft_pq_rerank('pq_base_view', 'pq_q_view', 2, 3, 1, 2, 0) " +
+          "ORDER BY rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val rApi = graft.operators.Similarity.pqTopKReranked(pqBase,
+        pqQ.select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+          org.apache.spark.sql.functions.col("embedding").as("q_emb")),
+        graft.operators.Similarity.pqTrain(pqBase, m = 1, k = 2), 2,
+        shortlist = 3, excludeSelf = false)
+        .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+      assert(rSql == rApi && rSql.size == 2, s"got $rSql vs $rApi")
     } finally {
       spark.catalog.dropTempView("pq_base_view")
       spark.catalog.dropTempView("pq_q_view")
     }
+
+    // winnowed-fingerprint pairs from SQL == the DataFrame API
+    val wSql = e.execute(
+      "SELECT id_a, id_b, shared FROM graft_winnow_pairs(corpus, 2, 2, 1, 64) " +
+        "ORDER BY id_a, id_b").collect().map(_.toString).toSeq
+    val wApi = graft.operators.Dedup.winnowedPairs(api, 2, 2, 1, 64)
+      .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+    assert(wSql == wApi, s"got $wSql vs $wApi")
   }
 
   test("resumable change feed: a consumer crosses a compaction with no loss and no dupes") {
