@@ -396,11 +396,13 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         graft.operators.Multimodal.sampleFrames(t,
           a.headOption.map(_.toInt).getOrElse(4096), a.lift(1).map(_.toInt).getOrElse(1))),
       "graft_media_dedup" -> ((t, _) => graft.operators.Multimodal.mediaDedup(t)),
-      // pair-list output is quadratic on clustered feature spaces (see
-      // the operator's caveat) — for a keep/drop deliverable over a large
-      // corpus, call graft_media_semdedup instead
+      // pair-list output is quadratic on clustered feature spaces — the
+      // operator's candidate-pair circuit breaker refuses past the cap
+      // (optional 2nd arg) with a pointer to graft_media_semdedup, the
+      // keep/drop deliverable for large corpora
       "graft_media_neardup" -> ((t, a) =>
-        graft.operators.Multimodal.mediaNearDupPairs(t, a.headOption.getOrElse(0.99))),
+        graft.operators.Multimodal.mediaNearDupPairs(t, a.headOption.getOrElse(0.99),
+          maxCandidatePairs = a.lift(1).map(_.toLong).getOrElse(10000000L))),
       "graft_media_semdedup" -> ((t, a) =>
         graft.operators.Multimodal.mediaSemDedup(t, a.headOption.getOrElse(0.99),
           a.lift(1).map(_.toInt).getOrElse(0))),
@@ -496,10 +498,19 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // trained artifact portable from pure SQL. The merge relation is a
       // bounded k-row artifact, so the ordered collect is the sanctioned
       // seed-collect shape.
-      "graft_bpe_encode" -> ((corpus, merges, _) =>
+      "graft_bpe_encode" -> ((corpus, merges, _) => {
+        // the collect is sanctioned ONLY because merge tables are k-row
+        // artifacts — bound it so a corpus-sized relation fails loudly
+        // instead of OOMing the driver
+        val cap = 65536
+        val rows = merges.orderBy(col("rank")).limit(cap + 1).collect()
+        if (rows.length > cap)
+          throw SqlError.invalid(
+            s"graft_bpe_encode merge relation exceeds $cap rows — " +
+              "pass the trained (rank, a, b) merge table, not a corpus")
         TextAnalysis.bpeEncode(corpus,
-          merges.orderBy(col("rank")).collect()
-            .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq)))
+          rows.map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq)
+      }))
   }
 
   /** Operators whose tuning parameters are STRINGS, entered as trailing

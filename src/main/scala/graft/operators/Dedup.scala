@@ -1210,21 +1210,28 @@ object Dedup {
     * fixed-grid spans (d12) lack: an insertion upstream shifts every
     * grid chunk but leaves local window minima intact.
     *
-    * Fingerprints are 32-bit sha-256 prefixes (the s08 convention) so
-    * the DuckDB oracle replays VALUES, not just shapes; at deployment
-    * scale swap the hash for xxhash64 (one expression) — the selection
-    * logic is hash-agnostic. A 0x1F byte in text normalizes to a space
-    * before splitting (the BPE-census rule: the join byte must never
-    * occur inside a token). Returns DISTINCT (doc_id, fp). */
-  def winnowedFingerprints(corpus: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    * `hash` selects the gram hash: "sha2" (32-bit sha-256 prefixes, the
+    * s08 convention) lets the DuckDB oracle replay VALUES, not just
+    * shapes, and gates d19; "xxhash64" is the 100 TB DEFAULT for
+    * deployment — same selection logic, ~2x cheaper kernel (no hex
+    * round-trip, one codegen'd hash), benched as d20. A 0x1F byte in
+    * text normalizes to a space before splitting (the BPE-census rule:
+    * the join byte must never occur inside a token). Returns DISTINCT
+    * (doc_id, fp). */
+  def winnowedFingerprints(corpus: DataFrame, k: Int = 4, w: Int = 4,
+      hash: String = "sha2"): DataFrame = {
     require(k > 0 && w > 0, "need k > 0 and w > 0")
+    require(hash == "sha2" || hash == "xxhash64", s"unknown fingerprint hash: $hash")
+    def h(g: String): String =
+      if (hash == "sha2") s"CAST(conv(substring(sha2($g, 256), 1, 8), 16, 10) AS BIGINT)"
+      else s"xxhash64($g)"
     corpus
       .select(col("doc_id"),
         split(translate(lower(col("text")), "\u001f", " "), "\\s+").as("tk"))
       .withColumn("hs", expr(
-        s"CASE WHEN size(tk) < $k THEN array(CAST(conv(substring(sha2(concat_ws(char(31), tk), 256), 1, 8), 16, 10) AS BIGINT)) " +
+        s"CASE WHEN size(tk) < $k THEN array(${h(s"concat_ws(char(31), tk)")}) " +
           s"ELSE transform(sequence(1, size(tk) - ${k - 1}), i -> " +
-          s"CAST(conv(substring(sha2(concat_ws(char(31), slice(tk, i, $k)), 256), 1, 8), 16, 10) AS BIGINT)) END"))
+          s"${h(s"concat_ws(char(31), slice(tk, i, $k))")}) END"))
       .withColumn("fp", explode(expr(
         s"CASE WHEN size(hs) <= $w THEN array(array_min(hs)) " +
           s"ELSE transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w))) END")))
@@ -1240,20 +1247,30 @@ object Dedup {
     * volume is quadratic only in true near-dup cliques — the d04
     * adjudication. */
   def winnowedPairs(corpus: DataFrame, k: Int = 4, w: Int = 4,
-      minShared: Int = 2, dfCap: Int = 64): DataFrame = {
-    // materialized once (the postingIndex discipline): the df-cap
-    // aggregate and BOTH self-join sides read it — without the
-    // checkpoint each consumer re-runs the per-gram sha2 chain
-    val fps = winnowedFingerprints(corpus, k, w).localCheckpoint()
+      minShared: Int = 2, dfCap: Int = 64, hash: String = "sha2"): DataFrame =
+    winnowedPairsFrom(winnowedIndex(corpus, k, w, dfCap, hash), minShared)
+
+  /** The df-capped winnowed fingerprint INDEX (doc_id, fp) — materialized
+    * once (the postingIndex discipline): the df-cap aggregate and both
+    * pair-join sides read it; without the checkpoint each consumer
+    * re-runs the per-gram hash chain. */
+  def winnowedIndex(corpus: DataFrame, k: Int = 4, w: Int = 4,
+      dfCap: Int = 64, hash: String = "sha2"): DataFrame = {
+    val fps = winnowedFingerprints(corpus, k, w, hash).localCheckpoint()
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("fp"))
-    val fk = fps.join(keep, Seq("fp"), "left_semi")
+    fps.join(keep, Seq("fp"), "left_semi")
+  }
+
+  /** Pairs over a prebuilt [[winnowedIndex]] — exposed so a caller that
+    * also needs the index (e.g. to compute expected-pair floors) shares
+    * ONE fingerprint pass with the pair join. */
+  def winnowedPairsFrom(fk: DataFrame, minShared: Int = 2): DataFrame =
     fk.as("a").join(fk.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-  }
 
   val queries: Seq[NamedQuery] = Seq(
 
@@ -1724,6 +1741,40 @@ object Dedup {
           "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b"),
       (s, dir) =>
         winnowedPairs(corpus(s, dir), 4, 4, 2, 64)
-          .orderBy(col("id_a"), col("id_b")))
+          .orderBy(col("id_a"), col("id_b"))),
+
+    // the xxhash64 DEPLOYMENT variant of d19 — DuckDB cannot replay
+    // xxhash64 values, so the gate is a planted-clone verdict board
+    // (constant oracle): 25 exact clones must pair through the xxhash64
+    // fingerprint index (winnowing selects minima positionally, so an
+    // identical doc selects an identical fp set under ANY hash), pairs
+    // stay canonical, and the minShared floor holds. Benching this row
+    // against d19 measures the kernel swap (no hex round-trip) alone.
+    NamedQuery(
+      "d20_winnow_xxhash",
+      Some(
+        "SELECT CAST(1 AS INT) AS clone_pairs_ok, CAST(1 AS INT) AS pairs_canonical, " +
+          "CAST(1 AS INT) AS shared_floor_ok"),
+      (s, dir) => {
+        val d = corpus(s, dir)
+        val planted = d.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        // ONE fingerprint pass feeds both the pair join and the
+        // expected-pair floor (winnowedIndex checkpoints internally)
+        val fk = winnowedIndex(d.unionByName(planted), 4, 4, 64, "xxhash64")
+        val pairs = winnowedPairsFrom(fk, 2).localCheckpoint() // 3 verdicts read it
+        val expected = fk.filter(col("doc_id") < 25)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("nk"))
+          .filter(col("nk") >= 2)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+        val v1 = expected.join(pairs, Seq("id_a", "id_b"), "left_anti")
+          .agg((count(lit(1)) === 0).cast("int").as("clone_pairs_ok"))
+        val v2 = pairs.agg(
+          (coalesce(sum(when(col("id_a") < col("id_b"), 0).otherwise(1)), lit(0L)) === 0)
+            .cast("int").as("pairs_canonical"))
+        val v3 = pairs.agg(
+          (coalesce(min(col("shared")), lit(2L)) >= 2).cast("int").as("shared_floor_ok"))
+        v1.crossJoin(v2).crossJoin(v3)
+      })
   )
 }

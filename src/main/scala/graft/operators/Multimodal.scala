@@ -253,9 +253,15 @@ object Multimodal {
           "UNION ALL SELECT 'sims_within_tau_one', 1 ORDER BY chk"),
       (s, dir) => {
         val m = media(s, dir).filter(col("doc_id") < 25)
+        // permute payload BYTES via the hex spelling — a binary→string
+        // cast would smash non-UTF-8 byte sequences to U+FFFD, breaking
+        // the histogram-preserving property if the driver regenerates
+        // media payloads as true binary
         val planted = m
           .select((col("doc_id") + 1000000L).as("doc_id"), col("format"),
-            reverse(col("payload").cast("string")).cast("binary").as("payload"))
+            unhex(array_join(
+              reverse(expr("regexp_extract_all(hex(payload), '..', 0)")), ""))
+              .as("payload"))
         val pairs = mediaNearDupPairs(m.unionByName(planted), tau = 0.99)
           .localCheckpoint() // three verdicts read it
         val expected = m.filter(octet_length(col("payload")) > 0)
@@ -313,7 +319,8 @@ object Multimodal {
     * set rather than the pair list, use [[mediaSemDedup]] — trained
     * cells split clustered data adaptively and the output is linear. */
   def mediaNearDupPairs(media: DataFrame, tau: Double = 0.99,
-      codec: MediaCodec = DeterministicFakeCodec): DataFrame = {
+      codec: MediaCodec = DeterministicFakeCodec,
+      maxCandidatePairs: Long = 10000000L): DataFrame = {
     val s = media.sparkSession
     graft.functions.GraftFunctions.register(s)
     graft.functions.VectorFunctions.register(s)
@@ -334,6 +341,24 @@ object Multimodal {
       .select(col("gid"), col("embedding"), col("sig"),
         posexplode(expr("transform(sequence(0, 7), b -> shiftright(sig, b*4) & 15)"))
           .as(Seq("band", "bucket")))
+    // CIRCUIT BREAKER for the documented quadratic degeneration on
+    // clustered feature spaces (all vectors one direction → few hot
+    // buckets → pair volume quadratic in the corpus): count the banded
+    // candidate-pair volume BEFORE the self-join and refuse to run it
+    // past the cap. The count is a bounded 1-row driver aggregate over
+    // the already-checkpointed rep relation (the insert-stats shape),
+    // not a corpus collect.
+    val candidatePairs = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("(c * (c - 1)) DIV 2")), lit(0L)).as("pairs"))
+      .head().getLong(0)
+    if (candidatePairs > maxCandidatePairs)
+      throw new IllegalStateException(
+        s"graft_media_neardup: $candidatePairs LSH candidate pairs exceed the " +
+          s"$maxCandidatePairs cap — the feature space is clustered into few " +
+          "buckets and the pair list would be quadratic in the corpus; use " +
+          "graft_media_semdedup (trained-quantizer keep/drop, linear output) " +
+          "for clustered spaces, or raise maxCandidatePairs explicitly")
     // lowest-agreeing-band filter (the lshTopK discipline): unique pairs
     // by construction, no distinct() re-shuffling vectors
     val firstMatch = (0 until 8).map { bnd =>

@@ -387,13 +387,12 @@ object Packing {
     val bounds =
       if (cuts.isEmpty) Array.empty[Long]
       else z.stat.approxQuantile("zval", cuts, 0.01).map(_.toLong).distinct.sorted
-    // the PartitionOffsetId convention: a builder closure captures the
-    // boundary array; withColumn analyzes EAGERLY, so the expression (and
-    // its bounds) is embedded in this plan at construction
-    z.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_range_bucket",
-      exprs => graft.functions.RangeBucket(exprs.head, bounds), "built-in")
-    val bk = z.withColumn("bucket", expr("graft_range_bucket(zval)"))
+    // constructed DIRECTLY (the expression closes over THIS run's
+    // boundary array) — a fixed registry name would cross-wire two
+    // concurrent layouts on one session
+    val bk = z.withColumn("bucket",
+      org.apache.spark.sql.GraftColumnBridge.column(graft.functions.RangeBucket(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("zval")), bounds)))
     val totals = bk.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     val exclusive = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

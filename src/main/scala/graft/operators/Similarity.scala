@@ -126,8 +126,19 @@ object Similarity {
       .withColumn("features",
         array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
       .sort(col("vec_id")).coalesce(1)
-    new KMeans().setK(k).setSeed(42).setMaxIter(5)
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").fit(sample)
+    // the degenerate-sample cliff (quantizerSample's KNOWN TRADE) is
+    // graceful but silent — surface a runtime signal when the trained
+    // model collapsed so the quadratic semDedup downstream is observable
+    val effective = model.summary.clusterSizes.count(_ > 0L)
+    if (effective < 2)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Similarity").warn(
+        s"trained quantizer has $effective effective cell(s) over the " +
+          s"$k-cell sample — the sample is homogeneous; downstream " +
+          "cell-bucketed operators will degrade toward single-cell " +
+          "(quadratic) behavior. Consider a diversity-preserving sample.")
+    model
   }
 
   /** Nearest-centroid CELL assignment over `(vec_id, embedding)` — the
@@ -261,26 +272,30 @@ object Similarity {
     * only. */
   def pqTopK(base: DataFrame, queries: DataFrame, model: PqModel, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val s = base.sparkSession
-    val reg = s.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_pq_encode",
-      exprs => graft.functions.PqEncode(exprs.head, model.cents, model.m, model.k, model.sub),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_pq_table",
-      exprs => graft.functions.PqDistTable(exprs.head, model.cents, model.m, model.k, model.sub),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_pq_adc",
-      exprs => graft.functions.PqAdc(exprs.head, exprs(1), model.k), "built-in")
-    val codes = base.select(col("vec_id"), expr("graft_pq_encode(embedding)").as("codes"))
-    val qt = queries.select(col("query_id"), expr("graft_pq_table(q_emb)").as("qtab"))
+    val codes = base.select(col("vec_id"), pqEncodeCol(col("embedding"), model).as("codes"))
+    val qt = queries.select(col("query_id"), pqTableCol(col("q_emb"), model).as("qtab"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
     (if (excludeSelf) codes.join(broadcast(qt), col("vec_id") =!= col("query_id"))
      else codes.crossJoin(broadcast(qt)))
-      .withColumn("dist", expr("graft_pq_adc(codes, qtab)"))
+      .withColumn("dist", pqAdcCol(col("codes"), col("qtab"), model))
       .select(col("query_id"), col("vec_id"), col("dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // The PQ kernels are constructed DIRECTLY (expression closes over this
+  // model's centroids) rather than bound through the session's shared
+  // function registry under fixed names: two threads building plans on
+  // one SparkSession could interleave register/analyze and silently bind
+  // the wrong model's centroids (the SQL-text TVFs route through these
+  // same constructors, so they inherit the fix).
+  import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+  private def pqEncodeCol(v: Column, pq: PqModel): Column =
+    B.column(graft.functions.PqEncode(B.expression(v), pq.cents, pq.m, pq.k, pq.sub))
+  private def pqTableCol(v: Column, pq: PqModel): Column =
+    B.column(graft.functions.PqDistTable(B.expression(v), pq.cents, pq.m, pq.k, pq.sub))
+  private def pqAdcCol(codes: Column, qtab: Column, pq: PqModel): Column =
+    B.column(graft.functions.PqAdc(B.expression(codes), B.expression(qtab), pq.k))
 
   /** The coarse-centroid relation of a trained k-means model — model
     * metadata (k rows), always broadcast. */
@@ -319,21 +334,12 @@ object Similarity {
   def ivfPqTopK(base: DataFrame, queries: DataFrame, km: KMeansModel, pq: PqModel,
       k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val s = base.sparkSession
-    val reg = s.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_pq_encode",
-      exprs => graft.functions.PqEncode(exprs.head, pq.cents, pq.m, pq.k, pq.sub),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_pq_table",
-      exprs => graft.functions.PqDistTable(exprs.head, pq.cents, pq.m, pq.k, pq.sub),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_pq_adc",
-      exprs => graft.functions.PqAdc(exprs.head, exprs(1), pq.k), "built-in")
     val centroids = centroidTable(s, km)
     val codes = assignCells(base, km)
       .join(broadcast(centroids), Seq("cell"))
       .select(col("cell"), col("vec_id"),
-        expr("graft_pq_encode(zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y))")
-          .as("codes"))
+        expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)").as("resid"))
+      .select(col("cell"), col("vec_id"), pqEncodeCol(col("resid"), pq).as("codes"))
     val cdist = "aggregate(zip_with(q_emb, centroid, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)"
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))
     // cdist is consumed before the probe-rank window, so its exchange
@@ -349,12 +355,12 @@ object Similarity {
       .join(broadcast(queries), Seq("query_id"))
       .join(broadcast(centroids), Seq("cell"))
       .select(col("query_id"), col("cell"),
-        expr("graft_pq_table(zip_with(q_emb, centroid, (x, y) -> CAST(x AS DOUBLE) - y))")
-          .as("qtab"))
+        expr("zip_with(q_emb, centroid, (x, y) -> CAST(x AS DOUBLE) - y)").as("qres"))
+      .select(col("query_id"), col("cell"), pqTableCol(col("qres"), pq).as("qtab"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
     codes.join(broadcast(probes), Seq("cell"))
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
-      .withColumn("dist", expr("graft_pq_adc(codes, qtab)"))
+      .withColumn("dist", pqAdcCol(col("codes"), col("qtab"), pq))
       .select(col("query_id"), col("vec_id"), col("dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -329,28 +329,96 @@ object TextAnalysis {
       .agg(sum(col("p.w")).as("freq"))
 
     var cur = words
+    // LAZY checkpoints throughout the loop: each round's argmax collect
+    // is then the ONLY job — it materializes the previous round's vocab
+    // rewrite, the delta recount, and the new counts in one shot (the
+    // eager spelling paid three scheduled jobs per round, a fixed floor
+    // that dominated small-k training); the checkpoint still truncates
+    // lineage so analysis stays O(1) per round
     var pairCounts =
-      pairCountsOf(words, weightedPairs("syms", "freq")).localCheckpoint()
+      pairCountsOf(words, weightedPairs("syms", "freq")).localCheckpoint(false)
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= merges && !exhausted) {
+      // BATCHED rounds: the per-round fixed floor (argmax job + vocab
+      // rewrite + checkpoint + driver scheduling) dominates small-k
+      // training, so each outer iteration claims the longest PREFIX of
+      // the current top-T pairs that is provably sequential-equivalent,
+      // and applies the whole batch in one MergeAll pass. A prefix
+      // p_1..p_m (freq DESC, a, b order) equals the sequential picks iff
+      //   (1) symbol-disjoint: no p_j shares a symbol with an earlier
+      //       batch member or its merged string — so no earlier merge
+      //       changes p_j's own count or overlaps its occurrences;
+      //   (2) dominance: freq(p_j) strictly exceeds every count a prior
+      //       member's merge can CREATE — a created pair (x, a_i·b_i)
+      //       inherits at most the count of (x, a_i), and (a_i·b_i, y)
+      //       at most (b_i, y), so the ceiling U_i is the max freq among
+      //       collected pairs adjacent to p_i, floored by the T-th
+      //       largest freq (anything uncollected is ≤ that); chained
+      //       creation stays under max U_i by induction;
+      //   (3) no merged string a_i·b_i already EXISTS as a symbol —
+      //       otherwise the merge would INCREMENT existing pairs
+      //       involving it past the U_i bound (checked with one bounded
+      //       job per batch; the first member is exempt — it is the true
+      //       argmax no matter what).
+      val topT = 32
       val top = pairCounts
+        .filter(col("freq") > 0)
         .orderBy(col("freq").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) <= 0L) exhausted = true
+        .limit(topT).collect()
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += ((r, a, b, f))
-        // the last round's pick needs no application — nothing reads it
-        if (r < merges) {
-          s.sessionState.functionRegistry.createOrReplaceTempFunction(
-            "graft_bpe_merge_round",
-            exprs => graft.functions.MergePair(exprs.head, a, b), "built-in")
+        val fT = if (top.length == topT) top.last._3 else 0L
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var maxU = Long.MinValue
+        var usedSyms = Set.empty[String]
+        var mergedStrs = Set.empty[String]
+        var stop = false
+        var idx = 0
+        val remaining = merges - r + 1
+        while (!stop && idx < top.length && batch.length < remaining) {
+          val (a, b, f) = top(idx)
+          val m = a + b
+          val disjoint =
+            !usedSyms.contains(a) && !usedSyms.contains(b) &&
+              !mergedStrs.contains(a) && !mergedStrs.contains(b) &&
+              !usedSyms.contains(m) && !mergedStrs.contains(m)
+          if (batch.isEmpty || (disjoint && f > maxU)) {
+            batch += ((a, b, f))
+            val adj = top.collect { case (x, y, g) if y == a || x == b => g }
+            maxU = math.max(maxU, math.max(fT, if (adj.isEmpty) fT else adj.max))
+            usedSyms ++= Set(a, b)
+            mergedStrs += m
+            idx += 1
+          } else stop = true
+        }
+        if (batch.length > 1) {
+          // condition (3): bounded probe (≤ batch-size distinct symbols)
+          val ss = batch.map(t => t._1 + t._2).toSeq
+          val present = pairCounts.select(col("a").as("s"))
+            .union(pairCounts.select(col("b").as("s")))
+            .filter(col("s").isin(ss: _*)).distinct()
+            .collect().map(_.getString(0)).toSet
+          val cut = batch.indexWhere(t => present.contains(t._1 + t._2))
+          if (cut >= 0) batch.remove(math.max(cut, 1), batch.length - math.max(cut, 1))
+        }
+        if (sys.props.contains("graft.bpe.debug"))
+          println(s"[bpe] round r=$r batch=${batch.length} " +
+            batch.map(t => t._1 + "+" + t._2).mkString(","))
+        batch.zipWithIndex.foreach { case ((a, b, f), i) => out += ((r + i, a, b, f)) }
+        // the final batch needs no application — nothing reads it
+        if (r + batch.length - 1 < merges) {
+          import org.apache.spark.sql.{GraftColumnBridge => B}
+          // expression constructed DIRECTLY (closes over the batch) —
+          // a fixed registry name would cross-wire concurrent trainers
+          val applied = B.column(graft.functions.MergeAll(
+            B.expression(col("syms")), batch.map(t => (t._1, t._2)).toSeq))
           val staged = cur
-            .withColumn("merged", expr("graft_bpe_merge_round(syms)"))
-            .localCheckpoint() // narrow full-vocab rewrite, no exchange
-          // words the merge touched: old pairs out (-freq), new pairs in
+            .withColumn("merged", applied)
+            .localCheckpoint(false) // narrow full-vocab rewrite, no exchange
+          // words the batch touched: old pairs out (-freq), new pairs in
           // (+freq) — everything else's counts are already right
           val affected = staged.filter(col("merged") =!= col("syms"))
           val delta = pairCountsOf(affected,
@@ -359,10 +427,10 @@ object TextAnalysis {
           pairCounts = pairCounts.unionByName(delta)
             .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("freq"))
             .filter(col("freq") > 0)
-            .localCheckpoint()
+            .localCheckpoint(false)
           cur = staged.select(col("freq"), col("merged").as("syms"))
         }
-        r += 1
+        r += batch.length
       }
     }
     import s.implicits._
@@ -395,19 +463,21 @@ object TextAnalysis {
     * merge table is constructor data (k entries, driver-held — the
     * bounded artifact [[bpeMerges]] produces). */
   def bpeEncode(corpus: DataFrame, mergeTable: Seq[(String, String)]): DataFrame = {
-    val s = corpus.sparkSession
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bpe_apply",
-      exprs => graft.functions.MergeAll(exprs.head, mergeTable), "built-in")
+    import org.apache.spark.sql.{GraftColumnBridge => B}
+    // constructed DIRECTLY (the expression closes over THIS merge table):
+    // a fixed registry name would let two concurrent encodes on one
+    // session bind each other's tables mid-analysis
+    val applied = B.column(graft.functions.MergeAll(
+      B.expression(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+      mergeTable))
     corpus
       .select(col("doc_id"),
         // the same 0x1F-to-space normalization as the census (the two
         // sides must split words identically for the merge table to bind)
         explode(split(translate(lower(col("text")), "\u001f", " "), "\\s+")).as("word"))
       .filter(col("word") =!= "")
-      .withColumn("n_toks", size(expr(
-        "graft_bpe_apply(transform(sequence(1, length(word)), i -> substring(word, i, 1)))"))
-        .cast("bigint"))
+      .withColumn("n_toks", size(applied).cast("bigint"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
       .withColumn("fertility",
@@ -914,11 +984,15 @@ object TextAnalysis {
         val sufFp = d.select(col("doc_id"),
           expr("rolling_fingerprint(concat(text, ' appended tail marker'), 16)").as("fp_suf"))
         val joined = fp.join(cloneFp, "doc_id").join(sufFp, "doc_id")
-        val textFp = d.join(fp.select(col("doc_id"), col("fp")), "doc_id")
+        // digests-only shuffle rule: the fp-keyed self-join exchange
+        // carries (doc_id, fp, 32-byte sha2 digest) — never raw text;
+        // digest inequality is collision-safe for the distinct-text test
+        val textFp = d.select(col("doc_id"), sha2(col("text"), 256).as("td"))
+          .join(fp.select(col("doc_id"), col("fp")), "doc_id")
         val collisions = textFp.as("a")
           .join(textFp.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
-              col("a.text") =!= col("b.text"))
+              col("a.td") =!= col("b.td"))
           .agg(count(lit(1)).as("n_coll"))
         joined.agg(
           count(lit(1)).as("n_docs"),

@@ -705,6 +705,76 @@ object EventStreams {
           val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
           all.foreach(java.nio.file.Files.deleteIfExists(_))
         }
+      }),
+
+    /* STREAMING SESSIONIZATION gate — the deployment-critical stateful
+     * path: file source → [[sessionizeClosing]] (flatMapGroupsWithState,
+     * event-time timeout) → parquet spool. The DuckDB oracle replays the
+     * batch-equivalent gap sessionization (the q29 window shape) and
+     * BOTH sides keep only sessions the final watermark has CLOSED
+     * (end + gap strictly inside max(ts) − lateness, with 1 s of slack
+     * for the ms-floor of the timeout clock): gap-closed sessions are
+     * emitted by the next event; idle sessions by the event-time
+     * timeout; sessions past the cut sit in state awaiting more data —
+     * exactly the deployment semantics, so the filter is the oracle's
+     * honest horizon, not a fudge. */
+    graft.operators.NamedQuery(
+      "e02_stream_sessionize",
+      Some(
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), " +
+          "wm AS (SELECT max(ts_us) - 3600000000 AS wm_us FROM e), " +
+          "b AS (SELECT user_id, event_id, ts_us, CASE WHEN " +
+          "lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL OR " +
+          "ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 " +
+          "THEN 1 ELSE 0 END AS brk FROM e), " +
+          "s AS (SELECT user_id, ts_us, sum(brk) OVER (PARTITION BY user_id " +
+          "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM b), " +
+          "g AS (SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us, " +
+          "count(*) AS n_events FROM s GROUP BY 1, 2) " +
+          "SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events " +
+          "FROM g, wm WHERE end_us + 1800000000 + 1000000 <= wm_us " +
+          "ORDER BY user_id, start_us"),
+      (s, dir) => {
+        val spool = java.nio.file.Files.createTempDirectory(
+          s"graft_e02_spool_${sinkSeq.incrementAndGet()}_").toString
+        try {
+          val q = sessionizeClosing(readEvents(s, dir)).toDF()
+            .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(spool)
+            }.start()
+          try {
+            q.processAllAvailable()
+            // the event-time timeouts fire in a NO-DATA micro-batch the
+            // engine schedules after the watermark advances —
+            // processAllAvailable does not await it, so poll until the
+            // engine has sat idle on a stable batch id for a beat
+            var last = -1L
+            var stable = 0
+            var spins = 0
+            while (stable < 3 && spins < 300) {
+              val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+              val idle = !q.status.isTriggerActive && !q.status.isDataAvailable
+              if (b == last && idle) stable += 1 else { stable = 0; last = b }
+              Thread.sleep(100)
+              spins += 1
+            }
+          } finally q.stop()
+          // 1-row bounded aggregate: the oracle's watermark horizon (the
+          // batch reader may surface ts as TIMESTAMP_NTZ — session TZ is
+          // UTC, so the cast is value-preserving)
+          val maxUs = graft.Tables.load(s, dir, "events")
+            .agg(max(expr("unix_micros(CAST(ts AS TIMESTAMP))"))).head().getLong(0)
+          s.read.parquet(spool)
+            .filter(col("end_us") + gapUs + 1000000L <= maxUs - 3600000000L)
+            .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+            .orderBy(col("user_id"), col("start_us"))
+            .localCheckpoint()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(spool))
+          val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+          all.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       })
   )
 }

@@ -271,6 +271,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L), s"got $kept")
   }
 
+  test("mediaNearDupPairs circuit breaker trips on a clustered feature space") {
+    import spark.implicits._
+    // 40 DISTINCT feature vectors all dominated by one histogram bin
+    // ('a' = high nibble 6; '0' = nibble 3 adds a small varying second
+    // component): every vector points nearly one direction, so the reps
+    // land in the same LSH buckets — the documented quadratic
+    // degeneration the breaker must refuse
+    val clustered = (0 until 40).map(i =>
+      (i.toLong, "png", (("a" * 400) + ("0" * i)).getBytes("UTF-8")))
+      .toDF("doc_id", "format", "payload")
+    val e = intercept[IllegalStateException] {
+      Multimodal.mediaNearDupPairs(clustered, 0.99, maxCandidatePairs = 100L)
+    }
+    assert(e.getMessage.contains("graft_media_semdedup"),
+      s"breaker must point at the linear keep/drop operator: ${e.getMessage}")
+    // the same corpus passes untripped through the keep/drop deliverable
+    assert(Multimodal.mediaSemDedup(clustered, 0.999).count() >= 1)
+    // a benign corpus with an explicit cap still runs to completion
+    val small = Seq(
+      (1L, "png", "hello world abc".getBytes("UTF-8")),
+      (2L, "png", "cba dlrow olleh".getBytes("UTF-8"))
+    ).toDF("doc_id", "format", "payload")
+    assert(Multimodal.mediaNearDupPairs(small, 0.99, maxCandidatePairs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
   test("merge_pair kernel: greedy left-to-right, equal-symbol runs merge non-overlapping") {
     import spark.implicits._
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

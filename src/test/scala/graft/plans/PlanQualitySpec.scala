@@ -816,6 +816,18 @@ class PlanQualitySpec extends AnyFunSuite {
       "rule battery needs only (doc_id, text) — scan reads more")
   }
 
+  test("t04 fingerprint gate: no shuffle exchange carries raw document text") {
+    // the collision self-join hash-partitions the corpus on fp; its
+    // payload must be (doc_id, fp, sha2 digest) — raw text riding that
+    // exchange is the digests-only rule violation this locks out
+    val p = plan("t04_text_fingerprint")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.nonEmpty, "expected the fp-keyed self-join exchanges")
+    shuffles.foreach(s => assert(!s.contains("text#"),
+      s"raw text crossed a shuffle exchange:\n$s"))
+  }
+
   test("salted join distributes a hot key and matches the plain join") {
     val events = Tables.load(spark, dir, "events")
     // manufacture skew: all rows collapsed onto user 0 for half the data
