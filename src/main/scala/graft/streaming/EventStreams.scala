@@ -751,11 +751,11 @@ object EventStreams {
             var last = -1L
             var stable = 0
             var spins = 0
-            while (stable < 3 && spins < 300) {
+            while (stable < 3 && spins < 600) {
               val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
               val idle = !q.status.isTriggerActive && !q.status.isDataAvailable
               if (b == last && idle) stable += 1 else { stable = 0; last = b }
-              Thread.sleep(100)
+              Thread.sleep(50)
               spins += 1
             }
           } finally q.stop()
