@@ -656,6 +656,21 @@ object EventStreams {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Runs `body` with spark.sql.shuffle.partitions temporarily pinned:
+    * stateful streaming operators capture the setting at query START as
+    * their state-partition count, and the bounded gate replays don't
+    * need the session's scan-width parallelism — 32 state partitions ×
+    * a handful of micro-batches is pure task-scheduling overhead at
+    * testdata scale (measured ~0.3-0.5 s per gate). Deployment streams
+    * ([[ingestInto]] et al.) keep the session setting. The gates run
+    * sequentially in Verify/Bench, so the scoped mutation is safe. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** The streaming family's CORRECTNESS row: a REAL Structured Streaming
     * run — file source → watermarked [[dedup]] → foreachBatch parquet
     * spool, drained to completion — over a source where every event
@@ -684,11 +699,13 @@ object EventStreams {
         val spool = java.nio.file.Files.createTempDirectory(
           s"graft_e01_spool_${sinkSeq.incrementAndGet()}_").toString
         try {
-          val q = dedup(readEventsDoubled(s, dir))
-            .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-              batch.write.mode("append").parquet(spool)
-            }.start()
-          try q.processAllAvailable() finally q.stop()
+          withStatePartitions(s, 8) {
+            val q = dedup(readEventsDoubled(s, dir))
+              .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+                batch.write.mode("append").parquet(spool)
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+          }
           // localCheckpoint is EAGER: the rollup is materialized before
           // the finally block reclaims the spool it read from
           s.read.parquet(spool)
@@ -738,27 +755,29 @@ object EventStreams {
         val spool = java.nio.file.Files.createTempDirectory(
           s"graft_e02_spool_${sinkSeq.incrementAndGet()}_").toString
         try {
-          val q = sessionizeClosing(readEvents(s, dir)).toDF()
-            .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-              batch.write.mode("append").parquet(spool)
-            }.start()
-          try {
-            q.processAllAvailable()
-            // the event-time timeouts fire in a NO-DATA micro-batch the
-            // engine schedules after the watermark advances —
-            // processAllAvailable does not await it, so poll until the
-            // engine has sat idle on a stable batch id for a beat
-            var last = -1L
-            var stable = 0
-            var spins = 0
-            while (stable < 3 && spins < 600) {
-              val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-              val idle = !q.status.isTriggerActive && !q.status.isDataAvailable
-              if (b == last && idle) stable += 1 else { stable = 0; last = b }
-              Thread.sleep(50)
-              spins += 1
-            }
-          } finally q.stop()
+          withStatePartitions(s, 8) {
+            val q = sessionizeClosing(readEvents(s, dir)).toDF()
+              .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+                batch.write.mode("append").parquet(spool)
+              }.start()
+            try {
+              q.processAllAvailable()
+              // the event-time timeouts fire in a NO-DATA micro-batch the
+              // engine schedules after the watermark advances —
+              // processAllAvailable does not await it, so poll until the
+              // engine has sat idle on a stable batch id for a beat
+              var last = -1L
+              var stable = 0
+              var spins = 0
+              while (stable < 3 && spins < 600) {
+                val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+                val idle = !q.status.isTriggerActive && !q.status.isDataAvailable
+                if (b == last && idle) stable += 1 else { stable = 0; last = b }
+                Thread.sleep(50)
+                spins += 1
+              }
+            } finally q.stop()
+          }
           // 1-row bounded aggregate: the oracle's watermark horizon (the
           // batch reader may surface ts as TIMESTAMP_NTZ — session TZ is
           // UTC, so the cast is value-preserving)
