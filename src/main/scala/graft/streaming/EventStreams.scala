@@ -794,6 +794,89 @@ object EventStreams {
           val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
           all.foreach(java.nio.file.Files.deleteIfExists(_))
         }
+      }),
+
+    /* STREAM-STATIC ENRICH gate: the events stream left-joins the
+     * customer dimension (the standard dimension-enrichment shape — the
+     * static side is re-read per micro-batch, never shuffled against the
+     * stream) and rolls up per segment. The aggregate has no watermark,
+     * so the stream runs in COMPLETE mode and each micro-batch
+     * overwrites the bounded (≤ segments+1 rows) spool — the oracle
+     * replays the batch join+rollup. */
+    graft.operators.NamedQuery(
+      "e03_stream_enrich",
+      Some(
+        "SELECT c.c_mktsegment AS segment, count(*) AS n, " +
+          "round(sum(e.value), 2) AS total " +
+          "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey " +
+          "GROUP BY 1 ORDER BY segment NULLS FIRST"),
+      (s, dir) => {
+        val spool = java.nio.file.Files.createTempDirectory(
+          s"graft_e03_spool_${sinkSeq.incrementAndGet()}_").toString
+        try {
+          withStatePartitions(s, 8) {
+            val q = enriched(readEvents(s, dir), graft.Tables.load(s, dir, "customer"))
+              .writeStream.outputMode("complete")
+              .foreachBatch { (batch: DataFrame, _: Long) =>
+                batch.write.mode("overwrite").parquet(spool)
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          s.read.parquet(spool)
+            .select(col("segment"), col("n"), col("total"))
+            .orderBy(col("segment").asc_nulls_first)
+            .localCheckpoint()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(spool))
+          val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+          all.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }),
+
+    /* STREAM-STREAM JOIN gate: purchase←click attribution (each
+     * purchase joins every click by the same user inside the preceding
+     * hour; both sides watermarked, the time-range condition bounds the
+     * join state). INNER stream-stream joins emit matches as both sides
+     * arrive — no timeout machinery needed — and the oracle replays the
+     * identical interval self-join in batch SQL. Timestamps compare as
+     * unix micros (value-stable across parquet timestamp encodings). */
+    graft.operators.NamedQuery(
+      "e04_stream_attribution",
+      Some(
+        "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us, " +
+          "p.value AS purchase_value, epoch_us(c.ts) AS click_us, " +
+          "c.value AS click_value " +
+          "FROM events p JOIN events c ON p.event_type = 'purchase' " +
+          "AND c.event_type = 'click' AND p.user_id = c.user_id " +
+          "AND epoch_us(c.ts) <= epoch_us(p.ts) " +
+          "AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000 " +
+          "ORDER BY p.event_id, click_us"),
+      (s, dir) => {
+        val spool = java.nio.file.Files.createTempDirectory(
+          s"graft_e04_spool_${sinkSeq.incrementAndGet()}_").toString
+        try {
+          withStatePartitions(s, 8) {
+            val q = purchaseAttribution(readEvents(s, dir))
+              .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+                batch.write.mode("append").parquet(spool)
+              }.start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          s.read.parquet(spool)
+            .select(col("event_id"), col("user_id"),
+              expr("unix_micros(CAST(purchase_ts AS TIMESTAMP))").as("purchase_us"),
+              col("purchase_value"),
+              expr("unix_micros(CAST(click_ts AS TIMESTAMP))").as("click_us"),
+              col("click_value"))
+            .orderBy(col("event_id"), col("click_us"))
+            .localCheckpoint()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(spool))
+          val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+          all.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       })
   )
 }

@@ -570,6 +570,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rr64 >= adc64 - 1e-9 && rr64 >= 0.90, s"64-dim reranked recall@10 = $rr64")
     assert(adc256 >= 0.70, s"256-dim ADC recall@10 = $adc256")
     assert(rr256 >= adc256 - 1e-9 && rr256 >= 0.90, s"256-dim reranked recall@10 = $rr256")
+    // the full IVF-ADC ladder at 64 dims: planted neighbors sit at noise
+    // 0.02 around the query, so cell routing must keep them reachable
+    // within nprobe=4 of the 16 coarse cells
+    val data64 = plantedCorpus(64)
+    val base64 = data64.toDF("vec_id", "embedding")
+    val q64 = base64.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val (km, pq) = Similarity.ivfPqTrain(base64, cells = 16, m = 16, k = 64)
+    val expectedIvf = (0 until 8).map(q =>
+      q.toLong -> (0 until 10).map(j => 2000L + q * 10 + j).toSet).toMap
+    val ivf = Similarity.ivfPqTopK(base64, q64, km, pq, 10, nprobe = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rIvf = expectedIvf.keys.toSeq
+      .map(q => (ivf.getOrElse(q, Set.empty[Long]) intersect expectedIvf(q)).size / 10.0).sum / 8
+    info(f"recall@10 planted-neighbor: 64d IVF-ADC (nprobe 4/16) = $rIvf%.3f")
+    assert(rIvf >= 0.70, s"64-dim IVF-ADC recall@10 = $rIvf")
   }
 
   test("IVF-ADC: planted clone top-1, candidates confined to probed cells") {

@@ -17,8 +17,12 @@ FACTOR="${1:-10}"
 ONLY="${2:-}"
 SRC=/root/testdata/sf0.1
 DST="/tmp/graft_scale_${FACTOR}x"
-if [ ! -d "$DST" ]; then
+# regenerate when missing OR stale (the driver regenerates testdata in
+# place; benching a scale-up of the PREVIOUS generation silently skews
+# every slope)
+if [ ! -d "$DST" ] || [ "$(find "$SRC" -newer "$DST" -print -quit 2>/dev/null)" ]; then
   echo "[scale_check] generating ${FACTOR}x data at $DST" >&2
+  rm -rf "$DST"
   SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.tools.ScaleData $SRC $DST $FACTOR" >&2
 fi
 run_bench() { # dir out
