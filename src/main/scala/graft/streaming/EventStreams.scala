@@ -51,10 +51,10 @@ object EventStreams {
     * a directory's part files are flattened into the staged dir, since
     * the stream source lists leaf files, not nested dirs. */
   private def stageEvents(spark: SparkSession, dir: String, tag: String,
-      names: Seq[String]): String = {
+      names: Seq[String], file: String = "events.parquet"): String = {
     import scala.jdk.CollectionConverters._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val src = java.nio.file.Paths.get(s"$dir/$file")
     // the staged dir is keyed on the SOURCE GENERATION (file-vs-dir +
     // mtime): the driver regenerates testdata in place, and a stale
     // staged dir would otherwise keep symlinks to replaced part files
@@ -250,13 +250,13 @@ object EventStreams {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val staged = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-docs-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(staged)
-    val link = staged.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/documents.parquet"))
-    spark.readStream.schema(schema).parquet(staged.toString)
+    // same generation-keyed staging as the events stream: the source may
+    // be a single file (driver testdata) or a multi-part parquet DIR
+    // (ScaleData output), whose part files must be flattened for the
+    // file stream source
+    val staged = stageEvents(spark, dir, "docs-", Seq("documents.parquet"),
+      file = "documents.parquet")
+    spark.readStream.schema(schema).parquet(staged)
   }
 
   def dedupDocuments(docs: DataFrame): DataFrame =
@@ -870,6 +870,78 @@ object EventStreams {
               expr("unix_micros(CAST(click_ts AS TIMESTAMP))").as("click_us"),
               col("click_value"))
             .orderBy(col("event_id"), col("click_us"))
+            .localCheckpoint()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(spool))
+          val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+          all.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }),
+
+    /* STREAMING HEAVY-HITTERS gate: [[trendingPhrases]] (space-saving
+     * sketch per open window, event-time timeout emission) over the
+     * document stream with DETERMINISTIC event time (doc_id minutes from
+     * epoch — replayed identically by the oracle). Capacity 4096 exceeds
+     * the distinct bigrams of any window, so the sketch is EXACT
+     * (max_error = 0) and the DuckDB oracle replays the whole pipeline:
+     * per-doc-distinct bigrams (the t11 shingle semantics), per-window
+     * doc-frequency, top-5 under the (count DESC, phrase) tie order.
+     * Both sides keep only windows the final watermark has closed
+     * (window end + 1 s slack inside max(ts) - 10 min lateness). */
+    graft.operators.NamedQuery(
+      "e05_stream_trending",
+      Some(
+        "WITH d AS (SELECT doc_id, text, doc_id * 60000000 + 3600000000 AS ts_us FROM documents), " +
+          "mx AS (SELECT max(ts_us) AS max_us FROM d), " +
+          "tk AS (SELECT doc_id, (ts_us // 3600000000) * 3600000000 AS window_start_us, " +
+          "string_split_regex(lower(replace(text, chr(31), ' ')), '\\s+') AS tk FROM d), " +
+          "sh AS (SELECT window_start_us, doc_id, unnest(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')] " +
+          "ELSE list_distinct(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) END) AS phrase FROM tk), " +
+          "dfr AS (SELECT window_start_us, phrase, count(*) AS cnt FROM sh GROUP BY 1, 2), " +
+          "rk AS (SELECT window_start_us, phrase, cnt, row_number() OVER " +
+          "(PARTITION BY window_start_us ORDER BY cnt DESC, phrase) AS r FROM dfr) " +
+          "SELECT window_start_us, phrase, cnt AS \"count\", CAST(0 AS BIGINT) AS max_error " +
+          "FROM rk, mx WHERE r <= 5 AND window_start_us + 3600000000 + 1000000 <= max_us - 600000000 " +
+          "ORDER BY window_start_us, phrase"),
+      (s, dir) => {
+        val spool = java.nio.file.Files.createTempDirectory(
+          s"graft_e05_spool_${sinkSeq.incrementAndGet()}_").toString
+        try {
+          withStatePartitions(s, 8) {
+            // +1 window of epoch offset: a row whose event time equals
+            // the INITIAL watermark (epoch 0) is filtered by the stateful
+            // operator's late-row predicate before batch 0 ever runs —
+            // measured as doc 0 silently missing from its window's counts
+            val timed = readDocuments(s, dir)
+              .select(expr("timestamp_micros(doc_id * 60000000 + 3600000000)").as("ts"),
+                col("text"))
+            val q = trendingPhrases(timed, 2, windowUs = 3600000000L,
+                capacity = 4096, k = 5).toDF()
+              .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+                batch.write.mode("append").parquet(spool)
+              }.start()
+            try {
+              q.processAllAvailable()
+              // emission is timeout-driven (the e02 drain discipline)
+              var last = -1L
+              var stable = 0
+              var spins = 0
+              while (stable < 3 && spins < 600) {
+                val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+                val idle = !q.status.isTriggerActive && !q.status.isDataAvailable
+                if (b == last && idle) stable += 1 else { stable = 0; last = b }
+                Thread.sleep(50)
+                spins += 1
+              }
+            } finally q.stop()
+          }
+          val maxUs = graft.Tables.load(s, dir, "documents")
+            .agg(max(col("doc_id"))).head().getLong(0) * 60000000L + 3600000000L
+          s.read.parquet(spool)
+            .filter(col("window_start_us") + 3600000000L + 1000000L <= maxUs - 600000000L)
+            .select(col("window_start_us"), col("phrase"), col("count"), col("max_error"))
+            .orderBy(col("window_start_us"), col("phrase"))
             .localCheckpoint()
         } finally {
           import scala.jdk.CollectionConverters._
