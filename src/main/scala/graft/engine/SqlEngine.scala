@@ -521,6 +521,16 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
     Map(
       "graft_redact" -> ((t, ss, _) =>
         graft.operators.TextAnalysis.redact(t, ss.head, ss.lift(1).getOrElse("[redacted]"))),
+      // winnowed near-dup pairs with an explicit gram hash: 'sha2'
+      // (oracle-replayable) or 'xxhash64' (the 100 TB default); numeric
+      // args as in the plain spelling (k, w, minShared, dfCap)
+      "graft_winnow_pairs" -> ((t, ss, a) =>
+        graft.operators.Dedup.winnowedPairs(t,
+          a.headOption.map(_.toInt).getOrElse(4),
+          a.lift(1).map(_.toInt).getOrElse(4),
+          a.lift(2).map(_.toInt).getOrElse(2),
+          a.lift(3).map(_.toInt).getOrElse(64),
+          ss.headOption.getOrElse("sha2"))),
       // custom battery as ('name', 'regex') pairs; no strings → the
       // default-battery entry in tableFunctions handles the call
       "graft_pattern_audit" -> ((t, ss, _) => {

@@ -1435,6 +1435,14 @@ class SqlEngineSpec extends AnyFunSuite {
     val wApi = graft.operators.Dedup.winnowedPairs(api, 2, 2, 1, 64)
       .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
     assert(wSql == wApi, s"got $wSql vs $wApi")
+
+    // the string-arg spelling selects the deployment hash
+    val wXx = e.execute(
+      "SELECT id_a, id_b, shared FROM graft_winnow_pairs(corpus, 'xxhash64', 2, 2, 1, 64) " +
+        "ORDER BY id_a, id_b").collect().map(_.toString).toSeq
+    val wXxApi = graft.operators.Dedup.winnowedPairs(api, 2, 2, 1, 64, "xxhash64")
+      .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+    assert(wXx == wXxApi, s"got $wXx vs $wXxApi")
   }
 
   test("resumable change feed: a consumer crosses a compaction with no loss and no dupes") {
