@@ -152,4 +152,30 @@ class LibraryApiSpec extends AnyFunSuite {
       .toDF("doc_id", "format", "payload")
     assert(Multimodal.mediaSemDedup(media, 0.99).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("round-12 additions run on caller-supplied data") {
+    import spark.implicits._
+    val c = corpus()
+    // winnowing with the deployment hash, index/pairs split: exact dup
+    // pairs share every fingerprint under ANY hash
+    val fk = Dedup.winnowedIndex(c, 2, 2, 64, "xxhash64")
+    val pairs = Dedup.winnowedPairsFrom(fk, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 6L)), s"got $pairs")
+    // two-stage PQ retrieval (ADC shortlist -> exact re-rank) over
+    // caller vectors with an independent query id space
+    val base = (0 until 32).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 8) 1.0f + i / 8 else 0.1f))
+    }.toDF("vec_id", "embedding")
+    val q = Seq((100L, Array.tabulate(8)(d => if (d == 5) 1.6f else 0.1f)))
+      .toDF("query_id", "q_emb")
+    val model = Similarity.pqTrain(base, m = 2, k = 8)
+    val top = Similarity.pqTopKReranked(base, q, model, 1, shortlist = 8,
+      excludeSelf = false).collect()
+    assert(top.length == 1 && top.head.getLong(1) % 8 == 5,
+      s"re-ranked top-1 must sit on the query's axis: ${top.toSeq}")
+    // bpe encode with a caller-trained merge table
+    val enc = TextAnalysis.bpeEncode(c, Seq(("d", "u"), ("du", "p"))).collect()
+    assert(enc.nonEmpty && enc.forall(_.getLong(2) > 0))
+  }
 }
