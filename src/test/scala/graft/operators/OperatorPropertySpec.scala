@@ -857,4 +857,72 @@ class OperatorPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(12, 40)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("bpeMerges batched rounds equal a strictly sequential reference") {
+    // the round-12 batch selection (symbol-disjoint prefix + dominance
+    // bound + merged-string collision probe) claims sequential
+    // equivalence — this sweep pits it against a pure-Scala sequential
+    // BPE over adversarial corpora: a 2-letter alphabet forces
+    // interlocking top pairs, frequency ties, runs (greedy
+    // non-overlapping merge order), and merged-string collisions
+    def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+    def refBpe(corpus: Seq[String], k: Int): Seq[(Int, String, String, Long)] = {
+      var cur: Seq[(Array[String], Long)] = corpus
+        .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) =>
+          (w.toCharArray.map(_.toString), g.size.toLong) }.toSeq
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        cur.foreach { case (syms, f) =>
+          var i = 0
+          while (i + 1 < syms.length) { // overlaps included
+            val key = (syms(i), syms(i + 1))
+            counts(key) = counts.getOrElse(key, 0L) + f
+            i += 1
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), f) = counts.minBy { case ((a, b), f) => (-f, a, b) }
+          out += ((r, a, b, f))
+          cur = cur.map { case (syms, fr) => (mergeOnce(syms, a, b), fr) }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    val genCorpus: Gen[List[String]] = for {
+      nWords <- Gen.choose(3, 30)
+      words <- Gen.listOfN(nWords, for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf("a", "b"))
+      } yield cs.mkString)
+      reps <- Gen.listOfN(nWords, Gen.choose(1, 5))
+    } yield words.zip(reps).flatMap { case (w, n) => Seq.fill(n)(w) }
+    val prop = Prop.forAll(genCorpus, Gen.oneOf(1, 3, 8, 12)) { (words, k) =>
+      val docs = words.grouped(4).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.bpeMerges(docs, k).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val want = refBpe(words, k)
+      if (got != want)
+        println(s"MISMATCH words=$words k=$k\n got=$got\n want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(15, 60)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
