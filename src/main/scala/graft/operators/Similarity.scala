@@ -336,15 +336,35 @@ object Similarity {
     * a probe reads nprobe/k of the corpus. The probe side broadcasts
     * (query_id, cell, table) — bounded queries × nprobe rows; no float
     * vector ever crosses a shuffle. */
-  def ivfPqTopK(base: DataFrame, queries: DataFrame, km: KMeansModel, pq: PqModel,
-      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    val s = base.sparkSession
-    val centroids = centroidTable(s, km)
-    val codes = assignCells(base, km)
+  /** The PERSISTED IVF-ADC index relation (cell, vec_id, codes) — the
+    * deployment artifact: the corpus is encoded ONCE (coarse cell +
+    * residual PQ codes in one narrow projection through two broadcasts)
+    * and written `partitionBy("cell")`, so every later query reads
+    * nprobe/k of the code files and never touches a float vector.
+    * Storage is m bytes-ish per vector instead of dim floats — the
+    * billion-vector index fits where the raw corpus cannot. Query it
+    * with [[ivfPqTopKFromIndex]]; [[ivfPqTopK]] is the inline
+    * (re-encode per call) composition of the two. */
+  def ivfPqIndex(base: DataFrame, km: KMeansModel, pq: PqModel): DataFrame = {
+    val centroids = centroidTable(base.sparkSession, km)
+    assignCells(base, km)
       .join(broadcast(centroids), Seq("cell"))
       .select(col("cell"), col("vec_id"),
         expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)").as("resid"))
       .select(col("cell"), col("vec_id"), pqEncodeCol(col("resid"), pq).as("codes"))
+  }
+
+  def ivfPqTopK(base: DataFrame, queries: DataFrame, km: KMeansModel, pq: PqModel,
+      k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame =
+    ivfPqTopKFromIndex(ivfPqIndex(base, km, pq), queries, km, pq, k, nprobe, excludeSelf)
+
+  /** IVF-ADC top-k over a prebuilt (cell, vec_id, codes) index — in
+    * memory or read back from a cell-partitioned parquet layout, where
+    * the broadcast probe join becomes a partition filter on the scan. */
+  def ivfPqTopKFromIndex(codes: DataFrame, queries: DataFrame, km: KMeansModel,
+      pq: PqModel, k: Int, nprobe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val s = codes.sparkSession
+    val centroids = centroidTable(s, km)
     val cdist = "aggregate(zip_with(q_emb, centroid, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)"
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))
     // cdist is consumed before the probe-rank window, so its exchange
@@ -1176,6 +1196,56 @@ object Similarity {
         val q = queriesOf(b)
         plantedVerdict(
           pqTopKReranked(withClones(b, q), q, cachedPqModel(s, dir), 5, 20), "pqr")
+      }),
+
+    // the PERSISTED index path: encode once via ivfPqIndex, land the
+    // codes PARTITIONED BY CELL, and answer queries from the files —
+    // verdicts gate both the planted clone through the persisted path
+    // and full top-5 equality with the inline (re-encode per call)
+    // path, so the parquet round-trip of the code arrays is
+    // value-exact.
+    NamedQuery(
+      "s17_ann_index_persisted",
+      Some(
+        "SELECT vec_id AS query_id, CAST(1 AS INT) AS persisted_top1_ok, " +
+          "CAST(1 AS INT) AS same_as_inline_ok " +
+          "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"),
+      (s, dir) => {
+        val b = base(s, dir)
+        val q = queriesOf(b)
+        val corpus = withClones(b, q)
+        val km = cachedModel(s, dir)
+        val pq = cachedIvfPqModel(s, dir)
+        val path = java.nio.file.Files.createTempDirectory("graft_s17_index_").toString
+        try {
+          ivfPqIndex(corpus, km, pq)
+            .write.mode("overwrite").partitionBy("cell").parquet(path)
+          val persisted = ivfPqTopKFromIndex(s.read.parquet(path), q, km, pq, 5)
+            .localCheckpoint() // two verdicts read it; frees the files below
+          val inline = ivfPqTopK(corpus, q, km, pq, 5)
+          val v1 = persisted.filter(col("rank") === 1)
+            .select(col("query_id"),
+              (col("vec_id") === col("query_id") + 1000000L).cast("int")
+                .as("persisted_top1_ok"))
+          // symmetric-difference check over (query_id, vec_id, rank): any
+          // row not present in BOTH paths counts once, not twice
+          val tagged = persisted.select(col("query_id"), col("vec_id"), col("rank"))
+            .unionByName(inline.select(col("query_id"), col("vec_id"), col("rank")))
+            .groupBy(col("query_id"), col("vec_id"), col("rank"))
+            .agg(count(lit(1)).as("c"))
+          val mismatch = tagged.filter(col("c") =!= 2)
+            .groupBy(col("query_id")).agg(count(lit(1)).as("nd"))
+          v1.join(mismatch, Seq("query_id"), "left")
+            .select(col("query_id"), col("persisted_top1_ok"),
+              col("nd").isNull.cast("int").as("same_as_inline_ok"))
+            .orderBy(col("query_id"))
+            .localCheckpoint()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+          val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+          all.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       })
   )
 }

@@ -828,6 +828,37 @@ class PlanQualitySpec extends AnyFunSuite {
       s"raw text crossed a shuffle exchange:\n$s"))
   }
 
+  test("s17 persisted ANN index: query scan reads codes, never float vectors") {
+    // the deployment contract of the persisted index: answering a query
+    // touches the corpus at CODE width (partitioned-by-cell parquet of
+    // (cell, vec_id, codes)) — an embedding column in the index scan
+    // would mean the 32x storage/scan win silently regressed
+    val b = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = b.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val km = graft.operators.Similarity.trainQuantizer(b, 4)
+    val pq = graft.operators.Similarity.pqTrain(b, m = 16, k = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_s17_plan_").toString
+    try {
+      graft.operators.Similarity.ivfPqIndex(b, km, pq)
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      val p = graft.operators.Similarity
+        .ivfPqTopKFromIndex(spark.read.parquet(path), q, km, pq, 5)
+        .queryExecution.explainString(FormattedMode)
+      val indexScans = p.split("\n\n").filter(s =>
+        s.contains("Scan parquet") && s.contains("graft_s17_plan_"))
+      assert(indexScans.nonEmpty, "expected the persisted index scan")
+      indexScans.foreach(s => assert(!s.contains("embedding"),
+        s"the index scan reads float vectors:\n$s"))
+      assert(p.contains("BroadcastExchange"), "probe side must broadcast")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("salted join distributes a hot key and matches the plain join") {
     val events = Tables.load(spark, dir, "events")
     // manufacture skew: all rows collapsed onto user 0 for half the data
