@@ -588,6 +588,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rIvf >= 0.70, s"64-dim IVF-ADC recall@10 = $rIvf")
   }
 
+  test("concurrent PQ plan-building on one session binds each model's own centroids") {
+    // regression for the fixed-name registry race: two threads building
+    // pqTopK plans with DIFFERENT models used to interleave
+    // register/analyze and bind the wrong model's centroids; direct
+    // expression construction makes each plan close over its own model
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    // model A lives on axis 0, model B on axis 1 — a cross-bound plan
+    // returns the wrong nearest id deterministically
+    val baseA = Seq((1L, Array(10.0f, 0.0f)), (2L, Array(0.0f, 10.0f)), (3L, Array(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val baseB = Seq((1L, Array(0.0f, 10.0f)), (2L, Array(10.0f, 0.0f)), (3L, Array(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((9L, Array(10.0f, 0.0f))).toDF("query_id", "q_emb")
+    val mA = Similarity.pqTrain(baseA, m = 1, k = 3)
+    val mB = Similarity.pqTrain(baseB, m = 1, k = 3)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      (0 until 20).foreach { _ =>
+        val start = new CountDownLatch(1)
+        val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = { start.await()
+            Similarity.pqTopK(baseA, q, mA, 1, excludeSelf = false).head().getLong(1) }
+        })
+        val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = { start.await()
+            Similarity.pqTopK(baseB, q, mB, 1, excludeSelf = false).head().getLong(1) }
+        })
+        start.countDown()
+        assert(fa.get(120, TimeUnit.SECONDS) == 1L, "model A's nearest is vec 1")
+        assert(fb.get(120, TimeUnit.SECONDS) == 2L, "model B's nearest is vec 2")
+      }
+    } finally pool.shutdown()
+  }
+
   test("IVF-ADC: planted clone top-1, candidates confined to probed cells") {
     val verdict = q("s15_ivfpq_ann").collect()
     assert(verdict.length == 8 && verdict.forall(_.getInt(1) == 1),
