@@ -1016,6 +1016,14 @@ object Dedup {
       bandRows(simSketch(corpus(s, dir).filter(col("doc_id") % 5 =!= 0)))
         .localCheckpoint())
 
+  /** The df-capped winnow fingerprint index over the history slice —
+    * session-memoized and materialized once (the cachedBandIndex
+    * convention): the deployment artifact [[winnowAdmit]] probes. */
+  private[operators] def cachedWinnowIndex(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, ("winnow-index", dir))(
+      winnowedIndex(corpus(s, dir).filter(col("doc_id") % 5 =!= 0), 4, 4, 64)
+        .localCheckpoint())
+
   /** Digest index (d08's history side) session-memoized per corpus dir
     * and MATERIALIZED once (localCheckpoint) — the binding's stand-in for
     * the PERSISTED index a production deployment appends per increment:
@@ -1260,6 +1268,26 @@ object Dedup {
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select(col("fp"))
     fps.join(keep, Seq("fp"), "left_semi")
+  }
+
+  /** Incremental ADMISSION against a PERSISTED winnow index — the d09
+    * discipline at fingerprint level: an incoming doc is REJECTED when
+    * it shares ≥ `minShared` selected fingerprints with ANY single
+    * indexed document (the winnowedPairs evidence rule), admitted
+    * otherwise. The probe joins the incoming side's fingerprints to the
+    * df-capped index on the 8-byte fp key — shuffles carry (fp, ids)
+    * scalars, work is linear in posting-list matches, and the corpus
+    * behind the index is never rescanned. */
+  def winnowAdmit(incoming: DataFrame, index: DataFrame, k: Int = 4, w: Int = 4,
+      minShared: Int = 2, hash: String = "sha2"): DataFrame = {
+    val fps = winnowedFingerprints(incoming, k, w, hash)
+    val rejected = fps
+      .join(index.select(col("fp"), col("doc_id").as("idx_id")), Seq("fp"))
+      .groupBy(col("doc_id"), col("idx_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_id")).distinct()
+    incoming.select(col("doc_id")).join(rejected, Seq("doc_id"), "left_anti")
   }
 
   /** Pairs over a prebuilt [[winnowedIndex]] — exposed so a caller that
@@ -1775,6 +1803,48 @@ object Dedup {
         val v3 = pairs.agg(
           (coalesce(min(col("shared")), lit(2L)) >= 2).cast("int").as("shared_floor_ok"))
         v1.crossJoin(v2).crossJoin(v3)
+      }),
+
+    // incremental winnow ADMISSION vs the persisted index — FULL value
+    // oracle: DuckDB rebuilds both fingerprint chains (history with the
+    // df cap, incoming without), replays the >= 2-shared-with-one-doc
+    // rejection rule, and hash-compares the admitted id set. Incoming =
+    // the held-out doc_id % 5 == 0 slice plus planted clones of indexed
+    // docs (which must ALL be rejected — winnowing shares every
+    // fingerprint on identical text).
+    NamedQuery(
+      "d21_winnow_admit",
+      Some {
+        def chain(src: String, p: String): String =
+          s"${p}tk AS (SELECT doc_id, string_split_regex(replace(lower(text), chr(31), ' '), '\\s+') AS tk FROM $src), " +
+            s"${p}g AS (SELECT doc_id, CASE WHEN len(tk) < 4 THEN [array_to_string(tk, chr(31))] " +
+            s"ELSE list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], chr(31))) END AS gs FROM ${p}tk), " +
+            s"${p}h AS (SELECT doc_id, list_transform(gs, g2 -> list_reduce(list_transform(range(1, 9), " +
+            s"c -> strpos('0123456789abcdef', sha256(g2)[c]) - 1), (a, c) -> a * 16 + c)) AS hs FROM ${p}g), " +
+            s"${p}sel AS (SELECT doc_id, unnest(CASE WHEN len(hs) <= 4 THEN [list_min(hs)] " +
+            s"ELSE list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3])) END) AS fp FROM ${p}h), " +
+            s"${p}fps AS (SELECT DISTINCT doc_id, fp FROM ${p}sel)"
+        "WITH idx_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), " +
+          "inc_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 " +
+          "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+          "WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1), " +
+          chain("idx_src", "ix") + ", " +
+          "ixkeep AS (SELECT fp FROM ixfps GROUP BY fp HAVING count(*) <= 64), " +
+          "ixfk AS (SELECT doc_id, fp FROM ixfps JOIN ixkeep USING (fp)), " +
+          chain("inc_src", "in") + ", " +
+          "shared AS (SELECT i.doc_id AS inc_id, x.doc_id AS idx_id, count(*) AS c " +
+          "FROM infps i JOIN ixfk x ON i.fp = x.fp GROUP BY 1, 2), " +
+          "rej AS (SELECT DISTINCT inc_id FROM shared WHERE c >= 2) " +
+          "SELECT doc_id FROM inc_src WHERE doc_id NOT IN (SELECT inc_id FROM rej) " +
+          "ORDER BY doc_id"
+      },
+      (s, dir) => {
+        val docs = corpus(s, dir)
+        val inc = docs.filter(col("doc_id") % 5 === 0)
+          .unionByName(docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        winnowAdmit(inc, cachedWinnowIndex(s, dir), 4, 4, 2)
+          .orderBy(col("doc_id"))
       })
   )
 }

@@ -828,6 +828,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"raw text crossed a shuffle exchange:\n$s"))
   }
 
+  test("d21 winnow admit: probe exchanges carry (fp, id) scalars, never text") {
+    // the admission probe joins incoming fingerprints to the persisted
+    // index on the 8-byte fp key — document text riding any exchange
+    // would re-ship the corpus at 100 TB
+    val p = plan("d21_winnow_admit")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.nonEmpty, "expected the fp probe exchanges")
+    shuffles.foreach(s => assert(!s.contains("text#"),
+      s"document text crossed a probe exchange:\n$s"))
+  }
+
   test("s17 persisted ANN index: query scan reads codes, never float vectors") {
     // the deployment contract of the persisted index: answering a query
     // touches the corpus at CODE width (partitioned-by-cell parquet of
