@@ -483,6 +483,18 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_decontaminate" -> ((corpus, bench, a) =>
         Curation.contamination(corpus, bench, a.headOption.map(_.toInt).getOrElse(3))),
       "graft_admit" -> ((inc, idx, _) => Dedup.incrementalAdmit(inc, idx)),
+      // winnow-level admission: the second relation is the HISTORY corpus
+      // the df-capped fingerprint index is built from; args (k, w,
+      // minShared, dfCap)
+      "graft_winnow_admit" -> ((inc, hist, a) =>
+        Dedup.winnowAdmit(inc,
+          Dedup.winnowedIndex(hist,
+            a.headOption.map(_.toInt).getOrElse(4),
+            a.lift(1).map(_.toInt).getOrElse(4),
+            a.lift(3).map(_.toInt).getOrElse(64)),
+          a.headOption.map(_.toInt).getOrElse(4),
+          a.lift(1).map(_.toInt).getOrElse(4),
+          a.lift(2).map(_.toInt).getOrElse(2))),
       "graft_contamination_frac" -> ((corpus, bench, a) =>
         Curation.contaminationScore(corpus, bench, a.headOption.getOrElse(0.2))),
       // embedding-level decontamination (hashed-embedding cosine >= tau);

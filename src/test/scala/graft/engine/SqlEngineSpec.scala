@@ -907,6 +907,13 @@ class SqlEngineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(admitted == Seq(11L), s"history clone 10 must be rejected: $admitted")
 
+    // winnow-level admission straight off the history CORPUS (the index
+    // builds inside the TVF): the exact clone shares every fingerprint
+    val wAdmitted = e.execute(
+      "SELECT doc_id FROM graft_winnow_admit(increment, corpus, 2, 2, 1) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(wAdmitted == Seq(11L), s"winnow clone 10 must be rejected: $wAdmitted")
+
     // stratified split from SQL: fractions bind positionally and sum to 1
     e.execute("CREATE TABLE sourced (doc_id bigint PRIMARY KEY, source text)")
     e.execute("INSERT INTO sourced VALUES " + (1 to 10).map(i => s"($i, 'a')").mkString(", "))
