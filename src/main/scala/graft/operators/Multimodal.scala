@@ -317,7 +317,18 @@ object Multimodal {
     * itself goes quadratic when most pairs clear `tau` (measured 17 s at
     * sf0.1 on exactly that shape). When the deliverable is a keep/drop
     * set rather than the pair list, use [[mediaSemDedup]] — trained
-    * cells split clustered data adaptively and the output is linear. */
+    * cells split clustered data adaptively and the output is linear.
+    *
+    * `maxCandidatePairs` caps the BANDED candidate-pair volume — each
+    * unique rep pair is counted once per (band, bucket) it collides in,
+    * so a pair agreeing in all 8 bands contributes 8 slots and the cap
+    * trips at roughly 1/8 of the nominal unique-pair count on
+    * duplicate-heavy corpora. That overcount is intentional: banded
+    * slots, not unique pairs, are what the self-join below actually
+    * materializes and pays for. NOTE: computing the breaker count runs
+    * an eager Spark job (the decode chain up to the rep relation) at
+    * DataFrame-CONSTRUCTION time; pass `maxCandidatePairs =
+    * Long.MaxValue` to opt out and keep this a lazy plan builder. */
   def mediaNearDupPairs(media: DataFrame, tau: Double = 0.99,
       codec: MediaCodec = DeterministicFakeCodec,
       maxCandidatePairs: Long = 10000000L): DataFrame = {
@@ -344,21 +355,27 @@ object Multimodal {
     // CIRCUIT BREAKER for the documented quadratic degeneration on
     // clustered feature spaces (all vectors one direction → few hot
     // buckets → pair volume quadratic in the corpus): count the banded
-    // candidate-pair volume BEFORE the self-join and refuse to run it
-    // past the cap. The count is a bounded 1-row driver aggregate over
-    // the already-checkpointed rep relation (the insert-stats shape),
-    // not a corpus collect.
-    val candidatePairs = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(expr("(c * (c - 1)) DIV 2")), lit(0L)).as("pairs"))
-      .head().getLong(0)
-    if (candidatePairs > maxCandidatePairs)
-      throw new IllegalStateException(
-        s"graft_media_neardup: $candidatePairs LSH candidate pairs exceed the " +
-          s"$maxCandidatePairs cap — the feature space is clustered into few " +
-          "buckets and the pair list would be quadratic in the corpus; use " +
-          "graft_media_semdedup (trained-quantizer keep/drop, linear output) " +
-          "for clustered spaces, or raise maxCandidatePairs explicitly")
+    // candidate-pair volume (band-multiplicity slots — a unique pair is
+    // counted once per agreeing band; see scaladoc) BEFORE the self-join
+    // and refuse to run it past the cap. The count is a bounded 1-row
+    // driver aggregate over the already-checkpointed rep relation (the
+    // insert-stats shape), not a corpus collect. Skipped entirely at
+    // cap = Long.MaxValue so plan-composition callers stay lazy.
+    if (maxCandidatePairs != Long.MaxValue) {
+      val candidatePairs = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("(c * (c - 1)) DIV 2")), lit(0L)).as("pairs"))
+        .head().getLong(0)
+      if (candidatePairs > maxCandidatePairs)
+        throw new IllegalStateException(
+          s"graft_media_neardup: $candidatePairs banded LSH candidate-pair slots " +
+            s"(unique pairs counted once per agreeing band, up to 8x) exceed the " +
+            s"$maxCandidatePairs cap — the feature space is clustered into few " +
+            "buckets and the pair list would be quadratic in the corpus; use " +
+            "graft_media_semdedup (trained-quantizer keep/drop, linear output) " +
+            "for clustered spaces, or raise maxCandidatePairs explicitly " +
+            "(Long.MaxValue skips the breaker and its eager count job)")
+    }
     // lowest-agreeing-band filter (the lshTopK discipline): unique pairs
     // by construction, no distinct() re-shuffling vectors
     val firstMatch = (0 until 8).map { bnd =>

@@ -656,19 +656,48 @@ object EventStreams {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Runs `body` with spark.sql.shuffle.partitions temporarily pinned:
-    * stateful streaming operators capture the setting at query START as
-    * their state-partition count, and the bounded gate replays don't
-    * need the session's scan-width parallelism — 32 state partitions ×
-    * a handful of micro-batches is pure task-scheduling overhead at
-    * testdata scale (measured ~0.3-0.5 s per gate). Deployment streams
-    * ([[ingestInto]] et al.) keep the session setting. The gates run
-    * sequentially in Verify/Bench, so the scoped mutation is safe. */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+  /** Runs `body` on a CLONED session (`newSession()`: separate SQLConf
+    * and temp views, shared SparkContext and cache) with
+    * spark.sql.shuffle.partitions pinned: stateful streaming operators
+    * capture the setting at query START as their state-partition count,
+    * and the bounded gate replays don't need the session's scan-width
+    * parallelism — 32 state partitions × a handful of micro-batches is
+    * pure task-scheduling overhead at testdata scale (measured
+    * ~0.3-0.5 s per gate). Deployment streams ([[ingestInto]] et al.)
+    * keep the session setting. The clone makes the pin invisible to any
+    * query planned concurrently on the caller's session — nothing is
+    * mutated and restored, so there is no window to leak through; the
+    * body must build its stream (and any static join side) from the
+    * session it is handed. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: SparkSession => T): T = {
+    val pinned = s.newSession()
+    pinned.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(pinned)
+  }
+
+  /** Polls until the engine has sat idle on a stable batch id: event-time
+    * timeout emission happens in a NO-DATA micro-batch the engine
+    * schedules after the watermark advances, and `processAllAvailable`
+    * does not await it. THROWS when the spin budget exhausts without
+    * reaching stability — an incomplete spool would otherwise fail much
+    * later as an opaque oracle hash mismatch far from the cause. */
+  private def awaitTimeoutDrain(
+      q: org.apache.spark.sql.streaming.StreamingQuery, name: String): Unit = {
+    var last = -1L
+    var stable = 0
+    var spins = 0
+    while (stable < 3 && spins < 600) {
+      val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val idle = !q.status.isTriggerActive && !q.status.isDataAvailable
+      if (b == last && idle) stable += 1 else { stable = 0; last = b }
+      Thread.sleep(50)
+      spins += 1
+    }
+    if (stable < 3)
+      throw new IllegalStateException(
+        s"$name: streaming drain gave up after $spins polls (~30 s) without a " +
+          "stable idle batch id — the no-data timeout batch never fired, so the " +
+          "spool is incomplete; inspect the query's lastProgress/state store")
   }
 
   /** The streaming family's CORRECTNESS row: a REAL Structured Streaming
@@ -699,8 +728,8 @@ object EventStreams {
         val spool = java.nio.file.Files.createTempDirectory(
           s"graft_e01_spool_${sinkSeq.incrementAndGet()}_").toString
         try {
-          withStatePartitions(s, 8) {
-            val q = dedup(readEventsDoubled(s, dir))
+          withStatePartitions(s, 8) { sp =>
+            val q = dedup(readEventsDoubled(sp, dir))
               .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
                 batch.write.mode("append").parquet(spool)
               }.start()
@@ -755,27 +784,16 @@ object EventStreams {
         val spool = java.nio.file.Files.createTempDirectory(
           s"graft_e02_spool_${sinkSeq.incrementAndGet()}_").toString
         try {
-          withStatePartitions(s, 8) {
-            val q = sessionizeClosing(readEvents(s, dir)).toDF()
+          withStatePartitions(s, 8) { sp =>
+            val q = sessionizeClosing(readEvents(sp, dir)).toDF()
               .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
                 batch.write.mode("append").parquet(spool)
               }.start()
             try {
               q.processAllAvailable()
-              // the event-time timeouts fire in a NO-DATA micro-batch the
-              // engine schedules after the watermark advances —
-              // processAllAvailable does not await it, so poll until the
-              // engine has sat idle on a stable batch id for a beat
-              var last = -1L
-              var stable = 0
-              var spins = 0
-              while (stable < 3 && spins < 600) {
-                val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-                val idle = !q.status.isTriggerActive && !q.status.isDataAvailable
-                if (b == last && idle) stable += 1 else { stable = 0; last = b }
-                Thread.sleep(50)
-                spins += 1
-              }
+              // event-time timeouts fire in a no-data micro-batch —
+              // poll to a stable idle batch id (throws on give-up)
+              awaitTimeoutDrain(q, "e02_stream_sessionize")
             } finally q.stop()
           }
           // 1-row bounded aggregate: the oracle's watermark horizon (the
@@ -814,8 +832,8 @@ object EventStreams {
         val spool = java.nio.file.Files.createTempDirectory(
           s"graft_e03_spool_${sinkSeq.incrementAndGet()}_").toString
         try {
-          withStatePartitions(s, 8) {
-            val q = enriched(readEvents(s, dir), graft.Tables.load(s, dir, "customer"))
+          withStatePartitions(s, 8) { sp =>
+            val q = enriched(readEvents(sp, dir), graft.Tables.load(sp, dir, "customer"))
               .writeStream.outputMode("complete")
               .foreachBatch { (batch: DataFrame, _: Long) =>
                 batch.write.mode("overwrite").parquet(spool)
@@ -856,8 +874,8 @@ object EventStreams {
         val spool = java.nio.file.Files.createTempDirectory(
           s"graft_e04_spool_${sinkSeq.incrementAndGet()}_").toString
         try {
-          withStatePartitions(s, 8) {
-            val q = purchaseAttribution(readEvents(s, dir))
+          withStatePartitions(s, 8) { sp =>
+            val q = purchaseAttribution(readEvents(sp, dir))
               .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
                 batch.write.mode("append").parquet(spool)
               }.start()
@@ -908,12 +926,12 @@ object EventStreams {
         val spool = java.nio.file.Files.createTempDirectory(
           s"graft_e05_spool_${sinkSeq.incrementAndGet()}_").toString
         try {
-          withStatePartitions(s, 8) {
+          withStatePartitions(s, 8) { sp =>
             // +1 window of epoch offset: a row whose event time equals
             // the INITIAL watermark (epoch 0) is filtered by the stateful
             // operator's late-row predicate before batch 0 ever runs —
             // measured as doc 0 silently missing from its window's counts
-            val timed = readDocuments(s, dir)
+            val timed = readDocuments(sp, dir)
               .select(expr("timestamp_micros(doc_id * 60000000 + 3600000000)").as("ts"),
                 col("text"))
             val q = trendingPhrases(timed, 2, windowUs = 3600000000L,
@@ -924,16 +942,7 @@ object EventStreams {
             try {
               q.processAllAvailable()
               // emission is timeout-driven (the e02 drain discipline)
-              var last = -1L
-              var stable = 0
-              var spins = 0
-              while (stable < 3 && spins < 600) {
-                val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-                val idle = !q.status.isTriggerActive && !q.status.isDataAvailable
-                if (b == last && idle) stable += 1 else { stable = 0; last = b }
-                Thread.sleep(50)
-                spins += 1
-              }
+              awaitTimeoutDrain(q, "e05_stream_trending")
             } finally q.stop()
           }
           val maxUs = graft.Tables.load(s, dir, "documents")
