@@ -447,6 +447,17 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           a.lift(1).map(_.toInt).getOrElse(4),
           a.lift(2).map(_.toInt).getOrElse(2),
           a.lift(3).map(_.toInt).getOrElse(64))),
+      // the df-capped winnow fingerprint INDEX itself (doc_id, fp) — the
+      // persistable admission artifact: materialize it once (INSERT INTO
+      // idx SELECT * FROM graft_winnow_index(history, ...)) and every
+      // later graft_winnow_admit(inc, idx, ...) call probes the stored
+      // scalars with NO history rescan. args (k, w, dfCap) — note: no
+      // minShared (that is an admission-time knob, not an index property)
+      "graft_winnow_index" -> ((t, a) =>
+        Dedup.winnowedIndex(t,
+          a.headOption.map(_.toInt).getOrElse(4),
+          a.lift(1).map(_.toInt).getOrElse(4),
+          a.lift(2).map(_.toInt).getOrElse(64))),
       "graft_span_stats" -> ((t, a) =>
         Dedup.spanStats(t, a.headOption.map(_.toInt).getOrElse(8),
           a.lift(1).getOrElse(0.3))),
@@ -483,18 +494,24 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_decontaminate" -> ((corpus, bench, a) =>
         Curation.contamination(corpus, bench, a.headOption.map(_.toInt).getOrElse(3))),
       "graft_admit" -> ((inc, idx, _) => Dedup.incrementalAdmit(inc, idx)),
-      // winnow-level admission: the second relation is the HISTORY corpus
-      // the df-capped fingerprint index is built from; args (k, w,
-      // minShared, dfCap)
-      "graft_winnow_admit" -> ((inc, hist, a) =>
-        Dedup.winnowAdmit(inc,
-          Dedup.winnowedIndex(hist,
+      // winnow-level admission; args (k, w, minShared, dfCap). The second
+      // relation dispatches on SHAPE: a (doc_id, fp) relation — the
+      // graft_winnow_index artifact, typically a managed table — is
+      // probed AS the index (no rebuild job in the probe plan); anything
+      // else is the HISTORY corpus and the df-capped index builds in-call
+      // (the round-12 spelling, kept for one-shot use)
+      "graft_winnow_admit" -> ((inc, second, a) => {
+        val idx =
+          if (second.columns.contains("fp")) second
+          else Dedup.winnowedIndex(second,
             a.headOption.map(_.toInt).getOrElse(4),
             a.lift(1).map(_.toInt).getOrElse(4),
-            a.lift(3).map(_.toInt).getOrElse(64)),
+            a.lift(3).map(_.toInt).getOrElse(64))
+        Dedup.winnowAdmit(inc, idx,
           a.headOption.map(_.toInt).getOrElse(4),
           a.lift(1).map(_.toInt).getOrElse(4),
-          a.lift(2).map(_.toInt).getOrElse(2))),
+          a.lift(2).map(_.toInt).getOrElse(2))
+      }),
       "graft_contamination_frac" -> ((corpus, bench, a) =>
         Curation.contaminationScore(corpus, bench, a.headOption.getOrElse(0.2))),
       // embedding-level decontamination (hashed-embedding cosine >= tau);
@@ -657,6 +674,39 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           inc, graft.operators.Similarity.cellIndex(hist, seeds), seeds, tau)
       }))
 
+  /** PERSISTED-ARTIFACT deployment spellings: both leading args are
+    * STRING literals — one names a session temp view (the embedding-typed
+    * escape hatch, viewFunctions' convention), the other a filesystem
+    * path holding the index artifact set. These close the deployment gap
+    * the view-pair ANN TVFs leave open (those retrain in-call):
+    * `graft_ivfpq_build` trains + encodes + persists ONCE, and every
+    * later `graft_ivfpq_query` — any session, any statement — answers
+    * from the stored codes/centroid/PQ artifacts with no training and no
+    * base-corpus access. */
+  private val stringPairFunctions: Map[String, (String, String, Seq[Double]) => DataFrame] =
+    Map(
+      // graft_ivfpq_build('base_view', 'path'[, cells[, m[, k_per_subspace]]])
+      // -> one-row build report (n_vectors, cells, m, k_per_subspace);
+      // the artifact write is EAGER (an index build is a statement-level
+      // side effect, like INSERT)
+      "graft_ivfpq_build" -> ((viewName, path, a) =>
+        graft.operators.Similarity.writeIvfPqIndex(spark.table(viewName), path,
+          a.headOption.map(_.toInt).getOrElse(16),
+          a.lift(1).map(_.toInt).getOrElse(16),
+          a.lift(2).map(_.toInt).getOrElse(64))),
+      // graft_ivfpq_query('path', 'queries_view'[, k[, nprobe[, excludeSelf]]])
+      // -> (query_id, vec_id, dist, rank); probed cells become a STATIC
+      // partition filter on the codes scan (plan-locked). excludeSelf
+      // defaults 1 — the corpus-ANN convention (see graft_pq_topk)
+      "graft_ivfpq_query" -> ((path, queriesView, a) =>
+        graft.operators.Similarity.ivfPqQueryIndex(
+          spark.table(queriesView)
+            .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+          path,
+          a.headOption.map(_.toInt).getOrElse(10),
+          a.lift(1).map(_.toInt).getOrElse(4),
+          excludeSelf = a.lift(2).forall(_ != 0.0))))
+
   /** Table functions over the table IDENTITY rather than its current
     * snapshot — the time-travel reads: `graft_at_version(t, v)` is the
     * table as of snapshot v; `graft_at_time(t, millis)` resolves the
@@ -746,7 +796,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       def isTvf(w: String): Boolean =
         tableFunctions.contains(w) || stringTableFunctions.contains(w) ||
           snapshotFunctions.contains(w) || twoTableFunctions.contains(w) ||
-          viewFunctions.contains(w) || viewPairFunctions.contains(w)
+          viewFunctions.contains(w) || viewPairFunctions.contains(w) ||
+          stringPairFunctions.contains(w)
       var j = i + 2
       // Tbl = dotted chain; Nested = inner TVF's result view; ViewName =
       // user temp view named by a string literal (viewFunctions only)
@@ -766,7 +817,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         case None => None
       }
       val first: In =
-        if (viewFunctions.contains(fn) || viewPairFunctions.contains(fn)) strTok(j) match {
+        if (viewFunctions.contains(fn) || viewPairFunctions.contains(fn) ||
+          stringPairFunctions.contains(fn)) strTok(j) match {
           case Some(v) => j += 1; ViewName(v)
           case None => return None
         } else parseInput() match {
@@ -789,7 +841,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
             j = beforeSecond
           }
         } else if (!tableFunctions.contains(fn)) return None
-      } else if (viewPairFunctions.contains(fn)) {
+      } else if (viewPairFunctions.contains(fn) || stringPairFunctions.contains(fn)) {
         if (spans.lift(j).exists(_.tok == Sym(",")) && strTok(j + 1).isDefined) {
           second = Some(ViewName(strTok(j + 1).get)); j += 2
         } else return None
@@ -825,18 +877,6 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // second createOrReplaceTempView would silently serve the wrong rows)
       def enc(p: (String, String, String)): String =
         s"${p._1.length}_${p._2.length}_${p._3.length}_${p._1}_${p._2}_${p._3}"
-      def encIn(in: In): String = in match {
-        case Tbl(p) => enc(locate(p))
-        case Nested(v) => s"n${v.length}_$v"
-        case ViewName(v) => s"v${v.length}_$v"
-      }
-      def relOf(in: In): DataFrame = in match {
-        case Tbl(p) => val (d, s2, t) = locate(p); readTable(d, s2, t)
-        // user view / inner TVF view: resolved eagerly here, while it is
-        // guaranteed registered (the statement-scoped drop runs later)
-        case Nested(v) => spark.table(v)
-        case ViewName(v) => spark.table(v)
-      }
       // args encode by VALUE (IEEE-754 bit pattern in hex, count-prefixed;
       // strings by SHA-256 of their UTF-8 bytes — fixed-length, identifier-
       // safe, collisions negligible): a 32-bit hashCode over an unbounded
@@ -846,6 +886,21 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .map(b => f"$b%02x").mkString
+      def encIn(in: In): String = in match {
+        case Tbl(p) => enc(locate(p))
+        case Nested(v) => s"n${v.length}_$v"
+        case ViewName(v) if v.matches("[A-Za-z0-9_]+") => s"v${v.length}_$v"
+        // stringPairFunctions take filesystem PATHS — '/', '.', '-' would
+        // otherwise land in the generated temp-view name and break it
+        case ViewName(v) => s"h${encStr(v)}"
+      }
+      def relOf(in: In): DataFrame = in match {
+        case Tbl(p) => val (d, s2, t) = locate(p); readTable(d, s2, t)
+        // user view / inner TVF view: resolved eagerly here, while it is
+        // guaranteed registered (the statement-scoped drop runs later)
+        case Nested(v) => spark.table(v)
+        case ViewName(v) => spark.table(v)
+      }
       val view = s"graft_tvf_${fn}_${encIn(first)}_" +
         second.map(p => s"${encIn(p)}_").getOrElse("") +
         s"a${as.length}_" +
@@ -853,6 +908,10 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           .mkString("_") +
         (if (ss.isEmpty) "" else s"_s${ss.length}_" + ss.map(encStr).mkString("_"))
       val result = (first, second) match {
+        // raw strings, NOT resolved as relations — the function body
+        // interprets which is the view and which the artifact path
+        case (ViewName(a1), Some(ViewName(a2))) if stringPairFunctions.contains(fn) =>
+          stringPairFunctions(fn)(a1, a2, as)
         case (_, Some(s2)) if viewPairFunctions.contains(fn) =>
           viewPairFunctions(fn)(relOf(first), relOf(s2), as)
         case (_, Some(s2)) => twoTableFunctions(fn)(relOf(first), relOf(s2), as)
@@ -919,7 +978,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
             if (!prevIsDot && nextParen &&
               (tableFunctions.contains(a) || snapshotFunctions.contains(a) ||
                 twoTableFunctions.contains(a) || stringTableFunctions.contains(a) ||
-                viewFunctions.contains(a) || viewPairFunctions.contains(a)))
+                viewFunctions.contains(a) || viewPairFunctions.contains(a) ||
+                stringPairFunctions.contains(a)))
               spliceTableFunction(i, a)
             else None
           tvf match {

@@ -1814,30 +1814,7 @@ object Dedup {
     // fingerprint on identical text).
     NamedQuery(
       "d21_winnow_admit",
-      Some {
-        def chain(src: String, p: String): String =
-          s"${p}tk AS (SELECT doc_id, string_split_regex(replace(lower(text), chr(31), ' '), '\\s+') AS tk FROM $src), " +
-            s"${p}g AS (SELECT doc_id, CASE WHEN len(tk) < 4 THEN [array_to_string(tk, chr(31))] " +
-            s"ELSE list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], chr(31))) END AS gs FROM ${p}tk), " +
-            s"${p}h AS (SELECT doc_id, list_transform(gs, g2 -> list_reduce(list_transform(range(1, 9), " +
-            s"c -> strpos('0123456789abcdef', sha256(g2)[c]) - 1), (a, c) -> a * 16 + c)) AS hs FROM ${p}g), " +
-            s"${p}sel AS (SELECT doc_id, unnest(CASE WHEN len(hs) <= 4 THEN [list_min(hs)] " +
-            s"ELSE list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3])) END) AS fp FROM ${p}h), " +
-            s"${p}fps AS (SELECT DISTINCT doc_id, fp FROM ${p}sel)"
-        "WITH idx_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), " +
-          "inc_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 " +
-          "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
-          "WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1), " +
-          chain("idx_src", "ix") + ", " +
-          "ixkeep AS (SELECT fp FROM ixfps GROUP BY fp HAVING count(*) <= 64), " +
-          "ixfk AS (SELECT doc_id, fp FROM ixfps JOIN ixkeep USING (fp)), " +
-          chain("inc_src", "in") + ", " +
-          "shared AS (SELECT i.doc_id AS inc_id, x.doc_id AS idx_id, count(*) AS c " +
-          "FROM infps i JOIN ixfk x ON i.fp = x.fp GROUP BY 1, 2), " +
-          "rej AS (SELECT DISTINCT inc_id FROM shared WHERE c >= 2) " +
-          "SELECT doc_id FROM inc_src WHERE doc_id NOT IN (SELECT inc_id FROM rej) " +
-          "ORDER BY doc_id"
-      },
+      Some(winnowAdmitOracleSql),
       (s, dir) => {
         val docs = corpus(s, dir)
         val inc = docs.filter(col("doc_id") % 5 === 0)
@@ -1845,6 +1822,74 @@ object Dedup {
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         winnowAdmit(inc, cachedWinnowIndex(s, dir), 4, 4, 2)
           .orderBy(col("doc_id"))
+      }),
+
+    // the SAME admission semantics as d21, driven end-to-end through the
+    // ENGINE's persisted-artifact SQL flow: the fingerprint index is
+    // materialized ONCE into a managed table (INSERT .. SELECT FROM
+    // graft_winnow_index) and the probe statement passes that table to
+    // graft_winnow_admit, whose shape dispatch (a (doc_id, fp) relation)
+    // probes it directly — the probe plan fingerprints only the
+    // increment; the history corpus is never rescanned (plan-locked in
+    // PlanQualitySpec). The oracle is d21's verbatim: the artifact
+    // round-trip must be value-invisible.
+    NamedQuery(
+      "d22_winnow_index_sql",
+      Some(winnowAdmitOracleSql),
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        val wh = java.nio.file.Files.createTempDirectory("graft-d22-wh-").toString
+        try {
+          val e = new graft.engine.SqlEngine(s, new graft.engine.Catalog(wh),
+            graft.engine.SqlContext("d22db", "user1"))
+          e.execute("CREATE DATABASE d22db")
+          e.execute("CREATE TABLE hist (doc_id bigint PRIMARY KEY, text text)")
+          e.execute("INSERT INTO hist SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0")
+          e.execute("CREATE TABLE inc (doc_id bigint PRIMARY KEY, text text)")
+          e.execute("INSERT INTO inc SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 " +
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents " +
+            "WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1")
+          // winnowedIndex emits DISTINCT (doc_id, fp), so the composite PK's
+          // unique enforcement passes — and locks the artifact's key shape
+          e.execute("CREATE TABLE widx (doc_id bigint, fp bigint, PRIMARY KEY (doc_id, fp))")
+          e.execute("INSERT INTO widx SELECT doc_id, fp FROM graft_winnow_index(hist, 4, 4, 64)")
+          e.execute("SELECT doc_id FROM graft_winnow_admit(inc, widx, 4, 4, 2) ORDER BY doc_id")
+            .localCheckpoint()
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+          val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+          all.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       })
   )
+
+  /** d21/d22's shared DuckDB oracle: replay both fingerprint chains
+    * (history with the df cap, incoming without) and the ≥2-shared-with-
+    * one-doc rejection rule over the %5 held-out split plus planted
+    * clones of indexed docs. */
+  private lazy val winnowAdmitOracleSql: String = {
+    def chain(src: String, p: String): String =
+      s"${p}tk AS (SELECT doc_id, string_split_regex(replace(lower(text), chr(31), ' '), '\\s+') AS tk FROM $src), " +
+        s"${p}g AS (SELECT doc_id, CASE WHEN len(tk) < 4 THEN [array_to_string(tk, chr(31))] " +
+        s"ELSE list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], chr(31))) END AS gs FROM ${p}tk), " +
+        s"${p}h AS (SELECT doc_id, list_transform(gs, g2 -> list_reduce(list_transform(range(1, 9), " +
+        s"c -> strpos('0123456789abcdef', sha256(g2)[c]) - 1), (a, c) -> a * 16 + c)) AS hs FROM ${p}g), " +
+        s"${p}sel AS (SELECT doc_id, unnest(CASE WHEN len(hs) <= 4 THEN [list_min(hs)] " +
+        s"ELSE list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3])) END) AS fp FROM ${p}h), " +
+        s"${p}fps AS (SELECT DISTINCT doc_id, fp FROM ${p}sel)"
+    "WITH idx_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), " +
+      "inc_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 " +
+      "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+      "WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1), " +
+      chain("idx_src", "ix") + ", " +
+      "ixkeep AS (SELECT fp FROM ixfps GROUP BY fp HAVING count(*) <= 64), " +
+      "ixfk AS (SELECT doc_id, fp FROM ixfps JOIN ixkeep USING (fp)), " +
+      chain("inc_src", "in") + ", " +
+      "shared AS (SELECT i.doc_id AS inc_id, x.doc_id AS idx_id, count(*) AS c " +
+      "FROM infps i JOIN ixfk x ON i.fp = x.fp GROUP BY 1, 2), " +
+      "rej AS (SELECT DISTINCT inc_id FROM shared WHERE c >= 2) " +
+      "SELECT doc_id FROM inc_src WHERE doc_id NOT IN (SELECT inc_id FROM rej) " +
+      "ORDER BY doc_id"
+  }
 }

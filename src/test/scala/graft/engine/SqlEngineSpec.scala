@@ -1452,6 +1452,69 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(wXx == wXxApi, s"got $wXx vs $wXxApi")
   }
 
+  test("persisted-artifact TVFs: ivfpq build+query and winnow index+admit flows") {
+    import spark.implicits._
+    val e = freshEngine("arts")
+    e.execute("CREATE DATABASE arts")
+    // --- IVF-ADC: build persists, a SEPARATE statement queries the files
+    val base = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    base.createOrReplaceTempView("art_base_view")
+    q.createOrReplaceTempView("art_q_view")
+    val path = Files.createTempDirectory("graft-art-idx-").toString
+    try {
+      val rep = e.execute("SELECT n_vectors, cells FROM graft_ivfpq_build(" +
+        s"'art_base_view', '$path', 2, 1, 2)").collect()
+      assert(rep.length == 1 && rep.head.getLong(0) == 4L, s"build report: ${rep.toSeq}")
+      val viaSql = e.execute("SELECT query_id, vec_id, rank FROM graft_ivfpq_query(" +
+        s"'$path', 'art_q_view', 2, 2) ORDER BY rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val (km, pq) = graft.operators.Similarity.ivfPqTrain(base, cells = 2, m = 1, k = 2)
+      val api = graft.operators.Similarity.ivfPqTopK(base,
+        q.select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+          org.apache.spark.sql.functions.col("embedding").as("q_emb")),
+        km, pq, 2, nprobe = 2)
+        .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+      assert(viaSql == api && viaSql.size == 2, s"got $viaSql vs $api")
+    } finally {
+      spark.catalog.dropTempView("art_base_view")
+      spark.catalog.dropTempView("art_q_view")
+      val walk = Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(Files.deleteIfExists(_))
+    }
+    // --- winnow: the index materializes into a managed table once; the
+    // admit probe dispatches on the (doc_id, fp) shape and rebuilds nothing
+    e.execute("CREATE TABLE whist (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO whist VALUES (1, 'alpha beta gamma delta'), " +
+      "(2, 'epsilon zeta eta theta')")
+    e.execute("CREATE TABLE winc (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO winc VALUES (10, 'alpha beta gamma delta'), " +
+      "(11, 'totally novel content here')")
+    e.execute("CREATE TABLE widx (doc_id bigint, fp bigint, PRIMARY KEY (doc_id, fp))")
+    e.execute("INSERT INTO widx SELECT doc_id, fp FROM graft_winnow_index(whist, 2, 2, 64)")
+    // the artifact equals the library's index relation
+    val idxSql = e.execute("SELECT doc_id, fp FROM widx ORDER BY doc_id, fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val idxApi = graft.operators.Dedup.winnowedIndex(
+      Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), 2, 2, 64)
+      .select("doc_id", "fp") // the index relation leads with the fp join key
+      .orderBy("doc_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(idxSql == idxApi && idxSql.nonEmpty, s"got $idxSql vs $idxApi")
+    // probe against the PREBUILT table: clone rejected, novel admitted
+    val admitted = e.execute(
+      "SELECT doc_id FROM graft_winnow_admit(winc, widx, 2, 2, 1) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(admitted == Seq(11L), s"clone 10 must be rejected via the artifact: $admitted")
+    // the history-corpus spelling (second relation carries text) still works
+    val admitted2 = e.execute(
+      "SELECT doc_id FROM graft_winnow_admit(winc, whist, 2, 2, 1) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(admitted2 == Seq(11L), s"in-call index spelling regressed: $admitted2")
+  }
+
   test("resumable change feed: a consumer crosses a compaction with no loss and no dupes") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")

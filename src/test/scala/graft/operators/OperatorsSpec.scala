@@ -641,6 +641,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF-ADC artifacts: query path equals inline path, no retraining") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-art-").toString
+    try {
+      val report = Similarity.writeIvfPqIndex(annBase, path, cells = 4, m = 16, kps = 16)
+        .head()
+      assert(report.getLong(0) == annBase.count(), "every vector must be encoded")
+      val q = annQueries
+      val persisted = Similarity.ivfPqQueryIndex(q, path, 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val (km, pq) = Similarity.ivfPqTrain(annBase, cells = 4, m = 16, k = 16)
+      val inline = Similarity.ivfPqTopK(annBase, q, km, pq, 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(persisted == inline,
+        s"persisted path diverged from inline: ${persisted.diff(inline)} / ${inline.diff(persisted)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("dedup clusters are closed under the pair graph") {
     val pairs = q("d02_dedup_minhash").select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -871,6 +871,71 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("s18 persisted ANN query path: probed cells are a STATIC partition filter; no vectors in the codes scan") {
+    // the deployment read contract of graft_ivfpq_query: the probe set is
+    // resolved to a bounded cell list BEFORE the scan plans, so the codes
+    // read prunes to nprobe/cells of the partitioned files statically —
+    // not via a runtime join — and touches the corpus at code width only
+    val b = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = b.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val path = java.nio.file.Files.createTempDirectory("graft_s18_plan_").toString
+    try {
+      graft.operators.Similarity.writeIvfPqIndex(b, path, cells = 4, m = 16, kps = 16)
+      val p = graft.operators.Similarity.ivfPqQueryIndex(q, path, 5, nprobe = 2)
+        .queryExecution.explainString(FormattedMode)
+      val codeScans = p.split("\n\n").filter(s =>
+        s.contains("Scan parquet") && s.contains("graft_s18_plan_") && s.contains("codes"))
+      assert(codeScans.nonEmpty, s"expected the persisted codes scan:\n$p")
+      codeScans.foreach { s =>
+        assert(!s.contains("embedding"), s"the codes scan reads float vectors:\n$s")
+        assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(s).isDefined,
+          s"probed cells did not become a static partition filter:\n$s")
+      }
+      assert(p.contains("BroadcastExchange"), "probe side must broadcast")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("d22 winnow admit over a prebuilt index table: the probe plan never rescans history") {
+    // the artifact contract: once the fingerprint index is materialized
+    // (INSERT .. SELECT FROM graft_winnow_index), an admission probe reads
+    // the (doc_id, fp) table and fingerprints ONLY the increment — a scan
+    // of the history table in the probe plan means the rebuild cost
+    // silently came back (the round-12 watch item)
+    import graft.engine.{Catalog, SqlContext, SqlEngine}
+    val wh = java.nio.file.Files.createTempDirectory("graft-d22-plan-wh-").toString
+    try {
+      val e = new SqlEngine(spark, new Catalog(wh), SqlContext("d22p", "u"))
+      e.execute("CREATE DATABASE d22p")
+      e.execute("CREATE TABLE hist (doc_id bigint PRIMARY KEY, text text)")
+      e.execute("INSERT INTO hist VALUES (1, 'alpha beta gamma delta')")
+      e.execute("CREATE TABLE inc (doc_id bigint PRIMARY KEY, text text)")
+      e.execute("INSERT INTO inc VALUES (10, 'alpha beta gamma delta'), (11, 'new stuff entirely')")
+      e.execute("CREATE TABLE widx (doc_id bigint, fp bigint, PRIMARY KEY (doc_id, fp))")
+      e.execute("INSERT INTO widx SELECT doc_id, fp FROM graft_winnow_index(hist, 2, 2, 64)")
+      val p = e.execute("SELECT doc_id FROM graft_winnow_admit(inc, widx, 2, 2, 1)")
+        .queryExecution.explainString(FormattedMode)
+      val scans = p.split("\n\n").filter(_.contains("Scan parquet"))
+      assert(scans.exists(_.contains("/widx")), s"expected the index-table scan:\n$p")
+      assert(!scans.exists(_.contains("/hist")),
+        s"the probe plan rescans the history corpus:\n$p")
+      // text enters the plan exactly through the increment scan
+      val textScans = scans.filter(_.contains("text"))
+      assert(textScans.nonEmpty && textScans.forall(_.contains("/inc")),
+        s"text must come only from the increment scan:\n${textScans.mkString("\n\n")}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("salted join distributes a hot key and matches the plain join") {
     val events = Tables.load(spark, dir, "events")
     // manufacture skew: all rows collapsed onto user 0 for half the data
