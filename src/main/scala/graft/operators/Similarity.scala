@@ -104,16 +104,16 @@ object Similarity {
     * [[trainQuantizer]] and [[quantizedCells]]'s safe-sizing cap so the
     * cap is computed over the SAME rows the model trains on.
     *
-    * KNOWN TRADE: the smallest-id sample assumes the low-id rows are
-    * representative. A corpus whose lowest ids are homogeneous (e.g. a
-    * templated ingest batch first) trains a degenerate quantizer and
-    * quantizedCells degrades to ONE cell — graceful (the old absolute
-    * filter crashed outright) but quadratic for semDedup. If that shape
-    * arises, switch the sort key to (xxhash64(vec_id), vec_id) for a
-    * diversity-preserving sample; kept id-ordered here because the
-    * measured recall floors (s04) are pinned against this sample. */
+    * The sort key is (xxhash64(vec_id), vec_id) — a DIVERSITY-PRESERVING
+    * pseudo-random 4096-sample that is still fully deterministic (fixed
+    * hash seed, id tiebreak): a corpus whose lowest ids are homogeneous
+    * (e.g. a templated ingest batch first) would train a degenerate
+    * quantizer under a smallest-id sample and collapse quantizedCells to
+    * ONE cell (quadratic semDedup) — hashing the id decorrelates sample
+    * membership from ingest order, killing that cliff class entirely.
+    * The s04/s05 recall floors are pinned against this sample. */
   private[operators] def quantizerSample(base: DataFrame): DataFrame =
-    base.sort(col("vec_id")).limit(4096)
+    base.sort(xxhash64(col("vec_id")), col("vec_id")).limit(4096)
 
   /** Trains the IVF coarse quantizer on a DETERMINISTICALLY ordered
     * single-partition sample (standard IVF practice: the quantizer trains
