@@ -285,6 +285,61 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(docIds == Seq(1L, 2L, 4L, 5L, 7L) && idxCount == 5L)
   }
 
+  test("deduped ingest RESTARTS from its checkpoint: committed batches never reprocess, new data still dedups against history") {
+    // the recovery-replay contract (mirrors the reference's restart e2e,
+    // /root/reference/src/tablet/mod.rs:140-179): a query stopped after
+    // committing its checkpoint, restarted on the SAME checkpoint, must
+    // (a) not re-ingest committed files (no dup), (b) ingest exactly the
+    // files that arrived while it was down (no loss), and (c) keep
+    // rejecting duplicates of pre-restart content — the streaming query
+    // id is checkpoint-stable, so the provenance protocol keys match.
+    import spark.implicits._
+    import graft.engine.{Catalog, SqlContext, SqlEngine}
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft-ckpt-wh-").toString
+    val e = new SqlEngine(spark, new Catalog(wh), SqlContext("ckx", "u"))
+    e.execute("CREATE DATABASE ckx")
+    e.execute("CREATE TABLE docs (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("CREATE TABLE dix (digest text PRIMARY KEY, query_id text, batch_id bigint)")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def start() = EventStreams.ingestDeduped(
+        spark.readStream.schema(schema).parquet(srcDir), e, "docs", "dix")
+      .option("checkpointLocation", ckpt).start()
+    def docIds = e.execute("SELECT doc_id FROM docs ORDER BY doc_id").collect()
+      .map(_.getLong(0)).toSeq
+
+    // phase 1: two docs land and the query stops CLEANLY (checkpoint committed)
+    Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = start()
+    val qid1 = try { q1.processAllAvailable(); q1.id } finally q1.stop()
+    assert(docIds == Seq(1L, 2L))
+
+    // downtime: a file arrives with one duplicate of PRE-restart content
+    Seq((3L, "bbb"), (4L, "ccc")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    // phase 2: restart on the SAME checkpoint
+    val q2 = start()
+    try {
+      assert(q2.id == qid1, "restart from the checkpoint must keep the query id")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(docIds == Seq(1L, 2L, 4L),
+      "restart must skip committed files (no re-ingest of 1/2), land the new file, " +
+        "and reject the cross-restart duplicate (3 = 'bbb')")
+
+    // phase 3: an idle restart is a complete no-op
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(docIds == Seq(1L, 2L, 4L), "idle restart must change nothing")
+    assert(e.execute("SELECT count(*) AS n FROM dix").collect()(0).getLong(0) == 3L,
+      "index must hold exactly one digest per distinct admitted content")
+  }
+
   test("near-dedup ingest: band index is the durable state, exactly-once under replay") {
     import spark.implicits._
     import graft.engine.{Catalog, SqlContext, SqlEngine}
