@@ -379,6 +379,13 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         TextAnalysis.vocabulary(t, a.headOption.map(_.toInt).getOrElse(30))),
       "graft_bpe_merges" -> ((t, a) =>
         TextAnalysis.bpeMerges(t, a.headOption.map(_.toInt).getOrElse(8))),
+      // production-depth spelling: capped-census driver-side trainer —
+      // graft_bpe_train(relation, merges [, vocabCap]); rounds run in
+      // memory over the bounded census, so real tokenizer depths are a
+      // single corpus pass rather than k scheduled jobs
+      "graft_bpe_train" -> ((t, a) =>
+        TextAnalysis.bpeMergesDriver(t, a.headOption.map(_.toInt).getOrElse(256),
+          a.lift(1).map(_.toInt).getOrElse(65536))),
       // train-then-encode convenience: k merges learned from the relation
       // itself, then per-doc tokenizer stats under them
       "graft_bpe_encode" -> ((t, a) => {

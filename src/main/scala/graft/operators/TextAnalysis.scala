@@ -442,13 +442,119 @@ object TextAnalysis {
     * in document text is normalized to a space BEFORE word-splitting —
     * mirrored in the oracle's census CTE — so the DuckDB list_reduce
     * replay can never confuse a data byte for its accumulator joint. */
-  private def bpeWordCensus(corpus: DataFrame): DataFrame = corpus
-    .select(explode(split(translate(lower(col("text")), "\u001f", " "), "\\s+")).as("word"))
-    .filter(col("word") =!= "")
-    .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+  private def bpeWordCensus(corpus: DataFrame): DataFrame = bpeWordFreqs(corpus)
     .withColumn("syms",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
     .select(col("freq"), col("syms"))
+
+  /** PRODUCTION-DEPTH BPE training: the capped-census driver-side
+    * trainer. [[bpeMerges]] runs every round as Spark jobs — the right
+    * shape when the vocabulary relation is too large to hold, but each
+    * round pays a fixed scheduling floor (~0.1 s at any SF), so a real
+    * tokenizer depth (k in the thousands) costs hours of pure driver/job
+    * overhead over a vocabulary that is usually tiny. This trainer is
+    * the standard production spelling instead: ONE corpus-sized pass
+    * builds the word census, the top-`vocabCap` words by
+    * (freq DESC, word) collect as a bounded artifact (≤ vocabCap rows —
+    * the same bounded-collect discipline as the merge table itself), and
+    * the merge rounds run in memory over that census in microseconds per
+    * round. Training on a frequency-capped census is how practical BPE
+    * trainers work (tail words contribute ~nothing to pair counts); with
+    * `vocabCap` ≥ the corpus vocabulary the result is EXACTLY
+    * [[bpeMerges]] — the sequential (freq DESC, a, b) argmax and greedy
+    * left-to-right fold, property-swept equal in OperatorPropertySpec.
+    *
+    * Returns (rank, a, b, freq) tuples; stops early when pairs exhaust
+    * (every census word a single token), so `merges` past the corpus's
+    * trainable depth returns the full table. */
+  def bpeTrainDriver(corpus: DataFrame, merges: Int,
+      vocabCap: Int = 65536): Seq[(Int, String, String, Long)] = {
+    require(merges > 0, "need merges > 0")
+    require(vocabCap > 0, "need vocabCap > 0")
+    val census = bpeWordFreqs(corpus)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words: Array[scala.collection.mutable.ArrayBuffer[String]] =
+      census.map { case (w, _) =>
+        scala.collection.mutable.ArrayBuffer.from(w.map(_.toString))
+      }
+    val freqs: Array[Long] = census.map(_._2)
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def addPairs(ss: scala.collection.mutable.ArrayBuffer[String], f: Long): Unit = {
+      var i = 0
+      while (i < ss.length - 1) {
+        val k = (ss(i), ss(i + 1))
+        pairCounts.update(k, pairCounts.getOrElse(k, 0L) + f)
+        i += 1
+      }
+    }
+    words.indices.foreach(i => addPairs(words(i), freqs(i)))
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= merges && !done) {
+      pairCounts.filterInPlace((_, f) => f > 0L)
+      if (pairCounts.isEmpty) done = true
+      else {
+        // argmax under the sequential trainer's (freq DESC, a ASC, b ASC)
+        var bk: (String, String) = null
+        var bf = 0L
+        pairCounts.foreach { case (k, f) =>
+          if (bk == null || f > bf || (f == bf &&
+              (k._1 < bk._1 || (k._1 == bk._1 && k._2 < bk._2)))) {
+            bk = k; bf = f
+          }
+        }
+        val (a, b) = bk
+        val ab = a + b
+        out += ((r, a, b, bf))
+        // delta recount: only words containing the adjacent pair change
+        words.indices.foreach { i =>
+          val ss = words(i)
+          var j = 0
+          var hit = false
+          while (!hit && j < ss.length - 1) {
+            if (ss(j) == a && ss(j + 1) == b) hit = true else j += 1
+          }
+          if (hit) {
+            addPairs(ss, -freqs(i))
+            // greedy left-to-right, the merged token never re-matching as
+            // the left side within the round (|ab| > |a|) — the MergePair
+            // fold's semantics
+            var iR = 0
+            var iW = 0
+            while (iR < ss.length) {
+              if (iR + 1 < ss.length && ss(iR) == a && ss(iR + 1) == b) {
+                ss(iW) = ab; iR += 2
+              } else { ss(iW) = ss(iR); iR += 1 }
+              iW += 1
+            }
+            ss.takeInPlace(iW)
+            addPairs(ss, freqs(i))
+          }
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** [[bpeTrainDriver]]'s merge table as a relation (rank, a, b, freq) —
+    * the schema [[bpeMerges]] produces. */
+  def bpeMergesDriver(corpus: DataFrame, merges: Int,
+      vocabCap: Int = 65536): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    bpeTrainDriver(corpus, merges, vocabCap).toDF("rank", "a", "b", "freq")
+  }
+
+  /** The (word → corpus frequency) relation both BPE trainers start
+    * from — the ONLY corpus-sized pass of tokenizer training. */
+  private def bpeWordFreqs(corpus: DataFrame): DataFrame = corpus
+    .select(explode(split(translate(lower(col("text")), "\u001f", " "), "\\s+")).as("word"))
+    .filter(col("word") =!= "")
+    .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** BPE ENCODE — apply a learned merge table (rank order, greedy
     * left-to-right per round — the [[graft.functions.MergeAll]] kernel)
@@ -522,6 +628,56 @@ object TextAnalysis {
       .mkString(" UNION ALL ")
     s"WITH ${bpeChainSql(merges)} SELECT * FROM ($union) ORDER BY rank"
   }
+
+  /** [[bpeChainSql]]'s DEEP-DEPTH variant — the [[bpeTrainDriver]]
+    * oracle. Two changes make a multi-hundred-round chain replayable:
+    * every stage is MATERIALIZED (DuckDB may otherwise inline a
+    * twice-referenced CTE, re-opening the base scan per reference — a
+    * 768-CTE chain exhausts file handles), and each rewrite stage LEFT
+    * JOINs its merge pick so the chain survives EXHAUSTION: once p_r is
+    * empty (every census word a single token) m_r is empty, the NULL
+    * guard passes syms through unchanged, and deeper stages replay the
+    * fixed point instead of collapsing to an empty cross join. The
+    * census CTE carries [[bpeTrainDriver]]'s (freq DESC, word) cap. */
+  private def bpeDeepChainSql(merges: Int, vocabCap: Int): String = {
+    def fold(m: String): String =
+      "string_split(list_reduce(syms, (acc, x) -> " +
+        s"CASE WHEN x = $m.b AND (acc = $m.a OR suffix(acc, chr(31) || $m.a)) " +
+        s"THEN left(acc, length(acc) - length($m.a)) || $m.ab " +
+        "ELSE acc || chr(31) || x END), chr(31))"
+    val parts = Seq.newBuilder[String]
+    parts += "w AS MATERIALIZED (SELECT word, freq FROM (SELECT word, count(*) AS freq FROM " +
+      "(SELECT unnest(string_split_regex(replace(lower(text), chr(31), ' '), '\\s+')) AS word FROM documents) " +
+      s"WHERE word <> '' GROUP BY 1) ORDER BY freq DESC, word LIMIT $vocabCap)"
+    parts += "s0 AS MATERIALIZED (SELECT word, freq, " +
+      "list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM w)"
+    (1 to merges).foreach { r =>
+      val prev = s"s${r - 1}"
+      parts += s"p$r AS (SELECT p.a AS a, p.b AS b, sum(freq) AS freq FROM " +
+        "(SELECT freq, unnest(list_transform(range(1, len(syms)), " +
+        s"i -> {'a': syms[i], 'b': syms[i+1]})) AS p FROM $prev) GROUP BY 1, 2)"
+      parts += s"m$r AS MATERIALIZED (SELECT a, b, a || b AS ab, freq FROM p$r " +
+        "ORDER BY freq DESC, a, b LIMIT 1)"
+      parts += s"s$r AS MATERIALIZED (SELECT $prev.word AS word, $prev.freq AS freq, " +
+        s"CASE WHEN m$r.a IS NULL THEN syms ELSE ${fold(s"m$r")} END AS syms " +
+        s"FROM $prev LEFT JOIN m$r ON TRUE)"
+    }
+    parts.result().mkString(", ")
+  }
+
+  /** [[bpeTrainDriver]]+[[bpeEncode]]'s deep-depth oracle: replay the
+    * capped-census chain to `merges` rounds (surviving exhaustion), then
+    * aggregate per-doc token counts off the final stage. */
+  private[operators] def bpeEncodeDeepSql(merges: Int, vocabCap: Int): String =
+    s"WITH ${bpeDeepChainSql(merges, vocabCap)}, " +
+      s"enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_toks FROM s$merges), " +
+      "dw AS (SELECT doc_id, unnest(string_split_regex(replace(lower(text), chr(31), ' '), '\\s+')) AS word " +
+      "FROM documents) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(n_toks) AS BIGINT) AS n_tokens, " +
+      stableRoundSql("CAST(sum(n_toks) AS DOUBLE) / count(*)", 4) + " AS fertility " +
+      "FROM (SELECT * FROM dw WHERE word <> '') JOIN enc USING (word) " +
+      "GROUP BY doc_id ORDER BY doc_id"
 
   /** [[bpeEncode]]'s oracle: run the same chain, read each word's
     * post-merge token count off the final stage, aggregate per doc. */
@@ -1286,6 +1442,23 @@ object TextAnalysis {
         val table = bpeMerges(docs(s, dir), merges = 8)
           .orderBy(col("rank")).collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
+        bpeEncode(docs(s, dir), table).orderBy(col("doc_id"))
+      }),
+
+    // PRODUCTION-DEPTH tokenizer gate: train far past the corpus's
+    // trainable depth (the 31-word synthetic vocabulary exhausts at 89
+    // merges; k=128 > that, so this IS the k≥128 fixed point — any
+    // deeper k trains the identical table) with the capped-census
+    // driver trainer, then gate per-doc encode fertility against the
+    // DuckDB replay of the full 128-round chain. Proves deep training +
+    // exhaustion semantics + encode agree end-to-end at a depth the
+    // per-round distributed trainer can't affordably reach.
+    NamedQuery(
+      "t18_bpe_deep",
+      Some(bpeEncodeDeepSql(128, 65536)),
+      (s, dir) => {
+        val table = bpeTrainDriver(docs(s, dir), merges = 128)
+          .map(t => (t._2, t._3))
         bpeEncode(docs(s, dir), table).orderBy(col("doc_id"))
       })
   )

@@ -29,7 +29,17 @@ object BpeDepthBench {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     docs.count() // warm the scan
     graft.operators.TextAnalysis.bpeMerges(docs, 2) // absorb codegen startup
-    val ks = Seq(8, 16, 32, 64)
+    // the driver-side capped-census trainer's depth axis: one census
+    // pass + in-memory rounds, so deep k costs the census, not k jobs
+    graft.operators.TextAnalysis.bpeTrainDriver(docs, 2) // warm its census path
+    val driver = Seq(8, 64, 128, 256).map { k =>
+      val t0 = System.nanoTime()
+      val rows = graft.operators.TextAnalysis.bpeTrainDriver(docs, k).size
+      s""""k$k":{"sec":${graft.Bench.fmtSeconds((System.nanoTime() - t0) / 1e9)},"rows":$rows}"""
+    }.mkString(",")
+    // distributed trainer: k=128/256 exhaust at the corpus's trainable
+    // depth, so their cost is the exhaustion-depth round count
+    val ks = Seq(8, 16, 32, 64, 128, 256)
     var deepest: Array[(Int, Long)] = Array.empty
     val times = ks.map { k =>
       System.gc() // reclaim the previous run's checkpoint blocks
@@ -59,7 +69,7 @@ object BpeDepthBench {
       .sliding(2).collect { case Seq((k0, t0), (k1, t1)) =>
         s""""r${k0 + 1}_$k1":${graft.Bench.fmtSeconds((t1 - t0) / (k1 - k0))}"""
       }.mkString(",")
-    println(s"""{"metric":"bpe_depth","totals":{$totals},"marginal_sec_per_round":{$marginal},"merge_freq":{$freqCurve},"sf":"$sfDir"}""")
+    println(s"""{"metric":"bpe_depth","totals":{$totals},"driver_trainer":{$driver},"marginal_sec_per_round":{$marginal},"merge_freq":{$freqCurve},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1347,6 +1347,17 @@ class SqlEngineSpec extends AnyFunSuite {
     val beApi = graft.operators.TextAnalysis.bpeEncode(api, beTable)
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(beSql == beApi && beSql.size == 4)
+    // production-depth spelling: the capped-census driver trainer must
+    // agree with the distributed trainer at the same k, and accept a
+    // vocabCap arg; merges past exhaustion return the fixed point
+    val btSql = e.execute(
+      "SELECT rank, a, b, freq FROM graft_bpe_train(corpus, 3) ORDER BY rank")
+      .collect().map(_.toString).toSeq
+    assert(btSql == bpApi, s"got $btSql vs $bpApi")
+    val btDeep = e.execute(
+      "SELECT rank, a, b, freq FROM graft_bpe_train(corpus, 500, 65536) ORDER BY rank")
+      .collect().map(_.toString).toSeq
+    assert(btDeep.take(3) == bpApi && btDeep.size < 500)
 
     // two-relation form: a merge table TRAINED on corpus A encodes a
     // DIFFERENT corpus B — the portable-tokenizer path. Nested spelling

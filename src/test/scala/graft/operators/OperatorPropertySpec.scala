@@ -682,7 +682,14 @@ class OperatorPropertySpec extends AnyFunSuite {
         val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
         i.toLong -> ((ws.length.toLong, ws.map(w => applyRef(w, table).toLong).sum))
       }.toMap
-      got == bpeRef(texts, k) && enc == encWant
+      // the capped-census driver trainer must produce the identical
+      // table (uncapped here: vocabCap >> vocabulary), including PAST
+      // exhaustion — merges=500 exhausts on these tiny corpora, so it
+      // checks the early-stop matches the sequential reference's
+      val drv = TextAnalysis.bpeTrainDriver(corpus, k)
+      val drvDeep = TextAnalysis.bpeTrainDriver(corpus, 500)
+      got == bpeRef(texts, k) && enc == encWant &&
+        drv == bpeRef(texts, k) && drvDeep == bpeRef(texts, 500)
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(10, 40)), prop)
     assert(res.passed, res.status.toString)

@@ -1255,6 +1255,32 @@ class OperatorsSpec extends AnyFunSuite {
         s"tier size ${t.size} vs n/3=${n / 3.0} (maxTie=$maxTie)"))
   }
 
+  test("bpeTrainDriver: equals the distributed trainer; vocabCap bounds the census") {
+    val docs = Tables.load(spark, dir, "documents")
+    // uncapped (cap >> 31-word vocabulary): identical table at k=16
+    val dist = TextAnalysis.bpeMerges(docs, merges = 16).orderBy(col("rank"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(TextAnalysis.bpeTrainDriver(docs, merges = 16) == dist)
+    // past the corpus's trainable depth the table is the k-independent
+    // fixed point: requesting 128 and 256 merges trains identical tables
+    val deep = TextAnalysis.bpeTrainDriver(docs, merges = 128)
+    assert(deep == TextAnalysis.bpeTrainDriver(docs, merges = 256))
+    assert(deep.size < 128, s"expected exhaustion under 128, got ${deep.size}")
+    assert(deep.take(16) == dist)
+    // cap=1 trains only on the single most frequent word: every merge's
+    // symbols must come from its characters
+    val topWord = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy(col("w")).count()
+      .orderBy(col("count").desc, col("w")).limit(1)
+      .collect().head.getString(0)
+    val capped = TextAnalysis.bpeTrainDriver(docs, merges = 8, vocabCap = 1)
+    assert(capped.nonEmpty && capped.size <= topWord.length - 1)
+    capped.foreach { case (_, a, b, _) =>
+      assert(topWord.contains(a + b), s"merge $a+$b not a substring of '$topWord'")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
