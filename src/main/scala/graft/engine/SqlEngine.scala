@@ -521,6 +521,12 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       }),
       "graft_contamination_frac" -> ((corpus, bench, a) =>
         Curation.contaminationScore(corpus, bench, a.headOption.getOrElse(0.2))),
+      // DSIR importance selection: the corpus docs whose hashed-unigram
+      // distribution best matches the target relation; args (k, buckets)
+      "graft_dsir_select" -> ((corpus, target, a) =>
+        graft.operators.Selection.dsirSelect(corpus, target,
+          a.headOption.map(_.toInt).getOrElse(100),
+          a.lift(1).map(_.toInt).getOrElse(256))),
       // embedding-level decontamination (hashed-embedding cosine >= tau);
       // args: (dim, tau)
       "graft_semantic_decontam" -> ((corpus, bench, a) =>

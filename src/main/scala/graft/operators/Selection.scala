@@ -297,6 +297,78 @@ object Selection {
         Window.orderBy(col("cell_rank"), col("score").desc, col("id"))).cast("bigint"))
   }
 
+  /** The shared token→bucket projection of the DSIR pair: sha-256 prefix
+    * buckets (the [[Similarity.hashedEmbedding]] recipe — both engines
+    * ship bit-identical sha-256, so the whole model is oracle-checkable;
+    * swap to xxhash64 in a Spark-only production pipeline). Tokens are
+    * consumed AT the scan — only (doc_id, bucket) ints survive. */
+  private def tokenBuckets(docs: DataFrame, buckets: Int): DataFrame = docs
+    .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+    .filter(col("token") =!= "")
+    .select(col("doc_id"),
+      (conv(substring(sha2(col("token"), 256), 1, 8), 16, 10).cast("long") % buckets)
+        .cast("int").as("bucket"))
+
+  /** DSIR-style importance scoring (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every corpus document by how
+    * much more likely its tokens are under a TARGET-domain hashed
+    * unigram model than under the corpus's own model — the standard
+    * cheap proxy for "looks like the domain I want more of". Each side
+    * is a `buckets`-cell count model with Laplace smoothing; a doc's
+    * score is the mean per-token log-likelihood ratio
+    * ln(p_target(b)/p_corpus(b)) (mean, not sum, so long docs aren't
+    * favored), rounded to the 4-decimal oracle grid BEFORE any ranking
+    * so tie order is engine-independent. Returns (doc_id, score,
+    * n_tokens).
+    *
+    * Scale shape: two corpus-linear passes (model build, scoring) plus
+    * one target pass — the models are ≤`buckets`-row relations that
+    * BROADCAST to the scoring join, so no token or text ever crosses a
+    * shuffle; the per-doc aggregate map-side combines to one
+    * (doc_id, 2 numbers) row. At 100 TB the target sample is typically
+    * tiny (a curated domain set) and the corpus passes are the floor
+    * any selector pays. */
+  def dsirScores(corpus: DataFrame, target: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "need buckets > 0")
+    val tokC = tokenBuckets(corpus, buckets)
+    val tokT = tokenBuckets(target, buckets)
+    val rModel = tokC.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tModel = tokT.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val rTot = rModel.agg(sum(col("cr")).as("rt"))
+    val tTot = tModel.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+    // ≤ buckets rows: corpus-side counts LEFT JOIN target counts (a
+    // bucket the target never emits smooths to ct=0), one log-ratio per
+    // bucket computed from identical integer counts on both engines
+    val model = rModel.join(tModel, Seq("bucket"), "left")
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("tt") + buckets).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("rt") + buckets).cast("double"))).as("lr"))
+    tokC.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(avg(col("lr")).as("raw"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"),
+        OracleRound.stableRound(col("raw"), 4).as("score"), col("n_tokens"))
+  }
+
+  /** [[dsirScores]] + deterministic top-k: the documents whose token
+    * distribution best matches the target domain, ranked by
+    * (score DESC, doc_id). Returns (doc_id, score, n_tokens, rank).
+    * The global rank window runs over the k-row selection, never the
+    * corpus (TakeOrdered merges per-partition top-k). */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, k: Int,
+      buckets: Int = 256): DataFrame = {
+    require(k > 0, "need k > 0")
+    dsirScores(corpus, target, buckets)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("bigint"))
+  }
+
   // ---------- testdata bindings (the driver contract) ----------
 
   /** Deterministic quality proxy over the documents table: 13 distinct
@@ -421,6 +493,46 @@ object Selection {
             OracleRound.stableRound(col("score"), 4).as("score"),
             col("cell_rank"), col("pick_rank"))
           .orderBy(col("pick_rank"))
+      }),
+
+    // DSIR importance selection: target domain = the English documents,
+    // raw pool = the whole corpus; FULL value oracle — DuckDB replays
+    // the sha-256 bucket models, the smoothed log-likelihood-ratio, the
+    // per-doc mean, and the (rounded score DESC, doc_id) top-100.
+    NamedQuery(
+      "p22_dsir_select",
+      Some {
+        def toks(src: String) =
+          "SELECT doc_id, CAST(list_reduce(list_transform(range(1, 9), " +
+            "i -> strpos('0123456789abcdef', sha256(token)[i]) - 1), " +
+            "(a, c) -> a * 16 + c) % 256 AS INT) AS bucket FROM " +
+            "(SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token " +
+            s"FROM $src) WHERE token <> ''"
+        s"WITH tokc AS (${toks("documents")}), " +
+          s"tokt AS (${toks("(SELECT * FROM documents WHERE lang = 'en')")}), " +
+          "rm AS (SELECT bucket, count(*) AS cr FROM tokc GROUP BY 1), " +
+          "tm AS (SELECT bucket, count(*) AS ct FROM tokt GROUP BY 1), " +
+          "tot AS (SELECT coalesce((SELECT sum(cr) FROM rm), 0) AS rt, " +
+          "coalesce((SELECT sum(ct) FROM tm), 0) AS tt), " +
+          "model AS (SELECT bucket, " +
+          "ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE)) - " +
+          "ln(CAST(cr + 1 AS DOUBLE) / CAST(rt + 256 AS DOUBLE)) AS lr " +
+          "FROM rm LEFT JOIN tm USING (bucket), tot), " +
+          "sc AS (SELECT doc_id, avg(lr) AS raw, CAST(count(*) AS BIGINT) AS n_tokens " +
+          "FROM tokc JOIN model USING (bucket) GROUP BY doc_id), " +
+          "r AS (SELECT doc_id, " + OracleRound.stableRoundSql("raw", 4) +
+          " AS score, n_tokens FROM sc), " +
+          "rk AS (SELECT doc_id, score, n_tokens, CAST(row_number() OVER " +
+          "(ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM r) " +
+          "SELECT doc_id, score, n_tokens, rank FROM rk WHERE rank <= 100 ORDER BY rank"
+      },
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        dsirSelect(
+          docs.select(col("doc_id"), col("text")),
+          docs.filter(col("lang") === "en").select(col("doc_id"), col("text")),
+          k = 100)
+          .orderBy(col("rank"))
       })
   )
 }

@@ -914,6 +914,20 @@ class SqlEngineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(wAdmitted == Seq(11L), s"winnow clone 10 must be rejected: $wAdmitted")
 
+    // DSIR importance selection from SQL: bench doc 100 is a clone of
+    // corpus doc 1, so with bench as the target domain, doc 1 must rank
+    // first; TVF result == the DataFrame operator on the same relations
+    val dsirSql = e.execute(
+      "SELECT doc_id, score, n_tokens, rank FROM graft_dsir_select(corpus, bench, 4) ORDER BY rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    val dsirApi = graft.operators.Selection.dsirSelect(
+      e.execute("SELECT doc_id, text FROM corpus"),
+      e.execute("SELECT doc_id, text FROM bench"), 4)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(dsirSql == dsirApi && dsirSql.size == 4, s"got $dsirSql vs $dsirApi")
+    assert(dsirSql.head._1 == 1L, s"the target clone must rank first: $dsirSql")
+
     // stratified split from SQL: fractions bind positionally and sum to 1
     e.execute("CREATE TABLE sourced (doc_id bigint PRIMARY KEY, source text)")
     e.execute("INSERT INTO sourced VALUES " + (1 to 10).map(i => s"($i, 'a')").mkString(", "))
@@ -1382,6 +1396,13 @@ class SqlEngineSpec extends AnyFunSuite {
         "graft_bpe_encode(corpus_b, merges_b) ORDER BY doc_id")
       .collect().map(_.toString).toSeq
     assert(be3Sql == be2Api, s"persisted merge table must bind: $be3Sql")
+    // portable-tokenizer flow at production depth: a driver-trained merge
+    // table nests into the two-relation encode
+    val be4Sql = e.execute(
+      "SELECT doc_id, n_words, n_tokens, fertility FROM " +
+        "graft_bpe_encode(corpus_b, graft_bpe_train(corpus, 3)) ORDER BY doc_id")
+      .collect().map(_.toString).toSeq
+    assert(be4Sql == be2Api, s"nested graft_bpe_train must bind: $be4Sql")
 
     // k-NN label propagation through the two-view escape hatch
     import spark.implicits._

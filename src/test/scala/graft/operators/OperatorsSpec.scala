@@ -1281,6 +1281,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirSelect: target-matching docs outrank, smoothing handles unseen buckets, rank deterministic") {
+    import spark.implicits._
+    // target speaks {alpha, beta}; doc 1 is pure target language, doc 2
+    // mixed, doc 3 pure off-target — scores must order 1 > 2 > 3
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "alpha gamma delta beta"),
+      (3L, "gamma delta gamma delta")).toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha alpha beta")).toDF("doc_id", "text")
+    val out = Selection.dsirSelect(corpus, target, k = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), s"rank order wrong: ${out.toSeq}")
+    assert(out.map(_._4).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > out(2)._2)
+    // absolute sign is smoothing-dependent (the +1/B prior dominates
+    // tiny counts) — only the relative order is the operator's contract;
+    // n_tokens counted per doc
+    assert(out.map(_._3).toSeq == Seq(4L, 4L, 4L))
+    // k truncates deterministically on the rounded-score/doc_id order
+    val top1 = Selection.dsirSelect(corpus, target, k = 1).collect()
+    assert(top1.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -128,6 +128,36 @@ class PlanQualitySpec extends AnyFunSuite {
       s"word strings crossed an exchange:\n$s"))
   }
 
+  test("t18 deep bpe encode: the merge table is constructor data — same narrow plan as t17") {
+    // production depth changes TRAINING (driver-side over the capped
+    // census), not the encode plan: the ~89-entry merge table closes
+    // over the codegen'd MergeAll fold, so the deep encode must keep
+    // t17's shape — no vocabulary join, no word strings on a shuffle,
+    // only the per-doc aggregate + display-sort exchanges
+    val p = plan("t18_bpe_deep")
+    assert(!p.contains("Join"), "deep encode must not join a merge relation:\n" + p.take(1500))
+    val exchanges = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(exchanges.length <= 2, s"expected agg + sort exchanges only:\n$p")
+    exchanges.foreach(s => assert(!s.contains("word#"),
+      s"word strings crossed an exchange:\n$s"))
+  }
+
+  test("p22 dsir: bucket models broadcast; tokens and text never cross a shuffle") {
+    // the ≤256-row count models (and their 1-row totals) must reach the
+    // scoring join as broadcasts, and every shuffle exchange must carry
+    // (doc_id, bucket, counts) scalars — a token or text column on an
+    // exchange means the sha-256 projection moved past its scan stage
+    val p = plan("p22_dsir_select")
+    assert(p.contains("BroadcastExchange"), "bucket model must broadcast")
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.nonEmpty, "expected the model/per-doc aggregate exchanges")
+    shuffles.foreach(s =>
+      assert(!s.contains("token#") && !s.contains("text#"),
+        s"token/text crossed a shuffle exchange:\n$s"))
+  }
+
   test("m06 media near-dup: payload bytes never cross an exchange") {
     // decode projects the payload away inside the partition-wise codec
     // pass; everything downstream (feature grouping, banding, verify,
