@@ -178,4 +178,21 @@ class LibraryApiSpec extends AnyFunSuite {
     val enc = TextAnalysis.bpeEncode(c, Seq(("d", "u"), ("du", "p"))).collect()
     assert(enc.nonEmpty && enc.forall(_.getLong(2) > 0))
   }
+
+  test("round-13 additions run on caller-supplied data") {
+    val c = corpus()
+    // production-depth BPE: the capped-census driver trainer encodes the
+    // same corpus it trained on; fertility is 1.0 once every census word
+    // is a single token (trainable depth reached)
+    val table = TextAnalysis.bpeTrainDriver(c, merges = 500)
+    assert(table.nonEmpty && table.size < 500, "expected exhaustion")
+    val enc = TextAnalysis.bpeEncode(c, table.map(t => (t._2, t._3))).collect()
+    assert(enc.forall(r => r.getLong(1) == r.getLong(2)),
+      s"at full depth every word is one token: ${enc.toSeq}")
+    // DSIR selection toward a caller-supplied target domain: the doc the
+    // target sample was drawn from must lead the ranking
+    val sel = Selection.dsirSelect(c, c.filter(col("doc_id") === 4L), k = 7)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sel.length == 7 && sel.head == 4L, s"the target doc itself must lead: $sel")
+  }
 }
