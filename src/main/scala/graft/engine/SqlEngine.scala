@@ -718,7 +718,14 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           path,
           a.headOption.map(_.toInt).getOrElse(10),
           a.lift(1).map(_.toInt).getOrElse(4),
-          excludeSelf = a.lift(2).forall(_ != 0.0))))
+          excludeSelf = a.lift(2).forall(_ != 0.0))),
+      // graft_ivfpq_append('increment_view', 'path') -> (n_appended,
+      // n_total): index MAINTENANCE — encode the increment with the
+      // STORED centroids/PQ (no retraining) and append to the
+      // cell-partitioned code files; admission composes upstream
+      // (graft_embed_admit)
+      "graft_ivfpq_append" -> ((viewName, path, _) =>
+        graft.operators.Similarity.appendIvfPqIndex(spark.table(viewName), path)))
 
   /** Table functions over the table IDENTITY rather than its current
     * snapshot — the time-travel reads: `graft_at_version(t, v)` is the

@@ -441,6 +441,45 @@ object Similarity {
     (s.read.parquet(s"$path/codes"), s.read.parquet(s"$path/centroids"), pq)
   }
 
+  /** Appends an increment to a PERSISTED IVF-ADC index with NO
+    * retraining and no base-corpus access — the index-MAINTENANCE leg of
+    * the deployment flow ([[writeIvfPqIndex]] builds once,
+    * [[ivfPqQueryIndex]] answers, this keeps the artifact current as the
+    * corpus grows). The stored centroid table (k×dim model metadata —
+    * the sanctioned bounded collect) binds as a LITERAL into one narrow
+    * codegen'd projection: nearest-centroid assignment (ties to the
+    * smallest cell, the build-side parity) → residual vs the assigned
+    * centroid (broadcast join, embeddings never shuffle) → PQ codes,
+    * appended to the cell-partitioned code files.
+    *
+    * Admission is the CALLER's concern — compose with
+    * [[incrementalEmbedAdmit]]/`graft_embed_admit` upstream so clones
+    * never reach the index. Model DRIFT is the documented trade:
+    * appended vectors quantize against the ORIGINAL centroids/PQ (the
+    * standard IVF maintenance posture); rebuild when the increment's
+    * distribution departs enough that recall decays. Returns a one-row
+    * report (n_appended, n_total) from parquet-footer counts. */
+  def appendIvfPqIndex(increment: DataFrame, path: String): DataFrame = {
+    val s = increment.sparkSession
+    VectorFunctions.register(s)
+    val (_, cents, pq) = readIvfPqArtifacts(s, path)
+    val centroids = cents.localCheckpoint() // k×dim metadata; two consumers
+    val centArr = centroids.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq // ordered so index == cell id
+    val before = s.read.parquet(s"$path/codes").count() // footer count
+    increment
+      .withColumn("cell",
+        call_function("nearest_centroid", col("embedding"), typedLit(centArr)))
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)")
+          .as("resid"))
+      .select(col("cell"), col("vec_id"), pqEncodeCol(col("resid"), pq).as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    val after = s.read.parquet(s"$path/codes").count()
+    s.createDataFrame(Seq((after - before, after))).toDF("n_appended", "n_total")
+  }
+
   /** Answers queries from a PERSISTED index path — the deployment read
     * path: NO training, NO base-corpus scan. Probe cells are ranked
     * against the stored centroid table, collapsed to a bounded

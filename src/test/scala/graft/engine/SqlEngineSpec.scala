@@ -1509,6 +1509,23 @@ class SqlEngineSpec extends AnyFunSuite {
         km, pq, 2, nprobe = 2)
         .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
       assert(viaSql == api && viaSql.size == 2, s"got $viaSql vs $api")
+      // MAINTENANCE: append an increment encoded with the STORED model
+      // (no retraining); an exact clone of the query vector shares the
+      // best ADC code with base vec 1 (tie → smaller id first), so the
+      // next query from the same artifacts must read (1, then 20)
+      Seq((20L, Array(1.0f, 0.05f)), (21L, Array(0.05f, 1.0f)))
+        .toDF("vec_id", "embedding").createOrReplaceTempView("art_inc_view")
+      val arep = e.execute(
+        s"SELECT n_appended, n_total FROM graft_ivfpq_append('art_inc_view', '$path')")
+        .collect()
+      assert(arep.length == 1 && arep.head.getLong(0) == 2L && arep.head.getLong(1) == 6L,
+        s"append report: ${arep.toSeq}")
+      val after = e.execute("SELECT query_id, vec_id, rank FROM graft_ivfpq_query(" +
+        s"'$path', 'art_q_view', 2, 2) ORDER BY rank")
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+      assert(after == Seq((1L, 1), (20L, 2)),
+        s"appended clone must tie the best code and follow vec 1: $after")
+      spark.catalog.dropTempView("art_inc_view")
     } finally {
       spark.catalog.dropTempView("art_base_view")
       spark.catalog.dropTempView("art_q_view")
