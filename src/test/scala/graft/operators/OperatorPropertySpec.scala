@@ -695,6 +695,59 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("dsir sweep: scores and top-k match an in-test reference model") {
+    // tiny vocab + few buckets so hash COLLISIONS actually happen; the
+    // reference independently replays the sha-256 bucket recipe, the
+    // smoothed log-ratio, the per-doc mean, the stableRound grid, and
+    // the (score DESC, doc_id) truncation
+    val buckets = 8
+    def bucketOf(token: String): Int = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(token.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+    }
+    def round4(v: Double): Double =
+      BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(corpus: Seq[(Long, String)], target: Seq[(Long, String)],
+        k: Int): Seq[(Long, Double, Long, Long)] = {
+      def toks(docs: Seq[(Long, String)]) = docs.flatMap { case (id, t) =>
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty).map(w => (id, bucketOf(w)))
+      }
+      val tokC = toks(corpus)
+      val tokT = toks(target)
+      val cr = tokC.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val ct = tokT.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val rt = tokC.size.toLong
+      val tt = tokT.size.toLong
+      def lr(b: Int): Double =
+        math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tt + buckets)) -
+          math.log((cr(b) + 1).toDouble / (rt + buckets))
+      tokC.groupBy(_._1).toSeq
+        .map { case (id, ts) =>
+          (id, round4(ts.map(t => lr(t._2)).sum / ts.size), ts.size.toLong)
+        }
+        .sortBy { case (id, s, _) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, s, n), i) => (id, s, n, (i + 1).toLong) }
+    }
+    val word = Gen.oneOf("aa", "ab", "b", "ccc", "cab", "x")
+    def genDocs(ids: Range): Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, ids.length)
+      docs <- Gen.listOfN(n, Gen.choose(1, 6).flatMap(Gen.listOfN(_, word)))
+    } yield docs.zipWithIndex.map { case (ws, i) => (ids(i).toLong, ws.mkString(" ")) }
+    val prop = Prop.forAll(genDocs(0 until 10), genDocs(100 until 104),
+        Gen.choose(1, 8)) { (corpusDocs, targetDocs, k) =>
+      val corpus = corpusDocs.toDF("doc_id", "text")
+      val target = targetDocs.toDF("doc_id", "text")
+      val got = Selection.dsirSelect(corpus, target, k, buckets)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._4)
+      got == ref(corpusDocs, targetDocs, k)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(15, 50)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("knnLabel sweep: vote matches in-test brute force on tie-heavy embeddings") {
     // component values off a coarse grid so cosine TIES and equal-vote
     // groups actually happen; the reference replays the kernel's exact

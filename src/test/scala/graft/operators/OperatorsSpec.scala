@@ -1304,6 +1304,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top1.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("appendIvfPqIndex: append(B) to index(A) equals encoding A∪B under A's model") {
+    import spark.implicits._
+    // well-separated clusters so assignment parity (MLlib transform at
+    // build vs nearest_centroid at append) can't flip on fp noise
+    def vec(axis: Int, scale: Float) = Array.tabulate(8)(d => if (d == axis) scale else 0.01f)
+    val a = (0 until 24).map(i => (i.toLong, vec(i % 4, 1.0f + (i / 4) * 0.1f)))
+      .toDF("vec_id", "embedding")
+    val b = (100 until 112).map(i => (i.toLong, vec(i % 4, 0.9f + (i % 3) * 0.05f)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-append-eq-").toString
+    try {
+      Similarity.writeIvfPqIndex(a, path, cells = 4, m = 2, kps = 4)
+      val rep = Similarity.appendIvfPqIndex(b, path).collect().head
+      assert(rep.getLong(0) == 12L && rep.getLong(1) == 36L, s"report: $rep")
+      // the on-disk codes must equal the one-shot encoding of A∪B under
+      // the model trained on A alone — append is pure maintenance, no
+      // retraining side effects
+      val (km, pq) = Similarity.ivfPqTrain(a, cells = 4, m = 2, k = 4)
+      val want = Similarity.ivfPqIndex(a.unionByName(b), km, pq)
+        .collect().map(r => (r.getLong(1), r.getInt(0), r.getSeq[Int](2).toSeq)).toSet
+      val got = spark.read.parquet(s"$path/codes")
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+          r.getSeq[Int](r.fieldIndex("codes")).toSeq)).toSet
+      assert(got == want, s"appended codes diverge from the one-shot encoding")
+      // and the deployment query path reads the union
+      val q = Seq((200L, vec(2, 1.0f))).toDF("vec_id", "embedding")
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val ids = Similarity.ivfPqQueryIndex(q, path, k = 36, nprobe = 4)
+        .collect().map(_.getLong(1)).toSet
+      assert(ids.exists(_ >= 100L), "appended vectors must be retrievable")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
