@@ -394,6 +394,14 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         TextAnalysis.bpeEncode(t, table)
       }),
+      // train-then-tokenize: the token STREAM (doc_id, word_idx, tok_idx,
+      // token) under k merges learned from the relation itself (driver
+      // trainer — production depths are a single census pass)
+      "graft_bpe_tokens" -> ((t, a) => {
+        val k = a.headOption.map(_.toInt).getOrElse(8)
+        TextAnalysis.bpeTokens(t,
+          TextAnalysis.bpeTrainDriver(t, k).map(m => (m._2, m._3)))
+      }),
       "graft_hashed_embedding" -> ((t, a) =>
         graft.operators.Similarity.hashedEmbedding(t,
           a.headOption.map(_.toInt).getOrElse(16))),
@@ -551,6 +559,19 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
             s"graft_bpe_encode merge relation exceeds $cap rows — " +
               "pass the trained (rank, a, b) merge table, not a corpus")
         TextAnalysis.bpeEncode(corpus,
+          rows.map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq)
+      }),
+      // the token-stream sibling: a trained (rank, a, b) merge table
+      // tokenizes a DIFFERENT corpus (same bounded-artifact collect
+      // discipline and cap as graft_bpe_encode)
+      "graft_bpe_tokens" -> ((corpus, merges, _) => {
+        val cap = 65536
+        val rows = merges.orderBy(col("rank")).limit(cap + 1).collect()
+        if (rows.length > cap)
+          throw SqlError.invalid(
+            s"graft_bpe_tokens merge relation exceeds $cap rows — " +
+              "pass the trained (rank, a, b) merge table, not a corpus")
+        TextAnalysis.bpeTokens(corpus,
           rows.map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq)
       }))
   }

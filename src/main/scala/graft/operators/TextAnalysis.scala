@@ -590,6 +590,54 @@ object TextAnalysis {
         stableRound(col("n_tokens").cast("double") / col("n_words"), 4))
   }
 
+  /** BPE TOKENIZE — the token-STREAM spelling of [[bpeEncode]]: the
+    * actual post-merge tokens in document order, as (doc_id, word_idx,
+    * tok_idx, token) with 1-based indices — what sequence packing and
+    * vocabulary-id mapping consume ([[bpeEncode]] reports only the
+    * per-doc stats). `word_idx` enumerates the raw whitespace split
+    * BEFORE the empty-word filter so both engines agree on leading-
+    * whitespace documents.
+    *
+    * Scale shape: the same PURE NARROW pass as the encode — words
+    * explode where the text lives, the codegen'd MergeAll fold emits
+    * each word's token array in place, and the second posexplode is
+    * narrow too: NO shuffle anywhere (ordering is the composite
+    * (doc_id, word_idx, tok_idx) key, not a window). */
+  def bpeTokens(corpus: DataFrame, mergeTable: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => B}
+    // constructed DIRECTLY (closes over THIS merge table) — see bpeEncode
+    val applied = B.column(graft.functions.MergeAll(
+      B.expression(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+      mergeTable))
+    corpus
+      .select(col("doc_id"),
+        posexplode(split(translate(lower(col("text")), "\u001f", " "), "\\s+"))
+          .as(Seq("wp", "word")))
+      .withColumn("word_idx", (col("wp") + 1).cast("bigint"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), col("word_idx"),
+        posexplode(applied).as(Seq("tp", "token")))
+      .select(col("doc_id"), col("word_idx"),
+        (col("tp") + 1).cast("bigint").as("tok_idx"), col("token"))
+  }
+
+  /** [[bpeTokens]]' oracle: replay the k-round chain, key each word's
+    * final symbol array by word, and re-enumerate both levels with the
+    * same 1-based indices. */
+  private[operators] def bpeTokensSql(merges: Int): String =
+    s"WITH ${bpeChainSql(merges)}, " +
+      "dw AS (SELECT doc_id, u.i AS word_idx, u.w AS word FROM " +
+      "(SELECT doc_id, unnest(list_transform(range(1, len(l)+1), i -> {'i': i, 'w': l[i]})) AS u FROM " +
+      "(SELECT doc_id, string_split_regex(replace(lower(text), chr(31), ' '), '\\s+') AS l FROM documents))), " +
+      s"enc AS (SELECT word, syms FROM s$merges), " +
+      "outp AS (SELECT doc_id, word_idx, t.i AS tok_idx, t.tok AS token FROM " +
+      "(SELECT doc_id, word_idx, unnest(list_transform(range(1, len(syms)+1), i -> {'i': i, 'tok': syms[i]})) AS t " +
+      "FROM (SELECT * FROM dw WHERE word <> '') JOIN enc USING (word))) " +
+      "SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, " +
+      "CAST(tok_idx AS BIGINT) AS tok_idx, token FROM outp " +
+      "ORDER BY doc_id, word_idx, tok_idx"
+
   /** The identical `merges`-round chain spelled as DuckDB CTEs: the
     * oracle replays the word census, the pair count, the argmax tie
     * order, and the greedy fold (list_reduce over a \x1f-joined
@@ -1443,6 +1491,19 @@ object TextAnalysis {
           .orderBy(col("rank")).collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         bpeEncode(docs(s, dir), table).orderBy(col("doc_id"))
+      }),
+
+    // token-STREAM gate: the actual post-merge tokens in document order
+    // under the k=8 table (driver-trained — proven equal to the
+    // distributed trainer), full value oracle over every (doc_id,
+    // word_idx, tok_idx, token) row.
+    NamedQuery(
+      "t19_bpe_tokens",
+      Some(bpeTokensSql(8)),
+      (s, dir) => {
+        val table = bpeTrainDriver(docs(s, dir), merges = 8).map(t => (t._2, t._3))
+        bpeTokens(docs(s, dir), table)
+          .orderBy(col("doc_id"), col("word_idx"), col("tok_idx"))
       }),
 
     // PRODUCTION-DEPTH tokenizer gate: train far past the corpus's

@@ -1361,6 +1361,18 @@ class SqlEngineSpec extends AnyFunSuite {
     val beApi = graft.operators.TextAnalysis.bpeEncode(api, beTable)
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(beSql == beApi && beSql.size == 4)
+    // token STREAM: per-doc token counts must agree with the encode
+    // stats, and the two-relation spelling (persisted merge table over a
+    // different corpus) must equal the API path
+    val tokCounts = e.execute(
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM graft_bpe_tokens(corpus, 3) " +
+        "GROUP BY doc_id ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val encStats = e.execute(
+      "SELECT doc_id, n_tokens FROM graft_bpe_encode(corpus, 3) ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tokCounts == encStats, s"token stream counts diverge from encode: $tokCounts vs $encStats")
+
     // production-depth spelling: the capped-census driver trainer must
     // agree with the distributed trainer at the same k, and accept a
     // vocabCap arg; merges past exhaustion return the fixed point

@@ -158,6 +158,18 @@ class PlanQualitySpec extends AnyFunSuite {
         s"token/text crossed a shuffle exchange:\n$s"))
   }
 
+  test("t19 bpe tokens: join-free double-explode — the display sort is the only exchange") {
+    // the token stream must be produced entirely in place (two narrow
+    // posexplodes around the codegen'd fold); the one exchange is the
+    // gate's ORDER BY — a vocabulary join or a windowed global position
+    // would put word/token strings on a hash exchange
+    val p = plan("t19_bpe_tokens")
+    assert(!p.contains("Join"), "tokenize must not join a vocabulary relation:\n" + p.take(1500))
+    val exchanges = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) (Exchange|BroadcastExchange)".r.findFirstIn(s.trim).isDefined)
+    assert(exchanges.length <= 1, s"expected only the display-sort exchange:\n$p")
+  }
+
   test("m06 media near-dup: payload bytes never cross an exchange") {
     // decode projects the payload away inside the partition-wise codec
     // pass; everything downstream (feature grouping, banding, verify,
