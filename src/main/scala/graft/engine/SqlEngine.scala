@@ -402,6 +402,19 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         TextAnalysis.bpeTokens(t,
           TextAnalysis.bpeTrainDriver(t, k).map(m => (m._2, m._3)))
       }),
+      // the id-stream capstone: tokens mapped through the induced
+      // vocabulary (alphabet + merges, dense GPT-2-style ids)
+      "graft_bpe_ids" -> ((t, a) => {
+        val k = a.headOption.map(_.toInt).getOrElse(8)
+        TextAnalysis.bpeTokenIds(t,
+          TextAnalysis.bpeTrainDriver(t, k).map(m => (m._2, m._3)))
+      }),
+      // the vocabulary artifact itself: (token_id, token)
+      "graft_bpe_vocab" -> ((t, a) => {
+        val k = a.headOption.map(_.toInt).getOrElse(8)
+        TextAnalysis.bpeVocab(t,
+          TextAnalysis.bpeTrainDriver(t, k).map(m => (m._2, m._3)))
+      }),
       "graft_hashed_embedding" -> ((t, a) =>
         graft.operators.Similarity.hashedEmbedding(t,
           a.headOption.map(_.toInt).getOrElse(16))),

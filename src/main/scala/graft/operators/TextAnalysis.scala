@@ -638,6 +638,63 @@ object TextAnalysis {
       "CAST(tok_idx AS BIGINT) AS tok_idx, token FROM outp " +
       "ORDER BY doc_id, word_idx, tok_idx"
 
+  /** The BPE VOCABULARY a (corpus, merge table) pair induces — the
+    * GPT-2-style id space: the corpus's base character alphabet
+    * (sorted, binary order) takes ids 0..|A|-1, merge outputs take the
+    * following ids in rank order; a merge whose string already exists
+    * keeps its first id (dedup keep-first), so ids stay dense. The
+    * alphabet collect is bounded (distinct characters). */
+  def bpeVocab(corpus: DataFrame, mergeTable: Seq[(String, String)]): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val alphabet = bpeWordFreqs(corpus)
+      .select(explode(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("c"))
+      .distinct().orderBy(col("c")).collect().map(_.getString(0))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    alphabet.foreach(seen += _)
+    mergeTable.foreach { case (a, b) => seen += (a + b) }
+    seen.toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("token_id", "token")
+  }
+
+  /** [[bpeTokens]] mapped through [[bpeVocab]] — the id STREAM a
+    * training run consumes: (doc_id, word_idx, tok_idx, token_id).
+    * The vocabulary (alphabet + k merges — bounded model metadata)
+    * broadcasts to the stream join; every stream token is in-vocab by
+    * construction when corpus and vocab share the alphabet (tokens are
+    * single corpus characters or merge outputs). Tokenizing a FOREIGN
+    * corpus against this vocab drops unknown-alphabet tokens at the
+    * join — map them to an explicit UNK id upstream if needed. */
+  def bpeTokenIds(corpus: DataFrame, mergeTable: Seq[(String, String)]): DataFrame =
+    bpeTokens(corpus, mergeTable)
+      .join(broadcast(bpeVocab(corpus, mergeTable)), Seq("token"))
+      .select(col("doc_id"), col("word_idx"), col("tok_idx"), col("token_id"))
+
+  /** [[bpeTokenIds]]' oracle: the t19 token-stream chain joined to a
+    * vocabulary CTE that replays the (alphabet-sorted, then merges by
+    * rank, dedup keep-first, dense ids) assignment. */
+  private[operators] def bpeTokenIdsSql(merges: Int): String = {
+    val mergeUnion = (1 to merges)
+      .map(r => s"SELECT $r AS rank, ab FROM m$r").mkString(" UNION ALL ")
+    s"WITH ${bpeChainSql(merges)}, " +
+      "alpha AS (SELECT DISTINCT c AS token FROM (SELECT unnest(syms) AS c FROM s0)), " +
+      "entries AS (SELECT token, 0 AS grp, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS pos FROM alpha " +
+      s"UNION ALL SELECT ab AS token, 1 AS grp, CAST(rank AS BIGINT) AS pos FROM ($mergeUnion)), " +
+      "firsted AS (SELECT token, grp, pos, row_number() OVER (PARTITION BY token ORDER BY grp, pos) AS dup FROM entries), " +
+      "vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY grp, pos) - 1 AS BIGINT) AS token_id FROM firsted WHERE dup = 1), " +
+      "dw AS (SELECT doc_id, u.i AS word_idx, u.w AS word FROM " +
+      "(SELECT doc_id, unnest(list_transform(range(1, len(l)+1), i -> {'i': i, 'w': l[i]})) AS u FROM " +
+      "(SELECT doc_id, string_split_regex(replace(lower(text), chr(31), ' '), '\\s+') AS l FROM documents))), " +
+      s"enc AS (SELECT word, syms FROM s$merges), " +
+      "outp AS (SELECT doc_id, word_idx, t.i AS tok_idx, t.tok AS token FROM " +
+      "(SELECT doc_id, word_idx, unnest(list_transform(range(1, len(syms)+1), i -> {'i': i, 'tok': syms[i]})) AS t " +
+      "FROM (SELECT * FROM dw WHERE word <> '') JOIN enc USING (word))) " +
+      "SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, " +
+      "CAST(tok_idx AS BIGINT) AS tok_idx, token_id FROM outp JOIN vocab USING (token) " +
+      "ORDER BY doc_id, word_idx, tok_idx"
+  }
+
   /** The identical `merges`-round chain spelled as DuckDB CTEs: the
     * oracle replays the word census, the pair count, the argmax tie
     * order, and the greedy fold (list_reduce over a \x1f-joined
@@ -1503,6 +1560,18 @@ object TextAnalysis {
       (s, dir) => {
         val table = bpeTrainDriver(docs(s, dir), merges = 8).map(t => (t._2, t._3))
         bpeTokens(docs(s, dir), table)
+          .orderBy(col("doc_id"), col("word_idx"), col("tok_idx"))
+      }),
+
+    // id-STREAM capstone: tokens mapped through the induced vocabulary
+    // (alphabet + merges, GPT-2-style dense ids) — the artifact a
+    // training run actually consumes; full value oracle.
+    NamedQuery(
+      "t20_bpe_ids",
+      Some(bpeTokenIdsSql(8)),
+      (s, dir) => {
+        val table = bpeTrainDriver(docs(s, dir), merges = 8).map(t => (t._2, t._3))
+        bpeTokenIds(docs(s, dir), table)
           .orderBy(col("doc_id"), col("word_idx"), col("tok_idx"))
       }),
 

@@ -1304,6 +1304,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top1.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("bpeVocab: alphabet leads, merges follow in rank order, duplicate strings keep-first, ids dense") {
+    import spark.implicits._
+    val c = Seq((1L, "ab c abc")).toDF("doc_id", "text")
+    // merges 2 and 3 both produce "abc" — the later duplicate must keep
+    // the first id and not burn an id slot
+    val table = Seq(("a", "b"), ("ab", "c"), ("a", "bc"))
+    val v = TextAnalysis.bpeVocab(c, table)
+      .orderBy("token_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v == Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "ab"), (4L, "abc")), s"got $v")
+    // id stream: every token resolves; ids match the vocab
+    val ids = TextAnalysis.bpeTokenIds(c, table)
+      .orderBy("word_idx", "tok_idx").collect().map(_.getLong(3)).toSeq
+    val toks = TextAnalysis.bpeTokens(c, table)
+      .orderBy("word_idx", "tok_idx").collect().map(_.getString(3)).toSeq
+    val lookup = v.map(_.swap).toMap
+    assert(ids == toks.map(lookup), s"ids $ids vs tokens $toks")
+  }
+
   test("appendIvfPqIndex: append(B) to index(A) equals encoding A∪B under A's model") {
     import spark.implicits._
     // well-separated clusters so assignment parity (MLlib transform at
