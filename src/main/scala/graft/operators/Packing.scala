@@ -39,10 +39,19 @@ object Packing {
     * bucket width degrade bucket balance, never correctness.
     */
   def packSequences(corpus: DataFrame, budget: Int = 128,
+      buckets: Int = 1024): DataFrame =
+    packCounts(
+      corpus.select(
+        col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("bigint").as("n_tokens")),
+      budget, buckets)
+
+  /** [[packSequences]] over a CALLER-SUPPLIED (doc_id, n_tokens)
+    * relation — the composition point for REAL tokenizer counts
+    * ([[TextAnalysis.bpeEncode]]'s n_tokens) instead of the whitespace
+    * proxy. Same two-level prefix-sum shape. */
+  def packCounts(toks: DataFrame, budget: Int = 128,
       buckets: Int = 1024): DataFrame = {
-    val toks = corpus.select(
-      col("doc_id"),
-      size(split(lower(col("text")), "\\s+")).cast("bigint").as("n_tokens"))
     // one 1-row stats action sizes the value buckets (same discipline as
     // CorpusStats: O(1) driver data, never the corpus)
     val r = toks.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -421,6 +430,32 @@ object Packing {
     Tables.load(s, dir, "documents")
 
   val queries: Seq[NamedQuery] = Seq(
+
+    // the p04 layout under REAL tokenizer counts: documents are packed
+    // by their BPE post-merge token counts (k=8 trained table) instead
+    // of the whitespace proxy — the composition a production packing
+    // run uses; the oracle nests the full encode chain under the same
+    // prefix-sum replay.
+    NamedQuery(
+      "p23_pack_bpe",
+      Some(
+        "WITH tk AS (SELECT doc_id, n_tokens FROM (" +
+          graft.operators.TextAnalysis.bpeEncodeSql(8) + ")), " +
+          "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER " +
+          "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens " +
+          "AS BIGINT) AS start_offset FROM tk) " +
+          "SELECT doc_id, n_tokens, start_offset, " +
+          "start_offset // 128 AS first_seq, " +
+          "(start_offset + n_tokens - 1) // 128 AS last_seq " +
+          "FROM c ORDER BY doc_id"),
+      (s, dir) => {
+        val table = graft.operators.TextAnalysis
+          .bpeTrainDriver(docs(s, dir), merges = 8).map(t => (t._2, t._3))
+        packCounts(
+          graft.operators.TextAnalysis.bpeEncode(docs(s, dir), table)
+            .select(col("doc_id"), col("n_tokens")))
+          .orderBy(col("doc_id"))
+      }),
 
     NamedQuery(
       "p04_sequence_packing",
