@@ -529,8 +529,18 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // else is the HISTORY corpus and the df-capped index builds in-call
       // (the round-12 spelling, kept for one-shot use)
       "graft_winnow_admit" -> ((inc, second, a) => {
+        // shape dispatch must be unambiguous: an fp column NEXT TO a
+        // text column means the caller passed a corpus that happens to
+        // carry fingerprints — probing those longs as the index would
+        // silently admit clones (and silently ignore dfCap)
+        val cols = second.columns.toSet
+        if (cols.contains("fp") && cols.contains("text"))
+          throw SqlError.invalid(
+            "graft_winnow_admit: the second relation carries BOTH fp and text — " +
+              "pass either the (doc_id, fp) index artifact (graft_winnow_index) " +
+              "or the raw history corpus, not a corpus with a leftover fp column")
         val idx =
-          if (second.columns.contains("fp")) second
+          if (cols.contains("fp")) second
           else Dedup.winnowedIndex(second,
             a.headOption.map(_.toInt).getOrElse(4),
             a.lift(1).map(_.toInt).getOrElse(4),

@@ -148,13 +148,22 @@ object Similarity {
 
   /** Nearest-centroid CELL assignment over `(vec_id, embedding)` — the
     * coarse-quantization step IVF probing and SemDeDup pruning share:
-    * adds a `cell` column (a per-row map, no shuffle). */
+    * adds a `cell` column (a per-row map, no shuffle). Assignment runs
+    * through the codegen'd [[graft.functions.NearestCentroid]] kernel
+    * (direct argmin of the squared distance, ties to the smallest
+    * index) — the SAME kernel Lloyd k-means, the incremental admit
+    * probes, and [[appendIvfPqIndex]] use, and the same direct-argmin
+    * the DuckDB oracles replay with list_distance. Routing through
+    * MLlib's `transform` would compute distance by the norm trick
+    * (‖a‖²+‖b‖²−2ab), which rounds differently in ulps and can flip
+    * near-equidistant assignments against every other consumer. */
   def assignCells(base: DataFrame, model: KMeansModel): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    model.transform(
-      base.withColumn("features",
-        array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))))
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    VectorFunctions.register(base.sparkSession)
+    val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq // k×dim metadata
+    base.select(col("vec_id"), col("embedding"),
+      call_function("nearest_centroid",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
+        typedLit(cents)).as("cell"))
   }
 
   /** IVF top-k: assign base vectors to their nearest centroid (the

@@ -477,7 +477,7 @@ object TextAnalysis {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val words: Array[scala.collection.mutable.ArrayBuffer[String]] =
       census.map { case (w, _) =>
-        scala.collection.mutable.ArrayBuffer.from(w.map(_.toString))
+        scala.collection.mutable.ArrayBuffer.from(codePointsOf(w))
       }
     val freqs: Array[Long] = census.map(_._2)
     val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -497,12 +497,16 @@ object TextAnalysis {
       pairCounts.filterInPlace((_, f) => f > 0L)
       if (pairCounts.isEmpty) done = true
       else {
-        // argmax under the sequential trainer's (freq DESC, a ASC, b ASC)
+        // argmax under the sequential trainer's (freq DESC, a ASC, b ASC);
+        // string comparisons are UTF-8 BINARY (utf8Less) — Spark's orderBy
+        // and DuckDB's ORDER BY compare code points, and Java's UTF-16
+        // `<` diverges from both on supplementary-vs-[U+E000,U+FFFF] ties
         var bk: (String, String) = null
         var bf = 0L
         pairCounts.foreach { case (k, f) =>
           if (bk == null || f > bf || (f == bf &&
-              (k._1 < bk._1 || (k._1 == bk._1 && k._2 < bk._2)))) {
+              (utf8Less(k._1, bk._1) ||
+                (k._1 == bk._1 && utf8Less(k._2, bk._2))))) {
             bk = k; bf = f
           }
         }
@@ -538,6 +542,37 @@ object TextAnalysis {
       }
     }
     out.result()
+  }
+
+  /** One string per Unicode CODE POINT — the symbol unit Spark's
+    * substring/length use; splitting by UTF-16 code unit would turn
+    * supplementary characters (emoji) into lone-surrogate symbols the
+    * distributed trainer and the oracle never produce. */
+  private def codePointsOf(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** UTF-8 binary string order — what Spark's UTF8String comparisons and
+    * DuckDB's default collation both implement (equivalent to code-point
+    * order). */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    ab.length < bb.length
   }
 
   /** [[bpeTrainDriver]]'s merge table as a relation (rank, a, b, freq) —
@@ -647,7 +682,12 @@ object TextAnalysis {
   def bpeVocab(corpus: DataFrame, mergeTable: Seq[(String, String)]): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    val alphabet = bpeWordFreqs(corpus)
+    // one corpus pass; the distinct's map-side partial aggregation
+    // collapses to ~alphabet-size rows before the only (tiny) exchange —
+    // no word census needed just to list characters
+    val alphabet = corpus
+      .select(explode(split(translate(lower(col("text")), "\u001f", " "), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
       .select(explode(
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("c"))
       .distinct().orderBy(col("c")).collect().map(_.getString(0))
@@ -751,19 +791,26 @@ object TextAnalysis {
         s"THEN left(acc, length(acc) - length($m.a)) || $m.ab " +
         "ELSE acc || chr(31) || x END), chr(31))"
     val parts = Seq.newBuilder[String]
-    parts += "w AS MATERIALIZED (SELECT word, freq FROM (SELECT word, count(*) AS freq FROM " +
+    // the cap binds TRAINING only (which words feed the pair counts,
+    // the `capped` flag below); every census word — capped or not —
+    // rides the rewrite stages, because the Spark side's bpeEncode
+    // applies the learned table to the WHOLE corpus
+    parts += "w AS MATERIALIZED (SELECT word, freq, " +
+      s"(row_number() OVER (ORDER BY freq DESC, word)) <= $vocabCap AS capped " +
+      "FROM (SELECT word, count(*) AS freq FROM " +
       "(SELECT unnest(string_split_regex(replace(lower(text), chr(31), ' '), '\\s+')) AS word FROM documents) " +
-      s"WHERE word <> '' GROUP BY 1) ORDER BY freq DESC, word LIMIT $vocabCap)"
-    parts += "s0 AS MATERIALIZED (SELECT word, freq, " +
+      "WHERE word <> '' GROUP BY 1))"
+    parts += "s0 AS MATERIALIZED (SELECT word, freq, capped, " +
       "list_transform(range(1, length(word)+1), i -> word[i]) AS syms FROM w)"
     (1 to merges).foreach { r =>
       val prev = s"s${r - 1}"
       parts += s"p$r AS (SELECT p.a AS a, p.b AS b, sum(freq) AS freq FROM " +
         "(SELECT freq, unnest(list_transform(range(1, len(syms)), " +
-        s"i -> {'a': syms[i], 'b': syms[i+1]})) AS p FROM $prev) GROUP BY 1, 2)"
+        s"i -> {'a': syms[i], 'b': syms[i+1]})) AS p FROM $prev WHERE capped) GROUP BY 1, 2)"
       parts += s"m$r AS MATERIALIZED (SELECT a, b, a || b AS ab, freq FROM p$r " +
         "ORDER BY freq DESC, a, b LIMIT 1)"
       parts += s"s$r AS MATERIALIZED (SELECT $prev.word AS word, $prev.freq AS freq, " +
+        s"$prev.capped AS capped, " +
         s"CASE WHEN m$r.a IS NULL THEN syms ELSE ${fold(s"m$r")} END AS syms " +
         s"FROM $prev LEFT JOIN m$r ON TRUE)"
     }

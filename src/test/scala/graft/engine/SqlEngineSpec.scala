@@ -1574,6 +1574,13 @@ class SqlEngineSpec extends AnyFunSuite {
       "SELECT doc_id FROM graft_winnow_admit(winc, whist, 2, 2, 1) ORDER BY doc_id")
       .collect().map(_.getLong(0)).toSeq
     assert(admitted2 == Seq(11L), s"in-call index spelling regressed: $admitted2")
+    // a corpus that HAPPENS to carry an fp column must not be silently
+    // probed as the index — ambiguous shape fails loudly
+    e.execute("CREATE TABLE whist_fp (doc_id bigint PRIMARY KEY, text text, fp bigint)")
+    e.execute("INSERT INTO whist_fp VALUES (1, 'alpha beta gamma delta', 42)")
+    val amb = intercept[SqlError](
+      e.execute("SELECT doc_id FROM graft_winnow_admit(winc, whist_fp, 2, 2, 1)"))
+    assert(amb.getMessage.contains("BOTH fp and text"), amb.getMessage)
   }
 
   test("resumable change feed: a consumer crosses a compaction with no loss and no dupes") {

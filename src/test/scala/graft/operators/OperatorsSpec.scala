@@ -1304,6 +1304,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top1.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("bpeTrainDriver: code-point symbols and UTF-8 tie order on non-BMP text") {
+    import spark.implicits._
+    // U+1F600 (supplementary: UTF-16 lead 0xD83D, UTF-8 0xF0...) vs
+    // U+E000 (UTF-16 0xE000, UTF-8 0xEE...): Java string order puts the
+    // emoji FIRST, UTF-8/code-point order (Spark, DuckDB) puts U+E000
+    // first — a pair-frequency TIE between the two must resolve the
+    // Spark way, and the emoji must stay ONE symbol (not two surrogates)
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = new String(Character.toChars(0xE000))
+    val c = Seq(
+      (1L, s"$pua$pua $emoji$emoji"),
+      (2L, s"$emoji$emoji $pua$pua")).toDF("doc_id", "text")
+    val dist = TextAnalysis.bpeMerges(c, merges = 2).orderBy(col("rank"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val drv = TextAnalysis.bpeTrainDriver(c, merges = 2)
+    assert(drv == dist, s"driver $drv vs distributed $dist")
+    assert(dist.head._2 == pua && dist.head._3 == pua,
+      s"the tie must resolve to U+E000 under UTF-8 order: $dist")
+    assert(dist.exists(m => m._2 == emoji && m._3 == emoji),
+      s"the emoji must merge as one code point per symbol: $dist")
+  }
+
   test("bpeVocab: alphabet leads, merges follow in rank order, duplicate strings keep-first, ids dense") {
     import spark.implicits._
     val c = Seq((1L, "ab c abc")).toDF("doc_id", "text")
