@@ -1622,6 +1622,20 @@ object TextAnalysis {
           .orderBy(col("doc_id"), col("word_idx"), col("tok_idx"))
       }),
 
+    // CAPPED-census gate: vocabCap=16 BINDS on the 31-word vocabulary,
+    // so this row proves the capped semantics end-to-end — training
+    // reads only the top-16 (freq DESC, word) census words, while the
+    // encode applies the learned table to EVERY word (the oracle's
+    // `capped` flag splits exactly the same way).
+    NamedQuery(
+      "t21_bpe_capped",
+      Some(bpeEncodeDeepSql(8, 16)),
+      (s, dir) => {
+        val table = bpeTrainDriver(docs(s, dir), merges = 8, vocabCap = 16)
+          .map(t => (t._2, t._3))
+        bpeEncode(docs(s, dir), table).orderBy(col("doc_id"))
+      }),
+
     // PRODUCTION-DEPTH tokenizer gate: train far past the corpus's
     // trainable depth (the 31-word synthetic vocabulary exhausts at 89
     // merges; k=128 > that, so this IS the k≥128 fixed point — any
