@@ -558,6 +558,12 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         graft.operators.Selection.dsirSelect(corpus, target,
           a.headOption.map(_.toInt).getOrElse(100),
           a.lift(1).map(_.toInt).getOrElse(256))),
+      // the un-truncated sibling: every corpus doc's importance score —
+      // feed a threshold, a weighted sampler, or a mixture solver; args
+      // (buckets)
+      "graft_dsir_score" -> ((corpus, target, a) =>
+        graft.operators.Selection.dsirScores(corpus, target,
+          a.headOption.map(_.toInt).getOrElse(256))),
       // embedding-level decontamination (hashed-embedding cosine >= tau);
       // args: (dim, tau)
       "graft_semantic_decontam" -> ((corpus, bench, a) =>

@@ -927,6 +927,14 @@ class SqlEngineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
     assert(dsirSql == dsirApi && dsirSql.size == 4, s"got $dsirSql vs $dsirApi")
     assert(dsirSql.head._1 == 1L, s"the target clone must rank first: $dsirSql")
+    // the un-truncated score relation covers every doc and agrees with
+    // the selection's scores
+    val dsirAll = e.execute(
+      "SELECT doc_id, score FROM graft_dsir_score(corpus, bench) ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(dsirAll.size == 4 &&
+      dsirSql.forall { case (id, s, _, _) => dsirAll(id) == s },
+      s"score relation diverges from selection: $dsirAll")
 
     // stratified split from SQL: fractions bind positionally and sum to 1
     e.execute("CREATE TABLE sourced (doc_id bigint PRIMARY KEY, source text)")

@@ -688,8 +688,16 @@ class OperatorPropertySpec extends AnyFunSuite {
       // checks the early-stop matches the sequential reference's
       val drv = TextAnalysis.bpeTrainDriver(corpus, k)
       val drvDeep = TextAnalysis.bpeTrainDriver(corpus, 500)
+      // BINDING cap: training must see only the top-2 (freq DESC, word)
+      // census words — replay the same cut in the reference
+      val words = texts.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (w, f) => (-f, w) }.take(2)
+      val cappedTexts = words.flatMap { case (w, f) => Seq.fill(f)(w) }
+      val drvCapped = TextAnalysis.bpeTrainDriver(corpus, k, vocabCap = 2)
       got == bpeRef(texts, k) && enc == encWant &&
-        drv == bpeRef(texts, k) && drvDeep == bpeRef(texts, 500)
+        drv == bpeRef(texts, k) && drvDeep == bpeRef(texts, 500) &&
+        drvCapped == bpeRef(cappedTexts.toList, k)
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(10, 40)), prop)
     assert(res.passed, res.status.toString)
