@@ -703,6 +703,74 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("winnowing sweep: fingerprints, df-capped pairs, and admission match an in-test reference") {
+    // clone-heavy corpora WITH INSERTIONS so the position-robustness
+    // property actually engages; small k/w/dfCap so the short-doc
+    // branch, window minima, and the df cap all exercise
+    def sha32(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def fpsOf(text: String, k: Int, w: Int): Set[Long] = {
+      // split limit -1: Spark's split keeps trailing empties
+      val tk = text.toLowerCase.split("\\s+", -1).toSeq
+      val joint = 31.toChar.toString // concat_ws(char(31), ...) gram join byte
+      val hs =
+        if (tk.length < k) Seq(sha32(tk.mkString(joint)))
+        else tk.sliding(k).map(g => sha32(g.mkString(joint))).toSeq
+      val sel =
+        if (hs.length <= w) Seq(hs.min)
+        else hs.sliding(w).map(_.min).toSeq
+      sel.toSet
+    }
+    val word = Gen.oneOf("aa", "b", "cc", "dd", "e")
+    val genDoc = Gen.choose(1, 9).flatMap(Gen.listOfN(_, word)).map(_.mkString(" "))
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(n, genDoc)
+      ins <- Gen.oneOf("zz", "e")
+    } yield {
+      // clones of doc 0: one exact, one with a mid-insertion
+      val base = docs.head.split(" ").toList
+      val shifted = (base.take(base.length / 2) ++ List(ins) ++
+        base.drop(base.length / 2)).mkString(" ")
+      (docs :+ docs.head :+ shifted).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    }
+    val prop = Prop.forAll(genCorpus, Gen.choose(2, 4), Gen.choose(2, 4),
+        Gen.choose(1, 3), Gen.choose(1, 6)) { (corpusDocs, k, w, minShared, dfCap) =>
+      val corpus = corpusDocs.toDF("doc_id", "text")
+      val ref = corpusDocs.map { case (id, t) => id -> fpsOf(t, k, w) }.toMap
+      val dfm = ref.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val kept = ref.view.mapValues(_.filter(fp => dfm(fp) <= dfCap)).toMap
+      val wantPairs = (for {
+        (a, fa) <- kept.toSeq; (b, fb) <- kept.toSeq if a < b
+        shared = (fa & fb).size if shared >= minShared
+      } yield (a, b, shared.toLong)).toSet
+      val gotPairs = Dedup.winnowedPairs(corpus, k, w, minShared, dfCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // admission: history = even ids, incoming = odd ids; the incoming
+      // side probes UNCAPPED against the df-capped history index
+      val hist = corpus.filter(col("doc_id") % 2 === 0)
+      val inc = corpus.filter(col("doc_id") % 2 === 1)
+      val histKept = {
+        val h = ref.filter(_._1 % 2 == 0)
+        val d = h.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+        h.view.mapValues(_.filter(fp => d(fp) <= dfCap)).toMap
+      }
+      val wantAdmit = corpusDocs.collect {
+        case (id, t) if id % 2 == 1 &&
+          !histKept.values.exists(hf => (fpsOf(t, k, w) & hf).size >= minShared) => id
+      }.toSet
+      val gotAdmit = Dedup.winnowAdmit(inc,
+        Dedup.winnowedIndex(hist, k, w, dfCap), k, w, minShared)
+        .collect().map(_.getLong(0)).toSet
+      gotPairs == wantPairs && gotAdmit == wantAdmit
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(8, 30)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dsir sweep: scores and top-k match an in-test reference model") {
     // tiny vocab + few buckets so hash COLLISIONS actually happen; the
     // reference independently replays the sha-256 bucket recipe, the
