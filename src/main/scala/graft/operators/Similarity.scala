@@ -160,10 +160,10 @@ object Similarity {
   def assignCells(base: DataFrame, model: KMeansModel): DataFrame = {
     VectorFunctions.register(base.sparkSession)
     val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq // k×dim metadata
+    // the kernel reads float arrays natively (its `floats` flag) — no
+    // per-row widened copy
     base.select(col("vec_id"), col("embedding"),
-      call_function("nearest_centroid",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
-        typedLit(cents)).as("cell"))
+      call_function("nearest_centroid", col("embedding"), typedLit(cents)).as("cell"))
   }
 
   /** IVF top-k: assign base vectors to their nearest centroid (the

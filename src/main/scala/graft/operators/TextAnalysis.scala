@@ -584,10 +584,17 @@ object TextAnalysis {
     bpeTrainDriver(corpus, merges, vocabCap).toDF("rank", "a", "b", "freq")
   }
 
+  /** THE word-splitting rule every BPE entry point shares — lowercase,
+    * 0x1F-to-space normalization (the oracle fold's join byte must never
+    * occur inside a token), whitespace split. One definition so census,
+    * encode, token stream, and vocabulary can never diverge. */
+  private def bpeSplitCol: Column =
+    split(translate(lower(col("text")), "\u001f", " "), "\\s+")
+
   /** The (word → corpus frequency) relation both BPE trainers start
     * from — the ONLY corpus-sized pass of tokenizer training. */
   private def bpeWordFreqs(corpus: DataFrame): DataFrame = corpus
-    .select(explode(split(translate(lower(col("text")), "\u001f", " "), "\\s+")).as("word"))
+    .select(explode(bpeSplitCol).as("word"))
     .filter(col("word") =!= "")
     .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
@@ -616,7 +623,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         // the same 0x1F-to-space normalization as the census (the two
         // sides must split words identically for the merge table to bind)
-        explode(split(translate(lower(col("text")), "\u001f", " "), "\\s+")).as("word"))
+        explode(bpeSplitCol).as("word"))
       .filter(col("word") =!= "")
       .withColumn("n_toks", size(applied).cast("bigint"))
       .groupBy(col("doc_id"))
@@ -647,7 +654,7 @@ object TextAnalysis {
       mergeTable))
     corpus
       .select(col("doc_id"),
-        posexplode(split(translate(lower(col("text")), "\u001f", " "), "\\s+"))
+        posexplode(bpeSplitCol)
           .as(Seq("wp", "word")))
       .withColumn("word_idx", (col("wp") + 1).cast("bigint"))
       .filter(col("word") =!= "")
@@ -686,7 +693,7 @@ object TextAnalysis {
     // collapses to ~alphabet-size rows before the only (tiny) exchange —
     // no word census needed just to list characters
     val alphabet = corpus
-      .select(explode(split(translate(lower(col("text")), "\u001f", " "), "\\s+")).as("word"))
+      .select(explode(bpeSplitCol).as("word"))
       .filter(col("word") =!= "")
       .select(explode(
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("c"))
