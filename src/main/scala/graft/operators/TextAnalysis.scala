@@ -584,6 +584,78 @@ object TextAnalysis {
     bpeTrainDriver(corpus, merges, vocabCap).toDF("rank", "a", "b", "freq")
   }
 
+  /** CORPUS-LEVEL DIVERSITY report — the dashboard row a data curator
+    * reads before and after every dedup/selection pass: for each n-gram
+    * order 1..`maxN`, the total and distinct gram counts, the
+    * distinct ratio (the self-repetition complement — falling ratio =
+    * the corpus is eating its own tail), the Shannon entropy of the
+    * gram distribution (nats, computed as ln(T) − Σc·ln(c)/T so one
+    * aggregate pass suffices — no broadcast-back of the total), and the
+    * entropy normalized by its ln(distinct) maximum.
+    *
+    * Scale shape: one corpus-linear explode + hash aggregate per order
+    * (map-side combined), then a second aggregate over the census —
+    * distributed end to end, no driver collect; output is `maxN` rows. */
+  def corpusDiversity(corpus: DataFrame, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, "need maxN >= 1")
+    val toks = corpus.select(
+      expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')").as("tk"))
+    val perN = (1 to maxN).map { n =>
+      val grams =
+        if (n == 1) toks.select(explode(col("tk")).as("g"))
+        else toks.select(explode(expr(
+          s"CASE WHEN size(tk) < $n THEN array() " +
+            s"ELSE transform(sequence(1, size(tk) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(tk, i, $n))) END")).as("g"))
+      grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+        .select(lit(n).as("n"), col("total_ngrams"), col("distinct_ngrams"), col("slc"))
+    }
+    perN.reduce(_.unionByName(_))
+      .select(col("n"), col("total_ngrams"), col("distinct_ngrams"),
+        stableRound(col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"), 4).as("distinct_ratio"),
+        stableRound(log(col("total_ngrams").cast("double")) -
+          col("slc") / col("total_ngrams").cast("double"), 4).as("entropy"),
+        stableRound(
+          when(col("distinct_ngrams") > 1,
+            (log(col("total_ngrams").cast("double")) -
+              col("slc") / col("total_ngrams").cast("double")) /
+              log(col("distinct_ngrams").cast("double")))
+            .otherwise(lit(0.0)), 4).as("norm_entropy"))
+      .orderBy(col("n"))
+  }
+
+  /** [[corpusDiversity]]'s oracle: the same census-and-entropy algebra
+    * per order, ln(T) − Σc·ln(c)/T replayed verbatim. */
+  private[operators] def corpusDiversitySql(maxN: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += "tk AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM documents)"
+    (1 to maxN).foreach { n =>
+      val grams =
+        if (n == 1) "unnest(tk)"
+        else s"unnest(CASE WHEN len(tk) < $n THEN CAST([] AS VARCHAR[]) " +
+          s"ELSE list_transform(range(1, len(tk) - ${n - 2}), " +
+          s"i -> array_to_string(tk[i:i+${n - 1}], ' ')) END)"
+      parts += s"g$n AS (SELECT $grams AS g FROM tk)"
+      parts += s"c$n AS (SELECT g, count(*) AS c FROM g$n GROUP BY g)"
+      parts += s"a$n AS (SELECT $n AS n, CAST(sum(c) AS BIGINT) AS total_ngrams, " +
+        s"CAST(count(*) AS BIGINT) AS distinct_ngrams, " +
+        s"sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc FROM c$n)"
+    }
+    val union = (1 to maxN).map(n => s"SELECT * FROM a$n").mkString(" UNION ALL ")
+    s"WITH ${parts.result().mkString(", ")} " +
+      "SELECT n, total_ngrams, distinct_ngrams, " +
+      stableRoundSql("CAST(distinct_ngrams AS DOUBLE) / total_ngrams", 4) + " AS distinct_ratio, " +
+      stableRoundSql("ln(CAST(total_ngrams AS DOUBLE)) - slc / total_ngrams", 4) + " AS entropy, " +
+      stableRoundSql(
+        "CASE WHEN distinct_ngrams > 1 THEN (ln(CAST(total_ngrams AS DOUBLE)) - slc / total_ngrams) / ln(CAST(distinct_ngrams AS DOUBLE)) ELSE 0.0 END",
+        4) + " AS norm_entropy " +
+      s"FROM ($union) ORDER BY n"
+  }
+
   /** THE word-splitting rule every BPE entry point shares — lowercase,
     * 0x1F-to-space normalization (the oracle fold's join byte must never
     * occur inside a token), whitespace split. One definition so census,
@@ -1603,6 +1675,13 @@ object TextAnalysis {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         bpeEncode(docs(s, dir), table).orderBy(col("doc_id"))
       }),
+
+    // corpus-level diversity dashboard: distinct-n ratios + gram-
+    // distribution entropy per order — full value oracle.
+    NamedQuery(
+      "t22_corpus_diversity",
+      Some(corpusDiversitySql(3)),
+      (s, dir) => corpusDiversity(docs(s, dir), maxN = 3)),
 
     // token-STREAM gate: the actual post-merge tokens in document order
     // under the k=8 table (driver-trained — proven equal to the
