@@ -377,6 +377,10 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         Dedup.passageScrub(t, a.headOption.map(_.toInt).getOrElse(8))),
       "graft_vocabulary" -> ((t, a) =>
         TextAnalysis.vocabulary(t, a.headOption.map(_.toInt).getOrElse(30))),
+      // per-order distinct ratios + gram-distribution entropy — the
+      // before/after dashboard of every dedup/selection pass
+      "graft_corpus_diversity" -> ((t, a) =>
+        TextAnalysis.corpusDiversity(t, a.headOption.map(_.toInt).getOrElse(3))),
       "graft_bpe_merges" -> ((t, a) =>
         TextAnalysis.bpeMerges(t, a.headOption.map(_.toInt).getOrElse(8))),
       // production-depth spelling: capped-census driver-side trainer —

@@ -1369,6 +1369,13 @@ class SqlEngineSpec extends AnyFunSuite {
     val beApi = graft.operators.TextAnalysis.bpeEncode(api, beTable)
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(beSql == beApi && beSql.size == 4)
+    // corpus diversity from SQL: one row per order, monotone gram counts
+    val divSql = e.execute(
+      "SELECT n, total_ngrams, distinct_ngrams FROM graft_corpus_diversity(corpus, 2) ORDER BY n")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(divSql.map(_._1) == Seq(1, 2) && divSql(0)._2 > divSql(1)._2,
+      s"n-gram totals must fall with order: $divSql")
+
     // token STREAM: per-doc token counts must agree with the encode
     // stats, and the two-relation spelling (persisted merge table over a
     // different corpus) must equal the API path
