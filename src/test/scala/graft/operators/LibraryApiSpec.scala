@@ -194,5 +194,18 @@ class LibraryApiSpec extends AnyFunSuite {
     val sel = Selection.dsirSelect(c, c.filter(col("doc_id") === 4L), k = 7)
       .collect().map(_.getLong(0)).toSeq
     assert(sel.length == 7 && sel.head == 4L, s"the target doc itself must lead: $sel")
+    // corpus diversity: totals fall with order; clone-heavy corpus keeps
+    // distinct_ratio well under 1 at order 1
+    val div = TextAnalysis.corpusDiversity(c, maxN = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(div.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(div(0)._2 > div(1)._2 && div(1)._2 > div(2)._2)
+    assert(div(0)._4 < 1.0, s"clones must depress the distinct ratio: ${div.toSeq}")
+    // packing by caller-supplied real token counts
+    val packed = Packing.packCounts(
+      TextAnalysis.bpeEncode(c, Seq(("t", "h"))).select(col("doc_id"), col("n_tokens")),
+      budget = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(packed.size == 7 && packed.values.forall { case (f, l) => f <= l })
   }
 }
