@@ -779,7 +779,19 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // cell-partitioned code files; admission composes upstream
       // (graft_embed_admit)
       "graft_ivfpq_append" -> ((viewName, path, _) =>
-        graft.operators.Similarity.appendIvfPqIndex(spark.table(viewName), path)))
+        graft.operators.Similarity.appendIvfPqIndex(spark.table(viewName), path)),
+      // the admission family's artifact flow (the view-pair
+      // graft_embed_admit rebuilds the cell index from the history view
+      // per call — these persist it once):
+      // graft_embed_build('hist_view', 'path'[, k]) -> (n_vectors, cells)
+      "graft_embed_build" -> ((viewName, path, a) =>
+        graft.operators.Similarity.writeEmbedIndex(spark.table(viewName), path,
+          a.headOption.map(_.toInt).getOrElse(8))),
+      // graft_embed_admit_index('path', 'inc_view'[, tau]) — probes only
+      // the increment's cells' files, never the history corpus
+      "graft_embed_admit_index" -> ((path, incView, a) =>
+        graft.operators.Similarity.embedAdmitFromIndex(spark.table(incView), path,
+          a.headOption.getOrElse(0.9))))
 
   /** Table functions over the table IDENTITY rather than its current
     * snapshot — the time-travel reads: `graft_at_version(t, v)` is the

@@ -695,6 +695,51 @@ object Similarity {
       .select(col("gid").as("vec_id"), col("cell"))
   }
 
+  /** Writes the embedding-admission deployment artifact set under
+    * `path` — the [[writeIvfPqIndex]] pattern for the ADMISSION family:
+    * `cells/` (vec_id, embedding) parquet PARTITIONED BY cell and
+    * `centroids/` (cell, centroid) model metadata. Seeds follow the
+    * first-k convention (bounded k·dim collect — the s06/s09
+    * determinism rule). Returns a one-row (n_vectors, cells) report;
+    * the write is eager. Admit later increments with
+    * [[embedAdmitFromIndex]] (SQL: `graft_embed_admit_index`) — no
+    * history rescan, no index rebuild. */
+  def writeEmbedIndex(hist: DataFrame, path: String, k: Int = 8): DataFrame = {
+    val s = hist.sparkSession
+    val seeds = hist.orderBy(col("vec_id")).limit(k)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.nonEmpty, "writeEmbedIndex: empty history relation")
+    cellIndex(hist, seeds)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    s.createDataFrame(seeds.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val n = s.read.parquet(s"$path/cells").count() // parquet-footer count
+    s.createDataFrame(Seq((n, seeds.length))).toDF("n_vectors", "cells")
+  }
+
+  /** [[incrementalEmbedAdmit]] against a PERSISTED artifact path: loads
+    * the stored centroids (model metadata), resolves the increment's
+    * distinct cells (bounded ≤ the model's cell count — an eager
+    * bounded job, the deployment-call convention of
+    * [[ivfPqQueryIndex]]), and probes ONLY those cells' files via a
+    * static partition filter. The history corpus is never rescanned. */
+  def embedAdmitFromIndex(increment: DataFrame, path: String,
+      tau: Double = 0.9): DataFrame = {
+    val s = increment.sparkSession
+    VectorFunctions.register(s)
+    val seeds = s.read.parquet(s"$path/centroids").orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    val incCells = increment.select(
+        call_function("nearest_centroid",
+          col("embedding"), typedLit(seeds.map(_.toSeq).toSeq)).as("cell"))
+      .distinct().collect().map(_.get(0))
+    val idx = s.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(incCells.toIndexedSeq: _*))
+    incrementalEmbedAdmit(increment, idx, seeds, tau)
+  }
+
   /** Cell assignment of a base relation under explicit centroids — builds
     * the persisted index side [[incrementalEmbedAdmit]] probes. */
   def cellIndex(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {

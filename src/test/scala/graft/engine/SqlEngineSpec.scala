@@ -1560,6 +1560,40 @@ class SqlEngineSpec extends AnyFunSuite {
       val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
       all.foreach(Files.deleteIfExists(_))
     }
+    // --- embed admission artifacts: build persists cells + centroids,
+    // a separate statement admits with no history rescan; result equals
+    // the library's in-call flow on the same relations
+    val ehist = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    // 10 clones history vec 1 (reject), 11 is novel, 12/13 are an
+    // in-increment clone pair (min id 12 admitted)
+    val einc = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(-1.0f, 0.2f)),
+      (12L, Array(-0.6f, -0.8f)), (13L, Array(-0.6f, -0.8f)))
+      .toDF("vec_id", "embedding")
+    ehist.createOrReplaceTempView("eh_view")
+    einc.createOrReplaceTempView("ei_view")
+    val epath = Files.createTempDirectory("graft-art-embed-").toString
+    try {
+      val erep = e.execute(
+        s"SELECT n_vectors, cells FROM graft_embed_build('eh_view', '$epath', 3)").collect()
+      assert(erep.head.getLong(0) == 3L && erep.head.getInt(1) == 3, s"${erep.toSeq}")
+      val eAdm = e.execute(
+        s"SELECT vec_id FROM graft_embed_admit_index('$epath', 'ei_view', 0.9) ORDER BY vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      val seeds = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.7, 0.7))
+      val eApi = graft.operators.Similarity.incrementalEmbedAdmit(
+        einc, graft.operators.Similarity.cellIndex(ehist, seeds), seeds, 0.9)
+        .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(eAdm == eApi && eAdm == Seq(11L, 12L),
+        s"artifact admission: $eAdm vs library $eApi")
+    } finally {
+      spark.catalog.dropTempView("eh_view")
+      spark.catalog.dropTempView("ei_view")
+      val walk = Files.walk(java.nio.file.Paths.get(epath))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(Files.deleteIfExists(_))
+    }
+
     // --- winnow: the index materializes into a managed table once; the
     // admit probe dispatches on the (doc_id, fp) shape and rebuilds nothing
     e.execute("CREATE TABLE whist (doc_id bigint PRIMARY KEY, text text)")
