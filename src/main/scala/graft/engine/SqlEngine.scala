@@ -606,6 +606,19 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
               "pass the trained (rank, a, b) merge table, not a corpus")
         TextAnalysis.bpeTokens(corpus,
           rows.map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq)
+      }),
+      // FOREIGN-corpus id stream: graft_bpe_ids(corpusB, trainCorpusA
+      // [, k]) — train k merges on A (capped-census driver trainer),
+      // induce A's vocabulary, tokenize B, and map out-of-vocabulary
+      // tokens (characters outside A's alphabet) to the explicit UNK id
+      // = |vocab|. The one-table spelling (tableFunctions) trains on its
+      // own input, where every token is in-vocab by construction; this
+      // one is the deployment shape — a FROZEN tokenizer meeting new
+      // data keeps the stream total instead of silently dropping tokens.
+      "graft_bpe_ids" -> ((corpus, trainCorpus, a) => {
+        val k = a.headOption.map(_.toInt).getOrElse(8)
+        TextAnalysis.bpeTokenIdsAgainst(corpus, trainCorpus,
+          TextAnalysis.bpeTrainDriver(trainCorpus, k).map(m => (m._2, m._3)))
       }))
   }
 

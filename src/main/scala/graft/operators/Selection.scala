@@ -334,7 +334,10 @@ object Selection {
     val tokT = tokenBuckets(target, buckets)
     val rModel = tokC.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
     val tModel = tokT.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val rTot = rModel.agg(sum(col("cr")).as("rt"))
+    // both totals coalesce to 0 (the oracle's spelling): an EMPTY corpus
+    // otherwise yields a NULL rt and NULL model rows — harmless today
+    // (no score rows exist either) but asymmetric with the DuckDB replay
+    val rTot = rModel.agg(coalesce(sum(col("cr")), lit(0L)).as("rt"))
     val tTot = tModel.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
     // ≤ buckets rows: corpus-side counts LEFT JOIN target counts (a
     // bucket the target never emits smooths to ct=0), one log-ratio per

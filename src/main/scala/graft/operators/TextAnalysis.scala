@@ -790,6 +790,29 @@ object TextAnalysis {
       .join(broadcast(bpeVocab(corpus, mergeTable)), Seq("token"))
       .select(col("doc_id"), col("word_idx"), col("tok_idx"), col("token_id"))
 
+  /** FOREIGN-corpus id stream: tokenize `corpus` under a tokenizer
+    * trained on `vocabCorpus` (its merge table AND its id space) and map
+    * every out-of-vocabulary token — any token containing a character
+    * absent from the TRAINING alphabet — to the explicit UNK id
+    * = |vocab| (the first id past the dense vocabulary, the standard
+    * special-token slot). [[bpeTokenIds]]'s inner join silently DROPS
+    * such tokens, which corrupts positional structure (tok_idx gaps)
+    * exactly when encoding the corpora a deployed tokenizer actually
+    * meets; this spelling keeps the stream total and the loss explicit.
+    *
+    * Scale shape identical to [[bpeTokenIds]]: the narrow double-explode
+    * plus a broadcast LEFT join against the bounded vocabulary (a
+    * LocalRelation — alphabet + k merges); the UNK id is one literal. */
+  def bpeTokenIdsAgainst(corpus: DataFrame, vocabCorpus: DataFrame,
+      mergeTable: Seq[(String, String)]): DataFrame = {
+    val vocab = bpeVocab(vocabCorpus, mergeTable)
+    val unkId = vocab.count() // LocalRelation — a driver-side size read
+    bpeTokens(corpus, mergeTable)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("word_idx"), col("tok_idx"),
+        coalesce(col("token_id"), lit(unkId)).as("token_id"))
+  }
+
   /** [[bpeTokenIds]]' oracle: the t19 token-stream chain joined to a
     * vocabulary CTE that replays the (alphabet-sorted, then merges by
     * rank, dedup keep-first, dense ids) assignment. */
@@ -811,6 +834,49 @@ object TextAnalysis {
       "FROM (SELECT * FROM dw WHERE word <> '') JOIN enc USING (word))) " +
       "SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, " +
       "CAST(tok_idx AS BIGINT) AS tok_idx, token_id FROM outp JOIN vocab USING (token) " +
+      "ORDER BY doc_id, word_idx, tok_idx"
+  }
+
+  /** [[bpeTokenIdsAgainst]]'s oracle: the t20 chain trains on
+    * `documents` (censuses, merge picks, vocabulary), while a SECOND
+    * rewrite sequence (fb0..fb`merges`) folds the FOREIGN corpus's
+    * distinct words through the SAME per-round picks; the final id join
+    * is LEFT and out-of-vocabulary tokens resolve to |vocab| (the UNK
+    * id). The foreign corpus is the held-out %10 slice with a planted
+    * word carrying a character outside the training alphabet. */
+  private[operators] def bpeTokenIdsUnkSql(merges: Int): String = {
+    def fold(m: String): String =
+      "string_split(list_reduce(syms, (acc, x) -> " +
+        s"CASE WHEN x = $m.b AND (acc = $m.a OR suffix(acc, chr(31) || $m.a)) " +
+        s"THEN left(acc, length(acc) - length($m.a)) || $m.ab " +
+        "ELSE acc || chr(31) || x END), chr(31))"
+    val mergeUnion = (1 to merges)
+      .map(r => s"SELECT $r AS rank, ab FROM m$r").mkString(" UNION ALL ")
+    val foreignStages = (1 to merges).map { r =>
+      s"fb$r AS (SELECT fb${r - 1}.word AS word, ${fold(s"m$r")} AS syms " +
+        s"FROM fb${r - 1}, m$r)"
+    }.mkString(", ")
+    s"WITH ${bpeChainSql(merges)}, " +
+      "alpha AS (SELECT DISTINCT c AS token FROM (SELECT unnest(syms) AS c FROM s0)), " +
+      "entries AS (SELECT token, 0 AS grp, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS pos FROM alpha " +
+      s"UNION ALL SELECT ab AS token, 1 AS grp, CAST(rank AS BIGINT) AS pos FROM ($mergeUnion)), " +
+      "firsted AS (SELECT token, grp, pos, row_number() OVER (PARTITION BY token ORDER BY grp, pos) AS dup FROM entries), " +
+      "vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY grp, pos) - 1 AS BIGINT) AS token_id FROM firsted WHERE dup = 1), " +
+      "unk AS (SELECT CAST(count(*) AS BIGINT) AS uid FROM vocab), " +
+      "fsrc AS (SELECT doc_id + 3000000 AS doc_id, text || ' q¤x' AS text FROM documents WHERE doc_id % 10 = 0), " +
+      "fdw AS (SELECT doc_id, u.i AS word_idx, u.w AS word FROM " +
+      "(SELECT doc_id, unnest(list_transform(range(1, len(l)+1), i -> {'i': i, 'w': l[i]})) AS u FROM " +
+      "(SELECT doc_id, string_split_regex(replace(lower(text), chr(31), ' '), '\\s+') AS l FROM fsrc))), " +
+      "fb0 AS (SELECT word, list_transform(range(1, length(word)+1), i -> word[i]) AS syms " +
+      "FROM (SELECT DISTINCT word FROM fdw WHERE word <> '')), " +
+      s"$foreignStages, " +
+      s"fenc AS (SELECT word, syms FROM fb$merges), " +
+      "outp AS (SELECT doc_id, word_idx, t.i AS tok_idx, t.tok AS token FROM " +
+      "(SELECT doc_id, word_idx, unnest(list_transform(range(1, len(syms)+1), i -> {'i': i, 'tok': syms[i]})) AS t " +
+      "FROM (SELECT * FROM fdw WHERE word <> '') JOIN fenc USING (word))) " +
+      "SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, " +
+      "CAST(tok_idx AS BIGINT) AS tok_idx, coalesce(token_id, uid) AS token_id " +
+      "FROM outp LEFT JOIN vocab USING (token) CROSS JOIN unk " +
       "ORDER BY doc_id, word_idx, tok_idx"
   }
 
@@ -1705,6 +1771,28 @@ object TextAnalysis {
       (s, dir) => {
         val table = bpeTrainDriver(docs(s, dir), merges = 8).map(t => (t._2, t._3))
         bpeTokenIds(docs(s, dir), table)
+          .orderBy(col("doc_id"), col("word_idx"), col("tok_idx"))
+      }),
+
+    // FOREIGN-corpus id stream with an explicit UNK: tokenizer trained
+    // on `documents` (merges + id space), encode corpus = the held-out
+    // %10 slice salted with a planted word carrying a character OUTSIDE
+    // the training alphabet ('¤') — its token must surface as id
+    // = |vocab| (the UNK slot) while in-vocab neighbors keep their
+    // dense ids and tok_idx stays gap-free. Full value oracle: DuckDB
+    // replays the training chain on documents AND a second rewrite
+    // sequence folding the foreign words through the same merge picks,
+    // then the LEFT-join UNK resolution.
+    NamedQuery(
+      "t23_bpe_ids_unk",
+      Some(bpeTokenIdsUnkSql(8)),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val table = bpeTrainDriver(d, merges = 8).map(t => (t._2, t._3))
+        val foreign = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" q¤x")).as("text"))
+        bpeTokenIdsAgainst(foreign, d, table)
           .orderBy(col("doc_id"), col("word_idx"), col("tok_idx"))
       }),
 

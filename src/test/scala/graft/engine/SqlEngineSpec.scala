@@ -1632,6 +1632,29 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(amb.getMessage.contains("BOTH fp and text"), amb.getMessage)
   }
 
+  test("graft_bpe_ids two-relation spelling: foreign tokens map to the UNK id = |vocab|") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE traind (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO traind VALUES (1, 'ab ab b')")
+    e.execute("CREATE TABLE ford (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO ford VALUES (1, 'ab z¤')")
+    // k=1 on 'ab ab b': the only pair (a,b) freq 2 -> merge "ab";
+    // vocab = [a=0, b=1, ab=2], |vocab| = 3 = UNK. Foreign 'ab' -> id 2;
+    // 'z¤' -> tokens 'z' and '¤', BOTH outside the training alphabet -> 3
+    val rows = e.execute(
+      "SELECT word_idx, tok_idx, token_id FROM graft_bpe_ids(ford, traind, 1) " +
+        "ORDER BY word_idx, tok_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 1L, 2L), (2L, 1L, 3L), (2L, 2L, 3L)), s"got $rows")
+    // the one-table spelling still trains on its own input (dual-map
+    // dispatch on the second argument's shape)
+    val own = e.execute(
+      "SELECT token_id FROM graft_bpe_ids(traind, 1) ORDER BY word_idx, tok_idx")
+      .collect().map(_.getLong(0)).toSeq
+    assert(own == Seq(2L, 2L, 1L), s"one-table dispatch regressed: $own")
+  }
+
   test("resumable change feed: a consumer crosses a compaction with no loss and no dupes") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")

@@ -1346,8 +1346,11 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("appendIvfPqIndex: append(B) to index(A) equals encoding A∪B under A's model") {
     import spark.implicits._
-    // well-separated clusters so assignment parity (MLlib transform at
-    // build vs nearest_centroid at append) can't flip on fp noise
+    // well-separated clusters as defense in depth: build and append now
+    // share ONE assignment path (assignCells routes both through the
+    // codegen'd nearest_centroid kernel since r13), so parity holds by
+    // construction — separation keeps the gate meaningful even if the
+    // paths ever diverge again
     def vec(axis: Int, scale: Float) = Array.tabulate(8)(d => if (d == axis) scale else 0.01f)
     val a = (0 until 24).map(i => (i.toLong, vec(i % 4, 1.0f + (i / 4) * 0.1f)))
       .toDF("vec_id", "embedding")
@@ -1374,6 +1377,97 @@ class OperatorsSpec extends AnyFunSuite {
       val ids = Similarity.ivfPqQueryIndex(q, path, k = 36, nprobe = 4)
         .collect().map(_.getLong(1)).toSet
       assert(ids.exists(_ >= 100L), "appended vectors must be retrievable")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("s18 SQL index flow equals the library inline path on the gate corpus") {
+    // moved OUT of the benched board row (r13 VERDICT task #5): the row
+    // retrained a second model inline solely to manufacture this
+    // verdict's comparison operand — pure verification construction with
+    // no deployment counterpart. The equality is training determinism
+    // (independently trained models coincide), gated here once instead
+    // of per bench iteration.
+    val b = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = b.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val clones = q.select((col("query_id") + 1000000L).as("vec_id"),
+      col("q_emb").as("embedding"))
+    val corpus = b.unionByName(clones).localCheckpoint()
+    corpus.createOrReplaceTempView("graft_s18spec_corpus")
+    q.select(col("query_id").as("vec_id"), col("q_emb").as("embedding"))
+      .createOrReplaceTempView("graft_s18spec_queries")
+    val wh = java.nio.file.Files.createTempDirectory("graft-s18spec-wh-").toString
+    val path = java.nio.file.Files.createTempDirectory("graft_s18spec_idx_").toString
+    try {
+      val e = new graft.engine.SqlEngine(spark, new graft.engine.Catalog(wh),
+        graft.engine.SqlContext("s18s", "u"))
+      e.execute("CREATE DATABASE s18s")
+      e.execute(s"SELECT n_vectors FROM graft_ivfpq_build(" +
+        s"'graft_s18spec_corpus', '$path', 16, 16, 64)").collect()
+      val viaSql = e.execute(s"SELECT query_id, vec_id, rank FROM graft_ivfpq_query(" +
+          s"'$path', 'graft_s18spec_queries', 5, 4)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val (km, pq) = Similarity.ivfPqTrain(corpus, 16, 16, 64)
+      val inline = Similarity.ivfPqTopK(corpus, q, km, pq, 5)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(viaSql.nonEmpty && viaSql == inline,
+        s"SQL path diverges from library inline: sql-only ${viaSql -- inline}, " +
+          s"inline-only ${inline -- viaSql}")
+    } finally {
+      spark.catalog.dropTempView("graft_s18spec_corpus")
+      spark.catalog.dropTempView("graft_s18spec_queries")
+      import scala.jdk.CollectionConverters._
+      Seq(path, wh).foreach { p =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        all.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  test("writeEmbedIndex: seeds follow the diversity-preserving sha-fold key") {
+    import spark.implicits._
+    // a history whose LOWEST ids are a homogeneous templated batch — the
+    // clustered-ingest shape an ordered-prefix seed degenerates on
+    val homog = (0 until 8).map(i => (i.toLong, Array(1.0f, 0.0f)))
+    val diverse = Seq((8L, Array(0.0f, 1.0f)), (9L, Array(-1.0f, 0.0f)),
+      (10L, Array(0.0f, -1.0f)), (11L, Array(0.7f, 0.7f)))
+    val hist = (homog ++ diverse).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-embed-seed-").toString
+    try {
+      Similarity.writeEmbedIndex(hist, path, k = 4)
+      // the documented key, computed independently here: top-4 history
+      // rows by (sha-256 8-hex-digit fold of the vec_id string, vec_id)
+      val expected = hist
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"),
+          conv(substring(sha2(col("vec_id").cast("string"), 256), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(4)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      val stored = spark.read.parquet(s"$path/centroids")
+        .orderBy(col("cell"))
+        .collect().map(r => r.getSeq[Double](1).toSeq).toSeq
+      assert(stored == expected.map(_._2).toSeq,
+        s"stored centroids ${stored} != sha-fold top-4 ${expected.toSeq}")
+      // the construction must be non-vacuous: the hash order picks a
+      // DIFFERENT seed set than the pre-r14 first-k-by-vec_id prefix
+      // (which here would be 4 identical vectors — a collapsed index)
+      assert(expected.map(_._1).toSet != Set(0L, 1L, 2L, 3L),
+        "hash key degenerated to the ordered prefix; pick different test ids")
+      // and the admission flow still probes correctly: a clone of a
+      // history vector is rejected, a novel vector admits
+      val inc = Seq((100L, Array(0.0f, 1.0f)), (101L, Array(-0.7f, -0.7f)))
+        .toDF("vec_id", "embedding")
+      val adm = Similarity.embedAdmitFromIndex(inc, path, 0.9)
+        .collect().map(_.getLong(0)).toSet
+      assert(adm == Set(101L), s"admitted $adm; clone 100 must be rejected")
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))

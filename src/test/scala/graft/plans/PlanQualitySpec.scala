@@ -943,6 +943,91 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("s19 embed-admission artifact: the probe scans ONLY the increment's cells via a static partition filter") {
+    // the deployment contract of graft_embed_admit_index: the increment's
+    // distinct cells resolve BEFORE the index scan plans, so the stored
+    // cells/ read prunes statically to those partitions — the history
+    // corpus is a parquet artifact scanned at nprobe-like width, never a
+    // full rescan
+    import spark.implicits._
+    val hist = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(0.0f, -1.0f)),
+      (5L, Array(0.9f, 0.1f)), (6L, Array(0.1f, 0.9f)),
+      (7L, Array(-0.9f, -0.1f)), (8L, Array(-0.1f, -0.9f)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_s19_plan_").toString
+    try {
+      graft.operators.Similarity.writeEmbedIndex(hist, path, k = 4)
+      // the increment occupies a SINGLE direction — its cell set is a
+      // strict subset, so pruning is observable in the plan
+      val inc = Seq((100L, Array(0.95f, 0.05f)), (101L, Array(0.97f, 0.03f)))
+        .toDF("vec_id", "embedding")
+      val p = graft.operators.Similarity.embedAdmitFromIndex(inc, path, 0.9)
+        .queryExecution.explainString(FormattedMode)
+      val cellScans = p.split("\n\n").filter(s =>
+        s.contains("Scan parquet") && s.contains("graft_s19_plan_"))
+      assert(cellScans.nonEmpty, s"expected the stored cells scan:\n$p")
+      cellScans.foreach(s =>
+        assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(s).isDefined,
+          s"the increment's cells did not become a static partition filter:\n$s"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("s20 ann lifecycle: append leaves the model artifacts byte-identical and the query scan pruned at code width") {
+    // the maintenance contract of graft_ivfpq_append: the stored
+    // centroid/PQ model files are READ-ONLY to an append (no retraining
+    // side effects — appended vectors quantize under the original
+    // model), and the post-append query plan keeps the s18 contract
+    // (static cell pruning, no float vectors in the codes scan)
+    import spark.implicits._
+    def vec(axis: Int, s: Float) = Array.tabulate(8)(d => if (d == axis) s else 0.01f)
+    val a = (0 until 24).map(i => (i.toLong, vec(i % 4, 1.0f + (i / 4) * 0.1f)))
+      .toDF("vec_id", "embedding")
+    val b = (100 until 108).map(i => (i.toLong, vec(i % 4, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_s20_plan_").toString
+    try {
+      graft.operators.Similarity.writeIvfPqIndex(a, path, cells = 4, m = 2, kps = 4)
+      def modelBytes(): Map[String, Seq[Byte]] = {
+        import scala.jdk.CollectionConverters._
+        Seq("centroids", "pq").flatMap { d =>
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path, d))
+          val files = try walk.iterator().asScala.toSeq.filter(java.nio.file.Files.isRegularFile(_))
+          finally walk.close()
+          files.map(f => f.toString ->
+            java.nio.file.Files.readAllBytes(f).toSeq)
+        }.toMap
+      }
+      val before = modelBytes()
+      graft.operators.Similarity.appendIvfPqIndex(b, path)
+      assert(modelBytes() == before,
+        "append mutated the stored centroid/PQ model artifacts")
+      val q = Seq((200L, vec(2, 1.0f))).toDF("vec_id", "embedding")
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val p = graft.operators.Similarity.ivfPqQueryIndex(q, path, 5, nprobe = 2)
+        .queryExecution.explainString(FormattedMode)
+      val codeScans = p.split("\n\n").filter(s =>
+        s.contains("Scan parquet") && s.contains("graft_s20_plan_") && s.contains("codes"))
+      assert(codeScans.nonEmpty, s"expected the codes scan:\n$p")
+      codeScans.foreach { s =>
+        assert(!s.contains("embedding"), s"the codes scan reads float vectors:\n$s")
+        assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(s).isDefined,
+          s"probed cells are not a static partition filter after append:\n$s")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("d22 winnow admit over a prebuilt index table: the probe plan never rescans history") {
     // the artifact contract: once the fingerprint index is materialized
     // (INSERT .. SELECT FROM graft_winnow_index), an admission probe reads
