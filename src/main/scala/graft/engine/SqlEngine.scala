@@ -804,6 +804,14 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // the increment's cells' files, never the history corpus
       "graft_embed_admit_index" -> ((path, incView, a) =>
         graft.operators.Similarity.embedAdmitFromIndex(spark.table(incView), path,
+          a.headOption.getOrElse(0.9))),
+      // graft_embed_admit_append('path', 'inc_view'[, tau]) — the full
+      // ingest loop: admit AND write the admitted vectors back into the
+      // stored cell index, so the next batch's clones of these
+      // admissions reject with no rebuild (single-writer maintenance,
+      // the graft_ivfpq_append posture)
+      "graft_embed_admit_append" -> ((path, incView, a) =>
+        graft.operators.Similarity.embedAdmitAppend(spark.table(incView), path,
           a.headOption.getOrElse(0.9))))
 
   /** Table functions over the table IDENTITY rather than its current

@@ -776,6 +776,38 @@ object Similarity {
     admitAssigned(inc, idx, tau)
   }
 
+  /** [[embedAdmitFromIndex]] + WRITE-BACK — the full ingest loop of the
+    * admission family: admit the increment against the stored artifact,
+    * then APPEND the admitted vectors' (vec_id, embedding) rows to the
+    * cell-partitioned index files, so the NEXT batch's clones of this
+    * batch's admissions are rejected without any rebuild. Centroids are
+    * read-only (cells never retrain — the [[appendIvfPqIndex]]
+    * maintenance posture, including its single-writer assumption:
+    * concurrent admit-appends race both the probe and the footer
+    * layout; serialize index maintenance). Returns the admitted
+    * (vec_id, cell) rows. */
+  def embedAdmitAppend(increment: DataFrame, path: String,
+      tau: Double = 0.9): DataFrame = {
+    val s = increment.sparkSession
+    VectorFunctions.register(s)
+    val seeds = s.read.parquet(s"$path/centroids").orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    // one assignment pass pinned for the cell filter, the admit probe,
+    // AND the write-back (the embedAdmitFromIndex discipline)
+    val inc = cellIndex(increment, seeds).localCheckpoint()
+    val incCells = inc.select(col("cell")).distinct().collect().map(_.get(0))
+    val idx = s.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(incCells.toIndexedSeq: _*))
+    val admitted = admitAssigned(inc, idx, tau).localCheckpoint()
+    // write back the admitted representatives WITH their embeddings: a
+    // semi-join against the pinned increment (only the increment
+    // shuffles; the admitted id set is a subset of it)
+    inc.join(admitted.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    admitted
+  }
+
   /** Cell assignment of a base relation under explicit centroids — builds
     * the persisted index side [[incrementalEmbedAdmit]] probes. */
   def cellIndex(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
@@ -1625,8 +1657,110 @@ object Similarity {
             all.foreach(java.nio.file.Files.deleteIfExists(_))
           }
         }
+      }),
+
+    // the admission family's FULL INGEST LOOP from pure SQL — build →
+    // admit-and-write-back → admit: batch 1 admits against the built
+    // index and graft_embed_admit_append APPENDS its admissions to the
+    // stored cells, batch 2 then probes history ∪ batch-1 admissions
+    // with no rebuild. Traps: batch 2 carries a clone of a BATCH-1
+    // ADMISSION (+3e6 of 350 — rejectable ONLY through the write-back;
+    // a lost append admits it and fails the hash) and a clone of an
+    // ORIGINAL history vector (+4e6 of 100 — the pre-append index must
+    // survive the append). FULL value oracle: the s19 replay chained
+    // over both batches (seed selection, two assignment passes, two
+    // cell-scoped rejections, two recursive-CTE CC blocks).
+    NamedQuery(
+      "s21_embed_lifecycle_sql",
+      Some(embedLifecycleOracleSql),
+      (s, dir) => {
+        val b = base(s, dir)
+        val hist = b.filter(col("vec_id") < 300)
+        val inc1 = b.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+          .unionByName(b.filter(col("vec_id") === 100)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+          .unionByName(b.filter(col("vec_id") === 350)
+            .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+          .localCheckpoint() // self-union through a temp view (s18 hazard)
+        val inc2 = b.filter(col("vec_id") >= 400)
+          .unionByName(b.filter(col("vec_id") === 350)
+            .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding")))
+          .unionByName(b.filter(col("vec_id") === 100)
+            .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding")))
+          .localCheckpoint()
+        hist.createOrReplaceTempView("graft_s21_hist")
+        inc1.createOrReplaceTempView("graft_s21_inc1")
+        inc2.createOrReplaceTempView("graft_s21_inc2")
+        val wh = java.nio.file.Files.createTempDirectory("graft-s21-wh-").toString
+        val path = java.nio.file.Files.createTempDirectory("graft_s21_index_").toString
+        try {
+          val e = new graft.engine.SqlEngine(s, new graft.engine.Catalog(wh),
+            graft.engine.SqlContext("s21db", "user1"))
+          e.execute("CREATE DATABASE s21db")
+          e.execute(s"SELECT n_vectors FROM graft_embed_build(" +
+            s"'graft_s21_hist', '$path', 8)").collect()
+          // statement 2: admit batch 1 AND append its admissions (the
+          // write-back runs eagerly inside the statement)
+          e.execute(s"SELECT vec_id FROM graft_embed_admit_append(" +
+            s"'$path', 'graft_s21_inc1', 0.9)")
+          // statement 3: batch 2 probes history ∪ batch-1 admissions
+          e.execute(s"SELECT vec_id, cell FROM graft_embed_admit_index(" +
+            s"'$path', 'graft_s21_inc2', 0.9) ORDER BY vec_id")
+            .localCheckpoint() // frees the artifact files below
+        } finally {
+          import scala.jdk.CollectionConverters._
+          Seq(path, wh).foreach { p =>
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+            val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+            all.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
       })
   )
+
+  /** s21's DuckDB oracle: the s19 replay CHAINED over two batches —
+    * batch 1 admits against the built index and its admissions become
+    * history (the write-back), batch 2 admits against history ∪ batch-1
+    * admissions. Two recursive connected-components blocks, one per
+    * batch. */
+  private lazy val embedLifecycleOracleSql: String = {
+    // one admission block: assign -> cell-scoped cosine rejection vs
+    // `histRel`(vec_id, cell, e) -> in-batch CC -> admitted reps
+    def admitBlock(n: Int, incRel: String, histRel: String): String =
+      s"ai$n AS (SELECT vec_id, cell, e FROM (SELECT i.vec_id, c.cell, i.e, " +
+        s"row_number() OVER (PARTITION BY i.vec_id ORDER BY list_distance(i.e, c.c), c.cell) AS rn " +
+        s"FROM $incRel i CROSS JOIN cents c) WHERE rn = 1), " +
+        s"rej$n AS (SELECT DISTINCT ai$n.vec_id FROM ai$n JOIN $histRel h$n ON ai$n.cell = h$n.cell " +
+        s"AND list_cosine_similarity(ai$n.e, h$n.e) > 0.9), " +
+        s"surv$n AS (SELECT * FROM ai$n WHERE vec_id NOT IN (SELECT vec_id FROM rej$n)), " +
+        s"prs$n AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM surv$n a JOIN surv$n b " +
+        s"ON a.cell = b.cell AND a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) > 0.9), " +
+        s"edges$n AS (SELECT id_a AS src, id_b AS dst FROM prs$n UNION ALL SELECT id_b, id_a FROM prs$n), " +
+        s"reach$n(id, lab) AS (SELECT DISTINCT src, src FROM edges$n " +
+        s"UNION SELECT e$n.src, r.lab FROM edges$n e$n JOIN reach$n r ON r.id = e$n.dst), " +
+        s"drops$n AS (SELECT id FROM reach$n GROUP BY id HAVING min(lab) <> id), " +
+        s"adm$n AS (SELECT vec_id, cell, e FROM surv$n WHERE vec_id NOT IN (SELECT id FROM drops$n))"
+    "WITH RECURSIVE ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "hist AS (SELECT vec_id, e FROM ed WHERE vec_id < 300), " +
+      "sk AS (SELECT vec_id, e, list_reduce(list_transform(range(1, 9), " +
+      "i -> strpos('0123456789abcdef', sha256(CAST(vec_id AS VARCHAR))[i]) - 1), " +
+      "(a, c) -> a * 16 + c) AS hk FROM hist), " +
+      "cents AS (SELECT cell, c FROM (SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS INT) AS cell, " +
+      "e AS c FROM sk) WHERE cell < 8), " +
+      "ah AS (SELECT vec_id, cell, e FROM (SELECT h0.vec_id, c.cell, h0.e, " +
+      "row_number() OVER (PARTITION BY h0.vec_id ORDER BY list_distance(h0.e, c.c), c.cell) AS rn " +
+      "FROM hist h0 CROSS JOIN cents c) WHERE rn = 1), " +
+      "inc1 AS (SELECT vec_id, e FROM ed WHERE vec_id >= 300 AND vec_id < 400 " +
+      "UNION ALL SELECT 1000000 + vec_id, e FROM ed WHERE vec_id = 100 " +
+      "UNION ALL SELECT 2000000 + vec_id, e FROM ed WHERE vec_id = 350), " +
+      admitBlock(1, "inc1", "ah") + ", " +
+      "hist2 AS (SELECT vec_id, cell, e FROM ah UNION ALL SELECT vec_id, cell, e FROM adm1), " +
+      "inc2 AS (SELECT vec_id, e FROM ed WHERE vec_id >= 400 " +
+      "UNION ALL SELECT 3000000 + vec_id, e FROM ed WHERE vec_id = 350 " +
+      "UNION ALL SELECT 4000000 + vec_id, e FROM ed WHERE vec_id = 100), " +
+      admitBlock(2, "inc2", "hist2") + " " +
+      "SELECT vec_id, cell FROM adm2 ORDER BY vec_id"
+  }
 
   /** s19's DuckDB oracle: replay writeEmbedIndex's sha-fold seed
     * selection, the centroid assignment over history and increment, the

@@ -1586,9 +1586,25 @@ class SqlEngineSpec extends AnyFunSuite {
         .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
       assert(eAdm == eApi && eAdm == Seq(11L, 12L),
         s"artifact admission: $eAdm vs library $eApi")
+      // the INGEST LOOP: admit-append writes batch-1 admissions back, so
+      // a later batch's clone of ADMITTED vec 11 must reject (without
+      // the write-back, cell 1 holds only (0,1) and the clone would
+      // admit at cos 0.196) while a genuinely novel vector still admits
+      val eApp = e.execute(
+        s"SELECT vec_id FROM graft_embed_admit_append('$epath', 'ei_view', 0.9)")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(eApp == Seq(11L, 12L), s"admit-append admissions: $eApp")
+      Seq((20L, Array(-1.0f, 0.2f)), (21L, Array(0.8f, -0.6f)))
+        .toDF("vec_id", "embedding").createOrReplaceTempView("ei2_view")
+      val eAdm2 = e.execute(
+        s"SELECT vec_id FROM graft_embed_admit_index('$epath', 'ei2_view', 0.9) ORDER BY vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(eAdm2 == Seq(21L),
+        s"clone of an appended admission must reject through the write-back: $eAdm2")
     } finally {
       spark.catalog.dropTempView("eh_view")
       spark.catalog.dropTempView("ei_view")
+      spark.catalog.dropTempView("ei2_view")
       val walk = Files.walk(java.nio.file.Paths.get(epath))
       val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
       all.foreach(Files.deleteIfExists(_))
