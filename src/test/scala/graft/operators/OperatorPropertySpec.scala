@@ -1061,4 +1061,178 @@ class OperatorPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(15, 60)), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("embed admission lifecycle sweep: build/admit-append/admit match an in-test reference chain") {
+    // randomized small-int 2-D vectors (cosines land on a coarse value
+    // grid well away from tau=0.9, so float-vs-double rounding can't
+    // flip a verdict), WITH planted duplicate vectors to exercise the
+    // identical-embedding grouping, chained over two batches so the
+    // write-back is on the verified path. The reference independently
+    // replays the sha-fold seed selection, argmin assignment (ties to
+    // the smallest cell), cell-scoped cosine rejection, and min-id
+    // connected components.
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def assignR(v: Array[Double], cents: Seq[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.PositiveInfinity
+      cents.zipWithIndex.foreach { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+      }
+      best
+    }
+    def seedKey(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    // reference admission of one batch against an assigned history
+    def admitR(inc: Seq[(Long, Array[Double])], hist: Seq[(Int, Array[Double])],
+        cents: Seq[Array[Double]], tau: Double): Seq[(Long, Int, Array[Double])] = {
+      val assigned = inc.map { case (id, v) => (id, assignR(v, cents), v) }
+      val groups = assigned.groupBy(t => (t._2, t._3.toSeq))
+        .map { case ((cell, _), rows) => (rows.map(_._1).min, cell, rows.head._3) }.toSeq
+      val rejected = groups.filter { case (_, cell, v) =>
+        hist.exists { case (hc, hv) => hc == cell && cosR(v, hv) > tau } }.map(_._1).toSet
+      val surv = groups.filterNot(g => rejected(g._1))
+      // connected components by label propagation to fixpoint
+      var lab = surv.map(g => g._1 -> g._1).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        for (a <- surv; b <- surv
+             if a._1 < b._1 && a._2 == b._2 && cosR(a._3, b._3) > tau) {
+          val m = math.min(lab(a._1), lab(b._1))
+          if (lab(a._1) != m) { lab += a._1 -> m; changed = true }
+          if (lab(b._1) != m) { lab += b._1 -> m; changed = true }
+        }
+      }
+      surv.filter(g => lab(g._1) == g._1).map(g => (g._1, g._2, g._3))
+    }
+    // no suchThat (its sample-retry can yield None): the zero vector
+    // remaps deterministically, keeping cosine always defined
+    val genVec: Gen[Array[Float]] = Gen.listOfN(2, Gen.choose(0, 3))
+      .map(l => if (l.forall(_ == 0)) Array(1f, 0f)
+        else l.map(_.toFloat).toArray)
+    def genBatch(base: Long, n: Int, pool: Seq[Array[Float]]): Gen[List[(Long, Array[Float])]] =
+      Gen.listOfN(n, Gen.frequency(
+        3 -> genVec,
+        // planted duplicates: clone a pool vector (same embedding, new id)
+        (if (pool.nonEmpty) 2 else 0) -> Gen.oneOf(pool)))
+        .map(_.zipWithIndex.map { case (v, i) => (base + i, v) })
+    val prop = Prop.forAll(
+      Gen.choose(3, 8), Gen.choose(1, 6), Gen.choose(1, 6), Gen.choose(2, 4)) {
+      (nHist0, nInc10, nInc20, k0) =>
+        // clamp: ScalaCheck shrinking ignores Gen.choose bounds
+        val (nHist, nInc1, nInc2, k) =
+          (math.max(1, nHist0), math.max(1, nInc10), math.max(1, nInc20), math.max(1, k0))
+        val hist = Gen.listOfN(nHist, genVec).sample.get
+          .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        val inc1 = genBatch(100L, nInc1, hist.map(_._2)).sample.get
+        val inc2 = genBatch(200L, nInc2, (hist ++ inc1).map(_._2)).sample.get
+        val tau = 0.9
+        val path = java.nio.file.Files.createTempDirectory("graft-sweep-embed-").toString
+        try {
+          Similarity.writeEmbedIndex(hist.toDF("vec_id", "embedding"), path, k)
+          val got1 = Similarity.embedAdmitAppend(inc1.toDF("vec_id", "embedding"), path, tau)
+            .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+          val got2 = Similarity.embedAdmitFromIndex(inc2.toDF("vec_id", "embedding"), path, tau)
+            .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+          // reference chain
+          val seeds = hist.sortBy(h => (seedKey(h._1), h._1)).take(k)
+            .map(_._2.map(_.toDouble))
+          val histA = hist.map { case (_, v) =>
+            val vd = v.map(_.toDouble); (assignR(vd, seeds), vd) }
+          val adm1 = admitR(inc1.map(t => (t._1, t._2.map(_.toDouble))), histA, seeds, tau)
+          val hist2 = histA ++ adm1.map(a => (a._2, a._3))
+          val adm2 = admitR(inc2.map(t => (t._1, t._2.map(_.toDouble))), hist2, seeds, tau)
+          val want1 = adm1.map(a => (a._1, a._2)).toSet
+          val want2 = adm2.map(a => (a._1, a._2)).toSet
+          if (got1 != want1 || got2 != want2)
+            println(s"MISMATCH hist=${hist.map(_._2.toSeq)} inc1=${inc1.map(_._2.toSeq)} " +
+              s"inc2=${inc2.map(_._2.toSeq)} k=$k\n got1=$got1 want1=$want1\n got2=$got2 want2=$want2")
+          got1 == want1 && got2 == want2
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+          val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+          all.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(8, 25)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("foreign-corpus UNK id sweep: bpeTokenIdsAgainst matches an in-test reference encoder") {
+    // train on an {a,b}-alphabet corpus, encode a foreign {a,b,z} corpus:
+    // the reference independently folds each foreign word through the
+    // learned merges (greedy left-to-right per round) and resolves ids
+    // against the induced vocabulary with UNK = |vocab|
+    def foldWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms: List[String] = word.map(_.toString).toList
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case x :: y :: t if x == a && y == b => out += (a + b); rest = t
+          case x :: t => out += x; rest = t
+          case Nil => ()
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(1, 5)
+      ws <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 5)
+        cs <- Gen.listOfN(len, Gen.oneOf("a", "b"))
+      } yield cs.mkString)
+    } yield ws.mkString(" ")
+    val genForeignDoc: Gen[String] = for {
+      n <- Gen.choose(1, 4)
+      ws <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 5)
+        cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "z"))
+      } yield cs.mkString)
+    } yield ws.mkString(" ")
+    val prop = Prop.forAll(
+      Gen.listOfN(3, genDoc), Gen.listOfN(2, genForeignDoc), Gen.choose(1, 3)) {
+      (train, foreign, k0) =>
+        val k = math.max(1, k0) // shrink guards (see the embed sweep)
+        if (train.isEmpty || foreign.isEmpty) true
+        else {
+          val trainDf = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text")
+          val foreignDf = foreign.zipWithIndex.map { case (t, i) => (100L + i, t) }
+            .toDF("doc_id", "text")
+          val table = TextAnalysis.bpeTrainDriver(trainDf, k).map(t => (t._2, t._3))
+          val rows = TextAnalysis.bpeTokenIdsAgainst(foreignDf, trainDf, table)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+          // reference vocabulary: sorted train alphabet, then merge outputs
+          // in rank order, dedup keep-first, dense ids
+          val alphabet = train.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+            .flatMap(_.map(_.toString)).distinct.sorted
+          val vocabSeq = (alphabet ++ table.map { case (a, b) => a + b }).distinct
+          val vocab = vocabSeq.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+          val unk = vocabSeq.size.toLong
+          val want = foreign.zipWithIndex.flatMap { case (text, di) =>
+            text.split("\\s+", -1).zipWithIndex.filter(_._1.nonEmpty).flatMap { case (w, wi) =>
+              foldWord(w, table).zipWithIndex.map { case (tok, ti) =>
+                (100L + di, wi + 1L, ti + 1L, vocab.getOrElse(tok, unk)) }
+            }
+          }.toSet
+          if (rows != want)
+            println(s"MISMATCH train=$train foreign=$foreign k=$k table=$table\n " +
+              s"got=$rows\n want=$want")
+          rows == want
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases(12, 40)), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
