@@ -24,6 +24,28 @@ object Bench {
   private[graft] def fmtSeconds(v: Double): String =
     if (v < 0) "-1" else "%.3f".formatLocal(Locale.ROOT, v)
 
+  /** COMPACT per-query seconds: the whole JSON line must fit the
+    * harness's ~2000-char output tail WITH the trailing sbt status line
+    * — the round-13 line (152 queries × fixed 3-decimals) overflowed it
+    * and the driver recorded `parsed: null`. Two significant digits per
+    * row (three under 0.1 s), trailing zeros stripped: the per-query
+    * quantization grid (≤1.6% at worst) sits an order of magnitude
+    * below the host-window noise every round-over-round comparison
+    * already tolerates, and the 156-row board fits with headroom for
+    * future rows. */
+  private[graft] def fmtShort(v: Double): String = {
+    if (v < 0) return "-1"
+    val s =
+      if (v < 0.1) "%.3f".formatLocal(Locale.ROOT, v)
+      else if (v < 1) "%.2f".formatLocal(Locale.ROOT, v)
+      else if (v < 10) "%.1f".formatLocal(Locale.ROOT, v)
+      else "%.0f".formatLocal(Locale.ROOT, v)
+    if (s.contains('.')) {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    } else s
+  }
+
   /** Display key per query: the unique prefix before the first '_' (q01,
     * d02, ...), falling back to the FULL name whenever two queries share a
     * prefix — a silent collision would drop a timing from the board. */
@@ -131,11 +153,11 @@ object Bench {
     val results = names.map(n => n -> best(n))
 
     // The harness keeps only the tail of this process's output, so the JSON
-    // line must stay well under 2000 chars: short keys and 3-decimal
-    // seconds.
+    // line must stay well under 2000 chars: short keys and the fmtShort
+    // two-significant-digit per-query tier (BenchSpec pins the budget).
     val key = shortKeys(names)
     val qs = results
-      .map { case (k, v) => "\"" + key(k) + "\":" + fmtSeconds(v) }
+      .map { case (k, v) => "\"" + key(k) + "\":" + fmtShort(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val canarySorted = canary.sorted
@@ -155,13 +177,25 @@ object Bench {
     // over-correct in the wrong direction (VERDICT r09 "what's wrong" #2)
     val scaleRaw = canarySorted.headOption.map(_ / canaryRef).getOrElse(1.0)
     val scale = math.max(1.0, scaleRaw)
+    // compact: ref is the documented constant 0.066 (kept in this
+    // comment + SCALE_NOTES), the slowdown-only clamp is structural —
+    // both dropped from the line to protect the tail budget; the
+    // "clamped" marker appears only in the rare sub-ref-floor case
     val canaryJson =
       if (canarySorted.isEmpty) "null"
       else s"""{"min":${fmtSeconds(canarySorted.head)},"max":${fmtSeconds(canarySorted.last)},""" +
-        s""""ref":${fmtSeconds(canaryRef)},"scale":${fmtSeconds(scale)},""" +
-        s""""clamp":"slowdown-only${if (scaleRaw < 1.0) " (applied)" else ""}"}"""
+        s""""scale":${fmtSeconds(scale)}${if (scaleRaw < 1.0) ""","clamped":1""" else ""}}"""
     val norm = if (scale > 0) total / scale else total
-    println(s"""{"metric":"total","value":${fmtSeconds(total)},"value_norm":${fmtSeconds(norm)},"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfDir"}""")
+    // sf as the directory basename — the path prefix is constant context
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val line = s"""{"metric":"total","value":${fmtSeconds(total)},"value_norm":${fmtSeconds(norm)},"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfName"}"""
+    // tail budget: the harness keeps ~2000 output chars and sbt appends
+    // its own ~80-char status line after ours — warn a future round
+    // BEFORE the driver records another unparseable bench
+    if (line.length > 1850)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — " +
+        "the harness tail cuts ~1920; compact fmtShort tiers or the board overflows again")
+    println(line)
     spark.stop()
   }
 }

@@ -1646,6 +1646,25 @@ class SqlEngineSpec extends AnyFunSuite {
     val amb = intercept[SqlError](
       e.execute("SELECT doc_id FROM graft_winnow_admit(winc, whist_fp, 2, 2, 1)"))
     assert(amb.getMessage.contains("BOTH fp and text"), amb.getMessage)
+
+    // --- the winnow INGEST LOOP composes from existing statements (the
+    // s21 semantics with no dedicated operator): admitted batch-1 docs'
+    // fingerprints INSERT back into the index table, so batch 2's clone
+    // of a batch-1 ADMISSION rejects with no rebuild
+    e.execute("CREATE TABLE winc1_adm (doc_id bigint PRIMARY KEY, text text)")
+    e.execute("INSERT INTO winc1_adm SELECT w.doc_id, w.text FROM winc w " +
+      "JOIN graft_winnow_admit(winc, widx, 2, 2, 1) a ON w.doc_id = a.doc_id")
+    e.execute("INSERT INTO widx SELECT doc_id, fp FROM graft_winnow_index(winc1_adm, 2, 2, 64)")
+    e.execute("CREATE TABLE winc2 (doc_id bigint PRIMARY KEY, text text)")
+    // 20 clones ADMITTED doc 11 (rejectable only through the write-back);
+    // 21 is novel
+    e.execute("INSERT INTO winc2 VALUES (20, 'totally novel content here'), " +
+      "(21, 'unrelated fresh words appear')")
+    val admitted3 = e.execute(
+      "SELECT doc_id FROM graft_winnow_admit(winc2, widx, 2, 2, 1) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(admitted3 == Seq(21L),
+      s"clone of an ingested batch-1 admission must reject: $admitted3")
   }
 
   test("graft_bpe_ids two-relation spelling: foreign tokens map to the UNK id = |vocab|") {
