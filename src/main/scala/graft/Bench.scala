@@ -6,10 +6,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"value_norm":N,"unit":"sec",
-  * "queries":{...},"canary":{min,max,ref,scale},"sf":...} — value_norm
-  * and canary.scale make rounds comparable across host-noise windows
-  * (per-query normalized = raw / scale).
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},
+  * "canary":{min,max,scale},"sf":...} — canary.scale makes rounds
+  * comparable across host-noise windows (normalized = raw / scale;
+  * canary ref floor = 0.066 s, measured round 7).
   *
   * Each query executes its FULL plan through the noop sink (count() would
   * let Catalyst prune projections and skip work a consumer would pay for).
@@ -185,10 +185,12 @@ object Bench {
       if (canarySorted.isEmpty) "null"
       else s"""{"min":${fmtSeconds(canarySorted.head)},"max":${fmtSeconds(canarySorted.last)},""" +
         s""""scale":${fmtSeconds(scale)}${if (scaleRaw < 1.0) ""","clamped":1""" else ""}}"""
-    val norm = if (scale > 0) total / scale else total
+    // value_norm was dropped from the line for the tail budget: it is
+    // exactly value / canary.scale (the r9+ normalization lens), and
+    // readers that want it divide — same information, 25 fewer chars
     // sf as the directory basename — the path prefix is constant context
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val line = s"""{"metric":"total","value":${fmtSeconds(total)},"value_norm":${fmtSeconds(norm)},"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${fmtSeconds(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfName"}"""
     // tail budget: the harness keeps ~2000 output chars and sbt appends
     // its own ~80-char status line after ours — warn a future round
     // BEFORE the driver records another unparseable bench

@@ -419,6 +419,14 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         TextAnalysis.bpeVocab(t,
           TextAnalysis.bpeTrainDriver(t, k).map(m => (m._2, m._3)))
       }),
+      // the MATERIALIZED packed tape: train k merges, tokenize to ids,
+      // pack onto budget-token sequences — (seq, seq_pos, doc_id,
+      // token_id), the loader-facing artifact; args (budget, merges)
+      "graft_pack_ids" -> ((t, a) =>
+        graft.operators.Packing.packTokenIds(t,
+          TextAnalysis.bpeTrainDriver(t,
+            a.lift(1).map(_.toInt).getOrElse(8)).map(m => (m._2, m._3)),
+          a.headOption.map(_.toInt).getOrElse(128))),
       "graft_hashed_embedding" -> ((t, a) =>
         graft.operators.Similarity.hashedEmbedding(t,
           a.headOption.map(_.toInt).getOrElse(16))),
@@ -619,6 +627,15 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         val k = a.headOption.map(_.toInt).getOrElse(8)
         TextAnalysis.bpeTokenIdsAgainst(corpus, trainCorpus,
           TextAnalysis.bpeTrainDriver(trainCorpus, k).map(m => (m._2, m._3)))
+      }),
+      // the packed tape under a FROZEN tokenizer:
+      // graft_pack_ids(corpusB, trainCorpusA[, budget[, merges]]) —
+      // ids (and UNK = |vocab|) from A, tape layout from B's own counts
+      "graft_pack_ids" -> ((corpus, trainCorpus, a) => {
+        val budget = a.headOption.map(_.toInt).getOrElse(128)
+        val k = a.lift(1).map(_.toInt).getOrElse(8)
+        graft.operators.Packing.packTokenIdsAgainst(corpus, trainCorpus,
+          TextAnalysis.bpeTrainDriver(trainCorpus, k).map(m => (m._2, m._3)), budget)
       }))
   }
 

@@ -99,6 +99,70 @@ object Packing {
         (least(lit(budget.toLong) * (col("seq_id") + 1),
           col("start_offset") + col("n_tokens")) - col("seq_id") * budget).as("end_tok"))
 
+  /** The MATERIALIZED packed training tape — [[packCounts]]' layout
+    * joined onto the real token-id stream: every token of the corpus
+    * lands at its absolute position on the concatenated tape (docs in
+    * doc_id order, the packCounts convention), emitted LONG FORM as
+    * (seq, seq_pos, doc_id, token_id) — the rows a training loader
+    * groups into fixed-`budget` input sequences; this is the artifact a
+    * run actually reads, one step past t20's per-doc stream. Document
+    * boundaries are recoverable from doc_id ([[packedSpans]] is the
+    * mask sidecar); no separator tokens are inserted — the
+    * concatenated-tape convention.
+    *
+    * Scale shape: ONE scalar shuffle is the floor for any global
+    * layout, and this plan pays exactly one — the per-doc token index
+    * is a window over the id stream (partitioned by doc_id; the wire
+    * carries doc_id + two indices + token_id, never a token string or
+    * text), and the per-doc offset join lands on the SAME doc_id
+    * hash-partitioning-and-sort the window produced, so the stream is
+    * not exchanged again (plan-locked). The offsets relation is one row
+    * per document. Wall is output volume — the tape IS the corpus's
+    * tokens, the t19/t20 profile. */
+  def packTokenIds(corpus: DataFrame, mergeTable: Seq[(String, String)],
+      budget: Int = 128): DataFrame = {
+    require(budget > 0, "need budget > 0")
+    val tokens = TextAnalysis.bpeTokenIds(corpus, mergeTable)
+    val counts = TextAnalysis.bpeEncode(corpus, mergeTable)
+      .select(col("doc_id"), col("n_tokens"))
+    val offsets = packCounts(counts, budget)
+      .select(col("doc_id"), col("start_offset"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("word_idx"), col("tok_idx"))
+    tokens
+      .withColumn("tix", row_number().over(w).cast("bigint") - 1)
+      .join(offsets, Seq("doc_id"))
+      .select(
+        expr(s"(start_offset + tix) div $budget").as("seq"),
+        expr(s"(start_offset + tix) % $budget").as("seq_pos"),
+        col("doc_id"), col("token_id"))
+  }
+
+  /** [[packTokenIds]] under a FROZEN tokenizer — the deployment
+    * spelling: the id space (and UNK) comes from `vocabCorpus` +
+    * `mergeTable` ([[TextAnalysis.bpeTokenIdsAgainst]]), while the tape
+    * layout packs `corpus`'s own token counts. Out-of-alphabet tokens
+    * keep their tape positions (UNK id = |vocab| — the stream stays
+    * total, so seq/seq_pos never shift against the count-based
+    * layout). Same single-scalar-shuffle plan shape as the one-corpus
+    * spelling. */
+  def packTokenIdsAgainst(corpus: DataFrame, vocabCorpus: DataFrame,
+      mergeTable: Seq[(String, String)], budget: Int = 128): DataFrame = {
+    require(budget > 0, "need budget > 0")
+    val tokens = TextAnalysis.bpeTokenIdsAgainst(corpus, vocabCorpus, mergeTable)
+    val counts = TextAnalysis.bpeEncode(corpus, mergeTable)
+      .select(col("doc_id"), col("n_tokens"))
+    val offsets = packCounts(counts, budget)
+      .select(col("doc_id"), col("start_offset"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("word_idx"), col("tok_idx"))
+    tokens
+      .withColumn("tix", row_number().over(w).cast("bigint") - 1)
+      .join(offsets, Seq("doc_id"))
+      .select(
+        expr(s"(start_offset + tix) div $budget").as("seq"),
+        expr(s"(start_offset + tix) % $budget").as("seq_pos"),
+        col("doc_id"), col("token_id"))
+  }
+
   /** Deterministic TRAINING-SHARD layout: shard by content-independent
     * id hash, order within shard by the same hash — a reproducible global
     * shuffle (every data-parallel trainer must see the same shard in the
@@ -455,6 +519,31 @@ object Packing {
           graft.operators.TextAnalysis.bpeEncode(docs(s, dir), table)
             .select(col("doc_id"), col("n_tokens")))
           .orderBy(col("doc_id"))
+      }),
+
+    // the packed tape MATERIALIZED: p23's layout joined onto the real
+    // id stream (t20) — (seq, seq_pos, doc_id, token_id) per corpus
+    // token, the rows a training loader consumes. Full value oracle:
+    // the shared t20 id-stream CTEs + per-doc token index + the
+    // prefix-sum offset replay + the seq/seq_pos arithmetic.
+    NamedQuery(
+      "p24_pack_ids",
+      Some(
+        "WITH " + graft.operators.TextAnalysis.bpeIdStreamCtes(8) + ", " +
+          "tix AS (SELECT doc_id, token_id, CAST(row_number() OVER " +
+          "(PARTITION BY doc_id ORDER BY word_idx, tok_idx) - 1 AS BIGINT) AS tix FROM ids), " +
+          "tk AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY doc_id), " +
+          "c AS (SELECT doc_id, CAST(sum(n) OVER " +
+          "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n " +
+          "AS BIGINT) AS start_offset FROM tk) " +
+          "SELECT CAST((start_offset + tix) // 128 AS BIGINT) AS seq, " +
+          "CAST((start_offset + tix) % 128 AS BIGINT) AS seq_pos, doc_id, token_id " +
+          "FROM tix JOIN c USING (doc_id) ORDER BY seq, seq_pos"),
+      (s, dir) => {
+        val table = graft.operators.TextAnalysis
+          .bpeTrainDriver(docs(s, dir), merges = 8).map(t => (t._2, t._3))
+        packTokenIds(docs(s, dir).select(col("doc_id"), col("text")), table)
+          .orderBy(col("seq"), col("seq_pos"))
       }),
 
     NamedQuery(

@@ -813,13 +813,14 @@ object TextAnalysis {
         coalesce(col("token_id"), lit(unkId)).as("token_id"))
   }
 
-  /** [[bpeTokenIds]]' oracle: the t19 token-stream chain joined to a
-    * vocabulary CTE that replays the (alphabet-sorted, then merges by
-    * rank, dedup keep-first, dense ids) assignment. */
-  private[operators] def bpeTokenIdsSql(merges: Int): String = {
+  /** The CTE chain producing the id-stream relation `ids(doc_id,
+    * word_idx, tok_idx, token_id)` over `documents` — shared by
+    * [[bpeTokenIdsSql]] (t20) and Packing's packed-tape oracle (p24),
+    * so the two gates can never drift. */
+  private[operators] def bpeIdStreamCtes(merges: Int): String = {
     val mergeUnion = (1 to merges)
       .map(r => s"SELECT $r AS rank, ab FROM m$r").mkString(" UNION ALL ")
-    s"WITH ${bpeChainSql(merges)}, " +
+    s"${bpeChainSql(merges)}, " +
       "alpha AS (SELECT DISTINCT c AS token FROM (SELECT unnest(syms) AS c FROM s0)), " +
       "entries AS (SELECT token, 0 AS grp, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS pos FROM alpha " +
       s"UNION ALL SELECT ab AS token, 1 AS grp, CAST(rank AS BIGINT) AS pos FROM ($mergeUnion)), " +
@@ -831,11 +832,18 @@ object TextAnalysis {
       s"enc AS (SELECT word, syms FROM s$merges), " +
       "outp AS (SELECT doc_id, word_idx, t.i AS tok_idx, t.tok AS token FROM " +
       "(SELECT doc_id, word_idx, unnest(list_transform(range(1, len(syms)+1), i -> {'i': i, 'tok': syms[i]})) AS t " +
-      "FROM (SELECT * FROM dw WHERE word <> '') JOIN enc USING (word))) " +
-      "SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, " +
-      "CAST(tok_idx AS BIGINT) AS tok_idx, token_id FROM outp JOIN vocab USING (token) " +
-      "ORDER BY doc_id, word_idx, tok_idx"
+      "FROM (SELECT * FROM dw WHERE word <> '') JOIN enc USING (word))), " +
+      "ids AS (SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, " +
+      "CAST(tok_idx AS BIGINT) AS tok_idx, token_id FROM outp JOIN vocab USING (token))"
   }
+
+  /** [[bpeTokenIds]]' oracle: the t19 token-stream chain joined to a
+    * vocabulary CTE that replays the (alphabet-sorted, then merges by
+    * rank, dedup keep-first, dense ids) assignment. */
+  private[operators] def bpeTokenIdsSql(merges: Int): String =
+    s"WITH ${bpeIdStreamCtes(merges)} " +
+      "SELECT doc_id, word_idx, tok_idx, token_id FROM ids " +
+      "ORDER BY doc_id, word_idx, tok_idx"
 
   /** [[bpeTokenIdsAgainst]]'s oracle: the t20 chain trains on
     * `documents` (censuses, merge picks, vocabulary), while a SECOND

@@ -45,8 +45,8 @@ class BenchSpec extends AnyFunSuite {
     // worst-typical shape: every row in the widest common tier ("0.12")
     val rows = names.map(n => "\"" + key(n) + "\":" + Bench.fmtShort(0.12))
     val line = rows.mkString("{", ",", "}")
-    assert(line.length + 180 < 1900,
-      s"queries map ${line.length} chars + ~180 wrapper exceeds the ~1900-char tail budget")
+    assert(line.length + 130 < 1900,
+      s"queries map ${line.length} chars + ~130 wrapper exceeds the ~1900-char tail budget")
   }
 
   test("short keys fall back to the full name on prefix collision") {

@@ -1688,6 +1688,14 @@ class SqlEngineSpec extends AnyFunSuite {
       "SELECT token_id FROM graft_bpe_ids(traind, 1) ORDER BY word_idx, tok_idx")
       .collect().map(_.getLong(0)).toSeq
     assert(own == Seq(2L, 2L, 1L), s"one-table dispatch regressed: $own")
+    // the packed tape under the same frozen tokenizer: ids [2, 3, 3]
+    // concatenated and cut at budget=2 — UNK tokens keep tape positions
+    val packed = e.execute(
+      "SELECT seq, seq_pos, token_id FROM graft_pack_ids(ford, traind, 2, 1) " +
+        "ORDER BY seq, seq_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(packed == Seq((0L, 0L, 2L), (0L, 1L, 3L), (1L, 0L, 3L)),
+      s"frozen-tokenizer packed tape: $packed")
   }
 
   test("resumable change feed: a consumer crosses a compaction with no loss and no dupes") {

@@ -262,6 +262,40 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("p24 packed tape: one id-only shuffle of the stream; the offset join reuses its partitioning") {
+    // the materialized tape's floor is ONE scalar shuffle of the token
+    // stream (the per-doc index window); the per-doc offset join must
+    // land on that same doc_id partitioning+sort — a second exchange or
+    // sort of the stream side means the corpus-sized relation moved
+    // twice. No token string or document text may cross any exchange.
+    // locked on the OPERATOR's own plan (the board row adds a global
+    // orderBy for the oracle's presentation, whose rangepartitioning is
+    // the inherent cost of any totally-ordered output)
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val table = graft.operators.TextAnalysis.bpeTrainDriver(docs, merges = 8)
+      .map(t => (t._2, t._3))
+    val p = graft.operators.Packing.packTokenIds(docs, table)
+      .queryExecution.explainString(FormattedMode)
+    // string payloads are checked on SHUFFLES only: the one legitimate
+    // broadcast carries the bounded vocabulary (token -> token_id,
+    // alphabet + k merges rows), which is model metadata, not corpus
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.nonEmpty, "expected the window + offsets shuffles")
+    shuffles.foreach { s =>
+      assert(!s.contains("text#"), s"document text crossed a shuffle:\n$s")
+      assert(!s.contains("token#"), s"a token string crossed a shuffle:\n$s")
+      assert(!s.contains("word#"), s"a word string crossed a shuffle:\n$s")
+    }
+    // the stream side (the shuffle carrying token_id) moves exactly
+    // once: the window's hashpartitioning(doc_id); the offset join must
+    // not re-exchange it
+    val streamShuffles = shuffles.filter(_.contains("token_id#"))
+    assert(streamShuffles.length == 1,
+      s"the token stream crossed ${streamShuffles.length} shuffles (want 1):\n" +
+        streamShuffles.mkString("\n\n"))
+  }
+
   test("p21 corpus diff: the full-outer join shuffles digests, never text") {
     // both snapshots must reduce to (doc_id, sha2) at the scan — document
     // text on the diff's exchange re-ships the corpus to compare it
