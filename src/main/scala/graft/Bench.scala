@@ -27,17 +27,18 @@ object Bench {
   /** COMPACT per-query seconds: the whole JSON line must fit the
     * harness's ~2000-char output tail WITH the trailing sbt status line
     * — the round-13 line (152 queries × fixed 3-decimals) overflowed it
-    * and the driver recorded `parsed: null`. Two significant digits per
-    * row (three under 0.1 s), trailing zeros stripped: the per-query
-    * quantization grid (≤1.6% at worst) sits an order of magnitude
-    * below the host-window noise every round-over-round comparison
-    * already tolerates, and the 156-row board fits with headroom for
-    * future rows. */
+    * and the driver recorded `parsed: null`. At most two significant
+    * digits per row (ONE under 0.1 s — those rows are plan-overhead
+    * noise), trailing zeros stripped. The quantization grid's worst
+    * relative error is ~5% at a tier bottom (0.104 → "0.1"), the same
+    * order as the host-window noise round-over-round comparisons
+    * already tolerate — which is why regression ADJUDICATION must use
+    * the full-precision SPARK_GRAFT_BENCH_ONLY subset line, never this
+    * board grid (round-14 ADVICE). */
   private[graft] def fmtShort(v: Double): String = {
     if (v < 0) return "-1"
     val s =
-      if (v < 0.1) "%.3f".formatLocal(Locale.ROOT, v)
-      else if (v < 1) "%.2f".formatLocal(Locale.ROOT, v)
+      if (v < 1) "%.2f".formatLocal(Locale.ROOT, v)
       else if (v < 10) "%.1f".formatLocal(Locale.ROOT, v)
       else "%.0f".formatLocal(Locale.ROOT, v)
     if (s.contains('.')) {
@@ -46,11 +47,21 @@ object Bench {
     } else s
   }
 
-  /** Display key per query: the unique prefix before the first '_' (q01,
-    * d02, ...), falling back to the FULL name whenever two queries share a
-    * prefix — a silent collision would drop a timing from the board. */
+  /** Display key per query: the prefix before the first '_' with the
+    * numeric suffix's leading zeros stripped (q01_pricing → "q1",
+    * d02_minhash → "d2" — zero-padding cost ~60 chars of the tail
+    * budget across the 157-row board), falling back to the FULL name
+    * whenever two queries would share a display key — a silent
+    * collision would drop a timing from the board. */
   private[graft] def shortKeys(names: Seq[String]): Map[String, String] = {
-    def short(k: String): String = k.takeWhile(_ != '_')
+    def short(k: String): String = {
+      val p = k.takeWhile(_ != '_')
+      val (alpha, num) = p.span(!_.isDigit)
+      if (num.nonEmpty && num.forall(_.isDigit)) {
+        val trimmed = num.dropWhile(_ == '0')
+        alpha + (if (trimmed.isEmpty) "0" else trimmed)
+      } else p
+    }
     val collisions = names.groupBy(short).collect { case (p, ns) if ns.size > 1 => p }.toSet
     names.map(k => k -> (if (collisions(short(k))) k else short(k))).toMap
   }
@@ -155,9 +166,14 @@ object Bench {
     // The harness keeps only the tail of this process's output, so the JSON
     // line must stay well under 2000 chars: short keys and the fmtShort
     // two-significant-digit per-query tier (BenchSpec pins the budget).
+    // SUBSET runs (SPARK_GRAFT_BENCH_ONLY) are the A/B regression-
+    // adjudication harness and trivially fit the tail — they get FULL
+    // per-query precision; fmtShort's ~5% grid at tier bottoms is the
+    // same order as the regressions being adjudicated (r14 ADVICE).
+    val fmtQ: Double => String = if (only.isDefined) fmtSeconds else fmtShort
     val key = shortKeys(names)
     val qs = results
-      .map { case (k, v) => "\"" + key(k) + "\":" + fmtShort(v) }
+      .map { case (k, v) => "\"" + key(k) + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val canarySorted = canary.sorted
@@ -177,20 +193,20 @@ object Bench {
     // over-correct in the wrong direction (VERDICT r09 "what's wrong" #2)
     val scaleRaw = canarySorted.headOption.map(_ / canaryRef).getOrElse(1.0)
     val scale = math.max(1.0, scaleRaw)
-    // compact: ref is the documented constant 0.066 (kept in this
-    // comment + SCALE_NOTES), the slowdown-only clamp is structural —
-    // both dropped from the line to protect the tail budget; the
-    // "clamped" marker appears only in the rare sub-ref-floor case
+    // compact POSITIONAL array [min, max, scale] (r14 VERDICT task 2:
+    // the keyed object + "clamped" marker cost ~37 tail chars): ref is
+    // the documented constant 0.066 (this comment + SCALE_NOTES), the
+    // slowdown-only clamp is structural (scale == 1 whenever the raw
+    // ratio would dip below 1, so "clamped" is readable off the values)
     val canaryJson =
       if (canarySorted.isEmpty) "null"
-      else s"""{"min":${fmtSeconds(canarySorted.head)},"max":${fmtSeconds(canarySorted.last)},""" +
-        s""""scale":${fmtSeconds(scale)}${if (scaleRaw < 1.0) ""","clamped":1""" else ""}}"""
+      else s"[${fmtQ(canarySorted.head)},${fmtQ(canarySorted.last)},${fmtQ(scale)}]"
     // value_norm was dropped from the line for the tail budget: it is
     // exactly value / canary.scale (the r9+ normalization lens), and
     // readers that want it divide — same information, 25 fewer chars
     // sf as the directory basename — the path prefix is constant context
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val line = s"""{"metric":"total","value":${fmtSeconds(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${fmtQ(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfName"}"""
     // tail budget: the harness keeps ~2000 output chars and sbt appends
     // its own ~80-char status line after ours — warn a future round
     // BEFORE the driver records another unparseable bench

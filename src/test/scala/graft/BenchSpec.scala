@@ -27,8 +27,8 @@ class BenchSpec extends AnyFunSuite {
       Locale.setDefault(Locale.GERMANY) // ','-decimal
       assert(Bench.fmtShort(-1.0) == "-1")
       assert(Bench.fmtShort(0.0) == "0")
-      assert(Bench.fmtShort(0.029) == "0.029") // <0.1: 3 decimals
-      assert(Bench.fmtShort(0.03) == "0.03")
+      assert(Bench.fmtShort(0.029) == "0.03") // <0.1: 2 decimals (1 sig digit)
+      assert(Bench.fmtShort(0.094) == "0.09")
       assert(Bench.fmtShort(0.5) == "0.5") // <1: 2 decimals, stripped
       assert(Bench.fmtShort(0.504) == "0.5")
       assert(Bench.fmtShort(0.72) == "0.72")
@@ -39,33 +39,44 @@ class BenchSpec extends AnyFunSuite {
     } finally Locale.setDefault(saved)
     // the full-board line must fit the harness tail with sbt's status
     // line behind it: the round-13 line (152 rows × fixed "0.000")
-    // overflowed 2000 and the driver recorded parsed: null
+    // overflowed 2000 and the driver recorded parsed: null. Budget with
+    // the WIDEST value any tier can emit (r14 ADVICE: the old spec
+    // modeled the typical tier and under-counted a sub-0.1-skewed
+    // board), and fail BEFORE Bench's own 1850-char stderr warning so
+    // a board-row addition breaks the build, not the driver's parse.
+    val widest = Seq(0.029, 0.12, 0.57, 1.4, 3.05, 12.34)
+      .map(v => Bench.fmtShort(v).length).max
     val names = SparkEntry.queries.keys.toSeq.sorted
     val key = Bench.shortKeys(names)
-    // worst-typical shape: every row in the widest common tier ("0.12")
-    val rows = names.map(n => "\"" + key(n) + "\":" + Bench.fmtShort(0.12))
+    val rows = names.map(n => "\"" + key(n) + "\":" + ("9" * widest))
     val line = rows.mkString("{", ",", "}")
-    assert(line.length + 130 < 1900,
-      s"queries map ${line.length} chars + ~130 wrapper exceeds the ~1900-char tail budget")
+    // wrapper worst case: metric/value/unit + canary [x.xx,x.xx,x.xx] + sf
+    val wrapper = ("""{"metric":"total","value":9999,"unit":"sec","queries":,""" +
+      """"canary":[0.066,0.443,6.712],"sf":"sf0.001"}""").length
+    assert(line.length + wrapper < 1800,
+      s"queries map ${line.length} chars + $wrapper wrapper exceeds the 1800 budget " +
+        "(Bench warns at 1850; the harness tail cuts ~1920)")
   }
 
-  test("short keys fall back to the full name on prefix collision") {
-    val keys = Bench.shortKeys(Seq("q01_agg", "q02_filter", "q02_filter_more", "d01_dedup"))
-    assert(keys("q01_agg") == "q01")
-    assert(keys("d01_dedup") == "d01")
+  test("short keys strip zero-padding and fall back to the full name on collision") {
+    val keys = Bench.shortKeys(Seq("q01_agg", "q02_filter", "q02_filter_more",
+      "d01_dedup", "d10_semdedup", "x00_zero"))
+    assert(keys("q01_agg") == "q1")
+    assert(keys("d01_dedup") == "d1")
+    assert(keys("d10_semdedup") == "d10") // no padding to strip
+    assert(keys("x00_zero") == "x0") // all-zero suffix keeps one digit
     // colliding q02 prefix: both keep their full (unique) names
     assert(keys("q02_filter") == "q02_filter")
     assert(keys("q02_filter_more") == "q02_filter_more")
     assert(keys.values.toSeq.distinct.size == keys.size)
+    // a stripped key must never merge with a genuinely unpadded twin
+    val twins = Bench.shortKeys(Seq("d01_a", "d1_b"))
+    assert(twins.values.toSeq.distinct.size == 2)
   }
 
   test("the real query board has collision-free display keys") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val keys = Bench.shortKeys(names)
     assert(keys.values.toSeq.distinct.size == names.size)
-    // today's board has unique prefixes, so every key stays short; if a
-    // future query breaks that, the fallback (not this assert) handles it
-    assert(keys.forall { case (k, v) => v == k.takeWhile(_ != '_') || names.count(n =>
-      n.takeWhile(_ != '_') == k.takeWhile(_ != '_')) > 1 })
   }
 }
