@@ -546,6 +546,38 @@ object Packing {
           .orderBy(col("seq"), col("seq_pos"))
       }),
 
+    // the packed tape under a FROZEN tokenizer — the DEPLOYMENT
+    // spelling: the tokenizer (merge table + id space + UNK) trains on
+    // `documents`, while the tape packs t23's foreign corpus (the
+    // held-out %10 slice with a planted out-of-alphabet word). UNK
+    // tokens keep their tape positions, so seq/seq_pos never shift
+    // against the count-based layout. Full value oracle: the shared
+    // foreign-corpus UNK id-stream CTEs (t23's chain) composed with
+    // p24's per-doc token index + prefix-sum offset replay.
+    NamedQuery(
+      "p25_pack_ids_frozen",
+      Some(
+        "WITH " + graft.operators.TextAnalysis.bpeUnkIdStreamCtes(8) + ", " +
+          "tix AS (SELECT doc_id, token_id, CAST(row_number() OVER " +
+          "(PARTITION BY doc_id ORDER BY word_idx, tok_idx) - 1 AS BIGINT) AS tix FROM ids), " +
+          "tk AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY doc_id), " +
+          "c AS (SELECT doc_id, CAST(sum(n) OVER " +
+          "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n " +
+          "AS BIGINT) AS start_offset FROM tk) " +
+          "SELECT CAST((start_offset + tix) // 128 AS BIGINT) AS seq, " +
+          "CAST((start_offset + tix) % 128 AS BIGINT) AS seq_pos, doc_id, token_id " +
+          "FROM tix JOIN c USING (doc_id) ORDER BY seq, seq_pos"),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val table = graft.operators.TextAnalysis
+          .bpeTrainDriver(d, merges = 8).map(t => (t._2, t._3))
+        val foreign = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" q¤x")).as("text"))
+        packTokenIdsAgainst(foreign, d, table)
+          .orderBy(col("seq"), col("seq_pos"))
+      }),
+
     NamedQuery(
       "p04_sequence_packing",
       Some(

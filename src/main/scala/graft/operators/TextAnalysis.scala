@@ -845,14 +845,18 @@ object TextAnalysis {
       "SELECT doc_id, word_idx, tok_idx, token_id FROM ids " +
       "ORDER BY doc_id, word_idx, tok_idx"
 
-  /** [[bpeTokenIdsAgainst]]'s oracle: the t20 chain trains on
-    * `documents` (censuses, merge picks, vocabulary), while a SECOND
-    * rewrite sequence (fb0..fb`merges`) folds the FOREIGN corpus's
-    * distinct words through the SAME per-round picks; the final id join
-    * is LEFT and out-of-vocabulary tokens resolve to |vocab| (the UNK
-    * id). The foreign corpus is the held-out %10 slice with a planted
-    * word carrying a character outside the training alphabet. */
-  private[operators] def bpeTokenIdsUnkSql(merges: Int): String = {
+  /** The CTE chain producing the FOREIGN-corpus id-stream relation
+    * `ids(doc_id, word_idx, tok_idx, token_id)` under a FROZEN
+    * tokenizer: the t20 chain trains on `documents` (censuses, merge
+    * picks, vocabulary), while a SECOND rewrite sequence
+    * (fb0..fb`merges`) folds the FOREIGN corpus's distinct words
+    * through the SAME per-round picks; the id join is LEFT and
+    * out-of-vocabulary tokens resolve to |vocab| (the UNK id). The
+    * foreign corpus is the held-out %10 slice with a planted word
+    * carrying a character outside the training alphabet. Shared by
+    * [[bpeTokenIdsUnkSql]] (t23) and Packing's frozen-tokenizer
+    * packed-tape oracle (p25), so the two gates can never drift. */
+  private[operators] def bpeUnkIdStreamCtes(merges: Int): String = {
     def fold(m: String): String =
       "string_split(list_reduce(syms, (acc, x) -> " +
         s"CASE WHEN x = $m.b AND (acc = $m.a OR suffix(acc, chr(31) || $m.a)) " +
@@ -864,7 +868,7 @@ object TextAnalysis {
       s"fb$r AS (SELECT fb${r - 1}.word AS word, ${fold(s"m$r")} AS syms " +
         s"FROM fb${r - 1}, m$r)"
     }.mkString(", ")
-    s"WITH ${bpeChainSql(merges)}, " +
+    s"${bpeChainSql(merges)}, " +
       "alpha AS (SELECT DISTINCT c AS token FROM (SELECT unnest(syms) AS c FROM s0)), " +
       "entries AS (SELECT token, 0 AS grp, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS pos FROM alpha " +
       s"UNION ALL SELECT ab AS token, 1 AS grp, CAST(rank AS BIGINT) AS pos FROM ($mergeUnion)), " +
@@ -881,12 +885,18 @@ object TextAnalysis {
       s"fenc AS (SELECT word, syms FROM fb$merges), " +
       "outp AS (SELECT doc_id, word_idx, t.i AS tok_idx, t.tok AS token FROM " +
       "(SELECT doc_id, word_idx, unnest(list_transform(range(1, len(syms)+1), i -> {'i': i, 'tok': syms[i]})) AS t " +
-      "FROM (SELECT * FROM fdw WHERE word <> '') JOIN fenc USING (word))) " +
-      "SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, " +
+      "FROM (SELECT * FROM fdw WHERE word <> '') JOIN fenc USING (word))), " +
+      "ids AS (SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, " +
       "CAST(tok_idx AS BIGINT) AS tok_idx, coalesce(token_id, uid) AS token_id " +
-      "FROM outp LEFT JOIN vocab USING (token) CROSS JOIN unk " +
-      "ORDER BY doc_id, word_idx, tok_idx"
+      "FROM outp LEFT JOIN vocab USING (token) CROSS JOIN unk)"
   }
+
+  /** [[bpeTokenIdsAgainst]]'s oracle (t23): the shared foreign-corpus
+    * UNK id-stream chain, emitted in stream order. */
+  private[operators] def bpeTokenIdsUnkSql(merges: Int): String =
+    s"WITH ${bpeUnkIdStreamCtes(merges)} " +
+      "SELECT doc_id, word_idx, tok_idx, token_id FROM ids " +
+      "ORDER BY doc_id, word_idx, tok_idx"
 
   /** The identical `merges`-round chain spelled as DuckDB CTEs: the
     * oracle replays the word census, the pair count, the argmax tie

@@ -296,6 +296,35 @@ class PlanQualitySpec extends AnyFunSuite {
         streamShuffles.mkString("\n\n"))
   }
 
+  test("p25 frozen-tokenizer tape: the two-relation path keeps the single id-only shuffle") {
+    // packTokenIdsAgainst (the deployment spelling: tape packs corpus B
+    // under a tokenizer trained on corpus A) must inherit p24's plan
+    // shape exactly — the foreign stream's UNK LEFT join is against the
+    // broadcast vocabulary LocalRelation, so the only shuffle of the
+    // corpus-sized relation is still the per-doc index window's
+    // hashpartitioning(doc_id), reused by the offset join
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val foreign = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" q¤x")).as("text"))
+    val table = graft.operators.TextAnalysis.bpeTrainDriver(docs, merges = 8)
+      .map(t => (t._2, t._3))
+    val p = graft.operators.Packing.packTokenIdsAgainst(foreign, docs, table)
+      .queryExecution.explainString(FormattedMode)
+    val shuffles = p.split("\n\n").filter(s =>
+      "^\\(\\d+\\) Exchange".r.findFirstIn(s.trim).isDefined)
+    assert(shuffles.nonEmpty, "expected the window + offsets shuffles")
+    shuffles.foreach { s =>
+      assert(!s.contains("text#"), s"document text crossed a shuffle:\n$s")
+      assert(!s.contains("token#"), s"a token string crossed a shuffle:\n$s")
+      assert(!s.contains("word#"), s"a word string crossed a shuffle:\n$s")
+    }
+    val streamShuffles = shuffles.filter(_.contains("token_id#"))
+    assert(streamShuffles.length == 1,
+      s"the token stream crossed ${streamShuffles.length} shuffles (want 1):\n" +
+        streamShuffles.mkString("\n\n"))
+  }
+
   test("p21 corpus diff: the full-outer join shuffles digests, never text") {
     // both snapshots must reduce to (doc_id, sha2) at the scan — document
     // text on the diff's exchange re-ships the corpus to compare it
