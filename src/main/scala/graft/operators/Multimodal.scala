@@ -200,57 +200,47 @@ object Multimodal {
           "FROM documents GROUP BY text ORDER BY doc_id"),
       (s, dir) => mediaDedup(media(s, dir)).orderBy(col("doc_id"))),
 
-    // perceptual dedup gate (the s10 verdict convention): plant a
-    // BYTE-PERMUTED copy (reversed text, id+1e6) of every doc_id<25
-    // asset — different payload bytes (m05's digest treats it as new),
-    // identical byte histogram → the feature vectors are EQUAL, so they
-    // co-assign under ANY quantizer, pair at cosine exactly 1, and
-    // prune to the smaller id deterministically. Verdicts: every
-    // planted copy pruned; something kept; no two kept assets share a
-    // feature vector. Oracle is the constant triple.
+    // perceptual dedup gate, upgraded to a FULL VALUE oracle (r14
+    // VERDICT task 4): plant a BYTE-PERMUTED copy (reversed text,
+    // id+1e6) of every doc_id<25 asset — different payload bytes (m05's
+    // digest treats it as new), identical byte histogram → equal
+    // feature vectors that co-assign, pair at cosine 1, and prune to
+    // the smaller id. The quantizer is the SEEDED (sha-fold) variant,
+    // so DuckDB replays the whole chain bit-for-bit: the m02 hex-trick
+    // histogram, the explicit-order normalization, seed selection,
+    // list_distance argmin assignment, and the cell-scoped cosine
+    // prune — every kept (doc_id, cell) value-checked, subsuming the
+    // old constant verdicts (a planted survivor or a missed identical
+    // pair now reds the hash by construction).
     NamedQuery(
       "m06_mm_neardup",
-      Some(
-        "SELECT 'no_two_kept_share_features' AS chk, 1 AS ok " +
-          "UNION ALL SELECT 'permuted_copies_pruned', 1 " +
-          "UNION ALL SELECT 'some_assets_kept', 1 ORDER BY chk"),
+      Some(mediaSemDedupOracleSql),
       (s, dir) => {
         val m = media(s, dir)
         val planted = m.filter(col("doc_id") < 25)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("format"),
             reverse(col("payload").cast("string")).cast("binary").as("payload"))
-        val kept = mediaSemDedup(m.unionByName(planted), tau = 0.99)
-          .localCheckpoint() // three verdicts read it
-        val v1 = kept.agg(
-          (sum(when(col("doc_id") >= 1000000L, 1).otherwise(0)) === 0).cast("int").as("ok"))
-          .select(lit("permuted_copies_pruned").as("chk"), col("ok"))
-        val v2 = kept.agg((count(lit(1)) > 0).cast("int").as("ok"))
-          .select(lit("some_assets_kept").as("chk"), col("ok"))
-        // two kept assets sharing a feature vector = the prune missed an
-        // identical pair; compare on the histogram digest, never vectors
-        val feats = decodeFeatures(m.unionByName(planted))
-          .select(col("doc_id"), sha2(to_json(col("histogram")), 256).as("fg"))
-        val v3 = feats.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .groupBy(col("fg")).agg(count(lit(1)).as("c"))
-          .agg((max(col("c")) <= 1).cast("int").as("ok"))
-          .select(lit("no_two_kept_share_features").as("chk"), col("ok"))
-        v3.unionByName(v1).unionByName(v2).orderBy(col("chk"))
+        mediaSemDedup(m.unionByName(planted), tau = 0.99, seeded = true)
+          .orderBy(col("doc_id"))
       }),
 
-    // the PAIR operator's own gate (m06 gates only the keep/drop shape):
-    // a bounded 25-asset slice plus a byte-permuted copy of each — the
-    // permutation preserves the byte histogram, so every planted pair
-    // must surface at similarity exactly 1, every emitted pair must be
-    // canonical (id_a < id_b) and inside [tau, 1]. Input is bounded by
-    // construction — the operator's documented quadratic degeneration on
-    // clustered feature spaces is exactly why the full-corpus deliverable
-    // is m06's mediaSemDedup, not this pair list.
+    // the PAIR operator's own gate (m06 gates only the keep/drop shape),
+    // upgraded to a FULL VALUE oracle (r14 VERDICT task 4): a bounded
+    // 25-asset slice plus a byte-permuted copy of each — the permutation
+    // preserves the byte histogram, so every planted pair surfaces at
+    // similarity exactly 1. The hyperplane signatures ARE replayable:
+    // the 32×16 projection components are model CONSTANTS
+    // (mix64-derived), so the oracle inlines them as literals and
+    // recomputes every sign bit, band bucket, lowest-agreeing-band
+    // filter, cosine verify, and clone fan-back — every (id_a, id_b,
+    // sim) row value-checked, subsuming the old constant verdicts.
+    // Input is bounded by construction — the operator's documented
+    // quadratic degeneration on clustered feature spaces is exactly why
+    // the full-corpus deliverable is m06's mediaSemDedup, not this pair
+    // list.
     NamedQuery(
       "m07_mm_neardup_pairs",
-      Some(
-        "SELECT 'pairs_canonical' AS chk, 1 AS ok " +
-          "UNION ALL SELECT 'planted_pairs_at_sim_one', 1 " +
-          "UNION ALL SELECT 'sims_within_tau_one', 1 ORDER BY chk"),
+      Some(mediaPairsOracleSql),
       (s, dir) => {
         val m = media(s, dir).filter(col("doc_id") < 25)
         // permute payload BYTES via the hex spelling — a binary→string
@@ -262,26 +252,99 @@ object Multimodal {
             unhex(array_join(
               reverse(expr("regexp_extract_all(hex(payload), '..', 0)")), ""))
               .as("payload"))
-        val pairs = mediaNearDupPairs(m.unionByName(planted), tau = 0.99)
-          .localCheckpoint() // three verdicts read it
-        val expected = m.filter(octet_length(col("payload")) > 0)
-          .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
-        val v1 = expected
-          .join(pairs.filter(col("sim") === 1.0), Seq("id_a", "id_b"), "left_anti")
-          .agg((count(lit(1)) === 0).cast("int").as("ok"))
-          .select(lit("planted_pairs_at_sim_one").as("chk"), col("ok"))
-        val v2 = pairs.agg(
-          ((count(lit(1)) > 0) &&
-            (sum(when(col("sim").between(0.99, 1.0), 1).otherwise(0)) === count(lit(1))))
-            .cast("int").as("ok"))
-          .select(lit("sims_within_tau_one").as("chk"), col("ok"))
-        val v3 = pairs.agg(
-          (coalesce(sum(when(col("id_a") < col("id_b"), 0).otherwise(1)), lit(0L)) === 0)
-            .cast("int").as("ok"))
-          .select(lit("pairs_canonical").as("chk"), col("ok"))
-        v3.unionByName(v1).unionByName(v2).orderBy(col("chk"))
+        mediaNearDupPairs(m.unionByName(planted), tau = 0.99)
+          .orderBy(col("id_a"), col("id_b"))
       })
   )
+
+  // ---------- DuckDB oracle builders (value-level replays) ----------
+
+  /** The 16-entry byte-histogram list off the m02 hex trick: `hi` is the
+    * high-nibble char stream of the payload bytes, so bin d's count is
+    * the number of 'd' chars. */
+  private def histListSql: String =
+    (0 until 16).map(i => f"$i%X")
+      .map(d => s"CAST(nb - length(replace(hi, '$d', '')) AS DOUBLE)")
+      .mkString("[", ", ", "]")
+
+  /** Explicit index-order L2 norm / unit vector — the same sequential
+    * accumulation as the Spark `aggregate`/`transform` spelling, so the
+    * doubles match bit-for-bit. */
+  private def normSql: String =
+    (1 to 16).map(i => s"hr[$i]*hr[$i]").mkString("sqrt(", " + ", ")")
+  private def unitSql: String =
+    (1 to 16).map(i => s"hr[$i]/nrm").mkString("[", ", ", "]")
+
+  /** m06's oracle: histogram features → unit vectors (originals plus the
+    * +1e6 planted copies, which share the original's histogram — byte
+    * reversal preserves the byte multiset), sha-fold seed selection at
+    * the √n sizing rule, list_distance argmin assignment, and the
+    * cell-scoped SemDeDup prune — kept (doc_id, cell), full values. */
+  private[operators] lazy val mediaSemDedupOracleSql: String =
+    "WITH b0 AS (SELECT doc_id, octet_length(encode(text)) AS nb, " +
+      "regexp_replace(hex(encode(text)), '(.)(.)', '\\1', 'g') AS hi FROM documents), " +
+      s"h AS (SELECT doc_id, nb, $histListSql AS hr FROM b0), " +
+      "hv AS (SELECT doc_id AS vec_id, hr FROM h WHERE nb > 0 " +
+      "UNION ALL SELECT doc_id + 1000000, hr FROM h WHERE nb > 0 AND doc_id < 25), " +
+      s"n1 AS (SELECT vec_id, hr, $normSql AS nrm FROM hv), " +
+      s"v AS (SELECT vec_id, $unitSql AS e FROM n1), " +
+      "kk AS (SELECT GREATEST(8, LEAST(CAST(FLOOR(SQRT(CAST(count(*) AS DOUBLE))) AS BIGINT), 1024)) AS k FROM v), " +
+      s"sk AS (SELECT vec_id, e, ${Similarity.shaFoldSql("vec_id")} AS hk FROM v), " +
+      "cents AS (SELECT cell, c FROM (SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS INT) AS cell, " +
+      "e AS c FROM sk) WHERE cell < (SELECT k FROM kk)), " +
+      "asg AS (SELECT vec_id, cell, e FROM (SELECT s.vec_id, c.cell, s.e, " +
+      "row_number() OVER (PARTITION BY s.vec_id ORDER BY list_distance(s.e, c.c), c.cell) AS rn " +
+      "FROM sk s CROSS JOIN cents c) WHERE rn = 1), " +
+      "grp AS (SELECT cell, e, min(vec_id) AS gid FROM asg GROUP BY cell, e), " +
+      "drp AS (SELECT DISTINCT b.gid FROM grp a JOIN grp b ON a.cell = b.cell AND a.gid < b.gid " +
+      "AND list_cosine_similarity(a.e, b.e) > 0.99) " +
+      "SELECT vec_id AS doc_id, cell FROM asg WHERE vec_id IN (SELECT gid FROM grp) " +
+      "AND vec_id NOT IN (SELECT gid FROM drp) ORDER BY doc_id"
+
+  /** m07's oracle: the full LSH pair replay. The random-hyperplane
+    * components are deterministic mix64 constants of (bit, dim-index) —
+    * model metadata, inlined below as literals — so every sign bit is
+    * an explicit 16-term ordered dot product; banding, the
+    * lowest-agreeing-band uniqueness filter, the cosine verify, and the
+    * identical-vector clone fan-back all replay in plain SQL. */
+  private[operators] lazy val mediaPairsOracleSql: String = {
+    def comp(b: Int, i: Int): Double =
+      graft.functions.Hashing.mix64(
+        graft.functions.Hashing.seed(b) ^ (0x9e3779b97f4a7c15L * (i + 1)))
+        .toDouble / Long.MaxValue.toDouble
+    def dot(b: Int): String =
+      (1 to 16).map(i => s"e[$i]*(${comp(b, i - 1)})").mkString(" + ")
+    val sig = (0 until 32)
+      .map(b => s"(CASE WHEN ${dot(b)} >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    val firstMatch = (0 until 8).map { bnd =>
+      val earlier = (0 until bnd)
+        .map(j => s"((a.sig >> ${j * 4}) & 15) <> ((b.sig >> ${j * 4}) & 15)")
+      (s"a.band = $bnd" +: earlier).mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    "WITH b0 AS (SELECT doc_id, octet_length(encode(text)) AS nb, " +
+      "regexp_replace(hex(encode(text)), '(.)(.)', '\\1', 'g') AS hi FROM documents WHERE doc_id < 25), " +
+      s"h AS (SELECT doc_id, nb, $histListSql AS hr FROM b0), " +
+      "hv AS (SELECT doc_id, hr FROM h WHERE nb > 0 " +
+      "UNION ALL SELECT doc_id + 1000000, hr FROM h WHERE nb > 0), " +
+      s"n1 AS (SELECT doc_id, hr, $normSql AS nrm FROM hv), " +
+      s"v AS (SELECT doc_id, $unitSql AS e FROM n1), " +
+      "grp AS (SELECT e, min(doc_id) AS gid FROM v GROUP BY e), " +
+      "mem AS (SELECT v.doc_id, g.gid FROM v JOIN grp g ON v.e = g.e), " +
+      s"sg AS (SELECT gid, e, CAST($sig AS BIGINT) AS sig FROM grp), " +
+      "bd AS (SELECT gid, e, sig, u AS band, (sig >> (u * 4)) & 15 AS bucket " +
+      "FROM sg, (SELECT unnest(range(0, 8)) AS u)), " +
+      "rp AS (SELECT a.gid AS ga, b.gid AS gb, a.e AS ea, b.e AS eb FROM bd a JOIN bd b " +
+      "ON a.band = b.band AND a.bucket = b.bucket AND a.gid < b.gid AND (" + firstMatch + ")), " +
+      "rc AS (SELECT ga, gb, list_cosine_similarity(ea, eb) AS raw FROM rp), " +
+      s"rr AS (SELECT ga, gb, ${OracleRound.stableRoundSql("raw", 4)} AS sim FROM rc WHERE raw >= 0.99), " +
+      "crossp AS (SELECT least(ma.doc_id, mb.doc_id) AS id_a, greatest(ma.doc_id, mb.doc_id) AS id_b, sim " +
+      "FROM rr JOIN mem ma ON ma.gid = rr.ga JOIN mem mb ON mb.gid = rr.gb), " +
+      "intra AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS sim " +
+      "FROM mem x JOIN mem y ON x.gid = y.gid AND x.doc_id < y.doc_id) " +
+      "SELECT id_a, id_b, sim FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra) " +
+      "ORDER BY id_a, id_b"
+  }
 
   /** Exact MEDIA dedup — the d01 content-address rule over the binary
     * payload column: keep the min doc_id per distinct asset, with the
@@ -415,7 +478,7 @@ object Multimodal {
     * feature space adaptively — this is the shape to bench and the one a
     * curation pass consumes. */
   def mediaSemDedup(media: DataFrame, tau: Double = 0.99, cells: Int = 0,
-      codec: MediaCodec = DeterministicFakeCodec): DataFrame = {
+      codec: MediaCodec = DeterministicFakeCodec, seeded: Boolean = false): DataFrame = {
     val v = decodeFeatures(media, codec)
       .select(col("doc_id"), expr("transform(histogram, x -> CAST(x AS DOUBLE))").as("hraw"))
       .withColumn("nrm", sqrt(expr("aggregate(hraw, 0D, (a, x) -> a + x * x)")))
@@ -423,7 +486,12 @@ object Multimodal {
       .withColumn("embedding", expr("transform(hraw, x -> x / nrm)"))
       .select(col("doc_id").as("vec_id"), col("embedding"))
       .localCheckpoint() // quantizer sample + assignment + pair sides share one decode
-    Dedup.semDedup(graft.operators.Similarity.quantizedCells(v, cells), tau)
+    // seeded = the sha-fold deterministic quantizer (bit-replayable by a
+    // DuckDB oracle — m06's gate); default stays the trained k-means
+    val assigned =
+      if (seeded) graft.operators.Similarity.seededCells(v, cells)
+      else graft.operators.Similarity.quantizedCells(v, cells)
+    Dedup.semDedup(assigned, tau)
       .select(col("vec_id").as("doc_id"), col("cell"))
   }
 }

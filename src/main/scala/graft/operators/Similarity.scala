@@ -475,7 +475,38 @@ object Similarity {
     * SINGLE-WRITER maintenance posture (concurrent appenders race the
     * footer read — serialize index maintenance, as any file-based index
     * requires). */
-  def appendIvfPqIndex(increment: DataFrame, path: String): DataFrame = {
+  /** LOUD single-writer guard for file-based index maintenance (r14
+    * VERDICT task 5): create-exclusive `$path/_lock` held for the
+    * maintenance call's duration — a second concurrent maintainer fails
+    * IMMEDIATELY with a diagnosable error instead of silently racing
+    * the footer read / partition layout into corruption. createNewFile
+    * is atomic on local and HDFS filesystems (object stores without
+    * atomic create keep the documented posture: serialize maintenance
+    * externally — the guard still catches most overlaps loudly). The
+    * lock always releases in finally; a crash mid-hold leaves the file
+    * behind deliberately — stale-lock cleanup is an operator decision,
+    * not something to time out silently. */
+  private def withMaintenanceLock[T](s: SparkSession, path: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(path, "_lock")
+    val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val acquired =
+      try fs.createNewFile(lock)
+      catch { case _: java.io.IOException => false }
+    if (!acquired)
+      throw new IllegalStateException(
+        s"index maintenance lock already held: $lock exists — a concurrent " +
+          "append/admit is running (or crashed mid-write; inspect the " +
+          "artifact and delete the lock to recover). Concurrent maintainers " +
+          "race the footer read and the partition layout; serialize them.")
+    try body finally fs.delete(lock, false)
+  }
+
+  def appendIvfPqIndex(increment: DataFrame, path: String): DataFrame =
+    withMaintenanceLock(increment.sparkSession, path) {
+      appendIvfPqIndexUnlocked(increment, path)
+    }
+
+  private def appendIvfPqIndexUnlocked(increment: DataFrame, path: String): DataFrame = {
     val s = increment.sparkSession
     VectorFunctions.register(s)
     val (_, cents, pq) = readIvfPqArtifacts(s, path)
@@ -493,7 +524,7 @@ object Similarity {
         expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)")
           .as("resid"))
       .select(col("cell"), col("vec_id"), pqEncodeCol(col("resid"), pq).as("codes"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count below materializes it
     val nAppended = encoded.count()
     encoded.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     val after = s.read.parquet(s"$path/codes").count()
@@ -516,7 +547,9 @@ object Similarity {
     val (codes, cents, pq) = readIvfPqArtifacts(s, path)
     val centroids = cents.localCheckpoint() // k×dim metadata; three consumers
     val probes = probeCellsOf(queries, centroids, nprobe)
-      .localCheckpoint() // bounded |queries|×nprobe; feeds filter + scoring
+      // bounded |queries|×nprobe; feeds filter + scoring. Lazy: the
+      // cell-set collect below materializes it
+      .localCheckpoint(false)
     val cellSet = probes.select(col("cell")).distinct().collect()
       .map(r => r.get(0)) // ≤ cells values — bounded by model metadata
     adcTopK(codes.filter(col("cell").isin(cellSet.toIndexedSeq: _*)),
@@ -768,8 +801,10 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toArray)
     // assign cells ONCE and pin: the pinned increment feeds both the
     // bounded distinct-cell collect (the static partition filter) and
-    // the admit probe — one increment scan per call, not two
-    val inc = cellIndex(increment, seeds).localCheckpoint()
+    // the admit probe — one increment scan per call, not two. LAZY
+    // checkpoint: the distinct-cell collect is the next action and
+    // materializes it — one scheduled job instead of two
+    val inc = cellIndex(increment, seeds).localCheckpoint(false)
     val incCells = inc.select(col("cell")).distinct().collect().map(_.get(0))
     val idx = s.read.parquet(s"$path/cells")
       .filter(col("cell").isin(incCells.toIndexedSeq: _*))
@@ -787,26 +822,34 @@ object Similarity {
     * layout; serialize index maintenance). Returns the admitted
     * (vec_id, cell) rows. */
   def embedAdmitAppend(increment: DataFrame, path: String,
-      tau: Double = 0.9): DataFrame = {
-    val s = increment.sparkSession
-    VectorFunctions.register(s)
-    val seeds = s.read.parquet(s"$path/centroids").orderBy(col("cell"))
-      .collect().map(_.getSeq[Double](1).toArray)
-    // one assignment pass pinned for the cell filter, the admit probe,
-    // AND the write-back (the embedAdmitFromIndex discipline)
-    val inc = cellIndex(increment, seeds).localCheckpoint()
-    val incCells = inc.select(col("cell")).distinct().collect().map(_.get(0))
-    val idx = s.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(incCells.toIndexedSeq: _*))
-    val admitted = admitAssigned(inc, idx, tau).localCheckpoint()
-    // write back the admitted representatives WITH their embeddings: a
-    // semi-join against the pinned increment (only the increment
-    // shuffles; the admitted id set is a subset of it)
-    inc.join(admitted.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-    admitted
-  }
+      tau: Double = 0.9): DataFrame =
+    withMaintenanceLock(increment.sparkSession, path) {
+      val s = increment.sparkSession
+      VectorFunctions.register(s)
+      val stored = s.read.parquet(s"$path/cells")
+      val seeds = s.read.parquet(s"$path/centroids").orderBy(col("cell"))
+        .collect().map(_.getSeq[Double](1).toArray)
+      // one assignment pass pinned for the cell filter, the admit probe,
+      // AND the write-back (the embedAdmitFromIndex discipline); lazy —
+      // the distinct-cell collect materializes it
+      val inc = cellIndex(increment, seeds).localCheckpoint(false)
+      val incCells = inc.select(col("cell")).distinct().collect().map(_.get(0))
+      val idx = stored.filter(col("cell").isin(incCells.toIndexedSeq: _*))
+      val admitted = admitAssigned(inc, idx, tau).localCheckpoint()
+      // write back the admitted representatives WITH their embeddings,
+      // CAST to the stored cells' element type (r14 ADVICE: an
+      // array<double> increment appended verbatim to array<float> cells
+      // makes the directory mixed-schema parquet, and later probes bind
+      // whichever file's schema they open first): a semi-join against
+      // the pinned increment (only the increment shuffles; the admitted
+      // id set is a subset of it)
+      val storedEmbType = stored.schema("embedding").dataType
+      inc.join(admitted.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding").cast(storedEmbType).as("embedding"),
+          col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      admitted
+    }
 
   /** Cell assignment of a base relation under explicit centroids — builds
     * the persisted index side [[incrementalEmbedAdmit]] probes. */
@@ -953,6 +996,43 @@ object Similarity {
     val k = math.min(k0, distinctInSample)
     if (k < 2L) v.select(col("vec_id"), col("embedding"), lit(0).as("cell"))
     else assignCells(v, trainQuantizer(v, k.toInt))
+  }
+
+  /** [[quantizedCells]] with a DETERMINISTIC seeded quantizer instead of
+    * trained k-means: centroids are the first k corpus vectors in
+    * [[writeEmbedIndex]]'s sha-fold DIVERSITY order (sort key = first 8
+    * hex digits of sha-256(vec_id) folded to a long, vec_id tiebreak),
+    * assignment is the parity-verified `nearest_centroid` argmin. Same
+    * √n sizing rule as quantizedCells (no distinct-count cap — duplicate
+    * seed vectors just leave their higher cell empty at the smallest-
+    * index tie-break; k-means' fewer-centers-than-k overrun doesn't
+    * apply to fixed seeds).
+    *
+    * Why this exists alongside the trained quantizer: every step — seed
+    * sort, argmin, tie order — replays bit-for-bit in a DuckDB oracle
+    * (the s19 recipe), so SemDeDup flows built on it are FULL-VALUE
+    * oracle-gated (s10/m06) instead of constant-verdict gated. The
+    * trade is Lloyd's distortion refinement; cells remain data-drawn
+    * Voronoi regions (seeds sit where density sits — density-adaptive
+    * in expectation, unlike hyperplane LSH's direction-blind cuts, the
+    * degeneracy class the trained shape was introduced against). Seed
+    * collect is bounded k·dim model metadata. */
+  def seededCells(v: DataFrame, cells: Int = 0): DataFrame = {
+    val n = v.count()
+    require(n > 0, "seededCells: empty relation")
+    val k0 =
+      if (cells > 0) cells.toLong
+      else math.max(8L, math.sqrt(n.toDouble).toLong.min(1024L))
+    val k = math.min(k0, n)
+    val seeds = v
+      .orderBy(
+        conv(substring(sha2(col("vec_id").cast("string"), 256), 1, 8), 16, 10)
+          .cast("long").asc,
+        col("vec_id"))
+      .limit(k.toInt)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    cellIndex(v, seeds).select(col("vec_id"), col("embedding"), col("cell"))
   }
 
   /** Per-query overlap with the exact top-k: (query_id, hits). */
@@ -1299,51 +1379,36 @@ object Similarity {
       }),
 
     // CAPSTONE composition — text-only SemDeDup with NO external encoder:
-    // hashedEmbeddingVec → trained quantizer → cell-scoped semantic
+    // hashedEmbeddingVec → seeded quantizer → cell-scoped semantic
     // prune, over the documents corpus salted with an identical clone of
-    // every doc (+1e6). Deterministic verdicts (constant oracle, the
-    // d10/s02 convention): identical texts hash to identical unit
-    // vectors, co-assign, pair at cosine 1.0 and prune to the min id —
-    // so every planted clone must vanish, every kept id must be an
-    // original, and no two kept docs may share a text. The quantizer /
-    // banding / cosine / keep-rule all sit on the verified path.
+    // every doc (+1e6). Upgraded to a FULL VALUE oracle (r14 VERDICT
+    // task 4): the sha-fold seeded quantizer makes every cell
+    // deterministic, so DuckDB replays the s08 embedding recipe, the
+    // seed sort, the list_distance argmin, and the in-cell prune —
+    // every kept (vec_id, cell) value-checked, which subsumes the old
+    // constant verdicts (a surviving clone or a missed identical pair
+    // reds the hash by construction). Identical texts hash to identical
+    // unit vectors, co-assign under ANY quantizer, pair at cosine 1.0,
+    // and prune to the min id.
     NamedQuery(
       "s10_text_semdedup",
-      Some(
-        "SELECT 'clones_pruned_originals_kept' AS chk, 1 AS ok " +
-          "UNION ALL SELECT 'some_docs_kept', 1 " +
-          "UNION ALL SELECT 'text_groups_collapsed', 1 ORDER BY chk"),
+      Some(textSemDedupOracleSql),
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
         val clones = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-        // pin the embedding once (quantizer training sample, cell
-        // assignment, and BOTH pair-join sides consume it) and the kept
-        // set once (three verdicts read it) — unpinned, the whole
-        // hash-embed pipeline re-ran per consumer (measured 7.8 s →
-        // 2.9 s at sf0.1)
+        // pin the embedding once (seed sort, cell assignment, and BOTH
+        // pair-join sides consume it) — unpinned, the whole hash-embed
+        // pipeline re-ran per consumer (measured 7.8 s → 2.9 s at sf0.1).
+        // The zero-vector guard keeps NaN cosines out of the prune (a
+        // doc whose signed bucket sums all cancel has no direction; both
+        // engines would otherwise compare NaN > tau — see the verify
+        // skill's NaN note)
         val vecs = hashedEmbeddingVec(docs.unionByName(clones), dim = 16)
+          .filter(expr("exists(embedding, x -> x != 0D)"))
           .localCheckpoint()
-        // SemDeDup practice: k SCALES with the corpus (cells stay
-        // bounded) — a fixed k makes the in-cell pair stage quadratic in
-        // corpus growth; verdicts are k-independent (clones co-assign
-        // under any model)
-        val cells = math.max(8,
-          math.sqrt(vecs.count().toDouble).toInt.min(1024))
-        val kept = Dedup.semDedup(
-          assignCells(vecs, trainQuantizer(vecs, cells)), tau = 0.999)
-          .select(col("vec_id")).localCheckpoint()
-        val v1 = kept.agg(
-          (sum(when(col("vec_id") >= 1000000L, 1).otherwise(0)) === 0).cast("int").as("ok"))
-          .select(lit("clones_pruned_originals_kept").as("chk"), col("ok"))
-        val v2 = kept.agg((count(lit(1)) > 0).cast("int").as("ok"))
-          .select(lit("some_docs_kept").as("chk"), col("ok"))
-        // group on the 32-byte digest, not raw text — the verdict
-        // exchange stays metadata-sized
-        val v3 = docs.join(kept, docs("doc_id") === kept("vec_id"))
-          .groupBy(sha2(col("text"), 256)).agg(count(lit(1)).as("c"))
-          .agg((max(col("c")) <= 1).cast("int").as("ok"))
-          .select(lit("text_groups_collapsed").as("chk"), col("ok"))
-        v1.unionByName(v2).unionByName(v3).orderBy(col("chk"))
+        Dedup.semDedup(seededCells(vecs), tau = 0.999)
+          .select(col("vec_id"), col("cell"))
+          .orderBy(col("vec_id"))
       }),
 
     // k-NN label propagation: vec_id < 50 are the "unlabeled" queries,
@@ -1635,8 +1700,14 @@ object Similarity {
           val e = new graft.engine.SqlEngine(s, new graft.engine.Catalog(wh),
             graft.engine.SqlContext("s20db", "user1"))
           e.execute("CREATE DATABASE s20db")
+          // (8, 8, 32): the smallest model that keeps the planted-clone
+          // gate deterministic (32^8 code combinations — an accidental
+          // full-code tie is ~0 at gate scale) — the lifecycle row gates
+          // the build→append→query STATEMENTS, not model quality, and
+          // s17/s18 already gate the (16, 16, 64) shape (r14 VERDICT
+          // task 8: the in-row train was ~half the row's wall)
           val nBase = e.execute(s"SELECT n_vectors FROM graft_ivfpq_build(" +
-            s"'graft_s20_base', '$path', 16, 16, 64)").collect().head.getLong(0)
+            s"'graft_s20_base', '$path', 8, 8, 32)").collect().head.getLong(0)
           val rep = e.execute(s"SELECT n_appended, n_total FROM graft_ivfpq_append(" +
             s"'graft_s20_inc', '$path')").collect().head
           val reportOk = rep.getLong(0) == 8L && rep.getLong(1) == nBase + 8L
@@ -1718,12 +1789,85 @@ object Similarity {
       })
   )
 
+  /** The DuckDB replay of [[writeEmbedIndex]]/[[seededCells]]' sha-fold
+    * seed key: first 8 hex digits of sha-256 of the id's decimal string,
+    * folded big-endian to a long — shared by the s19/s21 oracles and
+    * the seeded-quantizer gates (s10, m06). */
+  private[operators] def shaFoldSql(idCol: String): String =
+    "list_reduce(list_transform(range(1, 9), " +
+      s"i -> strpos('0123456789abcdef', sha256(CAST($idCol AS VARCHAR))[i]) - 1), " +
+      "(a, c) -> a * 16 + c)"
+
+  /** s10's DuckDB oracle: the s08 hashed-embedding replay densified to
+    * 16-dim unit vectors (originals + the +1e6 clones, zero vectors
+    * filtered on both sides), [[seededCells]]' sha-fold seed selection
+    * at the √n sizing rule, the list_distance argmin assignment, and
+    * the cell-scoped SemDeDup domination prune at tau = 0.999 — kept
+    * (vec_id, cell), full values. */
+  private lazy val textSemDedupOracleSql: String = {
+    val dense = (0 until 16)
+      .map(b => s"coalesce(max(CASE WHEN bucket = $b THEN weight END), 0.0)")
+      .mkString("[", ", ", "]")
+    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents), " +
+      "b AS (SELECT doc_id, CAST(list_reduce(list_transform(range(1, 9), " +
+      "i -> strpos('0123456789abcdef', sha256(token)[i]) - 1), (a, c) -> a * 16 + c) % 16 AS INT) AS bucket, " +
+      "CASE WHEN (strpos('0123456789abcdef', sha256(token)[9]) - 1) % 2 = 1 THEN -1 ELSE 1 END AS sign FROM tok), " +
+      "sp AS (SELECT doc_id, bucket, CAST(sum(sign) AS DOUBLE) AS w FROM b GROUP BY doc_id, bucket), " +
+      "nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM sp GROUP BY doc_id), " +
+      "wt AS (SELECT doc_id, bucket, " +
+      OracleRound.stableRoundSql("CASE WHEN nrm > 0 THEN w / nrm ELSE 0.0 END", 4) +
+      " AS weight FROM sp JOIN nm USING (doc_id)), " +
+      s"dv AS (SELECT doc_id, $dense AS e FROM wt GROUP BY doc_id), " +
+      "v AS (SELECT vec_id, e FROM (SELECT doc_id AS vec_id, e FROM dv " +
+      "UNION ALL SELECT doc_id + 1000000, e FROM dv) " +
+      "WHERE len(list_filter(e, x -> x <> 0)) > 0), " +
+      "kk AS (SELECT GREATEST(8, LEAST(CAST(FLOOR(SQRT(CAST(count(*) AS DOUBLE))) AS BIGINT), 1024)) AS k FROM v), " +
+      s"sk AS (SELECT vec_id, e, ${shaFoldSql("vec_id")} AS hk FROM v), " +
+      "cents AS (SELECT cell, c FROM (SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS INT) AS cell, " +
+      "e AS c FROM sk) WHERE cell < (SELECT k FROM kk)), " +
+      "asg AS (SELECT vec_id, cell, e FROM (SELECT s.vec_id, c.cell, s.e, " +
+      "row_number() OVER (PARTITION BY s.vec_id ORDER BY list_distance(s.e, c.c), c.cell) AS rn " +
+      "FROM sk s CROSS JOIN cents c) WHERE rn = 1), " +
+      "grp AS (SELECT cell, e, min(vec_id) AS gid FROM asg GROUP BY cell, e), " +
+      "drp AS (SELECT DISTINCT b2.gid FROM grp a JOIN grp b2 ON a.cell = b2.cell AND a.gid < b2.gid " +
+      "AND list_cosine_similarity(a.e, b2.e) > 0.999) " +
+      "SELECT vec_id, cell FROM asg WHERE vec_id IN (SELECT gid FROM grp) " +
+      "AND vec_id NOT IN (SELECT gid FROM drp) ORDER BY vec_id"
+  }
+
   /** s21's DuckDB oracle: the s19 replay CHAINED over two batches —
     * batch 1 admits against the built index and its admissions become
     * history (the write-back), batch 2 admits against history ∪ batch-1
     * admissions. Two recursive connected-components blocks, one per
     * batch. */
-  private lazy val embedLifecycleOracleSql: String = {
+  private lazy val embedLifecycleOracleSql: String =
+    embedLifecycleCtes(histLt = 300L, b1Lt = 400L, b2Lt = None,
+      clHist = 100L, clB1 = 350L) +
+      " SELECT vec_id, cell FROM adm2 ORDER BY vec_id"
+
+  /** e06's DuckDB oracle — the same two-batch chain, emitting BOTH
+    * batches' admissions tagged by batch: the streaming ingest loop
+    * spools per micro-batch, so the gate checks batch 1's admissions
+    * AND that batch 2's verdicts saw batch 1's write-back. */
+  private[graft] lazy val embedStreamOracleSql: String =
+    embedLifecycleCtes(histLt = 150L, b1Lt = 300L, b2Lt = Some(500L),
+      clHist = 100L, clB1 = 200L) +
+      " SELECT batch, vec_id, cell FROM (" +
+      "SELECT CAST(1 AS INT) AS batch, vec_id, cell FROM adm1 " +
+      "UNION ALL SELECT CAST(2 AS INT), vec_id, cell FROM adm2) " +
+      "ORDER BY batch, vec_id"
+
+  /** The two-batch admission replay, parameterized over the fixture
+    * slices: hist = vec_id < `histLt`, batch 1 = [histLt, b1Lt) plus a
+    * history clone (+1e6 of `clHist`) and an in-batch clone pair (+2e6
+    * of `clB1`), batch 2 = [b1Lt, b2Lt) plus a clone of batch 1's
+    * `clB1` admission (+3e6 — rejectable only via the write-back) and a
+    * second history clone (+4e6 of `clHist`). s21 scales batch 2 with
+    * the corpus (b2Lt = None); e06 bounds every slice so the streaming
+    * gate's wall is fixture-sized at any SF (scale coverage of the
+    * probe path is s19/s21's job). */
+  private def embedLifecycleCtes(histLt: Long, b1Lt: Long, b2Lt: Option[Long],
+      clHist: Long, clB1: Long): String = {
     // one admission block: assign -> cell-scoped cosine rejection vs
     // `histRel`(vec_id, cell, e) -> in-batch CC -> admitted reps
     def admitBlock(n: Int, incRel: String, histRel: String): String =
@@ -1740,8 +1884,9 @@ object Similarity {
         s"UNION SELECT e$n.src, r.lab FROM edges$n e$n JOIN reach$n r ON r.id = e$n.dst), " +
         s"drops$n AS (SELECT id FROM reach$n GROUP BY id HAVING min(lab) <> id), " +
         s"adm$n AS (SELECT vec_id, cell, e FROM surv$n WHERE vec_id NOT IN (SELECT id FROM drops$n))"
+    val b2Upper = b2Lt.map(u => s" AND vec_id < $u").getOrElse("")
     "WITH RECURSIVE ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
-      "hist AS (SELECT vec_id, e FROM ed WHERE vec_id < 300), " +
+      s"hist AS (SELECT vec_id, e FROM ed WHERE vec_id < $histLt), " +
       "sk AS (SELECT vec_id, e, list_reduce(list_transform(range(1, 9), " +
       "i -> strpos('0123456789abcdef', sha256(CAST(vec_id AS VARCHAR))[i]) - 1), " +
       "(a, c) -> a * 16 + c) AS hk FROM hist), " +
@@ -1750,16 +1895,15 @@ object Similarity {
       "ah AS (SELECT vec_id, cell, e FROM (SELECT h0.vec_id, c.cell, h0.e, " +
       "row_number() OVER (PARTITION BY h0.vec_id ORDER BY list_distance(h0.e, c.c), c.cell) AS rn " +
       "FROM hist h0 CROSS JOIN cents c) WHERE rn = 1), " +
-      "inc1 AS (SELECT vec_id, e FROM ed WHERE vec_id >= 300 AND vec_id < 400 " +
-      "UNION ALL SELECT 1000000 + vec_id, e FROM ed WHERE vec_id = 100 " +
-      "UNION ALL SELECT 2000000 + vec_id, e FROM ed WHERE vec_id = 350), " +
+      s"inc1 AS (SELECT vec_id, e FROM ed WHERE vec_id >= $histLt AND vec_id < $b1Lt " +
+      s"UNION ALL SELECT 1000000 + vec_id, e FROM ed WHERE vec_id = $clHist " +
+      s"UNION ALL SELECT 2000000 + vec_id, e FROM ed WHERE vec_id = $clB1), " +
       admitBlock(1, "inc1", "ah") + ", " +
       "hist2 AS (SELECT vec_id, cell, e FROM ah UNION ALL SELECT vec_id, cell, e FROM adm1), " +
-      "inc2 AS (SELECT vec_id, e FROM ed WHERE vec_id >= 400 " +
-      "UNION ALL SELECT 3000000 + vec_id, e FROM ed WHERE vec_id = 350 " +
-      "UNION ALL SELECT 4000000 + vec_id, e FROM ed WHERE vec_id = 100), " +
-      admitBlock(2, "inc2", "hist2") + " " +
-      "SELECT vec_id, cell FROM adm2 ORDER BY vec_id"
+      s"inc2 AS (SELECT vec_id, e FROM ed WHERE vec_id >= $b1Lt$b2Upper " +
+      s"UNION ALL SELECT 3000000 + vec_id, e FROM ed WHERE vec_id = $clB1 " +
+      s"UNION ALL SELECT 4000000 + vec_id, e FROM ed WHERE vec_id = $clHist), " +
+      admitBlock(2, "inc2", "hist2")
   }
 
   /** s19's DuckDB oracle: replay writeEmbedIndex's sha-fold seed
