@@ -793,14 +793,21 @@ object Dedup {
   private[operators] def ccWithRounds(pairs: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     // materialize once and truncate lineage per round: iterative plans
     // otherwise recompute every prior round per iteration
+    // LAZY checkpoints (localCheckpoint(false)) throughout the loop:
+    // lineage still truncates, but materialization defers into the next
+    // action — the first labelSum materializes edges AND the init labels
+    // in ONE scheduled job, and each round's sum materializes that
+    // round's relation, halving the loop's job count (the BPE-trainer
+    // discipline; job-scheduling latency dominated the bounded admission
+    // flows, measured on s21/e06)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // initialization fuses round 1: edges carry both directions, so
     // min(src, min(dst)) per node is one aggregation — no join needed
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // labels only ever decrease, so sum(label) is a strict monovariant:
     // unchanged sum ⇔ no label changed ⇔ fixpoint of BOTH steps. One
     // 1-row aggregate per round instead of a change-detection join;
@@ -823,7 +830,7 @@ object Dedup {
         .select(edges("src").as("id"), col("label"))
       val prop = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labelSum(prop)
       if (s.compareTo(prevSum) == 0) {
         // fixpoint reached by propagation alone — the common case for
@@ -840,7 +847,7 @@ object Dedup {
         val next = prop.join(jump, col("label") === col("lid"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         prevSum = labelSum(next)
         labels = next
       }

@@ -966,6 +966,79 @@ object EventStreams {
           val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
           all.foreach(java.nio.file.Files.deleteIfExists(_))
         }
+      }),
+
+    /* STREAMING EMBED-ADMISSION gate (r14 VERDICT task 7) — the s21
+     * ingest loop as an actual stream: build the persisted admission
+     * artifact once, then a file-source stream of embedding batches
+     * drives foreachBatch(embedAdmitAppend) — each micro-batch admits
+     * against the stored index AND writes its admissions back, so the
+     * NEXT batch's clones of this batch's admissions are rejected with
+     * no rebuild. Two deterministic micro-batches (the second source
+     * file lands only after the first fully drains): batch 2 carries a
+     * clone of a BATCH-1 ADMISSION (+3e6 of 350 — rejectable ONLY via
+     * the write-back; a lost append admits it and fails the hash) and a
+     * clone of an ORIGINAL history vector (+4e6 of 100). FULL value
+     * oracle: the s21 two-batch replay, emitting BOTH batches'
+     * admissions tagged by micro-batch. */
+    graft.operators.NamedQuery(
+      "e06_stream_embed_admit",
+      Some(graft.operators.Similarity.embedStreamOracleSql),
+      (s, dir) => {
+        import graft.operators.Similarity
+        val b = graft.Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        // BOUNDED slices (unlike s21's corpus-scaled batch 2): the
+        // streaming gate proves the loop composition; its wall stays
+        // fixture-sized at any SF, and scale coverage of the admission
+        // probe is s19/s21's job
+        val hist = b.filter(col("vec_id") < 150)
+        def clone(of: Long, shift: Long) = b.filter(col("vec_id") === of)
+          .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
+        val batch1 = b.filter(col("vec_id") >= 150 && col("vec_id") < 300)
+          .unionByName(clone(100L, 1000000L)).unionByName(clone(200L, 2000000L))
+        val batch2 = b.filter(col("vec_id") >= 300 && col("vec_id") < 500)
+          .unionByName(clone(200L, 3000000L)).unionByName(clone(100L, 4000000L))
+        val tag = sinkSeq.incrementAndGet()
+        val srcDir = java.nio.file.Files
+          .createTempDirectory(s"graft_e06_src_${tag}_").toString
+        val spool = java.nio.file.Files
+          .createTempDirectory(s"graft_e06_spool_${tag}_").toString
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"graft_e06_index_${tag}_").toString
+        try {
+          Similarity.writeEmbedIndex(hist, idx, k = 8)
+          // one part file per source batch → one micro-batch per drain
+          batch1.coalesce(1).write.mode("append").parquet(srcDir)
+          val q = s.readStream.schema(b.schema).parquet(srcDir)
+            .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+              if (!batch.isEmpty)
+                Similarity.embedAdmitAppend(batch, idx, 0.9)
+                  .withColumn("batch_id", lit(batchId))
+                  .write.mode("append").parquet(spool)
+            }.start()
+          try {
+            q.processAllAvailable() // batch 1 admits + writes back
+            batch2.coalesce(1).write.mode("append").parquet(srcDir)
+            q.processAllAvailable() // batch 2 probes history ∪ batch-1
+          } finally q.stop()
+          // dense micro-batch tag → 1-based batch number (robust to any
+          // empty interleaved micro-batch); the spool is bounded
+          // (admitted rows only), so the global window is model-sized
+          s.read.parquet(spool)
+            .withColumn("batch", dense_rank().over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("batch_id"))))
+            .select(col("batch"), col("vec_id"), col("cell"))
+            .orderBy(col("batch"), col("vec_id"))
+            .localCheckpoint() // frees the temp dirs below
+        } finally {
+          import scala.jdk.CollectionConverters._
+          Seq(srcDir, spool, idx).foreach { p =>
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+            val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+            all.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
       })
   )
 }

@@ -1476,6 +1476,70 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("index maintenance lock: a held _lock fails the second maintainer loudly; artifact survives") {
+    import spark.implicits._
+    def vec(axis: Int): Array[Float] = Array.tabulate(4)(d => if (d == axis) 1.0f else 0.0f)
+    val hist = (0 until 12).map(i => (i.toLong, vec(i % 4))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-lock-").toString
+    try {
+      Similarity.writeEmbedIndex(hist, path, k = 4)
+      val lock = java.nio.file.Paths.get(path, "_lock")
+      java.nio.file.Files.createFile(lock) // a concurrent maintainer holds it
+      val inc = Seq((100L, Array(0.7f, 0.7f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      val ex = intercept[IllegalStateException] {
+        Similarity.embedAdmitAppend(inc, path, 0.9)
+      }
+      assert(ex.getMessage.contains("_lock"), s"undiagnosable message: ${ex.getMessage}")
+      // the guarded call must not have touched the artifact: read paths work
+      assert(Similarity.embedAdmitFromIndex(inc, path, 0.9)
+        .collect().map(_.getLong(0)).toSet == Set(100L))
+      java.nio.file.Files.delete(lock)
+      // after release the append succeeds AND releases its own lock
+      val adm = Similarity.embedAdmitAppend(inc, path, 0.9)
+        .collect().map(_.getLong(0)).toSet
+      assert(adm == Set(100L), s"admitted $adm")
+      assert(!java.nio.file.Files.exists(lock), "lock leaked after a successful append")
+      // r14 ADVICE: a DOUBLE-typed increment must not make cells/
+      // mixed-schema parquet — the write-back casts to the stored float
+      val incD = Seq((200L, Array(-0.7d, -0.7d, 0.0d, 0.0d))).toDF("vec_id", "embedding")
+      assert(Similarity.embedAdmitAppend(incD, path, 0.9)
+        .collect().map(_.getLong(0)).toSet == Set(200L))
+      val elem = spark.read.parquet(s"$path/cells").schema("embedding").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      assert(elem == org.apache.spark.sql.types.FloatType,
+        s"cells went mixed-schema: element type $elem")
+      // and the maintained artifact still answers: 200's clone is rejected
+      val probe = Seq((300L, Array(-0.7f, -0.7f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      assert(Similarity.embedAdmitFromIndex(probe, path, 0.9).count() == 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("appendIvfPqIndex honors the maintenance lock") {
+    import spark.implicits._
+    def vec(axis: Int, scale: Float) = Array.tabulate(8)(d => if (d == axis) scale else 0.01f)
+    val a = (0 until 24).map(i => (i.toLong, vec(i % 4, 1.0f + (i / 4) * 0.1f)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-lock-pq-").toString
+    try {
+      Similarity.writeIvfPqIndex(a, path, cells = 4, m = 2, kps = 4)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(path, "_lock"))
+      val b = Seq((100L, vec(1, 0.95f))).toDF("vec_id", "embedding")
+      intercept[IllegalStateException] { Similarity.appendIvfPqIndex(b, path) }
+      // untouched: the footer count is still the build's
+      assert(spark.read.parquet(s"$path/codes").count() == 24L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
