@@ -699,6 +699,16 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
           .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
           .collect().map(_.getSeq[Double](0).toArray)
         Similarity.lloydAssign(rel, seeds, iters)
+      }),
+      // the s10/m06 gate quantizer from SQL: sha-fold seeded cells
+      // (deterministic, oracle-replayable — see Similarity.seededCells)
+      "graft_seeded_cells" -> ((rel, a) =>
+        Similarity.seededCells(rel, a.headOption.map(_.toInt).getOrElse(0))),
+      // seeded SemDeDup: the fully deterministic keep/drop spelling
+      "graft_semdedup_seeded" -> ((rel, a) => {
+        val tau = a.headOption.getOrElse(0.8)
+        val cells = a.lift(1).map(_.toInt).getOrElse(0)
+        Dedup.semDedup(Similarity.seededCells(rel, cells), tau)
       }))
   }
 

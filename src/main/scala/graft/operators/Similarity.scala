@@ -115,19 +115,57 @@ object Similarity {
   private[operators] def quantizerSample(base: DataFrame): DataFrame =
     base.sort(xxhash64(col("vec_id")), col("vec_id")).limit(4096)
 
-  /** Trains the IVF coarse quantizer on a DETERMINISTICALLY ordered
-    * single-partition sample (standard IVF practice: the quantizer trains
-    * on a bounded sample) — k-means|| init is otherwise
-    * partition-layout-dependent, and recall gates must not move with the
-    * executor count. */
+  /** Trains the IVF coarse quantizer DRIVER-SIDE over the bounded
+    * deterministic sample (standard IVF practice: the quantizer trains
+    * on a bounded sample; ours caps at 4096 vectors — model-metadata
+    * scale, the same class as the pqTrain sample it already collects).
+    * Seeds are STRIDED through the hash-ordered sample (xxhash order is
+    * diversity order — an ordered-prefix seed would inherit the
+    * writeEmbedIndex clustered-ingest degeneracy), then 5 Lloyd rounds;
+    * empty clusters keep their previous center (the pqTrain
+    * convention). Fully deterministic and executor-count-independent by
+    * construction.
+    *
+    * Why not `KMeans.fit`: on a 4096-row single-partition sample the
+    * distributed fit is pure JOB-SCHEDULING latency (~15 tiny jobs,
+    * measured 1.5 s warm — paid per artifact-build statement in
+    * s17/s18/s20), while the same arithmetic is ~20 ms on the driver.
+    * The returned KMeansModel (via GraftKMeansBridge) is a plain center
+    * carrier — every consumer reads only `clusterCenters`. */
   def trainQuantizer(base: DataFrame, k: Int = 16): KMeansModel = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val sample = quantizerSample(base)
-      .withColumn("features",
-        array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
-      .sort(col("vec_id")).coalesce(1)
-    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").fit(sample)
+    require(k > 0, "need k > 0")
+    // hash order IS the sample's diversity order — keep it for seeding
+    val sample: Array[Array[Double]] = quantizerSample(base)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "trainQuantizer needs a non-empty corpus")
+    val dim = sample.head.length
+    var cent: Array[Array[Double]] =
+      Array.tabulate(k)(j => sample(((j.toLong * sample.length) / k).toInt).clone())
+    var it = 0
+    while (it < 5) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val diff = v(i) - cent(c)(i); d += diff * diff; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cent = Array.tabulate(k)(c =>
+        if (counts(c) == 0L) cent(c) else sums(c).map(_ / counts(c)))
+      it += 1
+    }
+    val model = org.apache.spark.ml.clustering.GraftKMeansBridge.fromCenters(cent)
     // the degenerate-sample cliff (quantizerSample's KNOWN TRADE) is
     // graceful but silent — surface a runtime signal when the trained
     // model collapsed. Detection is DRIVER-SIDE over the k centroid
@@ -728,9 +766,13 @@ object Similarity {
   private def admitAssigned(inc: DataFrame, index: DataFrame,
       tau: Double): DataFrame = {
     // clone groups collapse here: one row per distinct embedding, keyed
-    // by its min vec_id (the group's admission candidate)
+    // by its min vec_id (the group's admission candidate). Lazy-pinned:
+    // four consumers (rejected, both pair sides, the final anti-join)
+    // would otherwise re-plan the grouped subtree; the first action
+    // materializes it
     val grp = inc.groupBy(col("cell"), col("embedding"))
       .agg(min(col("vec_id")).as("gid"))
+      .localCheckpoint(false)
     val rejected = grp
       .join(index.select(col("cell"), col("embedding").as("h_emb")).distinct(), Seq("cell"))
       .filter(expr(s"cosine_sim(embedding, h_emb) > $tau"))
@@ -835,7 +877,13 @@ object Similarity {
       val inc = cellIndex(increment, seeds).localCheckpoint(false)
       val incCells = inc.select(col("cell")).distinct().collect().map(_.get(0))
       val idx = stored.filter(col("cell").isin(incCells.toIndexedSeq: _*))
-      val admitted = admitAssigned(inc, idx, tau).localCheckpoint()
+      // lazy: the write-back below materializes the admit DAG once and
+      // the caller reads the checkpoint — the eager spelling executed
+      // the whole DAG a first time just to pin it. Safe against the
+      // append-reads-what-it-writes hazard: `stored`'s parquet file
+      // listing is snapshotted when the DataFrame is created, before
+      // any new file lands
+      val admitted = admitAssigned(inc, idx, tau).localCheckpoint(false)
       // write back the admitted representatives WITH their embeddings,
       // CAST to the stored cells' element type (r14 ADVICE: an
       // array<double> increment appended verbatim to array<float> cells

@@ -1204,6 +1204,24 @@ class SqlEngineSpec extends AnyFunSuite {
         .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
       assert(kSql == kApi && kSql.size == 8)
 
+      // seeded (sha-fold) quantizer from SQL == the DataFrame pipeline —
+      // the fully deterministic gate spelling (s10/m06)
+      val scSql = e.execute(
+        "SELECT vec_id, cell FROM graft_seeded_cells('emb_view', 2) ORDER BY vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val scApi = graft.operators.Similarity.seededCells(emb, 2)
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(scSql == scApi && scSql.size == 8)
+      val sdSql = e.execute(
+        "SELECT vec_id FROM graft_semdedup_seeded('emb_view', 0.95, 2) ORDER BY vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      val sdApi = graft.operators.Dedup.semDedup(
+        graft.operators.Similarity.seededCells(emb, 2), 0.95)
+        .orderBy("vec_id").collect().map(r => r.getLong(r.fieldIndex("vec_id"))).toSeq
+      assert(sdSql == sdApi)
+      assert(sdSql.toSet.intersect(Set(100L, 101L, 102L, 103L)).isEmpty,
+        s"identical clones must prune under the seeded quantizer: $sdSql")
+
       // a missing view surfaces Spark's named resolution error, not a
       // silent rewrite
       assertThrows[Exception](e.execute("SELECT * FROM graft_semdedup('nope_view', 0.9)"))

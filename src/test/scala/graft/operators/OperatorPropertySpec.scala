@@ -958,21 +958,23 @@ class OperatorPropertySpec extends AnyFunSuite {
           else Seq(1.0, 0.0, 1.0, 0.0, 0.0, 0.0)
         base.updated(4 + i % 2, 0.001 * (i % 5))
     }
-    val genFixture: Gen[(List[(Long, Seq[Double])], Long)] = for {
+    val genFixture: Gen[(List[(Long, Seq[Double])], Long, Boolean)] = for {
       shape <- Gen.oneOf(0, 1, 2)
       n <- Gen.choose(8, 60)
       offset <- Gen.oneOf(0L, 5000L, 1000000L) // 5000/1e6: all ids above the sample filter
       nClones <- Gen.choose(0, 8)
+      seeded <- Gen.oneOf(true, false) // r15: the sha-fold seeded quantizer shares the sweep
     } yield {
       val base = (0 until n).map(i => (offset + i.toLong, vecOf(shape, i)))
       val clones = (0 until math.min(nClones, n))
         .map(i => (offset + n + i.toLong, vecOf(shape, i)))
-      ((base ++ clones).toList, offset)
+      ((base ++ clones).toList, offset, seeded)
     }
     val tau = 0.95
-    val prop = Prop.forAll(genFixture) { case (rows, _) =>
+    val prop = Prop.forAll(genFixture) { case (rows, _, seeded) =>
       val v = rows.toDF("vec_id", "embedding")
-      val assigned = Similarity.quantizedCells(v).localCheckpoint()
+      val assigned = (if (seeded) Similarity.seededCells(v)
+        else Similarity.quantizedCells(v)).localCheckpoint()
       val asn = assigned.select("vec_id", "embedding", "cell").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
       // total assignment: every row lands in exactly one cell

@@ -1476,6 +1476,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("seededCells: sha-fold seed order, nearest-seed assignment, sizing caps") {
+    import spark.implicits._
+    val v = (0 until 20)
+      .map(i => (i.toLong, Array(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.seededCells(v) // cells=0 -> max(8, min(√20, 1024)) = 8
+    val rows = assigned.collect()
+    assert(rows.length == 20, "every vector must be assigned")
+    assert(rows.map(_.getInt(rows.head.fieldIndex("cell"))).forall(c => c >= 0 && c < 8))
+    // the documented key, computed independently (the writeEmbedIndex
+    // spec's construction): top-8 by (sha-256 8-hex fold, vec_id)
+    val seeds = v.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"),
+        conv(substring(sha2(col("vec_id").cast("string"), 256), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(8)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val byId = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    v.collect().foreach { r =>
+      val e = r.getSeq[Float](1).map(_.toDouble).toArray
+      val want = seeds.zipWithIndex.minBy { case (s, i) =>
+        (math.sqrt(s.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum), i)
+      }._2
+      assert(byId(r.getLong(0)) == want, s"vec ${r.getLong(0)} cell mismatch")
+    }
+    // explicit cells param respected and capped at n
+    assert(Similarity.seededCells(v, 5).select(col("cell")).distinct().count() <= 5)
+    val tiny = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.seededCells(tiny).collect().map(_.getInt(2)).toSeq == Seq(0))
+  }
+
   test("index maintenance lock: a held _lock fails the second maintainer loudly; artifact survives") {
     import spark.implicits._
     def vec(axis: Int): Array[Float] = Array.tabulate(4)(d => if (d == axis) 1.0f else 0.0f)
