@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{GraftFunctions, VectorFunctions}
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.clustering.KMeansModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -766,13 +766,12 @@ object Similarity {
   private def admitAssigned(inc: DataFrame, index: DataFrame,
       tau: Double): DataFrame = {
     // clone groups collapse here: one row per distinct embedding, keyed
-    // by its min vec_id (the group's admission candidate). Lazy-pinned:
-    // four consumers (rejected, both pair sides, the final anti-join)
-    // would otherwise re-plan the grouped subtree; the first action
-    // materializes it
+    // by its min vec_id (the group's admission candidate). NOT pinned:
+    // a checkpoint here hides the group aggregate from the s09 plan
+    // lock, and ReuseExchange already shares the subtree across the
+    // consumers (pinning measured <0.15 s on the lifecycle rows)
     val grp = inc.groupBy(col("cell"), col("embedding"))
       .agg(min(col("vec_id")).as("gid"))
-      .localCheckpoint(false)
     val rejected = grp
       .join(index.select(col("cell"), col("embedding").as("h_emb")).distinct(), Seq("cell"))
       .filter(expr(s"cosine_sim(embedding, h_emb) > $tau"))

@@ -1210,7 +1210,8 @@ class SqlEngineSpec extends AnyFunSuite {
         "SELECT vec_id, cell FROM graft_seeded_cells('emb_view', 2) ORDER BY vec_id")
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
       val scApi = graft.operators.Similarity.seededCells(emb, 2)
-        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(r.fieldIndex("cell")))).toSeq
       assert(scSql == scApi && scSql.size == 8)
       val sdSql = e.execute(
         "SELECT vec_id FROM graft_semdedup_seeded('emb_view', 0.95, 2) ORDER BY vec_id")
