@@ -992,7 +992,6 @@ object EventStreams {
         // streaming gate proves the loop composition; its wall stays
         // fixture-sized at any SF, and scale coverage of the admission
         // probe is s19/s21's job
-        val hist = b.filter(col("vec_id") < 150)
         def clone(of: Long, shift: Long) = b.filter(col("vec_id") === of)
           .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
         val batch1 = b.filter(col("vec_id") >= 150 && col("vec_id") < 300)
@@ -1007,21 +1006,29 @@ object EventStreams {
         val idx = java.nio.file.Files
           .createTempDirectory(s"graft_e06_index_${tag}_").toString
         try {
-          Similarity.writeEmbedIndex(hist, idx, k = 8)
           // one part file per source batch → one micro-batch per drain
           batch1.coalesce(1).write.mode("append").parquet(srcDir)
-          val q = s.readStream.schema(b.schema).parquet(srcDir)
-            .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-              if (!batch.isEmpty)
-                Similarity.embedAdmitAppend(batch, idx, 0.9)
-                  .withColumn("batch_id", lit(batchId))
-                  .write.mode("append").parquet(spool)
-            }.start()
-          try {
-            q.processAllAvailable() // batch 1 admits + writes back
-            batch2.coalesce(1).write.mode("append").parquet(srcDir)
-            q.processAllAvailable() // batch 2 probes history ∪ batch-1
-          } finally q.stop()
+          // the build and both admit micro-batches run under 8 shuffle
+          // partitions (the e01 pin): their relations are fixture-sized,
+          // and 32-partition stages were pure scheduling latency
+          withStatePartitions(s, 8) { sp =>
+            val histP = graft.Tables.load(sp, dir, "embeddings")
+              .select(col("vec_id"), col("embedding"))
+              .filter(col("vec_id") < 150)
+            Similarity.writeEmbedIndex(histP, idx, k = 8)
+            val q = sp.readStream.schema(b.schema).parquet(srcDir)
+              .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+                if (!batch.isEmpty)
+                  Similarity.embedAdmitAppend(batch, idx, 0.9)
+                    .withColumn("batch_id", lit(batchId))
+                    .write.mode("append").parquet(spool)
+              }.start()
+            try {
+              q.processAllAvailable() // batch 1 admits + writes back
+              batch2.coalesce(1).write.mode("append").parquet(srcDir)
+              q.processAllAvailable() // batch 2 probes history ∪ batch-1
+            } finally q.stop()
+          }
           // dense micro-batch tag → 1-based batch number (robust to any
           // empty interleaved micro-batch); the spool is bounded
           // (admitted rows only), so the global window is model-sized
