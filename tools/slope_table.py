@@ -34,7 +34,9 @@ def main() -> int:
     for name, j in (("1x", j1), (f"{int(factor)}x", jn)):
         c = j.get("canary")
         if c:
-            print(f"\ncanary {name}: {c['min']:.3f}-{c['max']:.3f} s")
+            # r15 compacted the canary to a positional [min, max, scale]
+            lo, hi = (c[0], c[1]) if isinstance(c, list) else (c["min"], c["max"])
+            print(f"\ncanary {name}: {lo:.3f}-{hi:.3f} s")
     return 0
 
 
