@@ -841,6 +841,17 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         graft.operators.Similarity.embedAdmitAppend(spark.table(incView), path,
           a.headOption.getOrElse(0.9))))
 
+  /** Single-PATH maintenance functions — the one string literal is a
+    * filesystem path to a persisted artifact set, not a relation:
+    * `graft_embed_compact('path')` rewrites the admission index's
+    * `cells/` to one file per cell (each admit-append batch lands one
+    * file per touched cell; probes and reports pay footer enumeration
+    * linear in the append count — the AppendScale 100×-files leg). */
+  private val pathFunctions: Map[String, (String, Seq[Double]) => DataFrame] =
+    Map(
+      "graft_embed_compact" -> ((path, _) =>
+        graft.operators.Similarity.compactEmbedIndex(spark, path)))
+
   /** Table functions over the table IDENTITY rather than its current
     * snapshot — the time-travel reads: `graft_at_version(t, v)` is the
     * table as of snapshot v; `graft_at_time(t, millis)` resolves the
@@ -931,7 +942,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         tableFunctions.contains(w) || stringTableFunctions.contains(w) ||
           snapshotFunctions.contains(w) || twoTableFunctions.contains(w) ||
           viewFunctions.contains(w) || viewPairFunctions.contains(w) ||
-          stringPairFunctions.contains(w)
+          stringPairFunctions.contains(w) || pathFunctions.contains(w)
       var j = i + 2
       // Tbl = dotted chain; Nested = inner TVF's result view; ViewName =
       // user temp view named by a string literal (viewFunctions only)
@@ -952,7 +963,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       }
       val first: In =
         if (viewFunctions.contains(fn) || viewPairFunctions.contains(fn) ||
-          stringPairFunctions.contains(fn)) strTok(j) match {
+          stringPairFunctions.contains(fn) || pathFunctions.contains(fn)) strTok(j) match {
           case Some(v) => j += 1; ViewName(v)
           case None => return None
         } else parseInput() match {
@@ -1051,6 +1062,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         case (_, Some(s2)) => twoTableFunctions(fn)(relOf(first), relOf(s2), as)
         case (Tbl(p), None) if snapshotFunctions.contains(fn) =>
           snapshotFunctions(fn)(locate(p), as)
+        case (ViewName(a1), None) if pathFunctions.contains(fn) =>
+          pathFunctions(fn)(a1, as)
         case (ViewName(_), None) => viewFunctions(fn)(relOf(first), as)
         case (in, None) if stringTableFunctions.contains(fn) && ss.nonEmpty =>
           stringTableFunctions(fn)(relOf(in), ss, as)
@@ -1113,7 +1126,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
               (tableFunctions.contains(a) || snapshotFunctions.contains(a) ||
                 twoTableFunctions.contains(a) || stringTableFunctions.contains(a) ||
                 viewFunctions.contains(a) || viewPairFunctions.contains(a) ||
-                stringPairFunctions.contains(a)))
+                stringPairFunctions.contains(a) || pathFunctions.contains(a)))
               spliceTableFunction(i, a)
             else None
           tvf match {

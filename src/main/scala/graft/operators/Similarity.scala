@@ -898,6 +898,52 @@ object Similarity {
       admitted
     }
 
+  /** COMPACTION for the admission index — the maintenance op the append
+    * loop eventually needs: every [[embedAdmitAppend]] batch lands one
+    * parquet file per touched cell, so a long-running ingest pays
+    * footer enumeration linear in the append COUNT on every probe and
+    * report (AppendScale measured the 100×-files base leg at 1.48× for
+    * identical data volume). Rewrites `cells/` to ONE file per cell —
+    * data identical, layout minimal — under the same create-exclusive
+    * `_lock` as the appenders, via write-aside-then-swap
+    * (`cells__compacting` → delete old → rename): the swap also assumes
+    * the documented single-maintainer posture, and additionally that no
+    * READER races the swap window — quiesce reads or snapshot the path
+    * first, as with any file-based index rebuild. Returns a one-row
+    * (n_vectors, files_before, files_after) report. */
+  def compactEmbedIndex(spark: SparkSession, path: String): DataFrame =
+    withMaintenanceLock(spark, path) {
+      val cellsPath = new org.apache.hadoop.fs.Path(s"$path/cells")
+      val fs = cellsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+        }
+        n
+      }
+      val before = dataFiles(cellsPath)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/cells__compacting")
+      fs.delete(tmp, true) // a crashed prior compaction leaves debris
+      // one output file per cell: repartition ON the partition column
+      // routes each cell's rows to one task, whose partitionBy write
+      // emits exactly one file into that cell's directory
+      spark.read.parquet(cellsPath.toString)
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmp.toString)
+      val n = spark.read.parquet(tmp.toString).count()
+      fs.delete(cellsPath, true)
+      require(fs.rename(tmp, cellsPath),
+        s"compactEmbedIndex: rename $tmp -> $cellsPath failed; the compacted " +
+          "tree is intact under the __compacting name — rename it manually")
+      val after = dataFiles(cellsPath)
+      spark.createDataFrame(Seq((n, before, after)))
+        .toDF("n_vectors", "files_before", "files_after")
+    }
+
   /** Cell assignment of a base relation under explicit centroids — builds
     * the persisted index side [[incrementalEmbedAdmit]] probes. */
   def cellIndex(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {

@@ -1550,6 +1550,65 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactEmbedIndex: appended cells collapse to one file each; admissions unchanged") {
+    import spark.implicits._
+    def vec(axis: Int, s: Float): Array[Float] =
+      Array.tabulate(4)(d => if (d == axis) s else 0.0f)
+    val hist = (0 until 12).map(i => (i.toLong, vec(i % 4, 1.0f))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft-compact-wh-").toString
+    def cellFiles(): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path, "cells")
+      val walk = java.nio.file.Files.walk(root)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .groupBy(_.getParent.getFileName.toString).view.mapValues(_.size).toMap
+    }
+    try {
+      Similarity.writeEmbedIndex(hist, path, k = 4)
+      // three append batches of genuinely novel, mutually orthogonal
+      // directions (negative axes: cosine −1 to history, 0 to each
+      // other) — each lands a file in its touched cell
+      (0 until 3).foreach { b =>
+        val inc = Seq((100L + b, vec(b, -1.0f))).toDF("vec_id", "embedding")
+        assert(Similarity.embedAdmitAppend(inc, path, 0.9).count() == 1)
+      }
+      assert(cellFiles().values.exists(_ > 1), "appends should fragment a cell")
+      // a read-only probe's verdicts, captured before compaction
+      val probe = (0 until 12).map(i => (500L + i, vec(i % 4, 1.0f)))
+        .toDF("vec_id", "embedding")
+        .unionByName(Seq((600L, Array(0.0f, 0.0f, 0.0f, -1.0f))).toDF("vec_id", "embedding"))
+      val before = Similarity.embedAdmitFromIndex(probe, path, 0.9)
+        .collect().map(_.getLong(0)).toSet
+      // compact through the SQL surface (covers the pathFunctions TVF)
+      val e = new graft.engine.SqlEngine(spark, new graft.engine.Catalog(wh),
+        graft.engine.SqlContext("cdb", "u"))
+      e.execute("CREATE DATABASE cdb")
+      val rep = e.execute(
+        s"SELECT n_vectors, files_before, files_after FROM graft_embed_compact('$path')")
+        .collect().head
+      assert(rep.getLong(1) > rep.getLong(2), s"report: $rep")
+      assert(rep.getLong(0) == 15L, s"vector count changed: $rep") // 12 hist + 3 admitted
+      val filesAfter = cellFiles()
+      assert(filesAfter.values.forall(_ == 1), s"cells still fragmented: $filesAfter")
+      // identical admissions from the compacted artifact
+      val after = Similarity.embedAdmitFromIndex(probe, path, 0.9)
+        .collect().map(_.getLong(0)).toSet
+      assert(after == before, s"compaction changed admissions: $before vs $after")
+      // the maintenance lock guards compaction too
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(path, "_lock"))
+      intercept[IllegalStateException] { Similarity.compactEmbedIndex(spark, path) }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(path, wh).foreach { p =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        all.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("appendIvfPqIndex honors the maintenance lock") {
     import spark.implicits._
     def vec(axis: Int, scale: Float) = Array.tabulate(8)(d => if (d == axis) scale else 0.01f)
