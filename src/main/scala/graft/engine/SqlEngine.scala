@@ -850,7 +850,11 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
   private val pathFunctions: Map[String, (String, Seq[Double]) => DataFrame] =
     Map(
       "graft_embed_compact" -> ((path, _) =>
-        graft.operators.Similarity.compactEmbedIndex(spark, path)))
+        graft.operators.Similarity.compactEmbedIndex(spark, path)),
+      // the codes-side twin: graft_ivfpq_append fragments codes/ the
+      // same one-file-per-append-per-cell way
+      "graft_ivfpq_compact" -> ((path, _) =>
+        graft.operators.Similarity.compactIvfPqIndex(spark, path)))
 
   /** Table functions over the table IDENTITY rather than its current
     * snapshot — the time-travel reads: `graft_at_version(t, v)` is the

@@ -912,8 +912,20 @@ object Similarity {
     * first, as with any file-based index rebuild. Returns a one-row
     * (n_vectors, files_before, files_after) report. */
   def compactEmbedIndex(spark: SparkSession, path: String): DataFrame =
+    compactCellDir(spark, path, "cells", "n_vectors")
+
+  /** [[compactEmbedIndex]]'s twin for the IVF-ADC index:
+    * [[appendIvfPqIndex]] fragments `codes/` one file per append per
+    * cell exactly the same way — rewrite to one file per cell under the
+    * shared maintenance lock. Centroid/PQ artifacts are single-file
+    * model metadata and never fragment. */
+  def compactIvfPqIndex(spark: SparkSession, path: String): DataFrame =
+    compactCellDir(spark, path, "codes", "n_codes")
+
+  private def compactCellDir(spark: SparkSession, path: String, sub: String,
+      countCol: String): DataFrame =
     withMaintenanceLock(spark, path) {
-      val cellsPath = new org.apache.hadoop.fs.Path(s"$path/cells")
+      val cellsPath = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val fs = cellsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
         val it = fs.listFiles(p, true)
@@ -926,7 +938,7 @@ object Similarity {
         n
       }
       val before = dataFiles(cellsPath)
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/cells__compacting")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}__compacting")
       fs.delete(tmp, true) // a crashed prior compaction leaves debris
       // one output file per cell: repartition ON the partition column
       // routes each cell's rows to one task, whose partitionBy write
@@ -937,11 +949,11 @@ object Similarity {
       val n = spark.read.parquet(tmp.toString).count()
       fs.delete(cellsPath, true)
       require(fs.rename(tmp, cellsPath),
-        s"compactEmbedIndex: rename $tmp -> $cellsPath failed; the compacted " +
+        s"compaction: rename $tmp -> $cellsPath failed; the compacted " +
           "tree is intact under the __compacting name — rename it manually")
       val after = dataFiles(cellsPath)
       spark.createDataFrame(Seq((n, before, after)))
-        .toDF("n_vectors", "files_before", "files_after")
+        .toDF(countCol, "files_before", "files_after")
     }
 
   /** Cell assignment of a base relation under explicit centroids — builds

@@ -1377,6 +1377,18 @@ class OperatorsSpec extends AnyFunSuite {
       val ids = Similarity.ivfPqQueryIndex(q, path, k = 36, nprobe = 4)
         .collect().map(_.getLong(1)).toSet
       assert(ids.exists(_ >= 100L), "appended vectors must be retrievable")
+      // compaction rewrites the appended codes/ to one file per cell:
+      // identical code SET, identical retrieval, fewer files
+      val rep2 = Similarity.compactIvfPqIndex(spark, path).collect().head
+      assert(rep2.getLong(0) == 36L && rep2.getLong(1) > rep2.getLong(2),
+        s"compact report: $rep2")
+      val gotC = spark.read.parquet(s"$path/codes")
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+          r.getSeq[Int](r.fieldIndex("codes")).toSeq)).toSet
+      assert(gotC == want, "compaction changed the stored codes")
+      val idsC = Similarity.ivfPqQueryIndex(q, path, k = 36, nprobe = 4)
+        .collect().map(_.getLong(1)).toSet
+      assert(idsC == ids, "compaction changed retrieval")
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
