@@ -1,0 +1,37 @@
+#!/bin/bash
+# Generic same-protocol bench A/B: adjudicate driver-run regressions
+# against the tree that produced the baseline BENCH (CLAUDE.md rule).
+# Interleaved legs (head base head base ...) so host-noise windows hit
+# both trees; compare min-over-legs per tree. Subset lines are
+# full-precision (Bench emits fmtSeconds under SPARK_GRAFT_BENCH_ONLY).
+#
+# Usage:
+#   tools/ab_regressors.sh <base_ref> <only> [out_dir] [legs]
+#   e.g. tools/ab_regressors.sh 5e13cd3 "s10,p23,d19" /tmp/ab_r16 3
+#
+# <base_ref> = the commit the baseline BENCH_r{N}.json measured (the
+# round-N "verdict/advice/correctness/bench" commit's tree).
+set -euo pipefail
+BASE_REF="${1:?usage: ab_regressors.sh <base_ref> <only> [out] [legs]}"
+ONLY="${2:?need a comma-separated query prefix list}"
+OUT="${3:-/tmp/ab_${BASE_REF}}"
+LEGS="${4:-3}"
+BASE_TREE="/tmp/graft_ab_${BASE_REF}"
+SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+mkdir -p "$OUT"
+if [ ! -d "$BASE_TREE" ]; then
+  echo "[ab] creating baseline worktree $BASE_TREE at $BASE_REF" >&2
+  git -C /root/repo worktree add "$BASE_TREE" "$BASE_REF" >&2
+fi
+run_leg() {  # $1=tree dir, $2=tag, $3=round
+  local out="$OUT/${2}_${3}.json"
+  ( cd "$1" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_ONLY="$ONLY" \
+      sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' > "$out" )
+  [ -s "$out" ] || { echo "[ab] FATAL: leg $2 round $3 wrote empty $out" >&2; exit 1; }
+  echo "[ab] leg $2 round $3 done: $(cat "$out")"
+}
+for r in $(seq 1 "$LEGS"); do
+  run_leg /root/repo head "$r"
+  run_leg "$BASE_TREE" base "$r"
+done
+echo "[ab] all legs complete — compare min-over-legs per tree in $OUT"
