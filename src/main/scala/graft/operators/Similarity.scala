@@ -467,6 +467,7 @@ object Similarity {
       m: Int = 16, kps: Int = 64): DataFrame = {
     val s = base.sparkSession
     val (km, pq) = ivfPqTrain(base, cells, m, kps)
+    resetGenerations(s, path, "codes") // a rebuild clears compacted gens
     ivfPqIndex(base, km, pq)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     centroidTable(s, km)
@@ -485,7 +486,8 @@ object Similarity {
     val r = s.read.parquet(s"$path/pq").head()
     val pq = PqModel(r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("sub"),
       r.getSeq[Double](r.fieldIndex("cents")).toArray)
-    (s.read.parquet(s"$path/codes"), s.read.parquet(s"$path/centroids"), pq)
+    (s.read.parquet(currentIndexDirStr(s, path, "codes")),
+      s.read.parquet(s"$path/centroids"), pq)
   }
 
   /** Appends an increment to a PERSISTED IVF-ADC index with NO
@@ -520,27 +522,57 @@ object Similarity {
     * the footer read / partition layout into corruption. createNewFile
     * is atomic on local and HDFS filesystems (object stores without
     * atomic create keep the documented posture: serialize maintenance
-    * externally — the guard still catches most overlaps loudly). The
-    * lock always releases in finally; a crash mid-hold leaves the file
-    * behind deliberately — stale-lock cleanup is an operator decision,
-    * not something to time out silently. */
-  private def withMaintenanceLock[T](s: SparkSession, path: String)(body: => T): T = {
+    * externally — the guard still catches most overlaps loudly). Once
+    * acquired, the lock is stamped with holder pid + timestamp + the
+    * operation name (r15 VERDICT task 7), so the held-error's "inspect
+    * the artifact" step has something to inspect — the stamp is
+    * surfaced in the error a blocked maintainer throws. The lock always
+    * releases in finally; a crash mid-hold leaves the file behind
+    * deliberately — stale-lock cleanup is an operator decision, not
+    * something to time out silently. */
+  private[graft] def withMaintenanceLock[T](s: SparkSession, path: String,
+      op: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(path, "_lock")
     val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // ONLY an already-exists outcome means "held": a genuine IO failure
+    // (permissions, unreachable filesystem) must surface as itself, not
+    // as a phantom concurrent maintainer whose error tells the operator
+    // to delete a lock that doesn't exist (r15 ADVICE)
     val acquired =
       try fs.createNewFile(lock)
-      catch { case _: java.io.IOException => false }
-    if (!acquired)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    if (!acquired) {
+      val holder = // best-effort: the stamp is diagnostics, never a gate
+        try {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
       throw new IllegalStateException(
-        s"index maintenance lock already held: $lock exists — a concurrent " +
-          "append/admit is running (or crashed mid-write; inspect the " +
-          "artifact and delete the lock to recover). Concurrent maintainers " +
-          "race the footer read and the partition layout; serialize them.")
+        s"index maintenance lock already held: $lock exists" +
+          (if (holder.nonEmpty) s" (holder: $holder)" else "") +
+          " — a concurrent append/admit is running (or crashed mid-write; " +
+          "inspect the artifact and delete the lock to recover). Concurrent " +
+          "maintainers race the footer read and the partition layout; " +
+          "serialize them.")
+    }
+    // stamp AFTER the atomic acquisition (overwrite-create of a file we
+    // own); failure to stamp never fails the maintenance call
+    try {
+      val out = fs.create(lock, true)
+      try out.write(
+        s"pid=${ProcessHandle.current().pid()} ts=${java.time.Instant.now()} op=$op\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
     try body finally fs.delete(lock, false)
   }
 
   def appendIvfPqIndex(increment: DataFrame, path: String): DataFrame =
-    withMaintenanceLock(increment.sparkSession, path) {
+    withMaintenanceLock(increment.sparkSession, path, "ivfpq-append") {
       appendIvfPqIndexUnlocked(increment, path)
     }
 
@@ -564,8 +596,11 @@ object Similarity {
       .select(col("cell"), col("vec_id"), pqEncodeCol(col("resid"), pq).as("codes"))
       .localCheckpoint(false) // lazy: the count below materializes it
     val nAppended = encoded.count()
-    encoded.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
-    val after = s.read.parquet(s"$path/codes").count()
+    // appends land in the CURRENT generation (post-compaction layouts
+    // included): resolved once, used for both the write and the report
+    val codesDir = currentIndexDirStr(s, path, "codes")
+    encoded.write.mode("append").partitionBy("cell").parquet(codesDir)
+    val after = s.read.parquet(codesDir).count()
     s.createDataFrame(Seq((nAppended, after))).toDF("n_appended", "n_total")
   }
 
@@ -762,9 +797,19 @@ object Similarity {
 
   /** The admission core over an ALREADY-ASSIGNED (and pinned) increment
     * — shared by [[incrementalEmbedAdmit]] and [[embedAdmitFromIndex]]
-    * so each computes the cell assignment exactly once. */
+    * so each computes the cell assignment exactly once.
+    *
+    * `pinSurvivors` (the WRITE-BACK path, [[embedAdmitAppend]] only):
+    * lazily checkpoints the survivor relation, because that caller runs
+    * TWO actions over it — the CC label jobs and then the write-back —
+    * and checkpoint reuse is the only cross-JOB sharing Spark offers
+    * (ReuseExchange dedupes within one plan); unpinned, the write-back
+    * job re-runs the whole history-probe join. The plain probe paths
+    * keep it unpinned: their single consumer shares subtrees via
+    * ReuseExchange, and a checkpoint would hide the group aggregate
+    * from the s09 plan lock. */
   private def admitAssigned(inc: DataFrame, index: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double, pinSurvivors: Boolean = false): DataFrame = {
     // clone groups collapse here: one row per distinct embedding, keyed
     // by its min vec_id (the group's admission candidate). NOT pinned:
     // a checkpoint here hides the group aggregate from the s09 plan
@@ -776,7 +821,8 @@ object Similarity {
       .join(index.select(col("cell"), col("embedding").as("h_emb")).distinct(), Seq("cell"))
       .filter(expr(s"cosine_sim(embedding, h_emb) > $tau"))
       .select(col("gid")).distinct()
-    val surv = grp.join(rejected, Seq("gid"), "left_anti")
+    val surv0 = grp.join(rejected, Seq("gid"), "left_anti")
+    val surv = if (pinSurvivors) surv0.localCheckpoint(false) else surv0
     val a = surv.select(col("cell"), col("gid").as("id_a"), col("embedding").as("a_emb"))
     val b = surv.select(col("cell"), col("gid").as("id_b"), col("embedding").as("b_emb"))
     val pairs = a.join(b, Seq("cell"))
@@ -819,13 +865,20 @@ object Similarity {
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(seeds.nonEmpty, "writeEmbedIndex: empty history relation")
+    resetGenerations(s, path, "cells") // a rebuild clears compacted gens
     cellIndex(hist, seeds)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     s.createDataFrame(seeds.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val n = s.read.parquet(s"$path/cells").count() // parquet-footer count
-    s.createDataFrame(Seq((n, seeds.length))).toDF("n_vectors", "cells")
+    // LAZY report: the index WRITES above are eager (the artifact
+    // exists when this returns); the (n_vectors, cells) report is a
+    // plan over the written files, so a caller that discards the report
+    // (e06's stream setup) never schedules its count job, while report
+    // consumers (s19/s21 statement 1) pay it on collect
+    s.read.parquet(s"$path/cells")
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("cells", lit(seeds.length))
   }
 
   /** [[incrementalEmbedAdmit]] against a PERSISTED artifact path: loads
@@ -847,7 +900,7 @@ object Similarity {
     // materializes it — one scheduled job instead of two
     val inc = cellIndex(increment, seeds).localCheckpoint(false)
     val incCells = inc.select(col("cell")).distinct().collect().map(_.get(0))
-    val idx = s.read.parquet(s"$path/cells")
+    val idx = s.read.parquet(currentIndexDirStr(s, path, "cells"))
       .filter(col("cell").isin(incCells.toIndexedSeq: _*))
     admitAssigned(inc, idx, tau)
   }
@@ -864,10 +917,13 @@ object Similarity {
     * (vec_id, cell) rows. */
   def embedAdmitAppend(increment: DataFrame, path: String,
       tau: Double = 0.9): DataFrame =
-    withMaintenanceLock(increment.sparkSession, path) {
+    withMaintenanceLock(increment.sparkSession, path, "embed-admit-append") {
       val s = increment.sparkSession
       VectorFunctions.register(s)
-      val stored = s.read.parquet(s"$path/cells")
+      // resolved once; the probe read and the write-back hit the SAME
+      // generation (the lock excludes a concurrent compaction flip)
+      val cellsDir = currentIndexDirStr(s, path, "cells")
+      val stored = s.read.parquet(cellsDir)
       val seeds = s.read.parquet(s"$path/centroids").orderBy(col("cell"))
         .collect().map(_.getSeq[Double](1).toArray)
       // one assignment pass pinned for the cell filter, the admit probe,
@@ -882,7 +938,8 @@ object Similarity {
       // append-reads-what-it-writes hazard: `stored`'s parquet file
       // listing is snapshotted when the DataFrame is created, before
       // any new file lands
-      val admitted = admitAssigned(inc, idx, tau).localCheckpoint(false)
+      val admitted = admitAssigned(inc, idx, tau, pinSurvivors = true)
+        .localCheckpoint(false)
       // write back the admitted representatives WITH their embeddings,
       // CAST to the stored cells' element type (r14 ADVICE: an
       // array<double> increment appended verbatim to array<float> cells
@@ -894,23 +951,80 @@ object Similarity {
       inc.join(admitted.select(col("vec_id")), Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("embedding").cast(storedEmbType).as("embedding"),
           col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+        .write.mode("append").partitionBy("cell").parquet(cellsDir)
       admitted
     }
+
+  /** Resolve the CURRENT data directory of a persisted index subtree —
+    * the read/write indirection that makes compaction invisible to
+    * readers (r15 VERDICT task 6). Compaction is GENERATIONAL: the
+    * compacted copy lands in `sub__g<N+1>` and Spark's `_SUCCESS`
+    * marker is the atomic commit point — the highest generation WITH a
+    * marker is current (a crashed compaction leaves an uncommitted
+    * directory readers ignore and the next compaction garbage-
+    * collects); with no committed generation the initial build's legacy
+    * bare `sub` layout is current. The previous generation is retained
+    * one compaction cycle, so a reader that snapshotted its file
+    * listing before the flip still resolves every file after it —
+    * there is no window where the live data is missing (the r15
+    * delete-then-rename swap had both a reader-visible gap and a
+    * crash window with NO live directory). */
+  private[graft] def currentIndexDir(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, sub: String): org.apache.hadoop.fs.Path = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val committed = generationDirs(fs, root, sub).filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    }
+    if (committed.nonEmpty) committed.maxBy(_._1)._2
+    else new org.apache.hadoop.fs.Path(root, sub)
+  }
+
+  private[graft] def currentIndexDirStr(s: SparkSession, path: String,
+      sub: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    currentIndexDir(fs, path, sub).toString
+  }
+
+  /** All `sub__g<N>` generation directories under `path`, committed or
+    * not, as (generation, path) pairs. */
+  private def generationDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      sub: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val re = (java.util.regex.Pattern.quote(sub) + "__g(\\d+)").r
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toIndexedSeq.flatMap { st =>
+      st.getPath.getName match {
+        case re(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }
+  }
+
+  /** A REBUILD over a previously-compacted path must clear the
+    * generation chain first: the fresh build writes the legacy bare
+    * layout, which a surviving higher-numbered generation would
+    * silently shadow at resolution time. */
+  private def resetGenerations(s: SparkSession, path: String, sub: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    generationDirs(fs, root, sub).foreach { case (_, p) => fs.delete(p, true) }
+  }
 
   /** COMPACTION for the admission index — the maintenance op the append
     * loop eventually needs: every [[embedAdmitAppend]] batch lands one
     * parquet file per touched cell, so a long-running ingest pays
     * footer enumeration linear in the append COUNT on every probe and
     * report (AppendScale measured the 100×-files base leg at 1.48× for
-    * identical data volume). Rewrites `cells/` to ONE file per cell —
-    * data identical, layout minimal — under the same create-exclusive
-    * `_lock` as the appenders, via write-aside-then-swap
-    * (`cells__compacting` → delete old → rename): the swap also assumes
-    * the documented single-maintainer posture, and additionally that no
-    * READER races the swap window — quiesce reads or snapshot the path
-    * first, as with any file-based index rebuild. Returns a one-row
-    * (n_vectors, files_before, files_after) report. */
+    * identical data volume). Rewrites the cell data to ONE file per
+    * cell — data identical, layout minimal — under the same
+    * create-exclusive `_lock` as the appenders, into a NEW generation
+    * directory committed by its `_SUCCESS` marker (see
+    * [[currentIndexDir]]): readers racing the compaction resolve either
+    * the old or the new generation, never a missing path, and the old
+    * generation survives one further cycle for readers that already
+    * snapshotted it. Single-MAINTAINER posture unchanged (the lock).
+    * Returns a one-row (n_vectors, files_before, files_after) report. */
   def compactEmbedIndex(spark: SparkSession, path: String): DataFrame =
     compactCellDir(spark, path, "cells", "n_vectors")
 
@@ -924,9 +1038,9 @@ object Similarity {
 
   private def compactCellDir(spark: SparkSession, path: String, sub: String,
       countCol: String): DataFrame =
-    withMaintenanceLock(spark, path) {
-      val cellsPath = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      val fs = cellsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withMaintenanceLock(spark, path, s"compact-$sub") {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
         val it = fs.listFiles(p, true)
         var n = 0L
@@ -937,21 +1051,30 @@ object Similarity {
         }
         n
       }
-      val before = dataFiles(cellsPath)
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/${sub}__compacting")
-      fs.delete(tmp, true) // a crashed prior compaction leaves debris
+      val cur = currentIndexDir(fs, path, sub)
+      val before = dataFiles(cur)
+      val nextGen = (generationDirs(fs, root, sub).map(_._1) :+ 0L).max + 1
+      val target = new org.apache.hadoop.fs.Path(root, s"${sub}__g$nextGen")
       // one output file per cell: repartition ON the partition column
       // routes each cell's rows to one task, whose partitionBy write
-      // emits exactly one file into that cell's directory
-      spark.read.parquet(cellsPath.toString)
+      // emits exactly one file into that cell's directory. The write's
+      // _SUCCESS marker is the COMMIT — new readers resolve this
+      // generation from that moment (currentIndexDir)
+      spark.read.parquet(cur.toString)
         .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(tmp.toString)
-      val n = spark.read.parquet(tmp.toString).count()
-      fs.delete(cellsPath, true)
-      require(fs.rename(tmp, cellsPath),
-        s"compaction: rename $tmp -> $cellsPath failed; the compacted " +
-          "tree is intact under the __compacting name — rename it manually")
-      val after = dataFiles(cellsPath)
+        .write.partitionBy("cell").parquet(target.toString)
+      // retention: keep cur (one cycle of grace for readers holding a
+      // pre-flip file listing) and target; delete older generations,
+      // uncommitted crash debris, and — once cur is itself a
+      // generation — the legacy bare dir from the cycle before
+      generationDirs(fs, root, sub).foreach { case (_, p) =>
+        if (p.getName != cur.getName && p.getName != target.getName)
+          fs.delete(p, true)
+      }
+      val legacy = new org.apache.hadoop.fs.Path(root, sub)
+      if (cur.getName != sub && fs.exists(legacy)) fs.delete(legacy, true)
+      val n = spark.read.parquet(target.toString).count()
+      val after = dataFiles(target)
       spark.createDataFrame(Seq((n, before, after)))
         .toDF(countCol, "files_before", "files_after")
     }
@@ -1765,25 +1888,32 @@ object Similarity {
         }
       }),
 
-    // the ANN index LIFECYCLE from pure SQL — build → APPEND → query,
-    // the maintenance loop a deployment runs daily: statement 1 trains +
-    // persists (graft_ivfpq_build), statement 2 appends an increment
-    // encoded under the STORED model with no retraining
+    // the ANN index LIFECYCLE from pure SQL — build → APPEND → COMPACT →
+    // query, the maintenance loop a deployment runs daily: statement 1
+    // trains + persists (graft_ivfpq_build), statement 2 appends an
+    // increment encoded under the STORED model with no retraining
     // (graft_ivfpq_append — byte-equal to a one-shot encoding, the
-    // OperatorsSpec gate), statement 3 answers from the maintained
-    // artifact (graft_ivfpq_query). The increment is an identical clone
-    // (+1e6) of every query vector, so rank 1 for each query MUST be a
-    // vector that entered through the APPEND statement — retrieval
-    // proves the appended codes landed in the right cells under the
-    // original centroids. The append report is checked against the
-    // build report (n_appended = 8 clones, n_total = n_vectors + 8).
-    // Constant-verdict oracle (the s18 convention: IVF-PQ internals are
-    // not DuckDB-replayable; the traps make the verdicts deterministic).
+    // OperatorsSpec gate), statement 3 compacts the fragmented codes to
+    // one file per cell (graft_ivfpq_compact — r15 VERDICT task 3: the
+    // compaction operators' oracle gate), statement 4 answers from the
+    // maintained artifact (graft_ivfpq_query). The increment is an
+    // identical clone (+1e6) of every query vector, so rank 1 for each
+    // query MUST be a vector that entered through the APPEND statement
+    // AND survived the compaction rewrite — retrieval proves the
+    // appended codes landed in the right cells under the original
+    // centroids and that the compacted generation serves them. The
+    // append report is checked against the build report (n_appended = 8
+    // clones, n_total = n_vectors + 8); the compact report must keep
+    // every code (n_codes = n_total) and land one file per non-empty
+    // cell (files_after ≤ 8, strictly fewer than the fragmented
+    // layout). Constant-verdict oracle (the s18 convention:
+    // IVF-PQ internals are not DuckDB-replayable; the traps make the
+    // verdicts deterministic).
     NamedQuery(
       "s20_ann_lifecycle_sql",
       Some(
         "SELECT vec_id AS query_id, CAST(1 AS INT) AS appended_top1_ok, " +
-          "CAST(1 AS INT) AS append_report_ok " +
+          "CAST(1 AS INT) AS append_report_ok, CAST(1 AS INT) AS compact_ok " +
           "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"),
       (s, dir) => {
         val b = base(s, dir)
@@ -1816,13 +1946,23 @@ object Similarity {
           val rep = e.execute(s"SELECT n_appended, n_total FROM graft_ivfpq_append(" +
             s"'graft_s20_inc', '$path')").collect().head
           val reportOk = rep.getLong(0) == 8L && rep.getLong(1) == nBase + 8L
+          // statement 3: compact the appended codes (one file per cell);
+          // the query below then answers from the COMPACTED generation —
+          // a lost or duplicated code fails appended_top1_ok/compact_ok
+          val crep = e.execute(s"SELECT n_codes, files_before, files_after " +
+            s"FROM graft_ivfpq_compact('$path')").collect().head
+          // every code kept; ≤ one file per NON-EMPTY cell (≤ 8), and
+          // strictly fewer files than the fragmented layout
+          val compactOk = crep.getLong(0) == nBase + 8L &&
+            crep.getLong(2) <= 8L && crep.getLong(2) < crep.getLong(1)
           e.execute(s"SELECT query_id, vec_id, rank FROM graft_ivfpq_query(" +
               s"'$path', 'graft_s20_queries', 5, 4) ORDER BY query_id, rank")
             .filter(col("rank") === 1)
             .select(col("query_id"),
               (col("vec_id") === col("query_id") + 1000000L).cast("int")
                 .as("appended_top1_ok"),
-              lit(if (reportOk) 1 else 0).as("append_report_ok"))
+              lit(if (reportOk) 1 else 0).as("append_report_ok"),
+              lit(if (compactOk) 1 else 0).as("compact_ok"))
             .orderBy(col("query_id"))
             .localCheckpoint() // frees the artifact files below
         } finally {
@@ -1836,10 +1976,12 @@ object Similarity {
       }),
 
     // the admission family's FULL INGEST LOOP from pure SQL — build →
-    // admit-and-write-back → admit: batch 1 admits against the built
-    // index and graft_embed_admit_append APPENDS its admissions to the
-    // stored cells, batch 2 then probes history ∪ batch-1 admissions
-    // with no rebuild. Traps: batch 2 carries a clone of a BATCH-1
+    // admit-and-write-back → COMPACT → admit: batch 1 admits against
+    // the built index and graft_embed_admit_append APPENDS its
+    // admissions to the stored cells, graft_embed_compact rewrites the
+    // fragmented cells into a fresh generation, and batch 2 then probes
+    // history ∪ batch-1 admissions from the COMPACTED artifact with no
+    // rebuild. Traps: batch 2 carries a clone of a BATCH-1
     // ADMISSION (+3e6 of 350 — rejectable ONLY through the write-back;
     // a lost append admits it and fails the hash) and a clone of an
     // ORIGINAL history vector (+4e6 of 100 — the pre-append index must
@@ -1879,7 +2021,13 @@ object Similarity {
           // write-back runs eagerly inside the statement)
           e.execute(s"SELECT vec_id FROM graft_embed_admit_append(" +
             s"'$path', 'graft_s21_inc1', 0.9)")
-          // statement 3: batch 2 probes history ∪ batch-1 admissions
+          // statement 3: COMPACT the fragmented cells (r15 VERDICT task
+          // 3 — the embed compaction's oracle gate): batch 2 below
+          // probes the COMPACTED generation, so a compaction that loses
+          // or duplicates a history OR batch-1-admitted vector changes
+          // batch 2's admissions and fails the full-value hash
+          e.execute(s"SELECT n_vectors FROM graft_embed_compact('$path')")
+          // statement 4: batch 2 probes history ∪ batch-1 admissions
           e.execute(s"SELECT vec_id, cell FROM graft_embed_admit_index(" +
             s"'$path', 'graft_s21_inc2', 0.9) ORDER BY vec_id")
             .localCheckpoint() // frees the artifact files below

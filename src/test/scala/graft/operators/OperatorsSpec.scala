@@ -1382,7 +1382,8 @@ class OperatorsSpec extends AnyFunSuite {
       val rep2 = Similarity.compactIvfPqIndex(spark, path).collect().head
       assert(rep2.getLong(0) == 36L && rep2.getLong(1) > rep2.getLong(2),
         s"compact report: $rep2")
-      val gotC = spark.read.parquet(s"$path/codes")
+      // compaction flips the current generation dir (reader-safe swap)
+      val gotC = spark.read.parquet(Similarity.currentIndexDirStr(spark, path, "codes"))
         .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
           r.getSeq[Int](r.fieldIndex("codes")).toSeq)).toSet
       assert(gotC == want, "compaction changed the stored codes")
@@ -1571,7 +1572,11 @@ class OperatorsSpec extends AnyFunSuite {
     val wh = java.nio.file.Files.createTempDirectory("graft-compact-wh-").toString
     def cellFiles(): Map[String, Int] = {
       import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(path, "cells")
+      // resolve through the generation pointer — compaction flips dirs
+      // (the resolved string is "file:/..."-qualified once generations
+      // exist; URI.getPath normalizes both spellings)
+      val root = java.nio.file.Paths.get(new java.net.URI(
+        Similarity.currentIndexDirStr(spark, path, "cells")).getPath)
       val walk = java.nio.file.Files.walk(root)
       val all = try walk.iterator().asScala.toSeq finally walk.close()
       all.filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -1618,6 +1623,83 @@ class OperatorsSpec extends AnyFunSuite {
         val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
         all.foreach(java.nio.file.Files.deleteIfExists(_))
       }
+    }
+  }
+
+  test("maintenance lock stamps holder pid/ts/op; a blocked maintainer sees the stamp") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lockstamp-").toString
+    try {
+      val lockFile = java.nio.file.Paths.get(path, "_lock")
+      Similarity.withMaintenanceLock(spark, path, "spec-op") {
+        val content = new String(java.nio.file.Files.readAllBytes(lockFile),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(content.contains(s"pid=${ProcessHandle.current().pid()}"), content)
+        assert(content.contains("ts="), content)
+        assert(content.contains("op=spec-op"), content)
+      }
+      assert(!java.nio.file.Files.exists(lockFile), "lock must release")
+      // a held lock's stamp is surfaced in the blocked maintainer's error
+      java.nio.file.Files.write(lockFile,
+        "pid=12345 ts=2026-08-16T00:00:00Z op=other-op".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val e = intercept[IllegalStateException] {
+        Similarity.withMaintenanceLock(spark, path, "spec-op-2") { fail("must not run") }
+      }
+      assert(e.getMessage.contains("pid=12345") && e.getMessage.contains("op=other-op"),
+        e.getMessage)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("compaction is invisible to readers: pre-flip snapshot answers; one-cycle retention") {
+    import spark.implicits._
+    def vec(axis: Int, s: Float): Array[Float] =
+      Array.tabulate(4)(d => if (d == axis) s else 0.0f)
+    def localDir(): java.nio.file.Path = java.nio.file.Paths.get(
+      new java.net.URI(Similarity.currentIndexDirStr(spark, path2, "cells")).getPath)
+    lazy val path2 = java.nio.file.Files.createTempDirectory("graft-gen-").toString
+    try {
+      val hist = (0 until 12).map(i => (i.toLong, vec(i % 4, 1.0f))).toDF("vec_id", "embedding")
+      Similarity.writeEmbedIndex(hist, path2, k = 4)
+      (0 until 2).foreach { b => // fragment two cells
+        val inc = Seq((100L + b, vec(b, -1.0f))).toDF("vec_id", "embedding")
+        assert(Similarity.embedAdmitAppend(inc, path2, 0.9).count() == 1)
+      }
+      val dirBefore = localDir()
+      // a reader whose file listing was snapshotted BEFORE the flip
+      val snap = spark.read.parquet(dirBefore.toString)
+      val want = snap.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet
+      Similarity.compactEmbedIndex(spark, path2).collect()
+      val dirAfter = localDir()
+      assert(dirAfter != dirBefore, "compaction must flip the generation dir")
+      assert(java.nio.file.Files.exists(dirBefore), "previous generation retained one cycle")
+      // the pre-flip snapshot still answers — no missing-path window
+      val still = snap.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet
+      assert(still == want)
+      // a post-flip reader resolves the compacted generation, same data
+      val fresh = spark.read.parquet(dirAfter.toString)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet
+      assert(fresh == want)
+      // a second compaction retires the generation BEFORE the previous
+      Similarity.compactEmbedIndex(spark, path2).collect()
+      assert(!java.nio.file.Files.exists(dirBefore), "gen older than previous is GC'd")
+      assert(java.nio.file.Files.exists(dirAfter), "previous generation retained")
+      assert(localDir() != dirAfter)
+      // a REBUILD over a compacted path clears the generation chain —
+      // otherwise the surviving higher generation would shadow the
+      // fresh legacy-layout build at resolution time
+      Similarity.writeEmbedIndex(hist, path2, k = 4)
+      assert(localDir() == java.nio.file.Paths.get(path2, "cells"))
+      assert(spark.read.parquet(localDir().toString).count() == 12L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path2))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
