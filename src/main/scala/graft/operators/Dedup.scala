@@ -818,8 +818,14 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
-    var converged = false
+    // the INIT aggregate also carries the node count (same 1-row job):
+    // an EMPTY pair graph — the common admission case, an increment
+    // with no in-batch near-dups — converges here in ZERO rounds
+    // instead of paying one full propagate round to observe 0 == 0
+    val init = labels
+      .agg(sum(col("label").cast("decimal(38,0)")), count(lit(1))).head()
+    var prevSum = Option(init.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var converged = init.getLong(1) == 0L
     var round = 0
     while (!converged && round < maxRounds) {
       // 1) propagate: each node offers its label to its neighbors.

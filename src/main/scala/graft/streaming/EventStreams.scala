@@ -986,17 +986,24 @@ object EventStreams {
       Some(graft.operators.Similarity.embedStreamOracleSql),
       (s, dir) => {
         import graft.operators.Similarity
-        val b = graft.Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
         // BOUNDED slices (unlike s21's corpus-scaled batch 2): the
         // streaming gate proves the loop composition; its wall stays
         // fixture-sized at any SF, and scale coverage of the admission
-        // probe is s19/s21's job
+        // probe is s19/s21's job. ONE parquet scan: every fixture
+        // relation below (history, both batches, all four clones)
+        // derives from this pinned ≤500-row slice — the previous
+        // spelling re-scanned the embeddings table once per union
+        // branch, ~8 scheduled scan jobs of pure fixture setup (r15
+        // VERDICT task 8)
+        val b = graft.Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < 500)
+          .localCheckpoint(false) // lazy: batch1's write materializes it
         def clone(of: Long, shift: Long) = b.filter(col("vec_id") === of)
           .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
         val batch1 = b.filter(col("vec_id") >= 150 && col("vec_id") < 300)
           .unionByName(clone(100L, 1000000L)).unionByName(clone(200L, 2000000L))
-        val batch2 = b.filter(col("vec_id") >= 300 && col("vec_id") < 500)
+        val batch2 = b.filter(col("vec_id") >= 300)
           .unionByName(clone(200L, 3000000L)).unionByName(clone(100L, 4000000L))
         val tag = sinkSeq.incrementAndGet()
         val srcDir = java.nio.file.Files
@@ -1006,27 +1013,44 @@ object EventStreams {
         val idx = java.nio.file.Files
           .createTempDirectory(s"graft_e06_index_${tag}_").toString
         try {
+          // stage probe (perf attribution only, off unless exported)
+          val probe = sys.env.contains("GRAFT_E06_PROBE")
+          var t0 = System.nanoTime()
+          def mark(stage: String): Unit = if (probe) {
+            val t1 = System.nanoTime()
+            System.err.println(f"[e06] $stage ${(t1 - t0) / 1e9}%.2f s")
+            t0 = t1
+          }
           // one part file per source batch → one micro-batch per drain
           batch1.coalesce(1).write.mode("append").parquet(srcDir)
+          mark("fixture batch1")
           // the build and both admit micro-batches run under 8 shuffle
           // partitions (the e01 pin): their relations are fixture-sized,
           // and 32-partition stages were pure scheduling latency
           withStatePartitions(s, 8) { sp =>
-            val histP = graft.Tables.load(sp, dir, "embeddings")
-              .select(col("vec_id"), col("embedding"))
-              .filter(col("vec_id") < 150)
+            // history from the SAME pinned slice (no second table scan);
+            // the build report is lazy and unread — no count job
+            val histP = b.filter(col("vec_id") < 150)
             Similarity.writeEmbedIndex(histP, idx, k = 8)
+            mark("index build")
             val q = sp.readStream.schema(b.schema).parquet(srcDir)
               .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-                if (!batch.isEmpty)
+                // file-source batch: the driver-side file listing decides
+                // emptiness without a job (isEmpty scheduled one limit-1
+                // job per micro-batch); the isEmpty fallback covers a
+                // non-file batch plan
+                if (batch.inputFiles.nonEmpty || !batch.isEmpty)
                   Similarity.embedAdmitAppend(batch, idx, 0.9)
                     .withColumn("batch_id", lit(batchId))
                     .write.mode("append").parquet(spool)
               }.start()
             try {
               q.processAllAvailable() // batch 1 admits + writes back
+              mark("drain 1")
               batch2.coalesce(1).write.mode("append").parquet(srcDir)
+              mark("fixture batch2")
               q.processAllAvailable() // batch 2 probes history ∪ batch-1
+              mark("drain 2")
             } finally q.stop()
           }
           // dense micro-batch tag → 1-based batch number (robust to any
