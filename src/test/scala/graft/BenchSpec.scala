@@ -50,9 +50,11 @@ class BenchSpec extends AnyFunSuite {
     val key = Bench.shortKeys(names)
     val rows = names.map(n => "\"" + key(n) + "\":" + ("9" * widest))
     val line = rows.mkString("{", ",", "}")
-    // wrapper worst case: metric/value/unit + canary [x.xx,x.xx,x.xx] + sf
-    val wrapper = ("""{"metric":"total","value":9999,"unit":"sec","queries":,""" +
-      """"canary":[0.066,0.443,6.712],"sf":"sf0.001"}""").length
+    // wrapper worst case: metric/value + canary [x.xx,x.xx] + sf ("unit"
+    // and the derivable canary scale slot were trimmed in r16 — scale =
+    // max(1, min/0.066), documented in Bench and SCALE_NOTES)
+    val wrapper = ("""{"metric":"total","value":9999,"queries":,""" +
+      """"canary":[0.066,0.443],"sf":"sf0.001"}""").length
     assert(line.length + wrapper < 1800,
       s"queries map ${line.length} chars + $wrapper wrapper exceeds the 1800 budget " +
         "(Bench warns at 1850; the harness tail cuts ~1920)")
