@@ -27,10 +27,22 @@ import graft.operators.Similarity
   * the operator's content-address step and measure dedup, not append;
   * rotations give genuinely distinct directions). Copies of the same
   * rotation class are identical vectors — they exercise the clone-
-  * collapse path at scale, which is the honest production mix.
+  * collapse path at scale, which is the honest production mix. The
+  * embedding dimension is READ from the data (size of one embedding),
+  * never assumed — the driver regenerates testdata (r15 ADVICE).
+  *
+  * FRAGMENTATION mode (r15 VERDICT task 5): `frag [nAppends]` runs the
+  * compaction experiment instead — nAppends small appends fragment the
+  * cell dirs one file per touched cell per batch, and probes/queries
+  * then pay footer enumeration linear in the append COUNT (the r14
+  * 1.48× base-footer finding). Measures probe wall fragmented vs
+  * compacted at IDENTICAL data (the fresh point is a pre-append
+  * reference at smaller data, context only).
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.AppendScale [f]
-  * (default f = 100). Prints one markdown table; temp dirs reclaimed.
+  *        SPARK_GRAFT_SF_DIR=... runMain graft.tools.AppendScale frag [nAppends]
+  * (default f = 100, nAppends = 60). Prints one markdown table; temp
+  * dirs reclaimed.
   */
 object AppendScale {
 
@@ -41,8 +53,21 @@ object AppendScale {
     all.foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
+  private def timed(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  // left-rotate the embedding by c positions (mod the DATA's dim):
+  // genuinely distinct directions per rotation class, oracle-free
+  private def rotate(df: DataFrame, dim: Int, c: Int, keyBase: Long): DataFrame = {
+    val r = c % dim
+    val emb =
+      if (r == 0) col("embedding")
+      else expr(s"concat(slice(embedding, ${r + 1}, ${dim - r}), slice(embedding, 1, $r))")
+    df.select((col("vec_id") + keyBase).as("vec_id"), emb.as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
-    val f = if (args.nonEmpty) args(0).toInt else 100
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -58,6 +83,18 @@ object AppendScale {
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint()
     val n = base.count()
+    // dimension from the DATA, not an assumption (r15 ADVICE: a
+    // regenerated testdata width would make hard-coded slices silently
+    // emit wrong-length vectors and invalidate the admit measurement)
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+
+    if (args.headOption.contains("frag")) {
+      fragmentation(spark, base, n, dim,
+        args.lift(1).map(_.toInt).getOrElse(60))
+      spark.stop()
+      return
+    }
+    val f = args.headOption.map(_.toInt).getOrElse(100)
 
     // key-shifted clones (for the PQ encode path, which is content-blind)
     def cloned(copies: Int, keyBase: Long): DataFrame =
@@ -69,17 +106,8 @@ object AppendScale {
     // dimension-rotated copies (for the admit path: distinct directions)
     def rotated(copies: Int, keyBase: Long): DataFrame =
       (0 until copies).map { c =>
-        val r = c % 64
-        val emb =
-          if (r == 0) col("embedding")
-          else expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))")
-        base.select((col("vec_id") + keyBase + c * 10000000L).as("vec_id"),
-          emb.as("embedding"))
+        rotate(base, dim, c, keyBase + c * 10000000L)
       }.reduce(_.unionByName(_)).localCheckpoint()
-
-    def timed(body: => Unit): Double = {
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-    }
 
     // ---- appendIvfPqIndex (the s20 maintenance path) ----
     def pqLeg(baseRel: DataFrame, inc: DataFrame): Double = {
@@ -114,5 +142,58 @@ object AppendScale {
     println(f"| appendIvfPqIndex | $pqA%.2f s | $pqB%.2f s | $pqC%.2f s | ${pqB / pqA}%.2fx | ${pqC / pqA}%.2fx |")
     println(f"| embedAdmitAppend (k=$k) | $admA%.2f s | $admB%.2f s | — | ${admB / admA}%.2fx | — |")
     spark.stop()
+  }
+
+  /** Probe wall fresh → after `nAppends` fragmenting appends →
+    * after compaction. frag and compacted hold IDENTICAL data — the
+    * gap is pure file-count (footer enumeration + per-file open). */
+  private def fragmentation(spark: SparkSession, base: DataFrame, n: Long,
+      dim: Int, nAppends: Int): Unit = {
+    val mod = nAppends * 10 // each append ≈ 0.1% of base; total ≈ +10%
+    // ---- embed admission index ----
+    val k = math.max(8, math.sqrt(n.toDouble).toInt.min(1024))
+    val path = java.nio.file.Files.createTempDirectory("graft-frag-adm-").toString
+    val probe = rotate(base.filter(pmod(col("vec_id"), lit(53)) === 0),
+      dim, dim / 2, 7000000000L).localCheckpoint()
+    val (admFresh, admFrag, admComp, admFilesBefore, admFilesAfter) =
+      try {
+        Similarity.writeEmbedIndex(base, path, k = k)
+        val fresh = timed { Similarity.embedAdmitFromIndex(probe, path, 0.9).count() }
+        (1 to nAppends).foreach { i =>
+          val inc = rotate(base.filter(pmod(col("vec_id"), lit(mod)) === i),
+            dim, i % dim, 100000000L * (i + 1))
+          Similarity.embedAdmitAppend(inc, path, 0.9).count()
+        }
+        val frag = timed { Similarity.embedAdmitFromIndex(probe, path, 0.9).count() }
+        val rep = Similarity.compactEmbedIndex(spark, path).collect().head
+        val comp = timed { Similarity.embedAdmitFromIndex(probe, path, 0.9).count() }
+        (fresh, frag, comp, rep.getLong(1), rep.getLong(2))
+      } finally deleteRec(path)
+
+    // ---- IVF-PQ index ----
+    val path2 = java.nio.file.Files.createTempDirectory("graft-frag-pq-").toString
+    val q = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .localCheckpoint()
+    val (pqFresh, pqFrag, pqComp, pqFilesBefore, pqFilesAfter) =
+      try {
+        Similarity.writeIvfPqIndex(base, path2, cells = 16, m = 16, kps = 64)
+        val fresh = timed { Similarity.ivfPqQueryIndex(q, path2, 10, 4).count() }
+        (1 to nAppends).foreach { i =>
+          val inc = base.filter(pmod(col("vec_id"), lit(mod)) === i)
+            .select((col("vec_id") + 100000000L * (i + 1)).as("vec_id"),
+              col("embedding"))
+          Similarity.appendIvfPqIndex(inc, path2).collect()
+        }
+        val frag = timed { Similarity.ivfPqQueryIndex(q, path2, 10, 4).count() }
+        val rep = Similarity.compactIvfPqIndex(spark, path2).collect().head
+        val comp = timed { Similarity.ivfPqQueryIndex(q, path2, 10, 4).count() }
+        (fresh, frag, comp, rep.getLong(1), rep.getLong(2))
+      } finally deleteRec(path2)
+
+    println(s"| probe | fresh (pre-append) | fragmented ($nAppends appends) | compacted | files frag->comp | frag/comp slope |")
+    println("|---|---|---|---|---|---|")
+    println(f"| embedAdmitFromIndex (k=$k) | $admFresh%.2f s | $admFrag%.2f s | $admComp%.2f s | $admFilesBefore -> $admFilesAfter | ${admFrag / admComp}%.2fx |")
+    println(f"| ivfPqQueryIndex | $pqFresh%.2f s | $pqFrag%.2f s | $pqComp%.2f s | $pqFilesBefore -> $pqFilesAfter | ${pqFrag / pqComp}%.2fx |")
   }
 }

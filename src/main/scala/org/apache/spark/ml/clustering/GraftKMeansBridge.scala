@@ -11,8 +11,15 @@ import org.apache.spark.mllib.linalg.Vectors
   * `KMeans.fit` costs on a 4096-row single-partition sample — measured
   * ~1.5 s of pure job-scheduling latency per train, paid per
   * artifact-lifecycle statement (see graft.operators.Similarity
-  * .trainQuantizer). Every downstream consumer reads only
-  * `clusterCenters`, so the wrapper is a plain center carrier. */
+  * .trainQuantizer).
+  *
+  * Supported surface of the returned model: `clusterCenters` and
+  * `transform` (both read only the center array — transform works
+  * because the default featuresCol/predictionCol params plus the mllib
+  * parent are all it touches; plans.IvfCellLayout relies on it).
+  * NOT supported: anything `fit` would have populated — `summary`,
+  * `trainingCost` — the bridge never sets them; a consumer reaching for
+  * them gets the upstream "No training summary available" failure. */
 object GraftKMeansBridge {
   def fromCenters(centers: Array[Array[Double]]): KMeansModel =
     new KMeansModel("graft-driver-lloyd",

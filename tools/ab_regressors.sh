@@ -9,6 +9,11 @@
 #   tools/ab_regressors.sh <base_ref> <only> [out_dir] [legs]
 #   e.g. tools/ab_regressors.sh 5e13cd3 "s10,p23,d19" /tmp/ab_r16 3
 #
+# NOTE: <only> matches FULL query names by prefix, not bench display
+# keys — the board's "m3" row is query m03_*, so pass "m03" (zero-
+# padded), never the display key (r16: "m3,p3,d9" silently matched
+# nothing and the first A/B batch ran 3 rows instead of 6).
+#
 # <base_ref> = the commit the baseline BENCH_r{N}.json measured (the
 # round-N "verdict/advice/correctness/bench" commit's tree).
 set -euo pipefail
@@ -25,8 +30,11 @@ if [ ! -d "$BASE_TREE" ]; then
 fi
 run_leg() {  # $1=tree dir, $2=tag, $3=round
   local out="$OUT/${2}_${3}.json"
+  # '|| true': under pipefail a leg whose output has no '"metric"' line
+  # makes grep (and the subshell) exit non-zero, which would abort the
+  # script BEFORE the intended empty-output diagnostic below (r15 ADVICE)
   ( cd "$1" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_ONLY="$ONLY" \
-      sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' > "$out" )
+      sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' > "$out" ) || true
   [ -s "$out" ] || { echo "[ab] FATAL: leg $2 round $3 wrote empty $out" >&2; exit 1; }
   echo "[ab] leg $2 round $3 done: $(cat "$out")"
 }
