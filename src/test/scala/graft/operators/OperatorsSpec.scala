@@ -1703,6 +1703,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("generation resolver ignores uncommitted crash debris; compaction GCs it") {
+    import spark.implicits._
+    def vec(axis: Int, s: Float): Array[Float] =
+      Array.tabulate(4)(d => if (d == axis) s else 0.0f)
+    val path = java.nio.file.Files.createTempDirectory("graft-debris-").toString
+    try {
+      val hist = (0 until 8).map(i => (i.toLong, vec(i % 4, 1.0f))).toDF("vec_id", "embedding")
+      Similarity.writeEmbedIndex(hist, path, k = 4)
+      // a crashed compaction: a high-numbered generation dir with data
+      // files but NO _SUCCESS marker — readers must keep resolving the
+      // committed layout, not the torn one
+      val debris = java.nio.file.Paths.get(path, "cells__g99")
+      java.nio.file.Files.createDirectories(debris)
+      java.nio.file.Files.write(debris.resolve("part-torn.parquet"),
+        Array[Byte](1, 2, 3))
+      assert(Similarity.currentIndexDirStr(spark, path, "cells").endsWith("/cells"),
+        "uncommitted generation must not shadow the committed layout")
+      // probes keep answering from the committed layout
+      val probe = Seq((500L, vec(0, 1.0f))).toDF("vec_id", "embedding")
+      assert(Similarity.embedAdmitFromIndex(probe, path, 0.9).count() == 0)
+      // the next compaction numbers PAST the debris and removes it
+      val rep = Similarity.compactEmbedIndex(spark, path).collect().head
+      assert(rep.getLong(0) == 8L, s"compaction must keep all rows: $rep")
+      assert(!java.nio.file.Files.exists(debris), "crash debris must be GC'd")
+      val cur = Similarity.currentIndexDirStr(spark, path, "cells")
+      assert(cur.endsWith("cells__g100"), // max existing gen (99) + 1
+        s"next generation must number past the debris: $cur")
+      assert(spark.read.parquet(cur).count() == 8L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("appendIvfPqIndex honors the maintenance lock") {
     import spark.implicits._
     def vec(axis: Int, scale: Float) = Array.tabulate(8)(d => if (d == axis) scale else 0.01f)
