@@ -6,10 +6,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},
-  * "canary":{min,max,scale},"sf":...} — canary.scale makes rounds
-  * comparable across host-noise windows (normalized = raw / scale;
-  * canary ref floor = 0.066 s, measured round 7).
+  * {"metric":"total","value":N,"queries":{...},"canary":[min,max],
+  * "sf":...} — every value is SECONDS; the host-noise normalization
+  * scale is derivable as max(1.0, canary_min / 0.066) (quiet-host
+  * floor, measured round 7), making rounds comparable across
+  * host-noise windows (normalized = raw / scale).
   *
   * Each query executes its FULL plan through the noop sink (count() would
   * let Catalyst prune projections and skip work a consumer would pay for).

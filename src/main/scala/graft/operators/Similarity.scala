@@ -466,18 +466,23 @@ object Similarity {
   def writeIvfPqIndex(base: DataFrame, path: String, cells: Int = 16,
       m: Int = 16, kps: Int = 64): DataFrame = {
     val s = base.sparkSession
-    val (km, pq) = ivfPqTrain(base, cells, m, kps)
-    resetGenerations(s, path, "codes") // a rebuild clears compacted gens
-    ivfPqIndex(base, km, pq)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    centroidTable(s, km)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    s.createDataFrame(Seq((pq.m, pq.k, pq.sub, pq.cents.toSeq)))
-      .toDF("m", "k", "sub", "cents")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
-    val n = s.read.parquet(s"$path/codes").count() // parquet-footer count
-    s.createDataFrame(Seq((n, cells, m, kps)))
-      .toDF("n_vectors", "cells", "m", "k_per_subspace")
+    val (km, pq) = ivfPqTrain(base, cells, m, kps) // trains off-path, unlocked
+    // the REBUILD is index maintenance too: unlocked, a rebuild racing a
+    // locked compaction lets the compaction commit a generation built
+    // from pre-rebuild data that silently shadows the fresh bare build
+    withMaintenanceLock(s, path, "ivfpq-build") {
+      resetGenerations(s, path, "codes") // a rebuild clears compacted gens
+      ivfPqIndex(base, km, pq)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      centroidTable(s, km)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      s.createDataFrame(Seq((pq.m, pq.k, pq.sub, pq.cents.toSeq)))
+        .toDF("m", "k", "sub", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+      val n = s.read.parquet(s"$path/codes").count() // parquet-footer count
+      s.createDataFrame(Seq((n, cells, m, kps)))
+        .toDF("n_vectors", "cells", "m", "k_per_subspace")
+    }
   }
 
   /** Loads the artifact set [[writeIvfPqIndex]] persisted:
@@ -554,21 +559,26 @@ object Similarity {
       throw new IllegalStateException(
         s"index maintenance lock already held: $lock exists" +
           (if (holder.nonEmpty) s" (holder: $holder)" else "") +
-          " — a concurrent append/admit is running (or crashed mid-write; " +
-          "inspect the artifact and delete the lock to recover). Concurrent " +
-          "maintainers race the footer read and the partition layout; " +
-          "serialize them.")
+          " — a concurrent build/append/admit/compact is running (or crashed " +
+          "mid-write; inspect the artifact and delete the lock to recover). " +
+          "Concurrent maintainers race the footer read and the partition " +
+          "layout; serialize them.")
     }
     // stamp AFTER the atomic acquisition (overwrite-create of a file we
-    // own); failure to stamp never fails the maintenance call
+    // own); failure to stamp never fails the maintenance call. The
+    // stamp runs INSIDE the release-protected region: any exception it
+    // throws (not just IOException) must still release the lock, or a
+    // stamping hiccup leaves a permanent phantom 'concurrent maintainer'
     try {
-      val out = fs.create(lock, true)
-      try out.write(
-        s"pid=${ProcessHandle.current().pid()} ts=${java.time.Instant.now()} op=$op\n"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } catch { case _: java.io.IOException => () }
-    try body finally fs.delete(lock, false)
+      try {
+        val out = fs.create(lock, true)
+        try out.write(
+          s"pid=${ProcessHandle.current().pid()} ts=${java.time.Instant.now()} op=$op\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case _: java.io.IOException => () }
+      body
+    } finally fs.delete(lock, false)
   }
 
   def appendIvfPqIndex(increment: DataFrame, path: String): DataFrame =
@@ -865,12 +875,17 @@ object Similarity {
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(seeds.nonEmpty, "writeEmbedIndex: empty history relation")
-    resetGenerations(s, path, "cells") // a rebuild clears compacted gens
-    cellIndex(hist, seeds)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    s.createDataFrame(seeds.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // the REBUILD is index maintenance too (see writeIvfPqIndex): an
+    // unlocked rebuild racing a locked compaction would let a stale
+    // generation commit over the fresh bare build
+    withMaintenanceLock(s, path, "embed-build") {
+      resetGenerations(s, path, "cells") // a rebuild clears compacted gens
+      cellIndex(hist, seeds)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      s.createDataFrame(seeds.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
     // LAZY report: the index WRITES above are eager (the artifact
     // exists when this returns); the (n_vectors, cells) report is a
     // plan over the written files, so a caller that discards the report

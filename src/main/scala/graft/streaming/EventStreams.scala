@@ -1028,9 +1028,15 @@ object EventStreams {
           // partitions (the e01 pin): their relations are fixture-sized,
           // and 32-partition stages were pure scheduling latency
           withStatePartitions(s, 8) { sp =>
-            // history from the SAME pinned slice (no second table scan);
-            // the build report is lazy and unread — no count job
-            val histP = b.filter(col("vec_id") < 150)
+            // history from the SAME pinned slice (no second table scan),
+            // REBOUND to the pinned session — a DataFrame keeps its
+            // creating session, so filtering `b` directly would run the
+            // build under s's 32 partitions and silently escape the pin
+            // this comment block promises; the rdd handoff reuses the
+            // checkpoint blocks. The build report is lazy and unread —
+            // no count job
+            val histP = sp.createDataFrame(
+              b.filter(col("vec_id") < 150).rdd, b.schema)
             Similarity.writeEmbedIndex(histP, idx, k = 8)
             mark("index build")
             val q = sp.readStream.schema(b.schema).parquet(srcDir)

@@ -155,19 +155,25 @@ object AppendScale {
     val path = java.nio.file.Files.createTempDirectory("graft-frag-adm-").toString
     val probe = rotate(base.filter(pmod(col("vec_id"), lit(53)) === 0),
       dim, dim / 2, 7000000000L).localCheckpoint()
-    val (admFresh, admFrag, admComp, admFilesBefore, admFilesAfter) =
+    val (admFresh, admFrag, admComp, admFilesBefore, admFilesAfter, admitted) =
       try {
         Similarity.writeEmbedIndex(base, path, k = k)
         val fresh = timed { Similarity.embedAdmitFromIndex(probe, path, 0.9).count() }
+        var nAdm = 0L
         (1 to nAppends).foreach { i =>
+          // rotation cycles 1..dim-1, never 0: rotation 0 would be a
+          // pure key-shifted clone of indexed base rows, rejected whole
+          // — a zero-file append silently under-fragmenting the run
+          // once nAppends >= dim. The admitted total is REPORTED so a
+          // partially-rejected run is visible, not a silent cap.
           val inc = rotate(base.filter(pmod(col("vec_id"), lit(mod)) === i),
-            dim, i % dim, 100000000L * (i + 1))
-          Similarity.embedAdmitAppend(inc, path, 0.9).count()
+            dim, (i - 1) % (dim - 1) + 1, 100000000L * (i + 1))
+          nAdm += Similarity.embedAdmitAppend(inc, path, 0.9).count()
         }
         val frag = timed { Similarity.embedAdmitFromIndex(probe, path, 0.9).count() }
         val rep = Similarity.compactEmbedIndex(spark, path).collect().head
         val comp = timed { Similarity.embedAdmitFromIndex(probe, path, 0.9).count() }
-        (fresh, frag, comp, rep.getLong(1), rep.getLong(2))
+        (fresh, frag, comp, rep.getLong(1), rep.getLong(2), nAdm)
       } finally deleteRec(path)
 
     // ---- IVF-PQ index ----
@@ -193,7 +199,7 @@ object AppendScale {
 
     println(s"| probe | fresh (pre-append) | fragmented ($nAppends appends) | compacted | files frag->comp | frag/comp slope |")
     println("|---|---|---|---|---|---|")
-    println(f"| embedAdmitFromIndex (k=$k) | $admFresh%.2f s | $admFrag%.2f s | $admComp%.2f s | $admFilesBefore -> $admFilesAfter | ${admFrag / admComp}%.2fx |")
+    println(f"| embedAdmitFromIndex (k=$k, $admitted admitted) | $admFresh%.2f s | $admFrag%.2f s | $admComp%.2f s | $admFilesBefore -> $admFilesAfter | ${admFrag / admComp}%.2fx |")
     println(f"| ivfPqQueryIndex | $pqFresh%.2f s | $pqFrag%.2f s | $pqComp%.2f s | $pqFilesBefore -> $pqFilesAfter | ${pqFrag / pqComp}%.2fx |")
   }
 }
