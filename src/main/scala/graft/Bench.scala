@@ -28,19 +28,20 @@ object Bench {
   /** COMPACT per-query seconds: the whole JSON line must fit the
     * harness's ~2000-char output tail WITH the trailing sbt status line
     * — the round-13 line (152 queries × fixed 3-decimals) overflowed it
-    * and the driver recorded `parsed: null`. At most two significant
-    * digits per row (ONE under 0.1 s — those rows are plan-overhead
-    * noise), trailing zeros stripped. The quantization grid's worst
-    * relative error is ~5% at a tier bottom (0.104 → "0.1"), the same
-    * order as the host-window noise round-over-round comparisons
-    * already tolerate — which is why regression ADJUDICATION must use
-    * the full-precision SPARK_GRAFT_BENCH_ONLY subset line, never this
-    * board grid (round-14 ADVICE). */
+    * and the driver recorded `parsed: null`. Two decimals under 1 s
+    * (two significant digits; ONE under 0.1 s — those rows are
+    * plan-overhead noise), trailing zeros stripped; WHOLE SECONDS at
+    * ≥1 s (the r16 "bench-tail headroom" lever, spent in r17 to fund
+    * the time-travel board row): a ≥1 s row's displayed value is
+    * half-second-rounded, so round-over-round board comparisons of
+    * those rows carry up to ±0.5 s grid error on top of host noise —
+    * one more reason regression ADJUDICATION must use the
+    * full-precision SPARK_GRAFT_BENCH_ONLY subset line, never this
+    * board grid (round-14 ADVICE; the standing CLAUDE.md A/B rule). */
   private[graft] def fmtShort(v: Double): String = {
     if (v < 0) return "-1"
     val s =
       if (v < 1) "%.2f".formatLocal(Locale.ROOT, v)
-      else if (v < 10) "%.1f".formatLocal(Locale.ROOT, v)
       else "%.0f".formatLocal(Locale.ROOT, v)
     if (s.contains('.')) {
       val t = s.reverse.dropWhile(_ == '0').reverse

@@ -843,10 +843,16 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
 
   /** Single-PATH maintenance functions — the one string literal is a
     * filesystem path to a persisted artifact set, not a relation:
-    * `graft_embed_compact('path')` rewrites the admission index's
+    * `graft_embed_compact('path')` compacts the admission index's
     * `cells/` to one file per cell (each admit-append batch lands one
     * file per touched cell; probes and reports pay footer enumeration
-    * linear in the append count — the AppendScale 100×-files leg). */
+    * linear in the append count — the AppendScale 100×-files leg).
+    * Compaction is SELECTIVE (r17): only fragmented cells are
+    * rewritten, single-file cells byte-carry into the new generation,
+    * and an unfragmented index no-ops — steady-cadence maintenance
+    * cost follows the fragmented-cell volume, not the corpus. One
+    * prior generation is retained: maintenance cadence must exceed
+    * query lifetime (compactCellDir's retention contract). */
   private val pathFunctions: Map[String, (String, Seq[Double]) => DataFrame] =
     Map(
       "graft_embed_compact" -> ((path, _) =>
@@ -854,7 +860,12 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // the codes-side twin: graft_ivfpq_append fragments codes/ the
       // same one-file-per-append-per-cell way
       "graft_ivfpq_compact" -> ((path, _) =>
-        graft.operators.Similarity.compactIvfPqIndex(spark, path)))
+        graft.operators.Similarity.compactIvfPqIndex(spark, path)),
+      // stale-lock recovery: a crashed maintainer's stamped `_lock` is
+      // removed by an EXPLICIT operator decision — returns (unlocked,
+      // holder) so the takeover is audited, never a silent timeout
+      "graft_maintenance_unlock" -> ((path, _) =>
+        graft.operators.Similarity.maintenanceUnlock(spark, path)))
 
   /** Table functions over the table IDENTITY rather than its current
     * snapshot — the time-travel reads: `graft_at_version(t, v)` is the

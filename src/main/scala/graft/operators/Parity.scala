@@ -62,6 +62,50 @@ object Parity {
         e.execute("SELECT id, name FROM nations ORDER BY id")
       }),
 
+    // A1 time travel oracle-gated (r16 VERDICT task 3 — the last
+    // spec-only surface): three INSERT commits publish versions 1..3 of
+    // a managed table; the row replays EVERY snapshot through
+    // graft_at_version, the (1,3] delta through graft_changes, and the
+    // head through graft_at_time at a fixed future instant (the MVCC
+    // newest-≤-ts rule, reference src/tablet/memory.rs:73-81) — all
+    // against a DuckDB reconstruction of the same lineage from the
+    // nation slices the inserts drew. A snapshot read that leaks a
+    // later version's rows, loses one, or mis-bounds the change feed
+    // hash-mismatches. Versions are engine-deterministic: CREATE=v0,
+    // each INSERT commit +1 (SqlEngineSpec pins the numbering).
+    NamedQuery(
+      "a09_time_travel",
+      Some(
+        "SELECT 1 AS ver, CAST(n_nationkey AS BIGINT) AS nationkey, n_name AS name " +
+          "FROM nation WHERE n_nationkey < 8 " +
+          "UNION ALL SELECT 2, CAST(n_nationkey AS BIGINT), n_name FROM nation WHERE n_nationkey < 16 " +
+          "UNION ALL SELECT 3, CAST(n_nationkey AS BIGINT), n_name FROM nation " +
+          "UNION ALL SELECT 4, CAST(n_nationkey AS BIGINT), n_name FROM nation WHERE n_nationkey >= 8 AND n_nationkey < 16 " +
+          "UNION ALL SELECT 5, CAST(n_nationkey AS BIGINT), n_name FROM nation " +
+          "ORDER BY ver, nationkey"),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        Tables.registerAll(s, dir)
+        val e = engine(s, "g4")
+        e.execute("CREATE TABLE nv (nationkey bigint PRIMARY KEY, name text)")
+        e.execute("INSERT INTO nv (nationkey, name) " +
+          "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 8") // v1
+        e.execute("INSERT INTO nv (nationkey, name) SELECT n_nationkey, n_name " +
+          "FROM nation WHERE n_nationkey >= 8 AND n_nationkey < 16") // v2
+        e.execute("INSERT INTO nv (nationkey, name) " +
+          "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 16") // v3
+        def tagged(ver: Int, sql: String): DataFrame =
+          e.execute(sql).select(lit(ver).as("ver"), col("nationkey"), col("name"))
+        // snapshots v1..v3, the (1,3] change feed, and the at-time head
+        // (2100-01-01 UTC: newest version published ≤ then = v3)
+        tagged(1, "SELECT nationkey, name FROM graft_at_version(nv, 1)")
+          .unionByName(tagged(2, "SELECT nationkey, name FROM graft_at_version(nv, 2)"))
+          .unionByName(tagged(3, "SELECT nationkey, name FROM graft_at_version(nv, 3)"))
+          .unionByName(tagged(4, "SELECT nationkey, name FROM graft_changes(nv, 1, 2)"))
+          .unionByName(tagged(5, "SELECT nationkey, name FROM graft_at_time(nv, 4102444800000)"))
+          .orderBy(col("ver"), col("nationkey"))
+      }),
+
     // A7 session UDFs bound to connection context, including the aliases
     // current_role/session_user/bare `user` and nested-expression use
     // (reference: src/sql/postgresql/functions/mod.rs:31-193, alias list

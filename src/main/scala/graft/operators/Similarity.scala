@@ -565,7 +565,13 @@ object Similarity {
           "layout; serialize them.")
     }
     // stamp AFTER the atomic acquisition (overwrite-create of a file we
-    // own); failure to stamp never fails the maintenance call. The
+    // own). ASSUMES truncate-style overwrite (local/HDFS — r16 ADVICE):
+    // an object-store connector whose overwrite-create is delete-then-
+    // create would briefly vanish the lock path and admit a racing
+    // createNewFile; object stores without atomic create are already
+    // documented out-of-posture above (serialize maintenance
+    // externally), and the stamp stays inside that same posture.
+    // Failure to stamp never fails the maintenance call. The
     // stamp runs INSIDE the release-protected region: any exception it
     // throws (not just IOException) must still release the lock, or a
     // stamping hiccup leaves a permanent phantom 'concurrent maintainer'
@@ -579,6 +585,33 @@ object Similarity {
       } catch { case _: java.io.IOException => () }
       body
     } finally fs.delete(lock, false)
+  }
+
+  /** STALE-LOCK RECOVERY (r16 VERDICT task 5): a maintainer killed
+    * between acquiring `$path/_lock` and its finally-release leaves the
+    * lock behind permanently — diagnosable via the pid/ts/op stamp, but
+    * previously recoverable only by hand-deleting warehouse files. This
+    * is the sanctioned recovery spelling (SQL:
+    * `graft_maintenance_unlock('path')`): it reads the holder stamp,
+    * deletes the lock, and returns a one-row (unlocked, holder) report
+    * so the takeover is an EXPLICIT, audited operator decision — never
+    * a silent timeout (a pid-liveness/age heuristic can seize a lock
+    * from a live slow maintainer; this cannot, because a human decided).
+    * Calling it with no lock present reports (false, "") and changes
+    * nothing. The caller owns verifying the stamped pid is dead before
+    * unlocking — the stamp in the report is exactly what to check. */
+  def maintenanceUnlock(spark: SparkSession, path: String): DataFrame = {
+    val lock = new org.apache.hadoop.fs.Path(path, "_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val holder = // best-effort, as in withMaintenanceLock's blocked path
+      try {
+        val in = fs.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } catch { case _: java.io.IOException => "" }
+    val unlocked = try fs.delete(lock, false)
+      catch { case _: java.io.IOException => false }
+    spark.createDataFrame(Seq((unlocked, holder))).toDF("unlocked", "holder")
   }
 
   def appendIvfPqIndex(increment: DataFrame, path: String): DataFrame =
@@ -890,7 +923,13 @@ object Similarity {
     // exists when this returns); the (n_vectors, cells) report is a
     // plan over the written files, so a caller that discards the report
     // (e06's stream setup) never schedules its count job, while report
-    // consumers (s19/s21 statement 1) pay it on collect
+    // consumers (s19/s21 statement 1) pay it on collect.
+    // CONSUME-PROMPTLY contract (r16 ADVICE): the plan binds the bare
+    // build-time cells/ path — valid now (the build just reset the
+    // generation chain) but deleted after TWO later compaction cycles.
+    // Collect the report within the build's maintenance window, i.e.
+    // before compactions run; a deferred consumer must count through
+    // currentIndexDirStr instead
     s.read.parquet(s"$path/cells")
       .agg(count(lit(1)).as("n_vectors"))
       .withColumn("cells", lit(seeds.length))
@@ -1031,8 +1070,10 @@ object Similarity {
     * parquet file per touched cell, so a long-running ingest pays
     * footer enumeration linear in the append COUNT on every probe and
     * report (AppendScale measured the 100×-files base leg at 1.48× for
-    * identical data volume). Rewrites the cell data to ONE file per
-    * cell — data identical, layout minimal — under the same
+    * identical data volume). Compacts the cell data to ONE file per
+    * cell — data identical, layout minimal, SELECTIVE (fragmented
+    * cells rewrite, single-file cells byte-carry, an unfragmented
+    * index no-ops; see [[compactCellDir]]) — under the same
     * create-exclusive `_lock` as the appenders, into a NEW generation
     * directory committed by its `_SUCCESS` marker (see
     * [[currentIndexDir]]): readers racing the compaction resolve either
@@ -1051,47 +1092,101 @@ object Similarity {
   def compactIvfPqIndex(spark: SparkSession, path: String): DataFrame =
     compactCellDir(spark, path, "codes", "n_codes")
 
+  /** SELECTIVE compaction (r16 VERDICT task 2): only cells holding >1
+    * data file are rewritten through Spark (decode → one-task shuffle →
+    * re-encode); already-minimal single-file cells are CARRIED into the
+    * new generation by a raw filesystem byte copy — no decode, no
+    * shuffle, no parquet re-encode — so at a steady ingest cadence the
+    * expensive rewrite is fragmentation-linear (the cells the appends
+    * touched since the last compact), not corpus-linear. When NO cell is
+    * fragmented the call is a NO-OP: no generation flip, no writes, just
+    * the (count, files, files) report — a maintenance cron firing
+    * between ingest batches costs a directory listing, not an index
+    * rewrite. Commit ordering makes the partial rewrite reader-safe:
+    * carried files land in the UNCOMMITTED target first (readers ignore
+    * a generation without `_SUCCESS`), and the Spark write of the
+    * fragmented cells commits the `_SUCCESS` marker last — a racing
+    * reader resolves either the complete old generation or the complete
+    * new one.
+    *
+    * RETENTION CONTRACT: exactly ONE prior generation is retained (one
+    * cycle of grace), so a reader's snapshotted file listing stays
+    * resolvable across the compaction that raced it but NOT across two
+    * — maintenance cadence must exceed query lifetime. A query that can
+    * outlive two compaction cycles must re-resolve through
+    * [[currentIndexDir]] (every shipped read path does). Pinned by the
+    * two-cycle spec in OperatorsSpec. */
   private def compactCellDir(spark: SparkSession, path: String, sub: String,
       countCol: String): DataFrame =
     withMaintenanceLock(spark, path, s"compact-$sub") {
       val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
-        val it = fs.listFiles(p, true)
-        var n = 0L
-        while (it.hasNext) {
-          val f = it.next()
-          val name = f.getPath.getName
-          if (!name.startsWith("_") && !name.startsWith(".")) n += 1
-        }
-        n
-      }
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = root.getFileSystem(conf)
+      def cellFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+        fs.listStatus(p).toIndexedSeq.map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
       val cur = currentIndexDir(fs, path, sub)
-      val before = dataFiles(cur)
-      val nextGen = (generationDirs(fs, root, sub).map(_._1) :+ 0L).max + 1
-      val target = new org.apache.hadoop.fs.Path(root, s"${sub}__g$nextGen")
-      // one output file per cell: repartition ON the partition column
-      // routes each cell's rows to one task, whose partitionBy write
-      // emits exactly one file into that cell's directory. The write's
-      // _SUCCESS marker is the COMMIT — new readers resolve this
-      // generation from that moment (currentIndexDir)
-      spark.read.parquet(cur.toString)
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(target.toString)
-      // retention: keep cur (one cycle of grace for readers holding a
-      // pre-flip file listing) and target; delete older generations,
-      // uncommitted crash debris, and — once cur is itself a
-      // generation — the legacy bare dir from the cycle before
-      generationDirs(fs, root, sub).foreach { case (_, p) =>
-        if (p.getName != cur.getName && p.getName != target.getName)
-          fs.delete(p, true)
+      // per-cell data-file census of the current generation (cell=<v>
+      // partition dirs — the only layout the appenders write)
+      val census = fs.listStatus(cur).toIndexedSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map(st => st.getPath -> cellFiles(st.getPath))
+      val before = census.map(_._2.size.toLong).sum
+      val frag = census.filter(_._2.size > 1)
+      if (frag.isEmpty) {
+        // layout already minimal — parquet-footer count only, no rewrite
+        val n = spark.read.parquet(cur.toString).count()
+        spark.createDataFrame(Seq((n, before, before)))
+          .toDF(countCol, "files_before", "files_after")
+      } else {
+        val nextGen = (generationDirs(fs, root, sub).map(_._1) :+ 0L).max + 1
+        val target = new org.apache.hadoop.fs.Path(root, s"${sub}__g$nextGen")
+        // 1) carry single-file cells by byte copy into the uncommitted
+        //    target (no _SUCCESS yet — invisible to currentIndexDir)
+        census.filter(_._2.size == 1).foreach { case (cellDir, files) =>
+          val dst = new org.apache.hadoop.fs.Path(target, cellDir.getName)
+          fs.mkdirs(dst)
+          files.foreach { f =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+              new org.apache.hadoop.fs.Path(dst, f.getName), false, conf)
+          }
+        }
+        // 2) rewrite ONLY the fragmented cells to one file each:
+        //    repartition ON the partition column routes each cell's rows
+        //    to one task, whose partitionBy write emits exactly one file
+        //    into that cell's directory. The partition filter prunes the
+        //    scan to the fragmented cells' files. The write's job-commit
+        //    `_SUCCESS` marker is the COMMIT — new readers resolve this
+        //    generation from that moment (currentIndexDir)
+        val fragCells = frag.map(_._1.getName.stripPrefix("cell=").toInt)
+        spark.read.parquet(cur.toString)
+          .filter(col("cell").isin(fragCells: _*))
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(target.toString)
+        // retention: keep cur (one cycle of grace for readers holding a
+        // pre-flip file listing) and target; delete older generations,
+        // uncommitted crash debris, and — once cur is itself a
+        // generation — the legacy bare dir from the cycle before
+        generationDirs(fs, root, sub).foreach { case (_, p) =>
+          if (p.getName != cur.getName && p.getName != target.getName)
+            fs.delete(p, true)
+        }
+        val legacy = new org.apache.hadoop.fs.Path(root, sub)
+        if (cur.getName != sub && fs.exists(legacy)) fs.delete(legacy, true)
+        val n = spark.read.parquet(target.toString).count()
+        val after = {
+          val it = fs.listFiles(target, true)
+          var m = 0L
+          while (it.hasNext) {
+            val f = it.next()
+            val name = f.getPath.getName
+            if (!name.startsWith("_") && !name.startsWith(".")) m += 1
+          }
+          m
+        }
+        spark.createDataFrame(Seq((n, before, after)))
+          .toDF(countCol, "files_before", "files_after")
       }
-      val legacy = new org.apache.hadoop.fs.Path(root, sub)
-      if (cur.getName != sub && fs.exists(legacy)) fs.delete(legacy, true)
-      val n = spark.read.parquet(target.toString).count()
-      val after = dataFiles(target)
-      spark.createDataFrame(Seq((n, before, after)))
-        .toDF(countCol, "files_before", "files_after")
     }
 
   /** Cell assignment of a base relation under explicit centroids — builds

@@ -1044,7 +1044,13 @@ object EventStreams {
                 // file-source batch: the driver-side file listing decides
                 // emptiness without a job (isEmpty scheduled one limit-1
                 // job per micro-batch); the isEmpty fallback covers a
-                // non-file batch plan
+                // non-file batch plan. NOTE (r16 ADVICE): inputFiles-
+                // nonEmpty is a FILES-PRESENT proxy, not rows-present —
+                // a batch of zero-row files would run a full admit cycle
+                // here where isEmpty alone skipped it. Correct for this
+                // fixture (both batches always carry rows); keep the
+                // isEmpty check too if copying this pattern to a source
+                // that can deliver empty files
                 if (batch.inputFiles.nonEmpty || !batch.isEmpty)
                   Similarity.embedAdmitAppend(batch, idx, 0.9)
                     .withColumn("batch_id", lit(batchId))

@@ -155,7 +155,8 @@ object AppendScale {
     val path = java.nio.file.Files.createTempDirectory("graft-frag-adm-").toString
     val probe = rotate(base.filter(pmod(col("vec_id"), lit(53)) === 0),
       dim, dim / 2, 7000000000L).localCheckpoint()
-    val (admFresh, admFrag, admComp, admFilesBefore, admFilesAfter, admitted) =
+    val (admFresh, admFrag, admComp, admFilesBefore, admFilesAfter, admitted,
+        admCompFull, admCompSel, admCompNoop, admSelBefore, admSelAfter) =
       try {
         Similarity.writeEmbedIndex(base, path, k = k)
         val fresh = timed { Similarity.embedAdmitFromIndex(probe, path, 0.9).count() }
@@ -171,9 +172,22 @@ object AppendScale {
           nAdm += Similarity.embedAdmitAppend(inc, path, 0.9).count()
         }
         val frag = timed { Similarity.embedAdmitFromIndex(probe, path, 0.9).count() }
-        val rep = Similarity.compactEmbedIndex(spark, path).collect().head
+        var rep: org.apache.spark.sql.Row = null
+        val tCompFull = timed { rep = Similarity.compactEmbedIndex(spark, path).collect().head }
         val comp = timed { Similarity.embedAdmitFromIndex(probe, path, 0.9).count() }
-        (fresh, frag, comp, rep.getLong(1), rep.getLong(2), nAdm)
+        // SELECTIVE leg (r16 VERDICT task 2's "Done" evidence): one more
+        // small append fragments only its touched cells; the next
+        // compact must rewrite THOSE cells and byte-carry the rest —
+        // wall scales with the fragmented-cell volume, not the index
+        val incX = rotate(base.filter(pmod(col("vec_id"), lit(mod)) === (nAppends + 1) % mod),
+          dim, nAppends % (dim - 1) + 1, 100000000L * (nAppends + 2))
+        Similarity.embedAdmitAppend(incX, path, 0.9).count()
+        var repSel: org.apache.spark.sql.Row = null
+        val tCompSel = timed { repSel = Similarity.compactEmbedIndex(spark, path).collect().head }
+        // and the NO-OP leg: an unfragmented index costs a listing
+        val tCompNoop = timed { Similarity.compactEmbedIndex(spark, path).collect() }
+        (fresh, frag, comp, rep.getLong(1), rep.getLong(2), nAdm,
+          tCompFull, tCompSel, tCompNoop, repSel.getLong(1), repSel.getLong(2))
       } finally deleteRec(path)
 
     // ---- IVF-PQ index ----
@@ -201,5 +215,9 @@ object AppendScale {
     println("|---|---|---|---|---|---|")
     println(f"| embedAdmitFromIndex (k=$k, $admitted admitted) | $admFresh%.2f s | $admFrag%.2f s | $admComp%.2f s | $admFilesBefore -> $admFilesAfter | ${admFrag / admComp}%.2fx |")
     println(f"| ivfPqQueryIndex | $pqFresh%.2f s | $pqFrag%.2f s | $pqComp%.2f s | $pqFilesBefore -> $pqFilesAfter | ${pqFrag / pqComp}%.2fx |")
+    println()
+    println(s"| compact wall (embed) | full ($nAppends-append frag) | selective (1 append) | no-op | selective files |")
+    println("|---|---|---|---|---|")
+    println(f"| compactEmbedIndex | $admCompFull%.2f s | $admCompSel%.2f s | $admCompNoop%.2f s | $admSelBefore -> $admSelAfter |")
   }
 }

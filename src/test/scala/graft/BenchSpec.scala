@@ -32,9 +32,10 @@ class BenchSpec extends AnyFunSuite {
       assert(Bench.fmtShort(0.5) == "0.5") // <1: 2 decimals, stripped
       assert(Bench.fmtShort(0.504) == "0.5")
       assert(Bench.fmtShort(0.72) == "0.72")
-      assert(Bench.fmtShort(3.05) == "3.1") // <10: 1 decimal
+      assert(Bench.fmtShort(3.05) == "3") // >=1: whole seconds (r17 tail lever)
+      assert(Bench.fmtShort(1.5) == "2") // HALF_UP at the .5 boundary
       assert(Bench.fmtShort(2.0) == "2")
-      assert(Bench.fmtShort(12.34) == "12") // >=10: whole seconds
+      assert(Bench.fmtShort(12.34) == "12")
       assert(Bench.fmtShort(86.0) == "86")
     } finally Locale.setDefault(saved)
     // the full-board line must fit the harness tail with sbt's status

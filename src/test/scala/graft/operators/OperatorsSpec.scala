@@ -1655,6 +1655,49 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stale-lock recovery: unlock TVF removes a crashed maintainer's lock; appends resume") {
+    import spark.implicits._
+    def vec(axis: Int, s: Float): Array[Float] =
+      Array.tabulate(4)(d => if (d == axis) s else 0.0f)
+    val path = java.nio.file.Files.createTempDirectory("graft-unlock-").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft-unlock-wh-").toString
+    try {
+      val hist = (0 until 8).map(i => (i.toLong, vec(i % 4, 1.0f))).toDF("vec_id", "embedding")
+      Similarity.writeEmbedIndex(hist, path, k = 4)
+      // a maintainer killed between acquire and the finally-release: the
+      // stamped lock survives the process
+      java.nio.file.Files.write(java.nio.file.Paths.get(path, "_lock"),
+        "pid=99999 ts=2026-08-16T00:00:00Z op=embed-admit-append".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val inc = Seq((100L, vec(0, -1.0f))).toDF("vec_id", "embedding")
+      intercept[IllegalStateException] { Similarity.embedAdmitAppend(inc, path, 0.9) }
+      // the recovery TVF: reports the holder stamp and removes the lock
+      val e = new graft.engine.SqlEngine(spark, new graft.engine.Catalog(wh),
+        graft.engine.SqlContext("unl", "u"))
+      e.execute("CREATE DATABASE unl")
+      val rep = e.execute(
+        s"SELECT unlocked, holder FROM graft_maintenance_unlock('$path')").collect().head
+      assert(rep.getBoolean(0), s"unlock must report success: $rep")
+      assert(rep.getString(1).contains("pid=99999") && rep.getString(1).contains("op=embed-admit-append"),
+        s"holder stamp must be surfaced for the audit trail: $rep")
+      // maintenance resumes: the locked append now succeeds
+      assert(Similarity.embedAdmitAppend(inc, path, 0.9).count() == 1)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_lock")),
+        "the resumed append must release its own lock")
+      // idempotent on an unlocked path: (false, "") and no side effects
+      val rep2 = e.execute(
+        s"SELECT unlocked, holder FROM graft_maintenance_unlock('$path')").collect().head
+      assert(!rep2.getBoolean(0) && rep2.getString(1).isEmpty, s"no-op unlock: $rep2")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(path, wh).foreach { p =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        all.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("compaction is invisible to readers: pre-flip snapshot answers; one-cycle retention") {
     import spark.implicits._
     def vec(axis: Int, s: Float): Array[Float] =
@@ -1684,11 +1727,24 @@ class OperatorsSpec extends AnyFunSuite {
       val fresh = spark.read.parquet(dirAfter.toString)
         .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toSet
       assert(fresh == want)
-      // a second compaction retires the generation BEFORE the previous
+      // a second compaction retires the generation BEFORE the previous.
+      // Compaction is SELECTIVE since r17 — an unfragmented index
+      // no-ops without a flip — so fragment a cell again first
+      assert(Similarity.embedAdmitAppend(
+        Seq((200L, Array(0.5f, -0.5f, 0.5f, -0.5f))).toDF("vec_id", "embedding"),
+        path2, 0.9).count() == 1)
       Similarity.compactEmbedIndex(spark, path2).collect()
       assert(!java.nio.file.Files.exists(dirBefore), "gen older than previous is GC'd")
       assert(java.nio.file.Files.exists(dirAfter), "previous generation retained")
       assert(localDir() != dirAfter)
+      // the TWO-cycle boundary of the retention contract, pinned
+      // explicitly (r16 VERDICT task 6): a reader whose file listing
+      // has now survived TWO compaction cycles resolves deleted files
+      // and FAILS — the documented contract is maintenance cadence >
+      // query lifetime (see compactCellDir's scaladoc), not unbounded
+      // snapshot isolation
+      val twoCycles = intercept[Exception] { snap.collect() }
+      assert(twoCycles.getMessage != null, s"expected a read failure: $twoCycles")
       // a REBUILD over a compacted path clears the generation chain —
       // otherwise the surviving higher generation would shadow the
       // fresh legacy-layout build at resolution time
@@ -1723,14 +1779,80 @@ class OperatorsSpec extends AnyFunSuite {
       // probes keep answering from the committed layout
       val probe = Seq((500L, vec(0, 1.0f))).toDF("vec_id", "embedding")
       assert(Similarity.embedAdmitFromIndex(probe, path, 0.9).count() == 0)
+      // fragment a cell so the next compaction REWRITES (selective
+      // compaction no-ops on an unfragmented index and would leave the
+      // debris for the next real cycle)
+      assert(Similarity.embedAdmitAppend(
+        Seq((100L, vec(0, -1.0f))).toDF("vec_id", "embedding"), path, 0.9).count() == 1)
       // the next compaction numbers PAST the debris and removes it
       val rep = Similarity.compactEmbedIndex(spark, path).collect().head
-      assert(rep.getLong(0) == 8L, s"compaction must keep all rows: $rep")
+      assert(rep.getLong(0) == 9L, s"compaction must keep all rows: $rep")
       assert(!java.nio.file.Files.exists(debris), "crash debris must be GC'd")
       val cur = Similarity.currentIndexDirStr(spark, path, "cells")
       assert(cur.endsWith("cells__g100"), // max existing gen (99) + 1
         s"next generation must number past the debris: $cur")
-      assert(spark.read.parquet(cur).count() == 8L)
+      assert(spark.read.parquet(cur).count() == 9L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("selective compaction: single-file cells carried by byte copy; unfragmented no-ops") {
+    import spark.implicits._
+    def vec(axis: Int, s: Float): Array[Float] =
+      Array.tabulate(4)(d => if (d == axis) s else 0.0f)
+    val path = java.nio.file.Files.createTempDirectory("graft-selcomp-").toString
+    // per-cell data-file NAMES of the current generation: carried cells
+    // must keep their exact file names (a Spark rewrite mints new
+    // UUID-suffixed part files; a byte copy preserves them)
+    def cellFileNames(): Map[String, Set[String]] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(new java.net.URI(
+        Similarity.currentIndexDirStr(spark, path, "cells")).getPath)
+      val walk = java.nio.file.Files.walk(root)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .groupBy(_.getParent.getFileName.toString)
+        .view.mapValues(_.map(_.getFileName.toString).toSet).toMap
+    }
+    try {
+      val hist = (0 until 12).map(i => (i.toLong, vec(i % 4, 1.0f))).toDF("vec_id", "embedding")
+      Similarity.writeEmbedIndex(hist, path, k = 4)
+      // normalize to a known one-file-per-cell layout (the fresh build's
+      // per-cell file count depends on input partitioning)
+      Similarity.compactEmbedIndex(spark, path).collect()
+      val baseline = cellFileNames()
+      assert(baseline.values.forall(_.size == 1), s"baseline not minimal: $baseline")
+      // fragment exactly ONE cell
+      assert(Similarity.embedAdmitAppend(
+        Seq((100L, vec(0, -1.0f))).toDF("vec_id", "embedding"), path, 0.9).count() == 1)
+      val fragged = cellFileNames()
+      val touched = fragged.collect { case (c, fs) if fs.size > 1 => c }.toSet
+      assert(touched.size == 1, s"append should fragment one cell: $fragged")
+      val nCells = baseline.size.toLong // occupied cells, one file each
+      val rep = Similarity.compactEmbedIndex(spark, path).collect().head
+      assert(rep.getLong(0) == 13L && rep.getLong(1) == nCells + 1 &&
+        rep.getLong(2) == nCells, s"selective report: $rep (cells=$nCells)")
+      val after = cellFileNames()
+      // untouched single-file cells: same file names (carried, not rewritten)
+      fragged.filter(_._2.size == 1).foreach { case (c, names) =>
+        assert(after(c) == names, s"carried cell $c rewritten: ${after(c)} vs $names")
+      }
+      // the fragmented cell collapsed to one freshly-written file
+      val t = touched.head
+      assert(after(t).size == 1 && !fragged(t).contains(after(t).head),
+        s"touched cell $t not rewritten: ${after(t)} vs ${fragged(t)}")
+      // NO-OP on the now-minimal layout: same report counts, no flip
+      val dirBefore = Similarity.currentIndexDirStr(spark, path, "cells")
+      val rep2 = Similarity.compactEmbedIndex(spark, path).collect().head
+      assert(rep2.getLong(0) == 13L && rep2.getLong(1) == nCells &&
+        rep2.getLong(2) == nCells, s"no-op report: $rep2")
+      assert(Similarity.currentIndexDirStr(spark, path, "cells") == dirBefore,
+        "no-op compaction must not flip the generation")
+      assert(cellFileNames() == after, "no-op compaction must not touch files")
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
