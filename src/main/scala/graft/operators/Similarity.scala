@@ -1141,15 +1141,36 @@ object Similarity {
       } else {
         val nextGen = (generationDirs(fs, root, sub).map(_._1) :+ 0L).max + 1
         val target = new org.apache.hadoop.fs.Path(root, s"${sub}__g$nextGen")
-        // 1) carry single-file cells by byte copy into the uncommitted
-        //    target (no _SUCCESS yet — invisible to currentIndexDir)
+        // 1) carry single-file cells into the uncommitted target (no
+        //    _SUCCESS yet — invisible to currentIndexDir). On a local
+        //    filesystem the carry is a HARD LINK — O(metadata), no byte
+        //    traffic, and the old generation's later GC only drops a
+        //    link count — so a selective compact moves fragmented-cell
+        //    bytes ONLY. Filesystems without hard links (HDFS exposes
+        //    none publicly; object stores neither) fall back to a raw
+        //    byte copy — still no decode/shuffle/re-encode; at that
+        //    scale a manifest-of-files generation layout would replace
+        //    physical carries entirely (documented trade, not built:
+        //    the resolver's directory contract keeps readers trivial)
+        val isLocal = "file".equalsIgnoreCase(
+          Option(fs.getUri.getScheme).getOrElse(""))
+        def carry(src: org.apache.hadoop.fs.Path,
+            dst: org.apache.hadoop.fs.Path): Unit = {
+          val linked = isLocal && {
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(dst.toUri.getPath),
+                java.nio.file.Paths.get(src.toUri.getPath))
+              true
+            } catch { case _: Exception => false }
+          }
+          if (!linked)
+            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+        }
         census.filter(_._2.size == 1).foreach { case (cellDir, files) =>
           val dst = new org.apache.hadoop.fs.Path(target, cellDir.getName)
           fs.mkdirs(dst)
-          files.foreach { f =>
-            org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
-              new org.apache.hadoop.fs.Path(dst, f.getName), false, conf)
-          }
+          files.foreach(f => carry(f, new org.apache.hadoop.fs.Path(dst, f.getName)))
         }
         // 2) rewrite ONLY the fragmented cells to one file each:
         //    repartition ON the partition column routes each cell's rows

@@ -1800,14 +1800,14 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("selective compaction: single-file cells carried by byte copy; unfragmented no-ops") {
+  test("selective compaction: single-file cells carried without rewrite; unfragmented no-ops") {
     import spark.implicits._
     def vec(axis: Int, s: Float): Array[Float] =
       Array.tabulate(4)(d => if (d == axis) s else 0.0f)
     val path = java.nio.file.Files.createTempDirectory("graft-selcomp-").toString
     // per-cell data-file NAMES of the current generation: carried cells
     // must keep their exact file names (a Spark rewrite mints new
-    // UUID-suffixed part files; a byte copy preserves them)
+    // UUID-suffixed part files; a link/copy carry preserves them)
     def cellFileNames(): Map[String, Set[String]] = {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(new java.net.URI(
@@ -1845,6 +1845,18 @@ class OperatorsSpec extends AnyFunSuite {
       val t = touched.head
       assert(after(t).size == 1 && !fragged(t).contains(after(t).head),
         s"touched cell $t not rewritten: ${after(t)} vs ${fragged(t)}")
+      // the local-FS carry is a HARD LINK (O(metadata), no byte
+      // traffic): a carried file shares its inode with the previous
+      // generation's copy — link count ≥ 2 while both generations live
+      val genDir = java.nio.file.Paths.get(new java.net.URI(
+        Similarity.currentIndexDirStr(spark, path, "cells")).getPath)
+      fragged.collect { case (c, names) if names.size == 1 => c }.headOption
+        .foreach { c =>
+          val carriedFile = genDir.resolve(c).resolve(after(c).head)
+          assert(java.nio.file.Files.getAttribute(carriedFile, "unix:nlink")
+            .asInstanceOf[Number].intValue >= 2,
+            s"carried file $carriedFile should be hard-linked, not copied")
+        }
       // NO-OP on the now-minimal layout: same report counts, no flip
       val dirBefore = Similarity.currentIndexDirStr(spark, path, "cells")
       val rep2 = Similarity.compactEmbedIndex(spark, path).collect().head
