@@ -892,6 +892,31 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         import spark.implicits._
         catalog.versionHistory(db, schema, table)
           .toDF("version", "publish_millis", "n_parts")
+      },
+      // TABLE maintenance from pure SQL — the managed-table twins of the
+      // index TVFs (graft_ivfpq_compact/graft_embed_compact): the side
+      // effect runs EAGERLY at statement resolution, the statement-level
+      // convention of every maintenance TVF (graft_ivfpq_build's doc).
+      // graft_table_compact(t[, target_file_bytes]) merges the one-file-
+      // per-INSERT parts into ~target-size files (PK-clustered when a
+      // primary key exists — see compactTable) and publishes one new
+      // version; returns (files_before, files_after).
+      "graft_table_compact" -> { case ((db, schema, table), a) =>
+        import spark.implicits._
+        val (before, after) = compactTable(db, schema, table,
+          a.headOption.map(_.toLong).getOrElse(128L << 20))
+        Seq((before, after)).toDF("files_before", "files_after")
+      },
+      // graft_table_vacuum(t[, retention_ms]) reclaims parts superseded
+      // longer than the retention window (default keeps in-flight
+      // readers safe; 0 forces immediate reclamation) — returns the
+      // reclaimed-file count. Expired snapshots then fail LOUDLY as
+      // vacuumed (never silently empty).
+      "graft_table_vacuum" -> { case ((db, schema, table), a) =>
+        import spark.implicits._
+        val n = vacuumTable(db, schema, table,
+          a.headOption.map(_.toLong).getOrElse(SqlEngine.defaultVacuumRetentionMs))
+        Seq(n).toDF("reclaimed")
       })
 
   /** One referenced table resolved to the temp view that hosts it. */

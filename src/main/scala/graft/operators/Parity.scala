@@ -65,9 +65,10 @@ object Parity {
     // A1 time travel oracle-gated (r16 VERDICT task 3 — the last
     // spec-only surface): three INSERT commits publish versions 1..3 of
     // a managed table; the row replays EVERY snapshot through
-    // graft_at_version, the (1,3] delta through graft_changes, and the
+    // graft_at_version, the (1,2] delta through graft_changes, the
     // head through graft_at_time at a fixed future instant (the MVCC
-    // newest-≤-ts rule, reference src/tablet/memory.rs:73-81) — all
+    // newest-≤-ts rule, reference src/tablet/memory.rs:73-81), and the
+    // version ledger's deterministic column through graft_versions — all
     // against a DuckDB reconstruction of the same lineage from the
     // nation slices the inserts drew. A snapshot read that leaks a
     // later version's rows, loses one, or mis-bounds the change feed
@@ -82,6 +83,7 @@ object Parity {
           "UNION ALL SELECT 3, CAST(n_nationkey AS BIGINT), n_name FROM nation " +
           "UNION ALL SELECT 4, CAST(n_nationkey AS BIGINT), n_name FROM nation WHERE n_nationkey >= 8 AND n_nationkey < 16 " +
           "UNION ALL SELECT 5, CAST(n_nationkey AS BIGINT), n_name FROM nation " +
+          "UNION ALL SELECT 6, CAST(v AS BIGINT), 'v' FROM (VALUES (1),(2),(3)) AS t(v) " +
           "ORDER BY ver, nationkey"),
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, lit}
@@ -103,6 +105,11 @@ object Parity {
           .unionByName(tagged(3, "SELECT nationkey, name FROM graft_at_version(nv, 3)"))
           .unionByName(tagged(4, "SELECT nationkey, name FROM graft_changes(nv, 1, 2)"))
           .unionByName(tagged(5, "SELECT nationkey, name FROM graft_at_time(nv, 4102444800000)"))
+          // graft_versions' deterministic projection: the version
+          // numbers (1..3 — one per INSERT commit); publish_millis and
+          // n_parts are wall-clock/layout metadata, not replayable
+          .unionByName(tagged(6,
+            "SELECT version AS nationkey, 'v' AS name FROM graft_versions(nv)"))
           .orderBy(col("ver"), col("nationkey"))
       }),
 

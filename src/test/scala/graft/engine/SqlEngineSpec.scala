@@ -1047,6 +1047,39 @@ class SqlEngineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
 
+  test("graft_table_compact / graft_table_vacuum: table maintenance from pure SQL") {
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id bigint PRIMARY KEY, v text)")
+    (1 to 4).foreach(i => e.execute(s"INSERT INTO t VALUES ($i, 'v$i')"))
+    val cat = e.catalog
+    assert(cat.currentVersion("test1", "public", "t") == 4L)
+    // the compact TVF merges the per-INSERT parts and publishes ONE new
+    // version; rows and head content untouched
+    val rep = e.execute(
+      "SELECT files_before, files_after FROM graft_table_compact(t)").collect().head
+    assert(rep.getInt(0) >= 4 && rep.getInt(1) < rep.getInt(0), s"compact report: $rep")
+    assert(cat.currentVersion("test1", "public", "t") == 5L)
+    assert(e.execute("SELECT count(*) AS n FROM t").collect()(0).getLong(0) == 4L)
+    // pre-compaction snapshots stay readable until vacuumed
+    assert(e.readTableAt("test1", "public", "t", 2L).count() == 2L)
+    // the vacuum TVF with retention 0 reclaims the superseded parts;
+    // expired snapshots then fail LOUDLY as vacuumed
+    val vac = e.execute("SELECT reclaimed FROM graft_table_vacuum(t, 0)").collect().head
+    assert(vac.getInt(0) >= 1, s"vacuum report: $vac")
+    val gone = intercept[SqlError](e.readTableAt("test1", "public", "t", 2L).count())
+    assert(gone.getMessage.contains("vacuumed"))
+    // the live head is untouched and still fully queryable
+    assert(e.execute("SELECT id FROM t ORDER BY id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    // default-retention vacuum is a safe no-op right after a compact
+    e.execute("INSERT INTO t VALUES (5, 'v5')")
+    e.execute("SELECT files_before, files_after FROM graft_table_compact(t)").collect()
+    assert(e.execute("SELECT reclaimed FROM graft_table_vacuum(t)")
+      .collect().head.getInt(0) == 0, "grace window must protect fresh parts")
+    assert(e.execute("SELECT count(*) AS n FROM t").collect()(0).getLong(0) == 5L)
+  }
+
   test("time travel: each INSERT/compaction publish is a readable snapshot version") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")

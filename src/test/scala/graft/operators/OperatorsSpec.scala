@@ -1873,6 +1873,63 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction fuzz: seeded append/compact sequences preserve the stored vector set") {
+    import spark.implicits._
+    // a FIXED-seed op fuzz over the admission lifecycle: interleaved
+    // admit-appends (random vectors — admission may reject any of
+    // them, so the expected set accumulates what the operator RETURNS)
+    // and selective compactions (fragmented, minimal, or no-op,
+    // depending on where the appends landed). Invariant after EVERY
+    // op: the resolved current generation holds exactly history ∪
+    // admitted-so-far — no loss, no duplication, across any
+    // append/compact interleaving the sequence produces.
+    val rnd = new scala.util.Random(42)
+    def vec(axis: Int, s: Float): Array[Float] =
+      Array.tabulate(4)(d => if (d == axis) s else 0.0f)
+    val path = java.nio.file.Files.createTempDirectory("graft-fuzz-").toString
+    try {
+      val hist = (0 until 12).map(i => (i.toLong, vec(i % 4, 1.0f))).toDF("vec_id", "embedding")
+      Similarity.writeEmbedIndex(hist, path, k = 4)
+      var expected: Set[Long] = (0L until 12L).toSet
+      var nextId = 1000L
+      var compacts = 0
+      def stored(): Set[Long] =
+        spark.read.parquet(Similarity.currentIndexDirStr(spark, path, "cells"))
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      (1 to 12).foreach { step =>
+        if (rnd.nextBoolean()) {
+          val batch = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val v = Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat)
+            val id = nextId; nextId += 1; (id, v)
+          }
+          val admitted = Similarity.embedAdmitAppend(
+            batch.toDF("vec_id", "embedding"), path, 0.9)
+            .collect().map(_.getLong(0)).toSet
+          assert(admitted.subsetOf(batch.map(_._1).toSet))
+          expected ++= admitted
+        } else {
+          val rep = Similarity.compactEmbedIndex(spark, path).collect().head
+          compacts += 1
+          assert(rep.getLong(0) == expected.size.toLong,
+            s"step $step compact count ${rep.getLong(0)} != ${expected.size}")
+        }
+        assert(stored() == expected, s"step $step: stored set diverged")
+      }
+      // close with a real compact + a no-op compact: still intact, and
+      // the minimal layout reports before == after
+      Similarity.compactEmbedIndex(spark, path).collect()
+      val rep = Similarity.compactEmbedIndex(spark, path).collect().head
+      assert(rep.getLong(1) == rep.getLong(2), s"final no-op report: $rep")
+      assert(stored() == expected, "final stored set diverged")
+      assert(compacts > 0, "seed must exercise at least one mid-sequence compact")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("appendIvfPqIndex honors the maintenance lock") {
     import spark.implicits._
     def vec(axis: Int, scale: Float) = Array.tabulate(8)(d => if (d == axis) scale else 0.01f)
