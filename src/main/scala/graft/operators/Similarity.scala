@@ -1122,15 +1122,27 @@ object Similarity {
       val root = new org.apache.hadoop.fs.Path(path)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = root.getFileSystem(conf)
-      def cellFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
-        fs.listStatus(p).toIndexedSeq.map(_.getPath)
-          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
       val cur = currentIndexDir(fs, path, sub)
       // per-cell data-file census of the current generation (cell=<v>
-      // partition dirs — the only layout the appenders write)
-      val census = fs.listStatus(cur).toIndexedSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-        .map(st => st.getPath -> cellFiles(st.getPath))
+      // partition dirs — the only layout the appenders write), from ONE
+      // recursive listing: a per-cell listStatus loop costs O(cells)
+      // sequential namenode/store round-trips (minutes at 1e5 cells),
+      // while the recursive iterator streams the same census in batched
+      // pages — the same metadata, one call
+      val census: Seq[(org.apache.hadoop.fs.Path, Seq[org.apache.hadoop.fs.Path])] = {
+        val byCell = scala.collection.mutable.LinkedHashMap
+          .empty[org.apache.hadoop.fs.Path, scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]]
+        val it = fs.listFiles(cur, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          val parent = f.getParent
+          if (!f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+            parent.getName.startsWith("cell="))
+            byCell.getOrElseUpdate(parent,
+              scala.collection.mutable.ArrayBuffer.empty) += f
+        }
+        byCell.toSeq.map { case (d, fsq) => d -> fsq.toSeq }
+      }
       val before = census.map(_._2.size.toLong).sum
       val frag = census.filter(_._2.size > 1)
       if (frag.isEmpty) {
