@@ -1080,6 +1080,72 @@ class SqlEngineSpec extends AnyFunSuite {
     assert(e.execute("SELECT count(*) AS n FROM t").collect()(0).getLong(0) == 5L)
   }
 
+  test("version fuzz: seeded INSERT/compact interleavings keep snapshots and deltas consistent") {
+    // the versioned-table twin of the operators' compaction fuzz: a
+    // FIXED-seed op sequence (multi-row INSERT commits interleaved with
+    // table compactions), after EVERY op probing (a) the head, (b) a
+    // random historical snapshot via readTableAt, (c) a random version
+    // interval via readTableChanges — append-only intervals must replay
+    // the exact delta, compaction-crossing intervals must raise (the
+    // incremental-read-across-a-rewrite contract).
+    val e = freshEngine()
+    e.execute("CREATE DATABASE test1")
+    e.execute("CREATE TABLE t (id bigint PRIMARY KEY, v text)")
+    val cat = e.catalog
+    val rnd = new scala.util.Random(7)
+    def idsAt(v: Long): Set[Long] =
+      e.readTableAt("test1", "public", "t", v).collect().map(_.getLong(0)).toSet
+    var cumulative = Vector[Set[Long]](Set.empty) // index == version
+    var compactVersions = Set.empty[Long]
+    var nextId = 0L
+    (1 to 14).foreach { step =>
+      if (rnd.nextInt(4) == 0) {
+        val before = cat.currentVersion("test1", "public", "t")
+        e.compactTable("test1", "public", "t")
+        val after = cat.currentVersion("test1", "public", "t")
+        if (after != before) { // single-part tables no-op without a publish
+          cumulative :+= cumulative.last
+          compactVersions += after
+        }
+      } else {
+        val ids = (nextId until nextId + 1 + rnd.nextInt(3)).toSeq
+        nextId = ids.last + 1
+        e.execute(s"INSERT INTO t VALUES ${ids.map(i => s"($i, 'x$i')").mkString(", ")}")
+        cumulative :+= cumulative.last ++ ids
+      }
+      val head = cat.currentVersion("test1", "public", "t")
+      assert(head == cumulative.size - 1L, s"step $step: version drift")
+      assert(idsAt(head) == cumulative.last, s"step $step: head diverged")
+      val v = rnd.nextInt(cumulative.size).toLong
+      assert(idsAt(v) == cumulative(v.toInt), s"step $step: snapshot $v diverged")
+      val from = rnd.nextInt(cumulative.size).toLong
+      if (from < head) {
+        val crossesCompact = compactVersions.exists(cv => cv > from && cv <= head)
+        if (crossesCompact)
+          intercept[SqlError](
+            e.readTableChanges("test1", "public", "t", from, head).collect())
+        else {
+          val delta = e.readTableChanges("test1", "public", "t", from, head)
+            .collect().map(_.getLong(0)).toSet
+          assert(delta == cumulative.last -- cumulative(from.toInt),
+            s"step $step: delta ($from, $head] diverged")
+        }
+      }
+    }
+    assert(compactVersions.nonEmpty, "seed must exercise at least one compaction publish")
+    // closing sweep: EVERY retained version replays its exact prefix
+    (0L until cumulative.size.toLong).foreach { v =>
+      assert(idsAt(v) == cumulative(v.toInt), s"final sweep: version $v diverged")
+    }
+    // and vacuum(0) expires superseded snapshots LOUDLY, head intact
+    if (e.vacuumTable("test1", "public", "t", retentionMs = 0L) > 0) {
+      val firstCompacted = compactVersions.min
+      val gone = intercept[SqlError](idsAt(firstCompacted - 1L))
+      assert(gone.getMessage.contains("vacuumed"))
+    }
+    assert(idsAt(cumulative.size - 1L) == cumulative.last, "head must survive vacuum")
+  }
+
   test("time travel: each INSERT/compaction publish is a readable snapshot version") {
     val e = freshEngine()
     e.execute("CREATE DATABASE test1")
