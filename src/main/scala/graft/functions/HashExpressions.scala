@@ -131,6 +131,94 @@ object HashOps {
     cur
   }
 
+  /** One UTF8String per Unicode CODE POINT — the BPE symbol unit. Equals
+    * `transform(sequence(1, length(w)), i -> substring(w, i, 1))`
+    * (UTF8String.substring navigates whole code points, so emoji stay
+    * single symbols), but as ONE codegen-able kernel call: the
+    * higher-order-function spelling is CodegenFallback in Spark, which
+    * exiled every BPE Generate/Project stage from whole-stage codegen —
+    * r17 measured the resulting interpreted ExplodeBase.eval path at
+    * 3-20x the codegen'd cost with JIT-pathological 60-100 s stalls on
+    * the full board (OPTIMIZATION_r17.md "t20 stall"). */
+  def codePoints(w: UTF8String): ArrayData = {
+    val n = w.numChars()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { out(i) = w.substring(i, i + 1); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val sepU = UTF8String.fromString("\u001f")
+  private val shaLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  /** First 32 bits of SHA-256 over the string's UTF-8 bytes, as an
+    * unsigned long — byte-for-byte what the SQL spelling
+    * `CAST(conv(substring(sha2(g, 256), 1, 8), 16, 10) AS BIGINT)`
+    * produces (first 8 hex chars = first 4 digest bytes, parsed
+    * unsigned). */
+  def sha32(s: UTF8String): Long = {
+    val md = shaLocal.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Spark's `xxhash64(string)` (seed 42) — same XXH64 kernel the
+    * built-in expression generates, so values match the SQL spelling. */
+  def xx64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /** Winnowing k-gram hashes: each stride-1 k-token window joined by the
+    * 0x1F byte and hashed ([[sha32]] when `useSha`, else [[xx64]]); a
+    * text shorter than k hashes as ONE whole-text gram — exactly the
+    * CASE/transform/concat_ws/slice SQL spelling (the d19 oracle
+    * replays these values bit-for-bit), as one codegen-able kernel. */
+  def gramHashes(arr: ArrayData, k: Int, useSha: Boolean): ArrayData = {
+    val n = arr.numElements()
+    def gram(start: Int, len: Int): UTF8String = {
+      val parts = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) { parts(i) = arr.getUTF8String(start + i); i += 1 }
+      UTF8String.concatWs(sepU, parts: _*)
+    }
+    def h(g: UTF8String): Long = if (useSha) sha32(g) else xx64(g)
+    if (n < k) return new GenericArrayData(Array(h(gram(0, n))))
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) { out(i) = h(gram(i, k)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Sliding-window minima over a long array: min of each stride-1
+    * `w`-window, or ONE global min when the array has ≤ w elements —
+    * the winnowing selection rule (the CASE/transform/array_min/slice
+    * SQL spelling) as a monotonic-deque O(n) kernel. */
+  def windowMins(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n <= w) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) { val v = arr.getLong(i); if (v < m) m = v; i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    val out = new Array[Long](n - w + 1)
+    val deque = new Array[Int](n) // indices, increasing values
+    var head = 0; var tail = 0 // [head, tail)
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(deque(tail - 1)) > v) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = arr.getLong(deque(head))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Non-overlapping stride-`w` token windows (full windows only), hashed
     * with the same separator-delimited scheme as [[shingles]]: hash
     * equality ⇔ token-sequence equality (modulo 64-bit collisions). */
@@ -413,6 +501,47 @@ case class MergePair(child: Expression, a: String, b: String) extends UnaryExpre
   * list applied in rank order, each round a greedy left-to-right pass
   * (see [[HashOps.mergeAll]]). The merge table rides as constructor
   * data, bound by `TextAnalysis.bpeEncode` through a builder closure. */
+/** code_points(word string) → array<string>: one element per Unicode code
+  * point (see [[HashOps.codePoints]]) — the codegen-able replacement for
+  * the CodegenFallback `transform(sequence(1, length(w)), i ->
+  * substring(w, i, 1))` spelling that kept every BPE Generate stage out
+  * of whole-stage codegen (r17 board stalls). */
+case class CodePoints(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.codePoints(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.codePoints($c)")
+  override protected def withNewChildInternal(c: Expression): CodePoints = copy(child = c)
+  override def prettyName: String = "code_points"
+}
+
+/** gram_hashes(tokens array<string>, k, useSha) → array<long>: winnowing
+  * k-gram hashes (see [[HashOps.gramHashes]]); `useSha` picks the
+  * sha-256-prefix deployment-audit hash, else Spark's xxhash64. */
+case class GramHashes(child: Expression, k: Int, useSha: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.gramHashes(input.asInstanceOf[ArrayData], k, useSha)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.gramHashes($c, $k, $useSha)")
+  override protected def withNewChildInternal(c: Expression): GramHashes = copy(child = c)
+  override def prettyName: String = "gram_hashes"
+}
+
+/** window_mins(hs array<long>, w) → array<long>: stride-1 sliding-window
+  * minima, one global min when |hs| ≤ w (see [[HashOps.windowMins]]) —
+  * the winnowing fingerprint selection. */
+case class WindowMins(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.windowMins(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.windowMins($c, $w)")
+  override protected def withNewChildInternal(c: Expression): WindowMins = copy(child = c)
+  override def prettyName: String = "window_mins"
+}
+
 case class MergeAll(child: Expression, pairs: Seq[(String, String)]) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   @transient private lazy val as = pairs.map(p => UTF8String.fromString(p._1)).toArray

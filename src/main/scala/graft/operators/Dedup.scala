@@ -1243,19 +1243,19 @@ object Dedup {
       hash: String = "sha2"): DataFrame = {
     require(k > 0 && w > 0, "need k > 0 and w > 0")
     require(hash == "sha2" || hash == "xxhash64", s"unknown fingerprint hash: $hash")
-    def h(g: String): String =
-      if (hash == "sha2") s"CAST(conv(substring(sha2($g, 256), 1, 8), 16, 10) AS BIGINT)"
-      else s"xxhash64($g)"
+    // gram_hashes + window_mins KERNELS, not the CASE/transform SQL
+    // spelling: higher-order functions are CodegenFallback, which kept
+    // this Generate stage out of whole-stage codegen — the interpreted
+    // per-gram eval path measured 3-20x slower on the r17 board (guide
+    // §4; OPTIMIZATION_r17.md "t20 stall"). Values are bit-identical
+    // (HashOps.sha32/xx64 replay the sha2-hex-prefix / xxhash64 chains;
+    // the d19-d22 oracles gate that end-to-end).
+    import org.apache.spark.sql.{GraftColumnBridge => B}
     corpus
       .select(col("doc_id"),
         split(translate(lower(col("text")), "\u001f", " "), "\\s+").as("tk"))
-      .withColumn("hs", expr(
-        s"CASE WHEN size(tk) < $k THEN array(${h(s"concat_ws(char(31), tk)")}) " +
-          s"ELSE transform(sequence(1, size(tk) - ${k - 1}), i -> " +
-          s"${h(s"concat_ws(char(31), slice(tk, i, $k))")}) END"))
-      .withColumn("fp", explode(expr(
-        s"CASE WHEN size(hs) <= $w THEN array(array_min(hs)) " +
-          s"ELSE transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w))) END")))
+      .withColumn("fp", explode(B.column(graft.functions.WindowMins(
+        graft.functions.GramHashes(B.expression(col("tk")), k, hash == "sha2"), w))))
       .select(col("doc_id"), col("fp")).distinct()
   }
 

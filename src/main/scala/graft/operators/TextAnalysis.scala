@@ -443,9 +443,20 @@ object TextAnalysis {
     * mirrored in the oracle's census CTE — so the DuckDB list_reduce
     * replay can never confuse a data byte for its accumulator joint. */
   private def bpeWordCensus(corpus: DataFrame): DataFrame = bpeWordFreqs(corpus)
-    .withColumn("syms",
-      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    .withColumn("syms", codePointsCol(col("word")))
     .select(col("freq"), col("syms"))
+
+  /** The per-code-point symbol split as a CODEGEN-ABLE kernel column —
+    * value-identical to `transform(sequence(1, length(word)), i ->
+    * substring(word, i, 1))`, but that higher-order-function spelling is
+    * CodegenFallback, which exiled every BPE Generate/Project stage from
+    * whole-stage codegen (guide §4; the interpreted ExplodeBase.eval
+    * path measured 3-20x slower with 45-100 s JIT-pathological stalls on
+    * the r17 full board — OPTIMIZATION_r17.md "t20 stall"). */
+  private def codePointsCol(c: Column): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => B}
+    B.column(graft.functions.CodePoints(B.expression(c)))
+  }
 
   /** PRODUCTION-DEPTH BPE training: the capped-census driver-side
     * trainer. [[bpeMerges]] runs every round as Spark jobs — the right
@@ -688,8 +699,7 @@ object TextAnalysis {
     // a fixed registry name would let two concurrent encodes on one
     // session bind each other's tables mid-analysis
     val applied = B.column(graft.functions.MergeAll(
-      B.expression(expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+      B.expression(codePointsCol(col("word"))),
       mergeTable))
     corpus
       .select(col("doc_id"),
@@ -721,8 +731,7 @@ object TextAnalysis {
     import org.apache.spark.sql.{GraftColumnBridge => B}
     // constructed DIRECTLY (closes over THIS merge table) — see bpeEncode
     val applied = B.column(graft.functions.MergeAll(
-      B.expression(expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+      B.expression(codePointsCol(col("word"))),
       mergeTable))
     corpus
       .select(col("doc_id"),
@@ -767,8 +776,7 @@ object TextAnalysis {
     val alphabet = corpus
       .select(explode(bpeSplitCol).as("word"))
       .filter(col("word") =!= "")
-      .select(explode(
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("c"))
+      .select(explode(codePointsCol(col("word"))).as("c"))
       .distinct().orderBy(col("c")).collect().map(_.getString(0))
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     alphabet.foreach(seen += _)

@@ -729,6 +729,12 @@ object EventStreams {
           s"graft_e01_spool_${sinkSeq.incrementAndGet()}_").toString
         try {
           withStatePartitions(s, 8) { sp =>
+            // dropDuplicates emits rows on ARRIVAL; the automatic no-data
+            // micro-batch after the watermark advances only EVICTS state
+            // and contributes no output — for the bounded replay it is a
+            // full batch of pure machinery (the e04 trim, r16: 2.35 s ->
+            // 1.79 s there). Long-running deployments keep the default.
+            sp.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
             val q = dedup(readEventsDoubled(sp, dir))
               .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
                 batch.write.mode("append").parquet(spool)
