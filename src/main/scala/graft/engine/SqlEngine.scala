@@ -410,23 +410,24 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // vocabulary (alphabet + merges, dense GPT-2-style ids)
       "graft_bpe_ids" -> ((t, a) => {
         val k = a.headOption.map(_.toInt).getOrElse(8)
-        TextAnalysis.bpeTokenIds(t,
-          TextAnalysis.bpeTrainDriver(t, k).map(m => (m._2, m._3)))
+        val tok = TextAnalysis.bpeTrainTokenizer(t, k)
+        TextAnalysis.bpeTokenIds(t, tok.merges, tok.alphabet)
       }),
       // the vocabulary artifact itself: (token_id, token)
       "graft_bpe_vocab" -> ((t, a) => {
         val k = a.headOption.map(_.toInt).getOrElse(8)
-        TextAnalysis.bpeVocab(t,
-          TextAnalysis.bpeTrainDriver(t, k).map(m => (m._2, m._3)))
+        val tok = TextAnalysis.bpeTrainTokenizer(t, k)
+        TextAnalysis.bpeVocab(t, tok.merges, tok.alphabet)
       }),
       // the MATERIALIZED packed tape: train k merges, tokenize to ids,
       // pack onto budget-token sequences — (seq, seq_pos, doc_id,
       // token_id), the loader-facing artifact; args (budget, merges)
-      "graft_pack_ids" -> ((t, a) =>
-        graft.operators.Packing.packTokenIds(t,
-          TextAnalysis.bpeTrainDriver(t,
-            a.lift(1).map(_.toInt).getOrElse(8)).map(m => (m._2, m._3)),
-          a.headOption.map(_.toInt).getOrElse(128))),
+      "graft_pack_ids" -> ((t, a) => {
+        val tok = TextAnalysis.bpeTrainTokenizer(t,
+          a.lift(1).map(_.toInt).getOrElse(8))
+        graft.operators.Packing.packTokenIds(t, tok.merges,
+          a.headOption.map(_.toInt).getOrElse(128), tok.alphabet)
+      }),
       "graft_hashed_embedding" -> ((t, a) =>
         graft.operators.Similarity.hashedEmbedding(t,
           a.headOption.map(_.toInt).getOrElse(16))),
@@ -625,8 +626,8 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       // data keeps the stream total instead of silently dropping tokens.
       "graft_bpe_ids" -> ((corpus, trainCorpus, a) => {
         val k = a.headOption.map(_.toInt).getOrElse(8)
-        TextAnalysis.bpeTokenIdsAgainst(corpus, trainCorpus,
-          TextAnalysis.bpeTrainDriver(trainCorpus, k).map(m => (m._2, m._3)))
+        val tok = TextAnalysis.bpeTrainTokenizer(trainCorpus, k)
+        TextAnalysis.bpeTokenIdsAgainst(corpus, trainCorpus, tok.merges, tok.alphabet)
       }),
       // the packed tape under a FROZEN tokenizer:
       // graft_pack_ids(corpusB, trainCorpusA[, budget[, merges]]) —
@@ -634,8 +635,9 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
       "graft_pack_ids" -> ((corpus, trainCorpus, a) => {
         val budget = a.headOption.map(_.toInt).getOrElse(128)
         val k = a.lift(1).map(_.toInt).getOrElse(8)
+        val tok = TextAnalysis.bpeTrainTokenizer(trainCorpus, k)
         graft.operators.Packing.packTokenIdsAgainst(corpus, trainCorpus,
-          TextAnalysis.bpeTrainDriver(trainCorpus, k).map(m => (m._2, m._3)), budget)
+          tok.merges, budget, tok.alphabet)
       }))
   }
 
@@ -696,7 +698,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         val k = a.headOption.map(_.toInt).getOrElse(8)
         val iters = a.lift(1).map(_.toInt).getOrElse(2)
         val seeds = rel.orderBy(col("vec_id")).limit(k)
-          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .select(col("embedding").cast("array<double>"))
           .collect().map(_.getSeq[Double](0).toArray)
         Similarity.lloydAssign(rel, seeds, iters)
       }),
@@ -775,7 +777,7 @@ final class SqlEngine(val spark: SparkSession, val catalog: Catalog, val ctx: Sq
         val tau = a.headOption.getOrElse(0.9)
         val k = a.lift(1).map(_.toInt).getOrElse(8)
         val seeds = hist.orderBy(col("vec_id")).limit(k)
-          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .select(col("embedding").cast("array<double>"))
           .collect().map(_.getSeq[Double](0).toArray)
         graft.operators.Similarity.incrementalEmbedAdmit(
           inc, graft.operators.Similarity.cellIndex(hist, seeds), seeds, tau)

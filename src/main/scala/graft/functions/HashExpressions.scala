@@ -372,6 +372,175 @@ object HashOps {
     sig
   }
 
+  /** The LSH banding split of a long signature into `bands` chunks of
+    * `width` bits, low bits first — value-identical to the
+    * `transform(sequence(0, bands-1), b -> shiftright(x, b*width) & mask)`
+    * spelling (the mask makes arithmetic vs logical shift
+    * indistinguishable), as ONE codegen-able kernel call: the
+    * higher-order-function spelling is CodegenFallback, which exiled
+    * every banding Generate (d02/d03/d05/d09, m06/m07, s02) from
+    * whole-stage codegen — the same interpreted-ExplodeBase defect class
+    * as the r17 t20 stall (OPTIMIZATION_r17.md). */
+  def bandBits(x: Long, bands: Int, width: Int): ArrayData = {
+    val mask = (1L << width) - 1L
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) { out(b) = (x >> (b * width)) & mask; b += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** xxhash64 of each of `groups` consecutive `width`-element slices of a
+    * long array — value-identical to `transform(sequence(0, groups-1),
+    * b -> xxhash64(slice(sig, b*width+1, width)))`: Spark's xxhash64
+    * over an array<long> argument seeds at 42 and folds each element
+    * through XXH64.hashLong (KernelParitySpec pins this replay). The
+    * MinHash 16-band × 4-row grouping of d02. */
+  def sliceXxBands(arr: ArrayData, groups: Int, width: Int): ArrayData = {
+    val out = new Array[Long](groups)
+    var b = 0
+    while (b < groups) {
+      var h = 42L
+      var i = 0
+      while (i < width) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(arr.getLong(b * width + i), h)
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Adjacent symbol pairs, each carrying the weight `w` — the BPE
+    * trainer's pair-census unit, value-identical to
+    * `CASE WHEN size(c) < 2 THEN array() ELSE transform(sequence(1,
+    * size(c) - 1), i -> struct(c[i] AS a, c[i+1] AS b, w)) END` (the
+    * CASE guard because Spark's sequence(1, 0) DESCENDS rather than
+    * being empty). */
+  def adjacentPairs(arr: ArrayData, w: Long): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = new GenericInternalRow(
+        Array[Any](arr.getUTF8String(i), arr.getUTF8String(i + 1), w))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ALL stride-1 word n-grams as space-joined STRINGS (every position,
+    * duplicates included; empty for texts shorter than n) —
+    * value-identical to `CASE WHEN size(tk) < n THEN array() ELSE
+    * transform(sequence(1, size(tk) - n + 1), i -> concat_ws(' ',
+    * slice(tk, i, n))) END`. The string-census sibling of [[spans]]:
+    * used where the gram TEXT is the group key (diversity censuses),
+    * not a dedup hash. */
+  def ngramJoin(arr: ArrayData, n: Int): ArrayData = {
+    val total = arr.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](total - n + 1)
+    var i = 0
+    while (i <= total - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(spaceSep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Adjacent-bigram structs `(w1, bg)` — the PMI/census unit: for each
+    * position i, the left token and the space-joined bigram.
+    * Value-identical to `transform(sequence(0, n - 2), i ->
+    * struct(toks[i] AS w1, concat(toks[i], ' ', toks[i + 1]) AS bg))`
+    * over texts with ≥ 2 tokens (call sites filter n >= 2 first);
+    * empty below 2 tokens. */
+  def bigramStructs(arr: ArrayData): ArrayData = {
+    val total = arr.numElements()
+    if (total < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total - 1)
+    var i = 0
+    while (i < total - 1) {
+      val a = arr.getUTF8String(i)
+      out(i) = new GenericInternalRow(
+        Array[Any](a, UTF8String.concat(a, spaceSep, arr.getUTF8String(i + 1))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of positions where two long arrays agree — value-identical to
+    * `aggregate(zip_with(a, b, (x, y) -> IF(x = y, 1, 0)), 0,
+    * (acc, v) -> acc + v)` on equal-length arrays (the minhash
+    * est-jaccard numerator). */
+  def agreeCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  /** Count of tokens that are members of `words` — value-identical to
+    * `size(filter(toks, t -> array_contains(array(words...), t)))`
+    * (UTF8String equality both ways). */
+  def countIn(arr: ArrayData, words: Array[UTF8String]): Int = {
+    val set = new java.util.HashSet[UTF8String](words.length * 2)
+    var j = 0
+    while (j < words.length) { set.add(words(j)); j += 1 }
+    var c = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Count of `words` that occur in the token array — the other
+    * direction: `size(filter(array(words...), w -> array_contains(toks,
+    * w)))`. */
+  def countPresent(arr: ArrayData, words: Array[UTF8String]): Int = {
+    val set = new java.util.HashSet[UTF8String](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) set.add(arr.getUTF8String(i))
+      i += 1
+    }
+    var c = 0
+    var j = 0
+    while (j < words.length) { if (set.contains(words(j))) c += 1; j += 1 }
+    c
+  }
+
+  /** Count of tokens containing at least one ASCII letter —
+    * value-identical to `size(filter(toks, t -> t rlike '[a-zA-Z]'))`:
+    * UTF-8 multi-byte sequences never contain bytes < 0x80, so a byte
+    * scan for [A-Za-z] is exact. */
+  def countAlphaTokens(arr: ArrayData): Int = {
+    var c = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        var hit = false
+        var b = 0
+        while (!hit && b < bytes.length) {
+          val ch = bytes(b)
+          if ((ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')) hit = true
+          b += 1
+        }
+        if (hit) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
   def fingerprint(input: UTF8String, w: Int): Long = {
     val B = 257L
     val bytes = input.getBytes
@@ -627,6 +796,146 @@ case class DropChunks(left: Expression, right: Expression, w: Int) extends Binar
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DropChunks =
     copy(left = l, right = r)
   override def prettyName: String = "drop_chunks"
+}
+
+/** band_bits(x long, bands, width) → array<long>: the LSH banding split
+  * of a long signature into `bands` chunks of `width` bits (low bits
+  * first — see [[HashOps.bandBits]]); posexplode of this kernel keeps
+  * the banding Generate inside whole-stage codegen where the
+  * CodegenFallback transform/shiftright spelling exiled it. */
+case class BandBits(child: Expression, bands: Int, width: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.bandBits(input.asInstanceOf[Long], bands, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.bandBits($c, $bands, $width)")
+  override protected def withNewChildInternal(c: Expression): BandBits = copy(child = c)
+  override def prettyName: String = "band_bits"
+}
+
+/** slice_xx_bands(sig array<long>, groups, width) → array<long>: xxhash64
+  * of each consecutive `width`-element signature slice (see
+  * [[HashOps.sliceXxBands]]) — the MinHash band keys of d02, replaying
+  * `xxhash64(slice(sig, b*width+1, width))` bit-for-bit. */
+case class SliceXxBands(child: Expression, groups: Int, width: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.sliceXxBands(input.asInstanceOf[ArrayData], groups, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.sliceXxBands($c, $groups, $width)")
+  override protected def withNewChildInternal(c: Expression): SliceXxBands = copy(child = c)
+  override def prettyName: String = "slice_xx_bands"
+}
+
+/** adjacent_pairs(syms array<string>, w long) → array<struct<a, b, w>>:
+  * the BPE trainer's weighted adjacent-pair census unit (see
+  * [[HashOps.adjacentPairs]]). `w` is an expression (the trainer passes
+  * ±freq), so one kernel serves census and delta passes. */
+case class AdjacentPairs(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("b", StringType, nullable = false),
+      StructField("w", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(syms: Any, w: Any): Any =
+    HashOps.adjacentPairs(syms.asInstanceOf[ArrayData], w.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, w) => s"graft.functions.HashOps.adjacentPairs($s, $w)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdjacentPairs =
+    copy(left = l, right = r)
+  override def prettyName: String = "adjacent_pairs"
+}
+
+/** ngram_join(tk array<string>, n) → array<string>: ALL stride-1 word
+  * n-grams space-joined (see [[HashOps.ngramJoin]]) — the string-census
+  * sibling of [[SpanHashes]]. */
+case class NgramJoin(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.ngramJoin(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.ngramJoin($c, $n)")
+  override protected def withNewChildInternal(c: Expression): NgramJoin = copy(child = c)
+  override def prettyName: String = "ngram_join"
+}
+
+/** bigram_structs(toks array<string>) → array<struct<w1, bg>>: adjacent
+  * bigrams with their left token (see [[HashOps.bigramStructs]]) — the
+  * PMI census unit. */
+case class BigramStructs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("bg", StringType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashOps.bigramStructs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.bigramStructs($c)")
+  override protected def withNewChildInternal(c: Expression): BigramStructs = copy(child = c)
+  override def prettyName: String = "bigram_structs"
+}
+
+/** agree_count(a array<long>, b array<long>) → int: positions where the
+  * two signatures agree (see [[HashOps.agreeCount]]) — the minhash
+  * est-jaccard numerator, codegen'd. */
+case class AgreeCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.agreeCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.agreeCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AgreeCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "agree_count"
+}
+
+/** count_in(toks array<string>) → int: tokens that are members of the
+  * bound word list (see [[HashOps.countIn]]) — the stopword-hit count.
+  * Words ride as constructor data (never SQL text — a word with a quote
+  * must stay data), the MergeAll convention. */
+case class CountIn(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  @transient private lazy val ws = words.map(UTF8String.fromString).toArray
+  override def nullSafeEval(input: Any): Any =
+    HashOps.countIn(input.asInstanceOf[ArrayData], ws)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("countInWords", ws,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.countIn($c, $r)")
+  }
+  override protected def withNewChildInternal(c: Expression): CountIn = copy(child = c)
+  override def prettyName: String = "count_in"
+}
+
+/** count_present(toks array<string>) → int: bound words that occur in the
+  * token array (see [[HashOps.countPresent]]). */
+case class CountPresent(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  @transient private lazy val ws = words.map(UTF8String.fromString).toArray
+  override def nullSafeEval(input: Any): Any =
+    HashOps.countPresent(input.asInstanceOf[ArrayData], ws)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("countPresentWords", ws,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.countPresent($c, $r)")
+  }
+  override protected def withNewChildInternal(c: Expression): CountPresent = copy(child = c)
+  override def prettyName: String = "count_present"
+}
+
+/** count_alpha_tokens(toks array<string>) → int: tokens containing an
+  * ASCII letter (see [[HashOps.countAlphaTokens]]) — the `rlike
+  * '[a-zA-Z]'` filter count without the per-token interpreted lambda. */
+case class CountAlphaTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    HashOps.countAlphaTokens(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.countAlphaTokens($c)")
+  override protected def withNewChildInternal(c: Expression): CountAlphaTokens = copy(child = c)
+  override def prettyName: String = "count_alpha_tokens"
 }
 
 /** Registers the sketch expressions as SQL functions on a session, so

@@ -42,8 +42,9 @@ object Curation {
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("quality",
         least(col("n_tokens") / 50.0, lit(1.0)) * 0.5 +
-          size(filter(col("toks"),
-            t => array_contains(array(stopList.map(lit): _*), t)))
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.functions.CountIn(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("toks")), stopList))
             .cast("double") / col("n_tokens") * 0.5)
       .filter(col("n_tokens") >= 5 && col("quality") >= 0.2)
     val exactKeep = scored

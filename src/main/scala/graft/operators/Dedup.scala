@@ -33,6 +33,19 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   import OracleRound.{stableRound, stableRoundSql}
+  import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+
+  /** posexplode-able LSH band arrays as CODEGEN kernels (guide §4): the
+    * transform(sequence, shiftright/xxhash64-slice) spellings are
+    * CodegenFallback, which exiled every banding Generate from
+    * whole-stage codegen — the same interpreted-eval defect class as the
+    * r17 t20 stall. Value parity with the SQL spellings is pinned in
+    * KernelParitySpec; the d02/d03/d05/d09/d18 oracles replay the values
+    * end-to-end. */
+  private[operators] def bandBitsCol(c: Column, bands: Int, width: Int): Column =
+    B.column(graft.functions.BandBits(B.expression(c), bands, width))
+  private def sliceXxBandsCol(c: Column, groups: Int, width: Int): Column =
+    B.column(graft.functions.SliceXxBands(B.expression(c), groups, width))
 
   /** Tokenizes and shingles a `(doc_id, text)` corpus: 64-bit hashes of
     * word n-grams, computed in one pass by a custom expression — shingle
@@ -111,7 +124,7 @@ object Dedup {
     * is a property of the sketch alone. */
   def docBandRows(sketched: DataFrame): DataFrame =
     sketched.select(col("doc_id"), col("sim"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
+      posexplode(bandBitsCol(col("sim"), 4, 16))
         .as(Seq("band", "bucket")))
       .select(col("band").cast("bigint").as("band"), col("bucket"), col("sim"), col("doc_id"))
 
@@ -119,7 +132,7 @@ object Dedup {
     * with band 0..3 over 16-bit chunks. */
   private def bandSims(sims: DataFrame): DataFrame =
     sims.select(col("sim"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
+      posexplode(bandBitsCol(col("sim"), 4, 16))
         .as(Seq("band", "bucket")))
       .select(col("band").cast("bigint").as("band"), col("bucket"), col("sim"))
 
@@ -275,7 +288,7 @@ object Dedup {
     // measured ~+40% on the whole operator in per-doc mode.
     val bands = grouped.select(
       col("sid"),
-      posexplode(expr("transform(sequence(0, 15), b -> xxhash64(slice(sig, b*4+1, 4)))"))
+      posexplode(sliceXxBandsCol(col("sig"), 16, 4))
         .as(Seq("band", "bh")))
     // the candidate set is small, so a plain distinct() on the (sid, sid)
     // pair key is cheaper than carrying lowest-band comparisons through
@@ -290,7 +303,8 @@ object Dedup {
       .join(grouped.select(col("sid").as("sid_b"), col("sig").as("sig_b")), "sid_b")
       .select(col("sid_a"), col("sid_b"),
         stableRound(
-          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          B.column(graft.functions.AgreeCount(
+            B.expression(col("sig_a")), B.expression(col("sig_b"))))
             .cast("double") / 64.0, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
     val cross = sigPairs
@@ -340,7 +354,7 @@ object Dedup {
           d.select(col("doc_id").as("sid"), col("sim"), lit(1L).as("cnt")))
     val bands = grouped.select(
       col("sid"), col("sim"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sim, b*16) & 65535)"))
+      posexplode(bandBitsCol(col("sim"), 4, 16))
         .as(Seq("band", "bucket")))
     val simPairs = bands.as("a")
       .join(bands.as("b"),
@@ -561,7 +575,7 @@ object Dedup {
           sigs.select(col("vec_id").as("sid"), col("sig"), lit(1L).as("cnt")))
     val bands = grouped.select(
       col("sid"), col("sig"),
-      posexplode(expr("transform(sequence(0, 4), b -> shiftright(sig, b*12) & 4095)"))
+      posexplode(bandBitsCol(col("sig"), 5, 12))
         .as(Seq("band", "bucket")))
     val sigPairs = bands.as("a")
       .join(bands.as("b"),
@@ -1614,7 +1628,8 @@ object Dedup {
         val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         val clones = emb.filter(col("vec_id") < 8)
           .select((col("vec_id") + 1000000L).as("vec_id"),
-            expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+            B.column(graft.functions.VecScale(B.expression(col("embedding")), 2.0f))
+              .as("embedding"))
         embeddingPairs(emb.unionByName(clones), 8,
           Some(CorpusStats.cachedHeadDistinctRatio(s, dir, "embeddings", "embedding")))
           .orderBy(col("id_a"))

@@ -18,6 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+
+  /** Unit-normalized feature vectors off the decoded histogram — shared
+    * by [[mediaNearDupPairs]] and [[mediaSemDedup]]. Every step is a
+    * CODEGEN kernel or built-in (guide §4): the histogram cast is a plain
+    * array cast, the norm is the codegen'd [[graft.functions.L2Norm]]
+    * (bit-identical to sqrt(aggregate(hraw, 0D, (a, x) -> a + x*x)) —
+    * same sequential double accumulation), and the divide is
+    * [[graft.functions.VecDiv]]; the transform/aggregate HOF spellings
+    * they replace were CodegenFallback (interpreted per element). */
+  private def unitFeatures(decoded: DataFrame, idCol: String): DataFrame =
+    decoded
+      .select(col("doc_id"), col("histogram").cast("array<double>").as("hraw"))
+      .withColumn("nrm", B.column(graft.functions.L2Norm(B.expression(col("hraw")))))
+      .filter(col("nrm") > 0) // empty payloads have no features to compare
+      .withColumn("embedding",
+        B.column(graft.functions.VecDiv(
+          B.expression(col("hraw")), B.expression(col("nrm")))))
+      .select(col("doc_id").as(idCol), col("embedding"))
+
   final case class Media(doc_id: Long, format: String, payload: Array[Byte])
   final case class MediaFeatures(
       doc_id: Long, format: String, n_bytes: Long,
@@ -399,12 +419,7 @@ object Multimodal {
     graft.functions.GraftFunctions.register(s)
     graft.functions.VectorFunctions.register(s)
     import OracleRound.stableRound
-    val v = decodeFeatures(media, codec)
-      .select(col("doc_id"), expr("transform(histogram, x -> CAST(x AS DOUBLE))").as("hraw"))
-      .withColumn("nrm", sqrt(expr("aggregate(hraw, 0D, (a, x) -> a + x * x)")))
-      .filter(col("nrm") > 0) // empty payloads have no features to compare
-      .withColumn("embedding", expr("transform(hraw, x -> x / nrm)"))
-      .select(col("doc_id"), col("embedding"))
+    val v = unitFeatures(decodeFeatures(media, codec), "doc_id")
     val grp = v.groupBy(col("embedding"))
       .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("cnt"))
       .localCheckpoint()
@@ -413,7 +428,7 @@ object Multimodal {
     val banded = grp
       .withColumn("sig", expr("hyperplane_sig(embedding, 32)"))
       .select(col("gid"), col("embedding"), col("sig"),
-        posexplode(expr("transform(sequence(0, 7), b -> shiftright(sig, b*4) & 15)"))
+        posexplode(B.column(graft.functions.BandBits(B.expression(col("sig")), 8, 4)))
           .as(Seq("band", "bucket")))
     // CIRCUIT BREAKER for the documented quadratic degeneration on
     // clustered feature spaces (all vectors one direction → few hot
@@ -479,12 +494,7 @@ object Multimodal {
     * curation pass consumes. */
   def mediaSemDedup(media: DataFrame, tau: Double = 0.99, cells: Int = 0,
       codec: MediaCodec = DeterministicFakeCodec, seeded: Boolean = false): DataFrame = {
-    val v = decodeFeatures(media, codec)
-      .select(col("doc_id"), expr("transform(histogram, x -> CAST(x AS DOUBLE))").as("hraw"))
-      .withColumn("nrm", sqrt(expr("aggregate(hraw, 0D, (a, x) -> a + x * x)")))
-      .filter(col("nrm") > 0)
-      .withColumn("embedding", expr("transform(hraw, x -> x / nrm)"))
-      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val v = unitFeatures(decodeFeatures(media, codec), "vec_id")
       .localCheckpoint() // quantizer sample + assignment + pair sides share one decode
     // seeded = the sha-fold deterministic quantizer (bit-replayable by a
     // DuckDB oracle — m06's gate); default stays the trained k-means

@@ -120,11 +120,21 @@ object Packing {
     * per document. Wall is output volume — the tape IS the corpus's
     * tokens, the t19/t20 profile. */
   def packTokenIds(corpus: DataFrame, mergeTable: Seq[(String, String)],
-      budget: Int = 128): DataFrame = {
+      budget: Int = 128, alphabet: Option[Seq[String]] = None): DataFrame = {
     require(budget > 0, "need budget > 0")
-    val tokens = TextAnalysis.bpeTokenIds(corpus, mergeTable)
-    val counts = TextAnalysis.bpeEncode(corpus, mergeTable)
-      .select(col("doc_id"), col("n_tokens"))
+    // ONE tokenize pass (guide §1.2/§6: corpus passes are the 100 TB
+    // cost): the id stream is pinned by a LAZY localCheckpoint and BOTH
+    // the per-doc counts (layout side) and the indexed stream read that
+    // one materialization — r17's spelling re-derived the counts through
+    // a second full bpeEncode pass, and bpeVocab's alphabet pass made a
+    // third (now census-supplied, see [[TextAnalysis.BpeTokenizer]]).
+    // The count of id-stream rows per doc IS bpeEncode's n_tokens (the
+    // p24 oracle derives its own counts the same way), so values are
+    // unchanged. The packCounts stats row materializes the checkpoint as
+    // its own first job; 4 longs/row, far narrower than re-reading text.
+    val tokens = TextAnalysis.bpeTokenIds(corpus, mergeTable, alphabet)
+      .localCheckpoint(false)
+    val counts = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
     val offsets = packCounts(counts, budget)
       .select(col("doc_id"), col("start_offset"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("word_idx"), col("tok_idx"))
@@ -146,11 +156,16 @@ object Packing {
     * layout). Same single-scalar-shuffle plan shape as the one-corpus
     * spelling. */
   def packTokenIdsAgainst(corpus: DataFrame, vocabCorpus: DataFrame,
-      mergeTable: Seq[(String, String)], budget: Int = 128): DataFrame = {
+      mergeTable: Seq[(String, String)], budget: Int = 128,
+      alphabet: Option[Seq[String]] = None): DataFrame = {
     require(budget > 0, "need budget > 0")
-    val tokens = TextAnalysis.bpeTokenIdsAgainst(corpus, vocabCorpus, mergeTable)
-    val counts = TextAnalysis.bpeEncode(corpus, mergeTable)
-      .select(col("doc_id"), col("n_tokens"))
+    // same single-tokenize-pass shape as [[packTokenIds]]; the UNK
+    // resolution keeps the stream TOTAL (every word token surfaces, OOV
+    // as the UNK id), so per-doc stream counts still equal bpeEncode's
+    // n_tokens and the layout cannot shift
+    val tokens = TextAnalysis.bpeTokenIdsAgainst(corpus, vocabCorpus, mergeTable, alphabet)
+      .localCheckpoint(false)
+    val counts = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
     val offsets = packCounts(counts, budget)
       .select(col("doc_id"), col("start_offset"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("word_idx"), col("tok_idx"))
@@ -540,9 +555,10 @@ object Packing {
           "CAST((start_offset + tix) % 128 AS BIGINT) AS seq_pos, doc_id, token_id " +
           "FROM tix JOIN c USING (doc_id) ORDER BY seq, seq_pos"),
       (s, dir) => {
-        val table = graft.operators.TextAnalysis
-          .bpeTrainDriver(docs(s, dir), merges = 8).map(t => (t._2, t._3))
-        packTokenIds(docs(s, dir).select(col("doc_id"), col("text")), table)
+        val tok = graft.operators.TextAnalysis
+          .bpeTrainTokenizer(docs(s, dir), merges = 8)
+        packTokenIds(docs(s, dir).select(col("doc_id"), col("text")),
+          tok.merges, alphabet = tok.alphabet)
           .orderBy(col("seq"), col("seq_pos"))
       }),
 
@@ -569,12 +585,12 @@ object Packing {
           "FROM tix JOIN c USING (doc_id) ORDER BY seq, seq_pos"),
       (s, dir) => {
         val d = docs(s, dir)
-        val table = graft.operators.TextAnalysis
-          .bpeTrainDriver(d, merges = 8).map(t => (t._2, t._3))
+        val tok = graft.operators.TextAnalysis
+          .bpeTrainTokenizer(d, merges = 8)
         val foreign = d.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 3000000L).as("doc_id"),
             concat(col("text"), lit(" q¤x")).as("text"))
-        packTokenIdsAgainst(foreign, d, table)
+        packTokenIdsAgainst(foreign, d, tok.merges, alphabet = tok.alphabet)
           .orderBy(col("seq"), col("seq_pos"))
       }),
 

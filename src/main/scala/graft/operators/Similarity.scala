@@ -33,6 +33,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   import OracleRound.stableRound
+  import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 
   // custom codegen'd kernel: sequential double accumulation, bit-identical
   // to the aggregate(zip_with(...)) spelling and to DuckDB's
@@ -73,7 +74,7 @@ object Similarity {
     def banded(df: DataFrame, id: String, emb: String): DataFrame =
       df.withColumn("sig", expr(s"hyperplane_sig($emb, 32)"))
         .select(col(id), col(emb), col("sig"),
-          posexplode(expr("transform(sequence(0, 7), b -> shiftright(sig, b*4) & 15)"))
+          posexplode(B.column(graft.functions.BandBits(B.expression(col("sig")), 8, 4)))
             .as(Seq("band", "bucket")))
     val bb = banded(base.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
     val qb = banded(queries, "query_id", "q_emb")
@@ -136,7 +137,7 @@ object Similarity {
     require(k > 0, "need k > 0")
     // hash order IS the sample's diversity order — keep it for seeding
     val sample: Array[Array[Double]] = quantizerSample(base)
-      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "trainQuantizer needs a non-empty corpus")
     val dim = sample.head.length
@@ -214,10 +215,9 @@ object Similarity {
     val assigned = assignCells(base, model)
     // centroid table is model metadata (16 rows) — broadcast by size
     val centroids = centroidTable(base.sparkSession, model)
-    val cdist = "aggregate(zip_with(q_emb, centroid, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)"
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("dist", expr(cdist))
+      .withColumn("dist", l2SqDistCol(col("q_emb"), col("centroid")))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell"))
@@ -256,7 +256,7 @@ object Similarity {
     require(m > 0 && k > 0 && iters >= 0, "need m > 0, k > 0, iters >= 0")
     val sample: Array[Array[Double]] = quantizerSample(base)
       .orderBy(col("vec_id"))
-      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .select(col("embedding").cast("array<double>").as("e"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
     val dim = sample.head.length
@@ -341,7 +341,16 @@ object Similarity {
   // one SparkSession could interleave register/analyze and silently bind
   // the wrong model's centroids (the SQL-text TVFs route through these
   // same constructors, so they inherit the fix).
-  import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+
+  /** Codegen kernels for the centroid algebra (guide §4): bit-identical
+    * to the aggregate/zip_with HOF spellings they replace (sequential
+    * double accumulation in index order; see VectorOps scaladoc), minus
+    * the per-element interpreted lambda. */
+  private[graft] def l2SqDistCol(a: Column, b: Column): Column =
+    B.column(graft.functions.L2SqDist(B.expression(a), B.expression(b)))
+  private[graft] def vecSubCol(a: Column, b: Column): Column =
+    B.column(graft.functions.VecSub(B.expression(a), B.expression(b)))
+
   private def pqEncodeCol(v: Column, pq: PqModel): Column =
     B.column(graft.functions.PqEncode(B.expression(v), pq.cents, pq.m, pq.k, pq.sub))
   private def pqTableCol(v: Column, pq: PqModel): Column =
@@ -364,8 +373,7 @@ object Similarity {
     assignCells(base, km)
       .join(broadcast(centroidTable(base.sparkSession, km)), Seq("cell"))
       .select(col("vec_id"),
-        expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)")
-          .as("embedding"))
+        vecSubCol(col("embedding"), col("centroid")).as("embedding"))
 
   /** IVF-ADC top-k (Jégou/Douze/Schmid TPAMI 2011, the IVFADC system —
     * the canonical billion-vector index): a coarse quantizer routes each
@@ -397,7 +405,7 @@ object Similarity {
     assignCells(base, km)
       .join(broadcast(centroids), Seq("cell"))
       .select(col("cell"), col("vec_id"),
-        expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)").as("resid"))
+        vecSubCol(col("embedding"), col("centroid")).as("resid"))
       .select(col("cell"), col("vec_id"), pqEncodeCol(col("resid"), pq).as("codes"))
   }
 
@@ -421,10 +429,9 @@ object Similarity {
     * cdist) scalars — no query vector crosses a shuffle. */
   private def probeCellsOf(queries: DataFrame, centroids: DataFrame,
       nprobe: Int): DataFrame = {
-    val cdist = "aggregate(zip_with(q_emb, centroid, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)"
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))
     queries.crossJoin(broadcast(centroids))
-      .withColumn("cdist", expr(cdist))
+      .withColumn("cdist", l2SqDistCol(col("q_emb"), col("centroid")))
       .select(col("query_id"), col("cell"), col("cdist"))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
@@ -441,7 +448,7 @@ object Similarity {
       .join(broadcast(queries), Seq("query_id"))
       .join(broadcast(centroids), Seq("cell"))
       .select(col("query_id"), col("cell"),
-        expr("zip_with(q_emb, centroid, (x, y) -> CAST(x AS DOUBLE) - y)").as("qres"))
+        vecSubCol(col("q_emb"), col("centroid")).as("qres"))
       .select(col("query_id"), col("cell"), pqTableCol(col("qres"), pq).as("qtab"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
     codes.join(broadcast(probes), Seq("cell"))
@@ -634,8 +641,7 @@ object Similarity {
         call_function("nearest_centroid", col("embedding"), typedLit(centArr)))
       .join(broadcast(centroids), Seq("cell"))
       .select(col("cell"), col("vec_id"),
-        expr("zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) - y)")
-          .as("resid"))
+        vecSubCol(col("embedding"), col("centroid")).as("resid"))
       .select(col("cell"), col("vec_id"), pqEncodeCol(col("resid"), pq).as("codes"))
       .localCheckpoint(false) // lazy: the count below materializes it
     val nAppended = encoded.count()
@@ -905,7 +911,7 @@ object Similarity {
           .cast("long").asc,
         col("vec_id"))
       .limit(k)
-      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(seeds.nonEmpty, "writeEmbedIndex: empty history relation")
     // the REBUILD is index maintenance too (see writeIvfPqIndex): an
@@ -1278,7 +1284,7 @@ object Similarity {
       .groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("weight")))).as("m"))
       .select(col("doc_id").as("vec_id"),
-        expr(s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(m, i), 0D))")
+        B.column(graft.functions.DenseFromMap(B.expression(col("m")), dim))
           .as("embedding"))
 
   /** HARD-NEGATIVE mining for contrastive/embedding training: for each
@@ -1401,7 +1407,7 @@ object Similarity {
           .cast("long").asc,
         col("vec_id"))
       .limit(k.toInt)
-      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     cellIndex(v, seeds).select(col("vec_id"), col("embedding"), col("cell"))
   }
@@ -1610,7 +1616,7 @@ object Similarity {
         // seed collection is operator SETUP (like cachedModel): k vectors,
         // ordered by vec_id so seed index is reproducible
         val seeds = b.filter(col("vec_id") < 8).orderBy(col("vec_id"))
-          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .select(col("embedding").cast("array<double>"))
           .collect().map(_.getSeq[Double](0).toArray)
         lloydAssign(b, seeds, iters = 2).orderBy(col("vec_id"))
       }),
@@ -1645,10 +1651,12 @@ object Similarity {
         val b = base(s, dir)
         val scaled = b.filter(col("vec_id") === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"),
-            expr("transform(embedding, x -> x * CAST(100 AS FLOAT))").as("embedding"))
+            B.column(graft.functions.VecScale(B.expression(col("embedding")), 100.0f))
+              .as("embedding"))
         val zeroed = b.filter(col("vec_id") === 1)
           .select((col("vec_id") + 1000001L).as("vec_id"),
-            expr("transform(embedding, x -> x * CAST(0 AS FLOAT))").as("embedding"))
+            B.column(graft.functions.VecScale(B.expression(col("embedding")), 0.0f))
+              .as("embedding"))
         embeddingHygiene(b.unionByName(scaled).unionByName(zeroed))
           .select(col("vec_id"), OracleRound.stableRound(col("norm"), 4).as("norm"),
             col("is_outlier"), col("degenerate"))
@@ -1713,7 +1721,7 @@ object Similarity {
         // seed collection is operator SETUP (bounded k·dim, the s06
         // convention): k = 8 coarse cells
         val seeds = b.filter(col("vec_id") < 8).orderBy(col("vec_id"))
-          .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .select(col("embedding").cast("array<double>"))
           .collect().map(_.getSeq[Double](0).toArray)
         val hist = b.filter(col("vec_id") >= 8 && col("vec_id") < 400)
         val histClone = b.filter(col("vec_id") === 100)
@@ -1774,8 +1782,10 @@ object Similarity {
         // doc whose signed bucket sums all cancel has no direction; both
         // engines would otherwise compare NaN > tau — see the verify
         // skill's NaN note)
+        // array_remove ≡ exists(x -> x != 0D) on these finite, non-null
+        // embeddings, and stays codegen'd where the exists HOF fell back
         val vecs = hashedEmbeddingVec(docs.unionByName(clones), dim = 16)
-          .filter(expr("exists(embedding, x -> x != 0D)"))
+          .filter(size(array_remove(col("embedding"), lit(0.0))) > 0)
           .localCheckpoint()
         Dedup.semDedup(seededCells(vecs), tau = 0.999)
           .select(col("vec_id"), col("cell"))

@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   import OracleRound.{stableRound, stableRoundSql}
+  import org.apache.spark.sql.{GraftColumnBridge => B}
+
+  /** Codegen n-gram/bigram kernels (guide §4) — value-identical to the
+    * transform(sequence, ...) HOF spellings they replace (pinned in
+    * KernelParitySpec); the HOF spellings are CodegenFallback and exiled
+    * their Generate stages from whole-stage codegen (the r17 t20 stall
+    * class). */
+  private def ngramJoinCol(tk: Column, n: Int): Column =
+    B.column(graft.functions.NgramJoin(B.expression(tk), n))
+  private def bigramStructsCol(tk: Column): Column =
+    B.column(graft.functions.BigramStructs(B.expression(tk)))
 
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
@@ -26,11 +37,12 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "por"),
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "pour", "dans"))
 
-  // Column API, not interpolated SQL: stop words are DATA (a word with a
-  // quote must never become SQL text) — the heuristicFilter convention
+  // stop words are constructor DATA (a word with a quote must never
+  // become SQL text); the CountIn kernel replaces the ArrayFilter HOF
+  // spelling (CodegenFallback — interpreted per token) with one codegen
+  // call, value parity pinned in KernelParitySpec
   private def hitCount(lang: String): Column =
-    size(filter(col("toks"),
-      t => array_contains(array(stopwords(lang).map(lit): _*), t)))
+    B.column(graft.functions.CountIn(B.expression(col("toks")), stopwords(lang)))
 
   /** Language prediction per document: stopword hit counts per candidate
     * language, highest wins (deterministic priority tie-break), zero hits
@@ -56,8 +68,7 @@ object TextAnalysis {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens_i", size(col("toks")))
       .withColumn("n_stop",
-        size(filter(col("toks"),
-          t => array_contains(array(stopwords("en").map(lit): _*), t))))
+        B.column(graft.functions.CountIn(B.expression(col("toks")), stopwords("en"))))
       .select(
         col("doc_id"),
         length(col("text")).cast("bigint").as("n_chars"),
@@ -126,10 +137,11 @@ object TextAnalysis {
         (length(col("nt")) - length(replace(col("nt"), lit("#"), lit("")))).cast("bigint") +
           expr("CAST((length(nt) - length(replace(nt, '...', ''))) AS BIGINT) div 3"))
       .withColumn("n_alpha",
-        expr("size(filter(toks, t -> t rlike '[a-zA-Z]'))").cast("bigint"))
+        B.column(graft.functions.CountAlphaTokens(B.expression(col("toks"))))
+          .cast("bigint"))
       .withColumn("stop_hits",
-        size(filter(array(stopWords.map(lit): _*),
-          w => array_contains(col("toks"), w))).cast("bigint"))
+        B.column(graft.functions.CountPresent(B.expression(col("toks")), stopWords))
+          .cast("bigint"))
       .withColumn("f_words", col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("f_mean_len",
         col("mean_len_raw") >= minMeanLen && col("mean_len_raw") <= maxMeanLen)
@@ -314,17 +326,17 @@ object TextAnalysis {
     val s = corpus.sparkSession
     val words = bpeWordCensus(corpus).localCheckpoint() // the ONLY corpus-sized pass
 
-    // adjacent symbol pairs of `c`, each carrying `w` — the CASE guard
-    // because Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than being
-    // empty, so single-symbol words need an explicit empty pair list
-    def weightedPairs(c: String, w: String): String =
-      s"CASE WHEN size($c) < 2 THEN array() " +
-        s"ELSE transform(sequence(1, size($c) - 1), " +
-        s"i -> struct(element_at($c, i) AS a, element_at($c, i + 1) AS b, " +
-        s"CAST($w AS BIGINT) AS w)) END"
+    // adjacent symbol pairs of `c`, each carrying `w` — the codegen'd
+    // AdjacentPairs kernel (empty below 2 symbols), value-identical to
+    // the CASE/transform/struct SQL spelling it replaces (the HOF
+    // spelling was CodegenFallback — the r17 t20 interpreted-Generate
+    // class; parity pinned in KernelParitySpec)
+    def weightedPairs(c: Column, w: Column): Column =
+      B.column(graft.functions.AdjacentPairs(
+        B.expression(c), B.expression(w.cast("bigint"))))
 
-    def pairCountsOf(df: DataFrame, pairsExpr: String): DataFrame = df
-      .select(explode(expr(pairsExpr)).as("p"))
+    def pairCountsOf(df: DataFrame, pairs: Column): DataFrame = df
+      .select(explode(pairs).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("p.w")).as("freq"))
 
@@ -336,7 +348,7 @@ object TextAnalysis {
     // that dominated small-k training); the checkpoint still truncates
     // lineage so analysis stays O(1) per round
     var pairCounts =
-      pairCountsOf(words, weightedPairs("syms", "freq")).localCheckpoint(false)
+      pairCountsOf(words, weightedPairs(col("syms"), col("freq"))).localCheckpoint(false)
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -422,8 +434,8 @@ object TextAnalysis {
           // (+freq) — everything else's counts are already right
           val affected = staged.filter(col("merged") =!= col("syms"))
           val delta = pairCountsOf(affected,
-            s"concat(${weightedPairs("syms", "-freq")}, " +
-              s"${weightedPairs("merged", "freq")})")
+            concat(weightedPairs(col("syms"), -col("freq")),
+              weightedPairs(col("merged"), col("freq"))))
           pairCounts = pairCounts.unionByName(delta)
             .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("freq"))
             .filter(col("freq") > 0)
@@ -482,10 +494,48 @@ object TextAnalysis {
       vocabCap: Int = 65536): Seq[(Int, String, String, Long)] = {
     require(merges > 0, "need merges > 0")
     require(vocabCap > 0, "need vocabCap > 0")
-    val census = bpeWordFreqs(corpus)
+    trainFromCensus(collectCensus(corpus, vocabCap), merges)
+  }
+
+  /** The driver-held TOKENIZER ARTIFACT: merge table plus — when the
+    * census collect was NOT cap-truncated, i.e. the census provably holds
+    * every distinct corpus word — the training ALPHABET derived from that
+    * same collect. Threading the alphabet into [[bpeVocab]] (via
+    * [[bpeTokenIds]] / Packing's tape builders) deletes the vocab's own
+    * alphabet corpus pass + collect job (guide §1.2 "don't compute things
+    * you throw away": the census already saw every character). When the
+    * cap binds, `alphabet` is None and [[bpeVocab]] falls back to its own
+    * distributed pass — capped semantics unchanged. */
+  final case class BpeTokenizer(merges: Seq[(String, String)], alphabet: Option[Seq[String]])
+
+  /** [[bpeTrainDriver]] + the census-derived alphabet in ONE census
+    * collect — the entry point for every vocab-consuming composition
+    * (t20/t23 id streams, p24/p25 tapes). */
+  def bpeTrainTokenizer(corpus: DataFrame, merges: Int,
+      vocabCap: Int = 65536): BpeTokenizer = {
+    require(merges > 0, "need merges > 0")
+    require(vocabCap > 0, "need vocabCap > 0")
+    val census = collectCensus(corpus, vocabCap)
+    val table = trainFromCensus(census, merges).map(t => (t._2, t._3))
+    // length == vocabCap cannot distinguish "exactly cap words" from
+    // truncation — treat as truncated (the always-correct fallback)
+    val alphabet =
+      if (census.length >= vocabCap) None
+      else Some(census.iterator.flatMap(c => codePointsOf(c._1))
+        .toSet.toSeq.sortWith(utf8Less))
+    BpeTokenizer(table, alphabet)
+  }
+
+  /** The bounded (word, freq) census collect both driver trainers share:
+    * top `vocabCap` words by (freq DESC, word). */
+  private def collectCensus(corpus: DataFrame, vocabCap: Int): Array[(String, Long)] =
+    bpeWordFreqs(corpus)
       .orderBy(col("freq").desc, col("word"))
       .limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  private def trainFromCensus(census: Array[(String, Long)],
+      merges: Int): Seq[(Int, String, String, Long)] = {
     val words: Array[scala.collection.mutable.ArrayBuffer[String]] =
       census.map { case (w, _) =>
         scala.collection.mutable.ArrayBuffer.from(codePointsOf(w))
@@ -609,15 +659,14 @@ object TextAnalysis {
     * distributed end to end, no driver collect; output is `maxN` rows. */
   def corpusDiversity(corpus: DataFrame, maxN: Int = 3): DataFrame = {
     require(maxN >= 1, "need maxN >= 1")
+    // array_remove ≡ filter(x -> x <> '') here (split yields no nulls)
+    // and stays inside whole-stage codegen where the filter HOF fell back
     val toks = corpus.select(
-      expr("filter(split(lower(text), '\\\\s+'), x -> x <> '')").as("tk"))
+      array_remove(split(lower(col("text")), "\\s+"), "").as("tk"))
     val perN = (1 to maxN).map { n =>
       val grams =
         if (n == 1) toks.select(explode(col("tk")).as("g"))
-        else toks.select(explode(expr(
-          s"CASE WHEN size(tk) < $n THEN array() " +
-            s"ELSE transform(sequence(1, size(tk) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(tk, i, $n))) END")).as("g"))
+        else toks.select(explode(ngramJoinCol(col("tk"), n)).as("g"))
       grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
         .agg(sum(col("c")).as("total_ngrams"),
           count(lit(1)).as("distinct_ngrams"),
@@ -767,19 +816,23 @@ object TextAnalysis {
     * following ids in rank order; a merge whose string already exists
     * keeps its first id (dedup keep-first), so ids stay dense. The
     * alphabet collect is bounded (distinct characters). */
-  def bpeVocab(corpus: DataFrame, mergeTable: Seq[(String, String)]): DataFrame = {
+  def bpeVocab(corpus: DataFrame, mergeTable: Seq[(String, String)],
+      alphabet: Option[Seq[String]] = None): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    // one corpus pass; the distinct's map-side partial aggregation
-    // collapses to ~alphabet-size rows before the only (tiny) exchange —
-    // no word census needed just to list characters
-    val alphabet = corpus
-      .select(explode(bpeSplitCol).as("word"))
-      .filter(col("word") =!= "")
-      .select(explode(codePointsCol(col("word"))).as("c"))
-      .distinct().orderBy(col("c")).collect().map(_.getString(0))
+    // the caller-supplied census alphabet (see [[BpeTokenizer]]) skips
+    // this corpus pass entirely; the fallback is one pass whose
+    // distinct's map-side partial aggregation collapses to
+    // ~alphabet-size rows before the only (tiny) exchange
+    val alpha: Seq[String] = alphabet.getOrElse {
+      corpus
+        .select(explode(bpeSplitCol).as("word"))
+        .filter(col("word") =!= "")
+        .select(explode(codePointsCol(col("word"))).as("c"))
+        .distinct().orderBy(col("c")).collect().map(_.getString(0)).toSeq
+    }
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-    alphabet.foreach(seen += _)
+    alpha.foreach(seen += _)
     mergeTable.foreach { case (a, b) => seen += (a + b) }
     seen.toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("token_id", "token")
@@ -793,9 +846,10 @@ object TextAnalysis {
     * single corpus characters or merge outputs). Tokenizing a FOREIGN
     * corpus against this vocab drops unknown-alphabet tokens at the
     * join — map them to an explicit UNK id upstream if needed. */
-  def bpeTokenIds(corpus: DataFrame, mergeTable: Seq[(String, String)]): DataFrame =
+  def bpeTokenIds(corpus: DataFrame, mergeTable: Seq[(String, String)],
+      alphabet: Option[Seq[String]] = None): DataFrame =
     bpeTokens(corpus, mergeTable)
-      .join(broadcast(bpeVocab(corpus, mergeTable)), Seq("token"))
+      .join(broadcast(bpeVocab(corpus, mergeTable, alphabet)), Seq("token"))
       .select(col("doc_id"), col("word_idx"), col("tok_idx"), col("token_id"))
 
   /** FOREIGN-corpus id stream: tokenize `corpus` under a tokenizer
@@ -812,8 +866,9 @@ object TextAnalysis {
     * plus a broadcast LEFT join against the bounded vocabulary (a
     * LocalRelation — alphabet + k merges); the UNK id is one literal. */
   def bpeTokenIdsAgainst(corpus: DataFrame, vocabCorpus: DataFrame,
-      mergeTable: Seq[(String, String)]): DataFrame = {
-    val vocab = bpeVocab(vocabCorpus, mergeTable)
+      mergeTable: Seq[(String, String)],
+      alphabet: Option[Seq[String]] = None): DataFrame = {
+    val vocab = bpeVocab(vocabCorpus, mergeTable, alphabet)
     val unkId = vocab.count() // LocalRelation — a driver-side size read
     bpeTokens(corpus, mergeTable)
       .join(broadcast(vocab), Seq("token"), "left")
@@ -1141,7 +1196,7 @@ object TextAnalysis {
       (lit(1.0) - expr("size(array_distinct(toks))").cast("double") / col("n")).as("dup_r"))
     val top = t.filter(col("n") >= 2)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, n - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        explode(ngramJoinCol(col("toks"), 2))
           .as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -1193,8 +1248,7 @@ object TextAnalysis {
         .withColumn("n", size(col("toks")))
       val bgS = t.filter(col("n") >= 2)
         .select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, concat(toks[i], ' ', toks[i + 1]) AS bg))"))
+          explode(bigramStructsCol(col("toks")))
             .as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
       val c1 = bgS.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -1238,8 +1292,7 @@ object TextAnalysis {
       .withColumn("n", size(col("toks")))
     val bg = t.filter(col("n") >= 2)
       .select(col("dig"), col("mult"),
-        explode(expr(
-          "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, concat(toks[i], ' ', toks[i + 1]) AS bg))"))
+        explode(bigramStructsCol(col("toks")))
           .as("p"))
       .select(col("dig"), col("mult"), col("p.w1").as("w1"), col("p.bg").as("bg"))
     // reduce to per-(text, bigram) multiplicities FIRST: the
@@ -1795,8 +1848,8 @@ object TextAnalysis {
       "t20_bpe_ids",
       Some(bpeTokenIdsSql(8)),
       (s, dir) => {
-        val table = bpeTrainDriver(docs(s, dir), merges = 8).map(t => (t._2, t._3))
-        bpeTokenIds(docs(s, dir), table)
+        val tok = bpeTrainTokenizer(docs(s, dir), merges = 8)
+        bpeTokenIds(docs(s, dir), tok.merges, tok.alphabet)
           .orderBy(col("doc_id"), col("word_idx"), col("tok_idx"))
       }),
 
@@ -1814,11 +1867,11 @@ object TextAnalysis {
       Some(bpeTokenIdsUnkSql(8)),
       (s, dir) => {
         val d = docs(s, dir)
-        val table = bpeTrainDriver(d, merges = 8).map(t => (t._2, t._3))
+        val tok = bpeTrainTokenizer(d, merges = 8)
         val foreign = d.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 3000000L).as("doc_id"),
             concat(col("text"), lit(" q¤x")).as("text"))
-        bpeTokenIdsAgainst(foreign, d, table)
+        bpeTokenIdsAgainst(foreign, d, tok.merges, tok.alphabet)
           .orderBy(col("doc_id"), col("word_idx"), col("tok_idx"))
       }),
 

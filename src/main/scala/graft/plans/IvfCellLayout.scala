@@ -27,7 +27,7 @@ object IvfCellLayout {
     // deterministic sample-trained quantizer shared with the in-memory plan
     val model = graft.operators.Similarity.trainQuantizer(base, k)
     val e = base.withColumn("features",
-      array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+      array_to_vector(col("embedding").cast("array<double>")))
     model.transform(e)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(basePath(path))
@@ -45,10 +45,12 @@ object IvfCellLayout {
     val centroids = spark.read.parquet(centroidPath(path))
     val queries = base.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val cdist = "aggregate(zip_with(q_emb, centroid, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (acc, v) -> acc + v)"
+    // codegen'd kernel — bit-identical to the aggregate(zip_with(...))
+    // squared-distance spelling (sequential double accumulation), minus
+    // the interpreted per-element lambda (guide §4)
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("dist", expr(cdist))
+      .withColumn("dist", graft.operators.Similarity.l2SqDistCol(col("q_emb"), col("centroid")))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell"))

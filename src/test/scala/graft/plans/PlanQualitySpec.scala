@@ -1143,4 +1143,34 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = salted.queryExecution.explainString(FormattedMode)
     assert(p.contains("_salt"))
   }
+
+  test("r18 kernelized paths: no interpreted lambda (CodegenFallback HOF) in any hot plan") {
+    // The r17/r18 kernels (CodePoints, GramHashes, WindowMins, BandBits,
+    // SliceXxBands, AdjacentPairs, NgramJoin, BigramStructs, CountIn,
+    // CountPresent, CountAlphaTokens, L2SqDist, VecSub, VecDiv, VecScale,
+    // DenseFromMap, AgreeCount) exist to keep Generate/Project stages
+    // inside whole-stage codegen: a higher-order-function spelling is
+    // CodegenFallback and exiles its operator to the interpreted eval
+    // path (the r17 t20 JIT-stall class). This lock turns red if anyone
+    // reintroduces a lambda spelling on these plans. Two Spark-INTERNAL
+    // lambda forms are exempt because they are not ours to remove:
+    // float-key normalization on array grouping/join keys
+    // (knownfloatingpointnormalized) and array_sort's default
+    // comparator. The committed plans/r18/*_after.txt dumps are the
+    // matching evidence artifacts.
+    val internal = Seq("knownfloatingpointnormalized", "array_sort")
+    val names = Seq(
+      "d19_winnow_pairs", "d20_winnow_xxhash", "d21_winnow_admit",
+      "d22_winnow_index_sql", "t17_bpe_encode", "t19_bpe_tokens",
+      "t20_bpe_ids", "t23_bpe_ids_unk", "d02_dedup_minhash",
+      "d03_dedup_simhash", "s02_ann_lsh", "t01_text_langid",
+      "t02_text_quality", "t07_text_repetition", "t08_text_lm_score",
+      "t12_heuristic_filters", "t14_ppl_tiers", "t22_corpus_diversity")
+    names.foreach { n =>
+      val bad = plan(n).split("\n").filter(l =>
+        l.contains("lambdafunction") && !internal.exists(l.contains))
+      assert(bad.isEmpty,
+        s"$n: interpreted lambda expression in the physical plan:\n${bad.mkString("\n")}")
+    }
+  }
 }
